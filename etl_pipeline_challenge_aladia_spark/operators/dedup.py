@@ -1,0 +1,53 @@
+"""Keyed dedup operators.
+
+``latest_per_key`` is the engine's ReplacingMergeTree analog (reference
+clickhouse/init.sql:22-24; README "last inserted wins"): collapse rows
+sharing the dedup key to the highest-version row. Implemented as a window
+``row_number`` — one shuffle on the key, no driver-side state, scales by
+key cardinality (at 100 TB the shuffle is hash-partitioned on the key;
+skewed keys are handled by AQE skew-join/salting upstream).
+
+``exact_dedup`` is the north-star exact content dedup: keep the min-id row
+per distinct content column — one hash aggregation, map-side partials free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.schemas import DEDUP_KEY
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str] = tuple(DEDUP_KEY),
+    order_col: str = "version",
+) -> DataFrame:
+    """Last-write-wins: row_number() over (partition by keys order by
+    order_col desc) = 1. Deterministic because ``order_col`` is the engine's
+    monotonic version (SURVEY.md §7.5.2)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str, by_hash: bool = False) -> DataFrame:
+    """Canonicalize exact duplicates: per distinct ``content_col`` keep the
+    smallest ``id_col`` and report the group size.
+
+    ``by_hash=True`` is the 100 TB path: aggregate on xxhash64(content), a
+    fixed-width shuffle key, instead of shuffling full document payloads
+    (collision probability ~n^2/2^65 — acceptable for dedup; flip to a
+    256-bit sha2 if not)."""
+    key = F.xxhash64(F.col(content_col)) if by_hash else F.col(content_col)
+    out = df.groupBy(key.alias("_k")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return out.drop("_k")

@@ -1,0 +1,107 @@
+"""Envelope parsing, flattening, routing, and warehouse shaping.
+
+Covers the reference operators (SURVEY.md §2.2):
+- T1 JSON decode             (consumer/consumer.py:26-27)      -> parse_envelope
+- T2 flatten/projection      (consumer/DoFns/modify_structure.py:3-21) -> modify_structure
+- T3 op-type routing         (consumer/DoFns/load_data.py:22-25)       -> route_ops
+- T4 timestamp reformat      (consumer/DoFns/load_data.py:35-37)       -> format_original_timestamp
+- T5 constant is_deleted     (consumer/DoFns/load_data.py:49)          -> to_warehouse_row
+- T6 sink-side ingestion_time default (clickhouse/init.sql:19)         -> to_warehouse_row
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.schemas import ENVELOPE_SCHEMA
+
+
+def parse_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """Decode JSON envelope text -> typed columns (reference T1).
+
+    PERMISSIVE mode + a ``_corrupt`` flag replaces the reference's
+    nack+requeue loop for undecodable messages (SURVEY.md §2.8-X5): corrupt
+    records are quarantined by the caller, not retried forever.
+    """
+    import pyspark.sql.types as T
+
+    parse_schema = T.StructType(
+        list(ENVELOPE_SCHEMA.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = raw.withColumn(
+        "_parsed",
+        F.from_json(
+            F.col(json_col),
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    return parsed.select(
+        *[F.col(f"_parsed.{f.name}") for f in ENVELOPE_SCHEMA.fields],
+        F.col("_parsed._corrupt_record").isNotNull().alias("_corrupt"),
+    )
+
+
+def modify_structure(envelopes: DataFrame) -> DataFrame:
+    """Flatten envelope -> 9-field record (reference T2).
+
+    Projects document_id from the envelope and 8 fields from ``data``;
+    missing fields surface as NULL (the reference's ``.get() -> None``).
+    Rows with data IS NULL (deletes) are dropped — the reference DoFn raises
+    on them and swallows the error, emitting nothing (SURVEY.md §7.5.1).
+    The envelope-level clusterTime ``timestamp`` is dead data and is not
+    propagated (SURVEY.md §7.5.7).
+    """
+    return envelopes.filter(F.col("data").isNotNull()).select(
+        F.col("document_id"),
+        F.col("data.video_id").alias("video_id"),
+        F.col("data.session_id").alias("session_id"),
+        F.col("data.watched_seconds").alias("watched_seconds"),
+        F.col("data.video_duration_seconds").alias("video_duration_seconds"),
+        F.col("data.watched_ratio").alias("watched_ratio"),
+        F.col("data.device_type").alias("device_type"),
+        F.col("data.quality").alias("quality"),
+        F.col("data.timestamp").alias("timestamp"),
+        F.col("operation"),
+        F.col("version"),
+    )
+
+
+def route_ops(flat: DataFrame, ops: tuple[str, ...] = ("insert", "update")) -> DataFrame:
+    """Pass insert/update to the sink, drop everything else (reference T3)."""
+    return flat.filter(F.col("operation").isin(*ops))
+
+
+def format_original_timestamp(ts: Column) -> Column:
+    """ISO-8601 '...Z' string -> 'yyyy-MM-dd HH:mm:ss' string (reference T4).
+
+    Sub-second precision and the zone marker are dropped by reference design;
+    wall-clock stays UTC (load_data.py:35-37).
+    """
+    return F.date_format(F.to_timestamp(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"), "yyyy-MM-dd HH:mm:ss")
+
+
+def to_warehouse_row(routed: DataFrame, with_ingestion_time: bool = True) -> DataFrame:
+    """Shape the routed flat record into the warehouse schema (reference S5).
+
+    ``ingestion_time`` reproduces the sink-side DEFAULT now() (T6) and is
+    optional because it is wall-clock (excluded from deterministic oracle
+    comparisons; ``version`` is the deterministic ordering column).
+    """
+    cols = [
+        F.col("document_id").alias("original_id"),
+        format_original_timestamp(F.col("timestamp")).alias("original_timestamp"),
+        F.col("video_id"),
+        F.col("session_id"),
+        F.col("watched_seconds"),
+        F.col("video_duration_seconds"),
+        F.col("watched_ratio"),
+        F.col("device_type"),
+        F.col("quality"),
+        F.lit(False).alias("is_deleted"),
+        F.col("version"),
+    ]
+    if with_ingestion_time:
+        cols.append(F.current_timestamp().alias("ingestion_time"))
+    return routed.select(*cols)

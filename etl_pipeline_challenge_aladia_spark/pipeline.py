@@ -1,0 +1,37 @@
+"""Batch end-to-end CDC pipeline (SURVEY.md §3.3's lifecycle as ONE plan).
+
+The reference runs: RabbitMQ consume -> per-message Beam pipeline of three
+DoFns -> ClickHouse insert. Here the identical semantics are one declarative
+DataFrame chain, so Catalyst sees the whole thing and the per-message
+interpreter overhead (reference consumer/consumer.py:31-38, flagged in its
+own README) disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from etl_pipeline_challenge_aladia_spark.operators.dedup import latest_per_key
+from etl_pipeline_challenge_aladia_spark.operators.enrich import with_watched_ratio
+from etl_pipeline_challenge_aladia_spark.operators.structure import (
+    modify_structure,
+    route_ops,
+    to_warehouse_row,
+)
+
+
+def envelopes_to_warehouse(envelopes: DataFrame, with_ingestion_time: bool = True) -> DataFrame:
+    """envelope rows -> warehouse rows (append-shape, pre-dedup).
+
+    F1 enrich -> T2 flatten -> T3 route -> S5/T4/T5/T6 shape.
+    """
+    enriched = with_watched_ratio(envelopes)
+    flat = modify_structure(enriched)
+    routed = route_ops(flat)
+    return to_warehouse_row(routed, with_ingestion_time=with_ingestion_time)
+
+
+def warehouse_dedup_view(warehouse: DataFrame) -> DataFrame:
+    """ReplacingMergeTree-equivalent read view: latest row per
+    (original_id, video_id, session_id) — reference clickhouse/init.sql:22-24."""
+    return latest_per_key(warehouse)

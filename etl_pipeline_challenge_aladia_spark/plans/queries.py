@@ -1,0 +1,659 @@
+"""The analytics query catalog — the engine's user-facing query surface.
+
+Each entry pairs an idiomatic-Spark DataFrame program with an equivalent
+ANSI-SQL oracle (DuckDB dialect) over the same parquet tables; the driver
+hash-compares the two at sf=0.01 (order-insensitive, columns sorted by
+name). Conventions that make cross-engine hashing deterministic:
+
+- every emitted double goes through the shared half-up rounding formula
+  (functions/rounding.py) in BOTH dialects;
+- every LIMIT/top-k orders by the ROUNDED measure with a unique-key
+  tie-break;
+- timestamps are emitted as formatted strings;
+- aggregates are explicitly aliased identically on both sides.
+
+Scale notes ride on each query: the Spark side is written the way it should
+run on a 1000-executor cluster (broadcast small dims, partial aggs, single
+shuffle per groupBy, no driver-side materialization).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
+from etl_pipeline_challenge_aladia_spark.pipeline import (
+    envelopes_to_warehouse,
+    warehouse_dedup_view,
+)
+from etl_pipeline_challenge_aladia_spark.sources.cdc import (
+    CDC_ORACLE_CTE,
+    cdc_envelopes_from_events,
+)
+from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    doc: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _r2(c, alias):
+    return round_half_up(c, 2).alias(alias)
+
+
+def _r4(c, alias):
+    return round_half_up(c, 4).alias(alias)
+
+
+def _s2(expr):
+    return sql_round_half_up(expr, 2)
+
+
+def _s4(expr):
+    return sql_round_half_up(expr, 4)
+
+
+# --------------------------------------------------------------------------
+# CDC pipeline queries (reference parity: SURVEY.md §2.1-§2.4)
+# --------------------------------------------------------------------------
+
+_WAREHOUSE_RATIO_SQL = (
+    "CAST(CASE WHEN COALESCE(video_duration_seconds, 1) > 0 THEN "
+    + _s4(
+        "CAST(COALESCE(watched_seconds, 0) AS DOUBLE)"
+        " / CAST(COALESCE(video_duration_seconds, 1) AS DOUBLE)"
+    )
+    + " ELSE 0.0 END AS DOUBLE)"
+)
+
+#: Oracle prefix rebuilding the warehouse rows (pre-dedup) from `events`.
+CDC_WAREHOUSE_PREFIX = (
+    "WITH "
+    + CDC_ORACLE_CTE
+    + f""",
+warehouse AS (
+  SELECT
+    document_id AS original_id,
+    replace(replace(data_timestamp, 'T', ' '), 'Z', '') AS original_timestamp,
+    video_id,
+    session_id,
+    watched_seconds,
+    video_duration_seconds,
+    {_WAREHOUSE_RATIO_SQL} AS watched_ratio,
+    device_type,
+    quality,
+    FALSE AS is_deleted,
+    version
+  FROM cdc
+  WHERE operation IN ('insert', 'update')
+),
+warehouse_latest AS (
+  SELECT * FROM warehouse
+  QUALIFY row_number() OVER (
+    PARTITION BY original_id, video_id, session_id ORDER BY version DESC) = 1
+)
+"""
+)
+
+
+def _warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return envelopes_to_warehouse(
+        cdc_envelopes_from_events(spark, sf_dir), with_ingestion_time=False
+    )
+
+
+@query(
+    "cdc_warehouse",
+    CDC_WAREHOUSE_PREFIX + "SELECT * FROM warehouse",
+    doc="Full CDC transform chain: envelope -> enrich -> flatten -> route -> "
+    "warehouse shape (reference F1+T2+T3+T4+T5+S5; pre-dedup append table).",
+)
+def q_cdc_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _warehouse(spark, sf_dir)
+
+
+@query(
+    "cdc_dedup_latest",
+    CDC_WAREHOUSE_PREFIX + "SELECT * FROM warehouse_latest",
+    doc="ReplacingMergeTree read view: latest row per (original_id, video_id, "
+    "session_id) by monotonic version (reference clickhouse/init.sql:22-24).",
+)
+def q_cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return warehouse_dedup_view(_warehouse(spark, sf_dir))
+
+
+@query(
+    "cdc_avg_watched_ratio_per_video",
+    CDC_WAREHOUSE_PREFIX
+    + f"""
+SELECT video_id,
+       {_s4('avg(watched_ratio)')} AS avg_watched_ratio,
+       count(*) AS n_sessions,
+       max(watched_seconds) AS max_watched_seconds
+FROM warehouse_latest
+GROUP BY video_id
+""",
+    doc="The reference's documented analytics workload (README:221): average "
+    "watched ratio per video over the deduplicated warehouse.",
+)
+def q_cdc_avg_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        warehouse_dedup_view(_warehouse(spark, sf_dir))
+        .groupBy("video_id")
+        .agg(
+            _r4(F.avg("watched_ratio"), "avg_watched_ratio"),
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("watched_seconds").alias("max_watched_seconds"),
+        )
+    )
+
+
+@query(
+    "cdc_device_quality_rollup",
+    CDC_WAREHOUSE_PREFIX
+    + f"""
+SELECT COALESCE(device_type, 'ALL') AS device_type,
+       COALESCE(quality, 'ALL') AS quality,
+       count(*) AS n_rows,
+       {_s4('avg(watched_ratio)')} AS avg_watched_ratio
+FROM warehouse_latest
+GROUP BY ROLLUP (device_type, quality)
+""",
+    doc="Hierarchical rollup over the dedup view (engine SQL surface; "
+    "grouping-sets family).",
+)
+def q_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        warehouse_dedup_view(_warehouse(spark, sf_dir))
+        .rollup("device_type", "quality")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _r4(F.avg("watched_ratio"), "avg_watched_ratio"),
+        )
+        .select(
+            F.coalesce("device_type", F.lit("ALL")).alias("device_type"),
+            F.coalesce("quality", F.lit("ALL")).alias("quality"),
+            "n_rows",
+            "avg_watched_ratio",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Warehouse-analytics SQL surface over the star schema (SURVEY.md §2.4-§2.7:
+# the categories absent from the reference that its analytics layer implies)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {_s2('sum(l_quantity)')} AS sum_qty,
+       {_s2('sum(l_extendedprice)')} AS sum_base_price,
+       {_s2('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
+       {_s2('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+       {_s4('avg(l_quantity)')} AS avg_qty,
+       {_s4('avg(l_extendedprice)')} AS avg_price,
+       {_s4('avg(l_discount)')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary: scan-heavy partial+final hash agg; the "
+    "shipdate filter pushes to the parquet scan.",
+)
+def q_tpch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity"), "sum_qty"),
+            _r2(F.sum("l_extendedprice"), "sum_base_price"),
+            _r2(F.sum(disc_price), "sum_disc_price"),
+            _r2(F.sum(disc_price * (1 + F.col("l_tax"))), "sum_charge"),
+            _r4(F.avg("l_quantity"), "avg_qty"),
+            _r4(F.avg("l_extendedprice"), "avg_price"),
+            _r4(F.avg("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    f"""
+SELECT l_orderkey,
+       {_s2('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-07-01'
+  AND l_shipdate > DATE '1995-07-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3: 3-way join + agg + top-k. customer is the small side -> "
+    "broadcast; lineitem never shuffles for the join.",
+)
+def q_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-07-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-07-01")
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    f"""
+SELECT n_name,
+       {_s2('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5: 6-way star join. All dims broadcast; the only shuffle is "
+    "the final small groupBy.",
+)
+def q_tpch5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+    )
+
+
+@query(
+    "tpch_q6_revenue_forecast",
+    f"""
+SELECT {_s2('COALESCE(sum(l_extendedprice * l_discount), 0.0)')} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: pure filter+agg; every predicate pushes to the scan.",
+)
+def q_tpch6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r2(
+                F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")), F.lit(0.0)),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    f"""
+SELECT c_custkey, c_name, n_name,
+       {_s2('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+       {_s2('max(c_acctbal)')} AS c_acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10: returned-item revenue by customer; top-20.",
+)
+def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"),
+            _r2(F.max("c_acctbal"), "c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    f"""
+SELECT {_s4("100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount))")} AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+""",
+    doc="TPC-H Q14: conditional aggregation over a broadcast join with part.",
+)
+def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(_r4(F.lit(100.0) * F.sum(promo) / F.sum(disc_price), "promo_revenue_pct"))
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       {_s2('max(o_totalprice)')} AS o_totalprice,
+       {_s2('sum(l_quantity)')} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+HAVING sum(l_quantity) > 270
+""",
+    doc="TPC-H Q18: large-volume orders (HAVING over a join-agg).",
+)
+def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(
+            _r2(F.max("o_totalprice"), "o_totalprice"),
+            _r2(F.sum("l_quantity"), "total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 270)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "window_top3_parts_per_supplier",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey, l_partkey,
+         {_s2('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT l_suppkey, l_partkey, revenue, rnk FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) AS rnk
+  FROM rev) WHERE rnk <= 3
+""",
+    doc="Ranking window: top-3 parts by revenue per supplier. Agg shuffle is "
+    "on (suppkey, partkey); the window reuses the suppkey partitioning.",
+)
+def q_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.desc("revenue"), F.col("l_partkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_suppkey", "l_partkey", "revenue", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@query(
+    "agg_cube_orders",
+    f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       {_s2('sum(o_totalprice)')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE aggregation over orders (grouping-sets family).",
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r2(F.sum("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "agg_distinct_custkeys_per_status",
+    """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="Exact distinct aggregation (expand+two-phase agg in Spark).",
+)
+def q_distinct_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "setop_repeat_customers",
+    """
+SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+""",
+    doc="Set operation: customers ordering in both 1995 and 1996 (INTERSECT "
+    "= distinct semi-join under the hood).",
+)
+def q_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@query(
+    "join_anti_parts_never_ordered",
+    """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem WHERE l_shipdate < DATE '1995-04-01')
+""",
+    doc="Anti join: parts with no lineitem shipped in 1995Q1 (broadcast "
+    "anti join; the subquery side aggregates to distinct keys first).",
+)
+def q_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1995-04-01")
+    return part.join(
+        li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "sort_orders_top10",
+    f"""
+SELECT o_orderkey, {_s2('o_totalprice')} AS total_price
+FROM orders
+ORDER BY total_price DESC, o_orderkey
+LIMIT 10
+""",
+    doc="Global top-k: Spark computes per-partition top-k then merges "
+    "(TakeOrderedAndProject) — no full sort at scale.",
+)
+def q_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", _r2(F.col("o_totalprice"), "total_price"))
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-stream analytics (events table: the engine's time-series surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_by_type",
+    f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       {_s2('sum(value)')} AS total_value,
+       {_s4('avg(value)')} AS avg_value
+FROM events
+GROUP BY day, event_type
+""",
+    doc="Event-time daily aggregation (the batch analog of a tumbling "
+    "window; streaming variant lives in streaming/).",
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value"), "total_value"),
+            _r4(F.avg("value"), "avg_value"),
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {_s4("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))")} AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="Semi-structured extraction: JSON props column -> typed aggregation "
+    "(reference T1's schemaless-JSON handling, generalized).",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r4(F.avg(k), "avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -1,0 +1,45 @@
+"""Batch file sources.
+
+The reference ingests from a queue only (SURVEY.md §2.1-S7); file formats
+come free with Spark. Parquet is the primary at-rest format (columnar,
+matching the reference warehouse's orientation).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_challenge_aladia_spark.schemas import TESTDATA_TABLES
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+#: reader rejects. Read as long (legacy conf) and convert ns -> us with
+#: exact integer division (a double division would lose precision above
+#: 2^53 ns).
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Plain ``spark.read.parquet`` so Catalyst
+    gets full pushdown/pruning freedom on the scan."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _NANOS_TS_COLS.get(name, [])
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

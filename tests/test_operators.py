@@ -1,0 +1,191 @@
+"""Unit tests for the reference semantics ledger (SURVEY.md §7.5).
+
+Each case encodes a behavior verified in the reference source:
+- missing watched_seconds -> 0        (calculate_watched_ratio.py:9)
+- missing duration -> divisor 1       (calculate_watched_ratio.py:10)
+- duration <= 0 -> ratio 0            (calculate_watched_ratio.py:12)
+- 4-decimal rounding                  (calculate_watched_ratio.py:13)
+- delete envelopes (data NULL) emit nothing (SURVEY.md §7.5.1)
+- non-insert/update ops dropped       (load_data.py:22-25)
+- timestamp reformat drops sub-seconds & zone (load_data.py:35-37)
+- last-write-wins dedup               (clickhouse/init.sql:22-24)
+- duplicate redelivery idempotence    (README at-least-once contract)
+- out-of-order invariance             (README:223)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from etl_pipeline_challenge_aladia_spark.operators.dedup import exact_dedup, latest_per_key
+from etl_pipeline_challenge_aladia_spark.operators.enrich import with_watched_ratio
+from etl_pipeline_challenge_aladia_spark.operators.structure import (
+    modify_structure,
+    parse_envelope,
+    route_ops,
+)
+from etl_pipeline_challenge_aladia_spark.pipeline import (
+    envelopes_to_warehouse,
+    warehouse_dedup_view,
+)
+from etl_pipeline_challenge_aladia_spark.schemas import ENVELOPE_SCHEMA
+
+
+def env_row(
+    op="insert",
+    doc_id="doc_1",
+    video="video_1",
+    session="session_1",
+    watched=30,
+    duration=61,
+    ts="2024-01-01T10:20:30Z",
+    version=0,
+    data_null=False,
+):
+    data = (
+        None
+        if data_null
+        else Row(
+            video_id=video,
+            session_id=session,
+            watched_seconds=watched,
+            video_duration_seconds=duration,
+            timestamp=ts,
+            device_type="mobile",
+            quality="720p",
+        )
+    )
+    return Row(operation=op, document_id=doc_id, timestamp="ct", data=data, version=version)
+
+
+def make_envelopes(spark, rows):
+    return spark.createDataFrame(rows, schema=ENVELOPE_SCHEMA)
+
+
+def ratios(spark, rows):
+    df = with_watched_ratio(make_envelopes(spark, rows))
+    return [r["data"]["watched_ratio"] if r["data"] else None for r in df.collect()]
+
+
+def test_watched_ratio_basic(spark):
+    assert ratios(spark, [env_row(watched=30, duration=61)]) == [
+        pytest.approx(0.4918)
+    ]
+
+
+def test_watched_ratio_missing_watched_is_zero(spark):
+    assert ratios(spark, [env_row(watched=None)]) == [0.0]
+
+
+def test_watched_ratio_missing_duration_divisor_one(spark):
+    # reference defaults the divisor to 1 -> ratio == watched_seconds
+    assert ratios(spark, [env_row(watched=123, duration=None)]) == [123.0]
+
+
+def test_watched_ratio_zero_duration_is_zero(spark):
+    assert ratios(spark, [env_row(watched=50, duration=0)]) == [0.0]
+
+
+def test_watched_ratio_delete_stays_null(spark):
+    assert ratios(spark, [env_row(op="delete", data_null=True)]) == [None]
+
+
+def test_modify_structure_drops_data_null(spark):
+    df = modify_structure(
+        with_watched_ratio(
+            make_envelopes(spark, [env_row(), env_row(op="delete", data_null=True)])
+        )
+    )
+    assert df.count() == 1
+
+
+def test_route_ops_drops_delete_and_unknown(spark):
+    rows = [env_row(op=o, version=i) for i, o in enumerate(["insert", "update", "delete", "replace"])]
+    flat = modify_structure(with_watched_ratio(make_envelopes(spark, rows)))
+    assert sorted(r["operation"] for r in route_ops(flat).collect()) == ["insert", "update"]
+
+
+def test_original_timestamp_format(spark):
+    wh = envelopes_to_warehouse(
+        make_envelopes(spark, [env_row(ts="2024-03-05T01:02:03Z")]),
+        with_ingestion_time=False,
+    )
+    assert wh.collect()[0]["original_timestamp"] == "2024-03-05 01:02:03"
+
+
+def test_last_write_wins_dedup(spark):
+    rows = [
+        env_row(version=1, watched=10),
+        env_row(op="update", version=5, watched=50),
+        env_row(op="update", version=3, watched=30),
+    ]
+    wh = envelopes_to_warehouse(make_envelopes(spark, rows), with_ingestion_time=False)
+    out = warehouse_dedup_view(wh).collect()
+    assert len(out) == 1
+    assert out[0]["watched_seconds"] == 50  # version 5 wins, not arrival order
+
+
+def test_duplicate_redelivery_idempotent(spark):
+    base = [env_row(version=1), env_row(op="update", version=2, watched=40)]
+    once = envelopes_to_warehouse(make_envelopes(spark, base), with_ingestion_time=False)
+    twice = envelopes_to_warehouse(
+        make_envelopes(spark, base + base), with_ingestion_time=False
+    )
+    a = sorted(map(str, warehouse_dedup_view(once).collect()))
+    b = sorted(map(str, warehouse_dedup_view(twice).collect()))
+    assert a == b
+
+
+def test_out_of_order_invariance(spark):
+    rows = [env_row(version=v, watched=v * 10) for v in range(1, 6)]
+    fwd = envelopes_to_warehouse(make_envelopes(spark, rows), with_ingestion_time=False)
+    rev = envelopes_to_warehouse(
+        make_envelopes(spark, rows[::-1]), with_ingestion_time=False
+    )
+    assert sorted(map(str, warehouse_dedup_view(fwd).collect())) == sorted(
+        map(str, warehouse_dedup_view(rev).collect())
+    )
+
+
+def test_parse_envelope_corrupt_quarantined(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"operation":"insert","document_id":"d1","timestamp":"t",'
+             '"data":{"video_id":"v1","watched_seconds":5,'
+             '"video_duration_seconds":10,"timestamp":"2024-01-01T00:00:00Z"},'
+             '"version":1}',),
+            ("not json at all {",),
+        ],
+        ["value"],
+    )
+    parsed = parse_envelope(raw)
+    ok = parsed.filter("NOT _corrupt")
+    bad = parsed.filter("_corrupt")
+    assert ok.count() == 1 and bad.count() == 1
+    row = ok.collect()[0]
+    assert row["document_id"] == "d1"
+    assert row["data"]["session_id"] is None  # missing field -> NULL, .get() parity
+
+
+def test_latest_per_key_generic(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "a"), ("k1", 2, "b"), ("k2", 7, "c")], ["k", "v", "payload"]
+    )
+    out = {r["k"]: r["payload"] for r in latest_per_key(df, ["k"], "v").collect()}
+    assert out == {"k1": "b", "k2": "c"}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["id", "text"]
+    )
+    got = {
+        (r["canonical_id"], r["dup_count"]) for r in exact_dedup(df, "text", "id").collect()
+    }
+    assert got == {(1, 2), (3, 1)}
+    got_h = {
+        (r["canonical_id"], r["dup_count"])
+        for r in exact_dedup(df, "text", "id", by_hash=True).collect()
+    }
+    assert got_h == got
