@@ -26,6 +26,10 @@ BENCH_QUERIES = [
     "tpch_q18_large_volume_customer",
     "window_top3_parts_per_supplier",
     "events_daily_by_type",
+    "doc_token_stats",
+    "doc_fingerprint",
+    "minhash_near_dup",
+    "emb_cosine_topk",
 ]
 
 

@@ -1,0 +1,214 @@
+"""Near-duplicate detection and similarity search (north-star scope).
+
+Three tiers, chosen by scale:
+
+- ``ngram_jaccard_pairs``: exact pairwise Jaccard within blocking groups.
+  Quadratic in block size — the correctness baseline and fine when blocks
+  are small (here: language).
+- ``minhash_near_dup_pairs``: MinHash signatures + LSH banding. The 100 TB
+  path: cost is linear in corpus size + candidate pairs, never all-pairs.
+  Candidates are verified with exact Jaccard, so precision matches the
+  brute-force baseline; banding parameters control recall.
+- ``brute_force_topk`` / cosine: exact top-k neighbors for a small query
+  set against a large candidate corpus — the query side broadcasts, the
+  candidate scan stays distributed and never shuffles.
+
+Determinism: MinHash permutations come from a fixed seed; token hashing
+uses md5 (engine-independent) folded to 32 bits, so signatures are stable
+across runs and engines.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.functions.rounding import round_half_up
+from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+    cosine_similarity_col,
+    to_double_array,
+)
+from etl_pipeline_challenge_aladia_spark.operators.text import shingles_col, tokens_col
+
+_MERSENNE = 2_147_483_647  # 2^31 - 1
+
+
+def jaccard_cols(a, b):
+    """|A ∩ B| / |A ∪ B| for two array columns (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs — the all-pairs baseline.
+
+    Optionally blocked by ``block_col``, but note blocking trades recall:
+    on this corpus planted near-dups span languages, so the default is the
+    unblocked exact product. Quadratic — the correctness baseline only;
+    ``minhash_near_dup_pairs`` is the linear-scale path.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+        shingles_col(tokens_col(text_col), n).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.block") == F.col("b.block"))
+    pairs = a.join(b, cond)
+    return (
+        pairs.select(
+            F.col("a.id").alias("doc_id_a"),
+            F.col("b.id").alias("doc_id_b"),
+            round_half_up(jaccard_cols(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_perm)
+    ]
+
+
+def shingle_hash_col(sh) -> F.Column:
+    """Engine-independent 32-bit shingle hash: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """doc -> array<long> MinHash signature of its n-gram shingle set.
+
+    One explode + one groupBy: shuffle volume is (docs x shingles) hashed
+    rows, independent of corpus pair count.
+    """
+    params = _perm_params(num_perm, seed)
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(tokens_col(text_col), n)).alias("sh"),
+    ).withColumn("h", shingle_hash_col(F.col("sh")))
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{j}")
+            for j, (a, b) in enumerate(params)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    bands=16 x rows=4 over 64 perms: P(candidate) = 1-(1-j^4)^16 — ~0.99+
+    at j=0.8, steeply suppressing low-similarity pairs. Candidates then
+    verify against exact shingle Jaccard so output precision is exact.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm, seed)
+
+    band_rows = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = band_rows.alias("x")
+    right = band_rows.alias("y")
+    candidates = (
+        left.join(
+            right,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("doc_id_a"), F.col("y.id").alias("doc_id_b"))
+        .distinct()
+    )
+
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_col(tokens_col(text_col), n).alias("sh")
+    )
+    verified = (
+        candidates.join(sh.withColumnsRenamed({"id": "doc_id_a", "sh": "sh_a"}), "doc_id_a")
+        .join(sh.withColumnsRenamed({"id": "doc_id_b", "sh": "sh_b"}), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            round_half_up(jaccard_cols(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    The query set broadcasts; candidates stream through a single
+    stage (cross join + window). At cluster scale this is
+    O(candidates x queries / executors) with no candidate shuffle until
+    the final per-query top-k (tiny).
+    """
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("ce")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double_array(vec_col).alias("qe")
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        round_half_up(cosine_similarity_col(F.col("qe"), F.col("ce")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators for the large-scale training-data pipeline
+(north-star scope, BASELINE.json): token statistics, quality scoring,
+shingling, and document fingerprinting over the ``documents`` table.
+
+Everything is built from JVM-side column expressions (split / transform /
+aggregate / filter higher-order functions) — no Python UDFs — so the whole
+stage codegens and scales linearly with input splits. The arithmetic is
+chosen to be reproducible in any engine (see the paired DuckDB oracles in
+plans/queries.py): ascii/length-based token hashing and an explicit
+modular polynomial fold instead of engine-specific hash builtins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Stopwords present in the synthetic corpus vocabulary.
+STOPWORDS = ("the", "a")
+
+_MOD = 2_147_483_647  # 2^31 - 1
+_MULT = 1_000_003
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space-joined corpus)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count_col(text: Column | str) -> Column:
+    """Token count via separator counting — avoids materializing the array
+    when only the count is needed: (len - len(without spaces)) + 1."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.length(c) - F.length(F.regexp_replace(c, " ", "")) + 1).cast("long")
+
+
+def stopword_count_col(words: Column) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("long")
+
+
+def unique_count_col(words: Column) -> Column:
+    return F.size(F.array_distinct(words)).cast("long")
+
+
+def quality_score_col(n_unique: Column, n_tokens: Column, n_stop: Column) -> Column:
+    """Heuristic quality in [0, 1]: lexical diversity damped by stopword
+    density — unique_ratio * (1 - stop_ratio). Deterministic double
+    arithmetic from integer counts."""
+    t = n_tokens.cast("double")
+    return (n_unique.cast("double") / t) * (F.lit(1.0) - n_stop.cast("double") / t)
+
+
+def shingles_col(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of an array<string> column. Docs
+    shorter than n tokens yield an empty set (Spark's ``sequence`` would
+    otherwise descend for negative spans)."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(words) >= n, F.array_distinct(joined)).otherwise(empty)
+
+
+def token_hash_col(w: Column) -> Column:
+    """Cross-engine token hash: ascii(first char) * 131 + length. Collisions
+    are acceptable for fingerprinting; the point is engine-independence."""
+    return (F.ascii(w) * F.lit(131) + F.length(w)).cast("long")
+
+
+def fingerprint_col(words: Column) -> Column:
+    """Order-sensitive rolling polynomial fingerprint of the token stream:
+    fold acc -> (acc * 1000003 + token_hash) mod (2^31 - 1). Stays in int64
+    (acc < 2^31, * 1e6 < 2^51)."""
+    return F.aggregate(
+        F.transform(words, token_hash_col),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * _MULT + h) % _MOD,
+    )
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach n_tokens / n_unique / n_stopwords / quality_score columns."""
+    words = tokens_col(text_col)
+    n_tokens = token_count_col(text_col)
+    n_unique = unique_count_col(words)
+    n_stop = stopword_count_col(words)
+    return docs.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_unique": n_unique,
+            "n_stopwords": n_stop,
+            "quality_score": quality_score_col(n_unique, n_tokens, n_stop),
+        }
+    )

@@ -657,3 +657,253 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators over documents/embeddings (north star:
+# dedup, text analysis, similarity search — BASELINE.json)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_exact_dedup",
+    """
+SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY text
+""",
+    doc="Exact dedup: canonical (min doc_id) per distinct text. Scale path "
+    "pre-hashes content to a fixed-width shuffle key (operators/dedup.py).",
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    ).select("canonical_doc_id", "dup_count")
+
+
+_AVG_TOKEN_LEN_EXPR = "CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens"
+
+
+@query(
+    "doc_token_stats",
+    f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS w,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+       CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+       {_s4(_AVG_TOKEN_LEN_EXPR)} AS avg_token_len
+FROM t
+""",
+    doc="Per-document token statistics (token counting for training-data "
+    "curation): counts via JVM-side string/array functions, no UDFs.",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        stopword_count_col,
+        token_count_col,
+        tokens_col,
+        unique_count_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = tokens_col("text")
+    n_tokens = token_count_col("text")
+    no_space_len = F.length(F.regexp_replace("text", " ", "")).cast("double")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        unique_count_col(words).alias("n_unique"),
+        stopword_count_col(words).alias("n_stopwords"),
+        _r4(no_space_len / n_tokens, "avg_token_len"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+         CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       {_s4('(CAST(n_unique AS DOUBLE) / n_tokens) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)')} AS quality_score
+FROM c
+""",
+    doc="Heuristic document quality: lexical diversity damped by stopword "
+    "density (operators/text.py:quality_score_col).",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import with_text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id", _r4(F.col("quality_score"), "quality_score")
+    )
+
+
+@query(
+    "doc_lang_source_stats",
+    f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       {_s2('avg(n_chars)')} AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+    doc="Corpus composition: documents per (language, source) with size stats.",
+)
+def q_doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r2(F.avg("n_chars"), "avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_concat([CAST(0 AS BIGINT)],
+                     list_transform(w, x -> CAST(ascii(x) * 131 + length(x) AS BIGINT))),
+         (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+FROM t
+""",
+    doc="Order-sensitive rolling polynomial fingerprint of the token stream "
+    "(document fingerprinting; cross-engine modular arithmetic, no engine "
+    "hash builtins).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        fingerprint_col,
+        tokens_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col(tokens_col("text")).alias("fingerprint"))
+
+
+@query(
+    "doc_ngram_jaccard_dups",
+    f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM t
+),
+p AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         {_s4('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))')} AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM p WHERE jaccard >= 0.8
+""",
+    doc="Exact n-gram-Jaccard near-duplicate pairs, all-pairs baseline "
+    "(operators/similarity.py:ngram_jaccard_pairs). Quadratic — correctness "
+    "baseline only; the LSH variant (minhash_near_dup) is the scale path.",
+)
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+@query(
+    "minhash_near_dup",
+    None,  # LSH banding is not SQL-expressible; driver records rows-only
+    doc="MinHash(64 perms) + LSH(16 bands x 4 rows) near-dup pairs with "
+    "exact-Jaccard verification >= 0.8 — linear-scale dedup "
+    "(operators/similarity.py:minhash_near_dup_pairs). Output equals the "
+    "brute-force doc_ngram_jaccard_dups set on this corpus (tested).",
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.8)
+
+
+@query(
+    "emb_cosine_topk",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, emb AS ce FROM e WHERE vec_id >= 5),
+p AS (
+  SELECT query_id, neighbor_id,
+         {_s4('list_cosine_similarity(qe, ce)')} AS cos_sim
+  FROM q, c
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM p) WHERE rnk <= 5
+""",
+    doc="Exact cosine top-5 neighbors for query vectors (vec_id < 5): "
+    "broadcast queries x streamed candidates, per-query window top-k "
+    "(operators/similarity.py:brute_force_topk).",
+)
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return brute_force_topk(cands, queries_df, k=5)
+
+
+@query(
+    "emb_label_centroids",
+    f"""
+SELECT label,
+       CAST(dim AS BIGINT) AS dim,
+       {_s4('avg(val)')} AS centroid_val
+FROM (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS val,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+GROUP BY label, dim
+""",
+    doc="Per-label embedding centroids via posexplode + per-dimension avg "
+    "(partial aggregation map-side; shuffle is labels x dims rows).",
+)
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(to_double_array("embedding")).alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(_r4(F.avg("val"), "centroid_val"))
+    )

@@ -1,0 +1,51 @@
+"""Similarity/dedup operator tests: the LSH path must agree with the exact
+brute-force baseline on the planted near-duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+    brute_force_topk,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+
+def test_minhash_matches_brute_force(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    brute = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    assert len(brute) > 0, "corpus should contain planted near-duplicates"
+    # exact-verify step makes LSH precision exact; banding should not lose
+    # any pair at jaccard >= 0.8 on this corpus
+    assert lsh == brute
+
+
+def test_minhash_signatures_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    a = {r["id"]: r["signature"] for r in minhash_signatures(docs).collect()}
+    b = {r["id"]: r["signature"] for r in minhash_signatures(docs).collect()}
+    assert a == b
+    assert all(len(s) == 64 for s in a.values())
+
+
+def test_brute_force_topk_self_similarity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # query against the full set including itself: rank 1 must be itself
+    out = brute_force_topk(emb, queries, k=1)
+    rows = {r["query_id"]: r for r in out.collect()}
+    for qid, r in rows.items():
+        assert r["neighbor_id"] == qid
+        assert r["cos_sim"] == 1.0
