@@ -1,0 +1,138 @@
+"""Multimodal column plumbing (north-star scope).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched pandas iterators (``mapInPandas``) —
+the Spark-idiomatic shape for per-item Python work: data moves in columnar
+Arrow batches, never row-at-a-time, and each task streams batches so a
+partition never has to fit in pandas memory at once.
+
+The actual decoders (PIL/ffmpeg/librosa) are NOT available in this
+environment, so the decode kernel is stubbed: ``decode_stub=True`` (default)
+derives deterministic fake features from the bytes themselves, keeping the
+Spark-side plumbing — schema, batch iteration, partitioning, UDF signature —
+real and testable. Wire a real decoder by passing ``kernel=``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: A media row: opaque payload + typed metadata (SURVEY.md §2.10 mapping).
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _stub_kernel(content: bytes) -> list[float]:
+    """Deterministic fake feature: bytes -> sha256 -> 8 floats in [0, 1).
+
+    Placeholder for a real decode+embed kernel (PIL/ffmpeg not installed
+    here); replace via the ``kernel`` argument of ``extract_features``.
+    """
+    digest = hashlib.sha256(content or b"").digest()
+    return [
+        int.from_bytes(digest[i * 4 : i * 4 + 4], "big") / 2**32
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def extract_features(
+    media: DataFrame,
+    kernel: Callable[[bytes], list[float]] | None = None,
+) -> DataFrame:
+    """binary content -> fixed-width feature vectors via mapInPandas.
+
+    One Arrow round-trip per batch; output schema is fixed so downstream
+    similarity search (operators/similarity.py) composes directly on the
+    ``feature`` column.
+    """
+    k = kernel or _stub_kernel
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": content.map(lambda b: len(b) if b is not None else 0),
+                    "content_sha": content.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feature": content.map(lambda b: k(b or b"")),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video -> frame-sampling work plan: one row per (media_id, frame_ts).
+
+    Pure column math (sequence over duration) — the expensive decode is
+    deferred to ``extract_features`` on the exploded plan, so frame tasks
+    parallelize across the cluster instead of per-video.
+    """
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_id", F.explode(frames).alias("frame_ts_ms"), "content")
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic in-memory media fixture (no media libs needed)."""
+    rows = []
+    for i in range(n):
+        modality = ["image", "audio", "video"][i % 3]
+        payload = bytes(hashlib.sha256(str(i).encode()).digest() * (1 + i % 4))
+        rows.append(
+            (
+                i,
+                modality,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[
+                    modality
+                ],
+                payload,
+                (64 + i, 48 + i, 1000 * (1 + i % 5)),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
