@@ -138,13 +138,20 @@ def minhash_near_dup_pairs(
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, id_col, text_col, n, num_perm, seed)
 
+    # band key = exact concatenation of the band's signature slice (not a
+    # hash): no false candidates from key collisions, and the candidate set
+    # is engine-reproducible (the DuckDB oracle builds the same keys)
     band_rows = sigs.select(
         "id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
@@ -212,3 +219,35 @@ def brute_force_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def simhash_col_agg(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """doc -> 32-bit SimHash of its distinct token set.
+
+    Per bit j: sign of sum over tokens of ((hash >> j) & 1 ? +1 : -1);
+    positive sums set the bit. One explode + one groupBy with 32 columnar
+    sums — the same linear shuffle shape as MinHash. Token hashing is the
+    engine-independent md5-fold, so the DuckDB oracle reproduces signatures
+    exactly. Near-dup candidates then group by simhash (or by hamming-ball
+    probes at scale).
+    """
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("t"),
+    ).withColumn("h", shingle_hash_col(F.col("t")))
+    sums = exploded.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    simhash = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select("id", simhash.cast("long").alias("simhash"))

@@ -94,3 +94,25 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "quality_score": quality_score_col(n_unique, n_tokens, n_stop),
         }
     )
+
+
+def stop_ratio_col(text: Column | str) -> Column:
+    words = tokens_col(text)
+    return stopword_count_col(words).cast("double") / token_count_col(text).cast("double")
+
+
+def lang_id_col(text: Column | str, dense: float = 0.09, sparse: float = 0.05) -> Column:
+    """Heuristic language ID from function-word density.
+
+    Real language ID compares character-n-gram profiles per language; this
+    corpus is a synthetic shared-vocabulary word salad, so the deterministic
+    stand-in buckets documents by stopword-marker density — the same plumbing
+    (pure column expr -> groupBy confusion matrix) with a trivially
+    exchangeable scoring core.
+    """
+    r = stop_ratio_col(text)
+    return (
+        F.when(r >= dense, F.lit("stop_dense"))
+        .when(r >= sparse, F.lit("stop_mid"))
+        .otherwise(F.lit("stop_sparse"))
+    )

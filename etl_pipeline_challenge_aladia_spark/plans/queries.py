@@ -833,13 +833,69 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
 
 
+def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str:
+    """Rebuild the full MinHash+LSH pipeline in DuckDB SQL: identical token
+    hashing (md5 -> 32-bit via digit arithmetic), identical seeded
+    permutations, identical band keys — so even the LSH path is exactly
+    oracle-checkable, not rows-only."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import _perm_params
+
+    rpb = num_perm // bands
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    params = _perm_params(num_perm, seed)
+    sig_cols = ",\n         ".join(
+        f"min((hv * {a} + {b}) % 2147483647) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    band_arms = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    jexpr = _s4(
+        "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(ta.sh, tb.sh)))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+h AS (SELECT doc_id, CAST({hex2int} AS BIGINT) AS hv FROM ex),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+bands AS (
+  {band_arms}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_a, c.doc_id_b, {jexpr} AS jaccard
+FROM cand c
+JOIN tok ta ON ta.doc_id = c.doc_id_a
+JOIN tok tb ON tb.doc_id = c.doc_id_b
+WHERE {jexpr} >= 0.8
+"""
+
+
 @query(
     "minhash_near_dup",
-    None,  # LSH banding is not SQL-expressible; driver records rows-only
+    _minhash_oracle_sql(),
     doc="MinHash(64 perms) + LSH(16 bands x 4 rows) near-dup pairs with "
     "exact-Jaccard verification >= 0.8 — linear-scale dedup "
     "(operators/similarity.py:minhash_near_dup_pairs). Output equals the "
-    "brute-force doc_ngram_jaccard_dups set on this corpus (tested).",
+    "brute-force doc_ngram_jaccard_dups set on this corpus (tested); the "
+    "oracle replays the exact seeded permutations and band keys in SQL.",
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
@@ -906,4 +962,384 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", F.posexplode(to_double_array("embedding")).alias("pos", "val"))
         .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
         .agg(_r4(F.avg("val"), "centroid_val"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series / windowed analytics over events; advanced SQL surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionization",
+    f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us, ts FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN us - lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sessions AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       {_s2('sum(value)')} AS total_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    doc="Gap-based sessionization (30-min inactivity): lag + running sum "
+    "windows assign session ids, then per-session aggregation. The batch "
+    "analog of streaming session windows; one shuffle on user_id reused by "
+    "both windows and the final groupBy.",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = ev.select("user_id", "event_id", "value", "ts", F.unix_micros("ts").alias("us"))
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("is_new").over(run))
+    return (
+        sessions.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value"), "total_value"),
+        )
+    )
+
+
+@query(
+    "events_asof_last_click_before_purchase",
+    """
+WITH u AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+m AS (
+  SELECT *,
+         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id
+  FROM u
+)
+SELECT user_id, event_id AS purchase_event_id, click_event_id
+FROM m WHERE kind = 1
+""",
+    doc="As-of (backward) join: each purchase matched to the user's most "
+    "recent prior click. Implemented as union + last_value(ignore nulls) "
+    "running window — one shuffle on user_id, no range-join explosion; the "
+    "scalable Spark shape for as-of semantics.",
+)
+def q_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = u.withColumn(
+        "click_event_id",
+        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return m.filter(F.col("kind") == 1).select(
+        "user_id", F.col("event_id").alias("purchase_event_id"), "click_event_id"
+    )
+
+
+@query(
+    "events_daily_moving_avg",
+    f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         {_s2('sum(value)')} AS total_value
+  FROM events GROUP BY day
+)
+SELECT day, total_value,
+       {_s4('avg(total_value) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)')} AS ma7
+FROM daily
+""",
+    doc="7-day moving average over daily totals (frame-spec window). The "
+    "window input is the already-rounded daily total, keeping the frame "
+    "arithmetic engine-deterministic.",
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(_r2(F.sum("value"), "total_value"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day", "total_value", _r4(F.avg("total_value").over(w), "ma7")
+    )
+
+
+@query(
+    "orders_monthly_cumulative_revenue",
+    f"""
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         {_s2('sum(o_totalprice)')} AS revenue
+  FROM orders GROUP BY month
+)
+SELECT month, revenue,
+       {_s2('sum(revenue) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS cum_revenue
+FROM monthly
+""",
+    doc="Running (cumulative) total over monthly revenue — unbounded "
+    "preceding frame over pre-rounded inputs.",
+)
+def q_cum_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(_r2(F.sum("o_totalprice"), "revenue"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "month", "revenue", _r2(F.sum("revenue").over(w), "cum_revenue")
+    )
+
+
+@query(
+    "pivot_device_quality",
+    CDC_WAREHOUSE_PREFIX
+    + """
+SELECT device_type,
+       CAST(COALESCE(sum(CASE WHEN quality = '360p' THEN 1 END), 0) AS BIGINT) AS n_360p,
+       CAST(COALESCE(sum(CASE WHEN quality = '480p' THEN 1 END), 0) AS BIGINT) AS n_480p,
+       CAST(COALESCE(sum(CASE WHEN quality = '720p' THEN 1 END), 0) AS BIGINT) AS n_720p,
+       CAST(COALESCE(sum(CASE WHEN quality = '1080p' THEN 1 END), 0) AS BIGINT) AS n_1080p,
+       CAST(COALESCE(sum(CASE WHEN quality = '4k' THEN 1 END), 0) AS BIGINT) AS n_4k
+FROM warehouse_latest
+GROUP BY device_type
+""",
+    doc="Pivot: quality values to columns over the dedup view (conditional "
+    "aggregation — same plan Spark's pivot() produces with explicit values).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.schemas import QUALITIES
+
+    wl = warehouse_dedup_view(_warehouse(spark, sf_dir))
+    aggs = [
+        F.coalesce(F.sum(F.when(F.col("quality") == q, 1)), F.lit(0))
+        .cast("long")
+        .alias(f"n_{q}")
+        for q in QUALITIES
+    ]
+    return wl.groupBy("device_type").agg(*aggs)
+
+
+@query(
+    "exists_customers_with_pending_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+    doc="Correlated EXISTS (left-semi join): customers holding at least one "
+    "pending order.",
+)
+def q_exists_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        pending.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "string_funcs_part",
+    r"""
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substr(p_type, 1, 3) AS type_prefix,
+       replace(p_name, ' ', '_') AS name_snake
+FROM part
+""",
+    doc="Scalar string-function surface: regexp capture, case mapping, "
+    "length, substring, replace (reference F3 category — absent there, "
+    "native here).",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+    )
+
+
+@query(
+    "events_value_percentiles",
+    f"""
+SELECT event_type,
+       {_s4('quantile_cont(value, 0.5)')} AS median_value,
+       {_s4('quantile_cont(value, 0.9)')} AS p90_value,
+       {_s2('max(value)')} AS max_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Exact interpolated percentiles (percentile() in Spark SQL = "
+    "quantile_cont in the oracle; approx_percentile is the sketch variant "
+    "for 100 TB, traded here for oracle-exactness).",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r4(F.expr("percentile(value, 0.5)"), "median_value"),
+        _r4(F.expr("percentile(value, 0.9)"), "p90_value"),
+        _r2(F.max("value"), "max_value"),
+    )
+
+
+@query(
+    "events_dow_hour_profile",
+    f"""
+SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+       CAST(date_part('hour', ts) AS BIGINT) AS hour,
+       count(*) AS n_events,
+       {_s4('avg(value)')} AS avg_value
+FROM events
+GROUP BY dow, hour
+""",
+    doc="Calendar profile (day-of-week x hour heatmap input): date-part "
+    "extraction + two-key aggregation.",
+)
+def q_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), _r4(F.avg("value"), "avg_value"))
+    )
+
+
+@query(
+    "region_customer_stats",
+    f"""
+SELECT r_name,
+       count(*) AS n_customers,
+       {_s2('avg(c_acctbal)')} AS avg_acctbal,
+       {_s2('sum(c_acctbal)')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="Dimension rollup through the snowflake: customer -> nation -> "
+    "region, both dims broadcast.",
+)
+def q_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r2(F.avg("c_acctbal"), "avg_acctbal"),
+            _r2(F.sum("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash + language-ID heuristic (training-data ops, oracle-paired)
+# --------------------------------------------------------------------------
+
+_SIMHASH_HEX2INT = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+_SIMHASH_BITSUMS = ",\n       ".join(
+    f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(32)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(32)
+)
+
+
+@query(
+    "doc_simhash",
+    f"""
+WITH ex AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+),
+h AS (SELECT doc_id, CAST({_SIMHASH_HEX2INT} AS BIGINT) AS hv FROM ex),
+s AS (
+  SELECT doc_id,
+       {_SIMHASH_BITSUMS}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM s
+""",
+    doc="32-bit SimHash per document from the engine-independent md5 token "
+    "hash (operators/similarity.py:simhash_col_agg); near-dups cluster at "
+    "small hamming distance.",
+)
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import simhash_col_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_col_agg(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+@query(
+    "doc_lang_confusion",
+    """
+WITH t AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+           / (length(text) - length(replace(text, ' ', '')) + 1) AS r
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN r >= 0.09 THEN 'stop_dense'
+            WHEN r >= 0.05 THEN 'stop_mid'
+            ELSE 'stop_sparse' END AS predicted,
+       count(*) AS n_docs
+FROM t
+GROUP BY lang, predicted
+""",
+    doc="Language-ID heuristic confusion matrix: function-word-density "
+    "bucketing vs the labeled lang column (operators/text.py:lang_id_col; "
+    "scoring core is swappable for real char-n-gram profiles).",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import lang_id_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_col("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
