@@ -23,13 +23,19 @@ BENCH_QUERIES = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
     "window_top3_parts_per_supplier",
     "events_daily_by_type",
+    "events_sessionization",
+    "events_asof_last_click_before_purchase",
     "doc_token_stats",
     "doc_fingerprint",
     "minhash_near_dup",
+    "doc_simhash_near_dup",
     "emb_cosine_topk",
+    "emb_ivf_topk",
 ]
 
 

@@ -226,19 +226,21 @@ def simhash_col_agg(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
+    n: int = 3,
 ) -> DataFrame:
-    """doc -> 32-bit SimHash of its distinct token set.
+    """doc -> 32-bit SimHash of its distinct word-n-gram shingle set.
 
-    Per bit j: sign of sum over tokens of ((hash >> j) & 1 ? +1 : -1);
+    Per bit j: sign of sum over shingles of ((hash >> j) & 1 ? +1 : -1);
     positive sums set the bit. One explode + one groupBy with 32 columnar
-    sums — the same linear shuffle shape as MinHash. Token hashing is the
-    engine-independent md5-fold, so the DuckDB oracle reproduces signatures
-    exactly. Near-dup candidates then group by simhash (or by hamming-ball
-    probes at scale).
+    sums — the same linear shuffle shape as MinHash. Features are n-gram
+    shingles (not unigrams: on a shared-vocabulary corpus unigram sets
+    barely differ between documents, collapsing all signatures together);
+    shingle hashing uses the engine-independent md5-fold, so the DuckDB
+    oracle reproduces signatures exactly.
     """
     exploded = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens_col(text_col))).alias("t"),
+        F.explode(F.array_distinct(shingles_col(tokens_col(text_col), n))).alias("t"),
     ).withColumn("h", shingle_hash_col(F.col("t")))
     sums = exploded.groupBy("id").agg(
         *[
@@ -251,3 +253,133 @@ def simhash_col_agg(
         term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return sums.select("id", simhash.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash LSH: banded candidate generation + exact Hamming verification.
+
+    Pigeonhole guarantee: with 4 bands of 8 bits, any pair within Hamming
+    distance 3 shares at least one *identical* band — so recall at
+    ``max_hamming <= bands - 1`` is exactly 100%, not probabilistic. The
+    join is linear in corpus size + band-bucket collisions (no all-pairs).
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash_col_agg(docs, id_col, text_col, bits)
+    band_rows = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_id_a"),
+            F.col("b.id").alias("doc_id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-cell centroid as an array column, one columnar avg per dimension.
+
+    Components are rounded (half-up, ``scale`` decimals) so downstream
+    ranking on centroid distances is stable across engines/summation
+    orders. At 100 TB the cell id comes from a k-means coarse quantizer;
+    here the ``label`` column stands in as the cell assignment.
+    """
+    e = embeddings.select(F.col(cell_col).alias("cell"), to_double_array(vec_col).alias("v"))
+    return e.groupBy("cell").agg(
+        F.array(
+            *[round_half_up(F.avg(F.col("v")[i]), scale) for i in range(dim)]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate nearest neighbors: coarse centroids -> probe the
+    ``nprobe`` closest cells -> exact cosine rerank within probed cells.
+
+    The scale path for ANN: the candidate scan touches only probed cells
+    (partition pruning when the corpus is stored partitioned by cell), the
+    centroid table is tiny and broadcast, and the final top-k is a per-query
+    window over nprobe cells' worth of rows — never the full corpus.
+    """
+    cents = label_centroids(embeddings, dim, cell_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double_array(vec_col).alias("qe")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qe",
+            "cell",
+            round_half_up(cosine_similarity_col(F.col("qe"), F.col("centroid")), 4).alias(
+                "cent_sim"
+            ),
+        )
+        .withColumn("probe_rnk", F.row_number().over(probe_w))
+        .filter(F.col("probe_rnk") <= nprobe)
+        .select("query_id", "qe", "cell")
+    )
+    cand = embeddings.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("ce"),
+    )
+    scored = cand.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "neighbor_id",
+        round_half_up(cosine_similarity_col(F.col("qe"), F.col("ce")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    )

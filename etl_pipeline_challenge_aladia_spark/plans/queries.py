@@ -1291,9 +1291,13 @@ _SIMHASH_COMBINE = " + ".join(
 @query(
     "doc_simhash",
     f"""
-WITH ex AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 ),
+ex AS (SELECT doc_id, unnest(sh) AS t FROM tok),
 h AS (SELECT doc_id, CAST({_SIMHASH_HEX2INT} AS BIGINT) AS hv FROM ex),
 s AS (
   SELECT doc_id,
@@ -1302,8 +1306,7 @@ s AS (
 )
 SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM s
 """,
-    doc="32-bit SimHash per document from the engine-independent md5 token "
-    "hash (operators/similarity.py:simhash_col_agg); near-dups cluster at "
+    doc="32-bit SimHash per document over 3-gram shingles with the engine-independent md5 hash (operators/similarity.py:simhash_col_agg); near-dups cluster at "
     "small hamming distance.",
 )
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1342,4 +1345,388 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", lang_id_col("text").alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash LSH near-dup pairs; IVF approximate nearest neighbors
+# --------------------------------------------------------------------------
+
+_SIMHASH_BAND_ARMS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS key FROM sig"
+    for b in range(4)
+)
+
+
+@query(
+    "doc_simhash_near_dup",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sh) AS t FROM tok),
+h AS (SELECT doc_id, CAST({_SIMHASH_HEX2INT} AS BIGINT) AS hv FROM ex),
+s AS (
+  SELECT doc_id,
+       {_SIMHASH_BITSUMS}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM s),
+bands AS (
+  {_SIMHASH_BAND_ARMS}
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    doc="SimHash near-dup pairs via 4x8-bit LSH bands + exact Hamming "
+    "verify <= 3 (operators/similarity.py:simhash_near_dup_pairs). "
+    "Pigeonhole: distance <= 3 cannot dirty all 4 bands, so recall is "
+    "exactly 100% — linear-scale, no all-pairs join.",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs)
+
+
+_IVF_CENT6 = sql_round_half_up("avg(val)", 6)
+
+
+@query(
+    "emb_ivf_topk",
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent0 AS (
+  SELECT label, dim, {_IVF_CENT6} AS cv
+  FROM (
+    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings WHERE vec_id >= 5)
+  GROUP BY label, dim
+),
+cent AS (SELECT label, list(cv ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, label FROM (
+    SELECT q.query_id, c.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_s4('list_cosine_similarity(q.qe, c.centroid)')} DESC, c.label) AS pr
+    FROM q, cent c) WHERE pr <= 2
+),
+cand AS (SELECT label, vec_id AS neighbor_id, emb AS ce FROM e WHERE vec_id >= 5),
+scored AS (
+  SELECT p.query_id, cand.neighbor_id,
+         {_s4('list_cosine_similarity(q.qe, cand.ce)')} AS cos_sim
+  FROM probes p
+  JOIN cand ON cand.label = p.label
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored) WHERE rnk <= 5
+""",
+    doc="IVF-style ANN: per-cell centroids (label = coarse-quantizer cell), "
+    "probe the 2 nearest cells per query, exact cosine rerank inside probed "
+    "cells only (operators/similarity.py:ivf_topk). At scale the corpus is "
+    "partitioned by cell -> probing = partition pruning; centroids broadcast.",
+)
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return ivf_topk(cands, queries_df, dim=64, k=5, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style decision-support queries (adapted to the reduced schema:
+# no partsupp table, no commit/receipt dates -> date predicates use
+# l_shipdate vs o_orderdate)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_late_ship_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (priority checking): correlated EXISTS with an "
+    "inequality on both relations -> left-semi join; adapted predicate "
+    "(shipped >60 days after order) since the reduced schema lacks "
+    "commit/receipt dates.",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add("o_orderdate", 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    f"""
+SELECT supp_nation, cust_nation, l_year, {_s2('sum(volume)')} AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation nc ON nc.n_nationkey = c_nationkey
+  WHERE ns.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+    AND nc.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+    AND ns.n_name <> nc.n_name
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 (volume shipping): fact-fact join lineitem-orders shuffled "
+    "on orderkey; supplier/customer/nation dims broadcast; the nation-set "
+    "predicate is pushed below the aggregation.",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), "s_nationkey")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), "c_nationkey")
+        .filter(
+            F.col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_r2(F.sum("volume"), "revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    f"""
+SELECT o_year, {_s4("sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) / sum(volume)")} AS mkt_share
+FROM (
+  SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation nc ON nc.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = nc.n_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+    AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+)
+GROUP BY o_year
+""",
+    doc="TPC-H Q8 (national market share): seven-table snowflake join, all "
+    "dims broadcast, conditional-sum ratio per year.",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), "s_nationkey")
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    vol = joined.select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        "supp_nation",
+    )
+    return vol.groupBy("o_year").agg(
+        _r4(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            "mkt_share",
+        )
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 (customer order-count distribution): left outer join "
+    "preserving order-less customers, two-level aggregation; second groupBy "
+    "keys on the first's output (tiny shuffle).",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    f"""
+WITH thresh AS (
+  SELECT l_partkey AS t_partkey, {_s4('0.2 * avg(l_quantity)')} AS t_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {_s2('sum(l_extendedprice) / 7.0')} AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN thresh ON t_partkey = l_partkey
+WHERE p_brand = 'Brand#12' AND l_quantity < t_qty
+""",
+    doc="TPC-H Q17 (small-quantity-order revenue): correlated scalar "
+    "subquery decorrelated into a per-partkey aggregate joined back — the "
+    "scalable plan Catalyst produces for the correlated form; threshold "
+    "rounded so the comparison is engine-deterministic.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        _r4(F.avg("l_quantity") * 0.2, "t_qty")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresh, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("t_qty"))
+        .agg(_r2(F.sum("l_extendedprice") / 7.0, "avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+SELECT {_s2("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 (discounted revenue, disjunctive predicates): OR-of-ANDs "
+    "across both join sides; the common l_partkey=p_partkey conjunct stays "
+    "a hash-join key while per-side conjuncts push into the scans.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue")
+    )
+
+
+@query(
+    "tpch_q22_dormant_rich_customers",
+    f"""
+WITH avg_bal AS (
+  SELECT {_s4('avg(c_acctbal)')} AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust, {_s2('sum(c_acctbal)')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '1999-01-01')
+GROUP BY c_mktsegment
+""",
+    doc="TPC-H Q22 (global sales opportunity): scalar aggregate subquery "
+    "(broadcast 1-row cross join) + NOT EXISTS (left-anti join on recent orders: "
+    "dormant = none since 1999), grouped by market segment in place of phone country codes.",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(_r4(F.avg("c_acctbal"), "a"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), _r2(F.sum("c_acctbal"), "totacctbal"))
     )
