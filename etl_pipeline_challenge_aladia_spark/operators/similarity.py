@@ -31,6 +31,7 @@ from etl_pipeline_challenge_aladia_spark.functions.vectors import (
     to_double_array,
 )
 from etl_pipeline_challenge_aladia_spark.operators.text import shingles_col, tokens_col
+from etl_pipeline_challenge_aladia_spark.sources.files import fan_out
 
 _MERSENNE = 2_147_483_647  # 2^31 - 1
 
@@ -62,7 +63,7 @@ def ngram_jaccard_pairs(
         *( [F.col(block_col).alias("block")] if block_col else [] ),
         shingles_col(tokens_col(text_col), n).alias("sh"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = fan_out(sh).alias("a"), sh.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.block") == F.col("b.block"))
@@ -104,7 +105,7 @@ def minhash_signatures(
     rows, independent of corpus pair count.
     """
     params = _perm_params(num_perm, seed)
-    exploded = docs.select(
+    exploded = fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(tokens_col(text_col), n)).alias("sh"),
     ).withColumn("h", shingle_hash_col(F.col("sh")))
@@ -238,7 +239,7 @@ def simhash_col_agg(
     shingle hashing uses the engine-independent md5-fold, so the DuckDB
     oracle reproduces signatures exactly.
     """
-    exploded = docs.select(
+    exploded = fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles_col(tokens_col(text_col), n))).alias("t"),
     ).withColumn("h", shingle_hash_col(F.col("t")))

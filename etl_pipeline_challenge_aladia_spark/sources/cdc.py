@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.schemas import DEVICE_TYPES, QUALITIES
-from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+from etl_pipeline_challenge_aladia_spark.sources.files import fan_out, load_table
 
 
 def _pick(values: list[str], idx: Column) -> Column:
@@ -38,7 +38,15 @@ def _pick(values: list[str], idx: Column) -> Column:
 
 
 def cdc_envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet -> DataFrame[ENVELOPE_SCHEMA-shaped rows]."""
+    """events.parquet -> DataFrame[ENVELOPE_SCHEMA-shaped rows].
+
+    The scalar fields are computed BEFORE the ``fan_out`` exchange and the
+    envelope struct is assembled after it. Columns crossing an exchange are
+    materialized, so every downstream ``data.x`` extraction resolves to a
+    shuffled attribute instead of Catalyst re-inlining (and re-evaluating)
+    the whole synthesis expression per field — without the barrier the
+    flatten step rebuilt the concat/date_format chain ~10x per row.
+    """
     ev = load_table(spark, sf_dir, "events")
     e = F.col("event_id")
     u = F.col("user_id")
@@ -54,25 +62,40 @@ def cdc_envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(e % 83 == 7, F.lit(0).cast("long"))
         .otherwise(F.lit(61) + F.lit(2) * ((e * 104729) % 1770))
     )
-    data = F.struct(
-        F.concat(F.lit("video_"), (F.lit(10000) + (u * 37) % 90000).cast("string")).alias(
-            "video_id"
-        ),
-        F.concat(F.lit("session_"), (F.lit(100000) + (u * 101) % 900000).cast("string")).alias(
-            "session_id"
-        ),
-        watched.cast("long").alias("watched_seconds"),
-        duration.cast("long").alias("video_duration_seconds"),
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
-        _pick(DEVICE_TYPES, u % 4).alias("device_type"),
-        _pick(QUALITIES, e % 5).alias("quality"),
+    flat = fan_out(
+        ev.select(
+            op.alias("operation"),
+            F.concat(F.lit("doc_"), u.cast("string")).alias("document_id"),
+            F.col("ts").cast("string").alias("timestamp"),  # clusterTime analog (dead)
+            F.concat(F.lit("video_"), (F.lit(10000) + (u * 37) % 90000).cast("string")).alias(
+                "d_video_id"
+            ),
+            F.concat(
+                F.lit("session_"), (F.lit(100000) + (u * 101) % 900000).cast("string")
+            ).alias("d_session_id"),
+            watched.cast("long").alias("d_watched_seconds"),
+            duration.cast("long").alias("d_video_duration_seconds"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("d_timestamp"),
+            _pick(DEVICE_TYPES, u % 4).alias("d_device_type"),
+            _pick(QUALITIES, e % 5).alias("d_quality"),
+            e.cast("long").alias("version"),
+        )
     )
-    return ev.select(
-        op.alias("operation"),
-        F.concat(F.lit("doc_"), u.cast("string")).alias("document_id"),
-        F.col("ts").cast("string").alias("timestamp"),  # clusterTime analog (dead field)
-        F.when(op != "delete", data).alias("data"),
-        e.cast("long").alias("version"),
+    data = F.struct(
+        F.col("d_video_id").alias("video_id"),
+        F.col("d_session_id").alias("session_id"),
+        F.col("d_watched_seconds").alias("watched_seconds"),
+        F.col("d_video_duration_seconds").alias("video_duration_seconds"),
+        F.col("d_timestamp").alias("timestamp"),
+        F.col("d_device_type").alias("device_type"),
+        F.col("d_quality").alias("quality"),
+    )
+    return flat.select(
+        "operation",
+        "document_id",
+        "timestamp",
+        F.when(F.col("operation") != "delete", data).alias("data"),
+        "version",
     )
 
 

@@ -43,3 +43,19 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to full parallelism before expression-heavy
+    stages.
+
+    The testdata parquet files are single-row-group, so a scan stage runs as
+    ONE task no matter how many cores exist; any expensive projection chained
+    onto it (envelope synthesis, shingle hashing, pairwise verification)
+    would execute single-threaded. A tiny round-robin shuffle of the skinny
+    scan output spreads that work across the cluster. On real 100 TB inputs
+    (many files / many row groups) the scan already parallelizes and callers
+    can skip this — it exists for narrow-source + heavy-expression shapes.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
