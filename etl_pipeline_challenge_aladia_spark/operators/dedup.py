@@ -51,3 +51,29 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str, by_hash: bool = Fa
         F.count(F.lit(1)).alias("dup_count"),
     )
     return out.drop("_k")
+
+
+def active_after_soft_delete(warehouse: DataFrame) -> DataFrame:
+    """Soft-delete read view: latest live row per key, unless shadowed by a
+    newer tombstone for the same document.
+
+    A tombstone (``is_deleted=True``, reference load_data.py:68-101 stub)
+    kills every row of its ``original_id`` with a smaller version; a
+    re-insert AFTER the tombstone revives the document. Two hash-partitioned
+    aggregations on original_id — no driver state, linear shuffle.
+    """
+    tombs = (
+        warehouse.filter(F.col("is_deleted"))
+        .groupBy(F.col("original_id").alias("_t_id"))
+        .agg(F.max("version").alias("_t_version"))
+    )
+    live = warehouse.filter(~F.col("is_deleted"))
+    latest = latest_per_key(live)
+    return (
+        latest.join(
+            tombs,
+            (latest["original_id"] == tombs["_t_id"])
+            & (latest["version"] < tombs["_t_version"]),
+            "left_anti",
+        )
+    )

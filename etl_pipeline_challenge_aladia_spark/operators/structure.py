@@ -105,3 +105,33 @@ def to_warehouse_row(routed: DataFrame, with_ingestion_time: bool = True) -> Dat
     if with_ingestion_time:
         cols.append(F.current_timestamp().alias("ingestion_time"))
     return routed.select(*cols)
+
+
+def to_tombstone_row(envelopes: DataFrame, with_ingestion_time: bool = True) -> DataFrame:
+    """Delete envelopes -> soft-delete tombstone rows (reference M5).
+
+    The reference left this path a commented-out stub
+    (consumer/DoFns/load_data.py:68-101); this implements exactly what the
+    stub describes: a NEW warehouse row for the document with
+    ``is_deleted=True``. It takes ENVELOPE rows (not the flattened record)
+    because the T2 flatten drops data-less deletes for parity. Delete
+    envelopes carry ``data=None`` (producer.py:61), so payload fields are
+    NULL and — following the stub's ``element.get('video_id', '')``
+    defaults — the string key columns are empty strings.
+    """
+    cols = [
+        F.col("document_id").alias("original_id"),
+        F.lit(None).cast("string").alias("original_timestamp"),
+        F.coalesce(F.col("data.video_id"), F.lit("")).alias("video_id"),
+        F.coalesce(F.col("data.session_id"), F.lit("")).alias("session_id"),
+        F.col("data.watched_seconds").alias("watched_seconds"),
+        F.col("data.video_duration_seconds").alias("video_duration_seconds"),
+        F.lit(None).cast("double").alias("watched_ratio"),
+        F.coalesce(F.col("data.device_type"), F.lit("")).alias("device_type"),
+        F.coalesce(F.col("data.quality"), F.lit("")).alias("quality"),
+        F.lit(True).alias("is_deleted"),
+        F.col("version"),
+    ]
+    if with_ingestion_time:
+        cols.append(F.current_timestamp().alias("ingestion_time"))
+    return envelopes.filter(F.col("operation") == "delete").select(*cols)

@@ -16,19 +16,33 @@ from etl_pipeline_challenge_aladia_spark.operators.enrich import with_watched_ra
 from etl_pipeline_challenge_aladia_spark.operators.structure import (
     modify_structure,
     route_ops,
+    to_tombstone_row,
     to_warehouse_row,
 )
 
 
-def envelopes_to_warehouse(envelopes: DataFrame, with_ingestion_time: bool = True) -> DataFrame:
+def envelopes_to_warehouse(
+    envelopes: DataFrame,
+    with_ingestion_time: bool = True,
+    soft_delete: bool = False,
+) -> DataFrame:
     """envelope rows -> warehouse rows (append-shape, pre-dedup).
 
-    F1 enrich -> T2 flatten -> T3 route -> S5/T4/T5/T6 shape.
+    F1 enrich -> T2 flatten -> T3 route -> S5/T4/T5/T6 shape. With
+    ``soft_delete=True`` the delete events the reference drops
+    (load_data.py:24-25) instead become is_deleted=True tombstone rows —
+    the M5 path its stub describes (load_data.py:68-101); read through
+    ``operators.dedup.active_after_soft_delete``.
     """
     enriched = with_watched_ratio(envelopes)
     flat = modify_structure(enriched)
     routed = route_ops(flat)
-    return to_warehouse_row(routed, with_ingestion_time=with_ingestion_time)
+    rows = to_warehouse_row(routed, with_ingestion_time=with_ingestion_time)
+    if soft_delete:
+        rows = rows.unionByName(
+            to_tombstone_row(envelopes, with_ingestion_time=with_ingestion_time)
+        )
+    return rows
 
 
 def warehouse_dedup_view(warehouse: DataFrame) -> DataFrame:

@@ -1730,3 +1730,34 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("numcust"), _r2(F.sum("c_acctbal"), "totacctbal"))
     )
+
+
+@query(
+    "cdc_soft_delete_active",
+    CDC_WAREHOUSE_PREFIX
+    + """,
+tombs AS (
+  SELECT document_id AS t_id, max(version) AS t_version
+  FROM cdc WHERE operation = 'delete' GROUP BY document_id
+)
+SELECT l.original_id, l.video_id, l.session_id, l.watched_ratio, l.version
+FROM warehouse_latest l
+LEFT JOIN tombs t ON l.original_id = t.t_id AND l.version < t.t_version
+WHERE t.t_id IS NULL
+""",
+    doc="Soft-delete read view (reference M5, the stub at "
+    "load_data.py:68-101): deletes become is_deleted=True tombstones; a "
+    "tombstone shadows every older version of its document, a newer "
+    "re-insert revives it. Two hash aggregations + one anti join on "
+    "original_id (operators/dedup.py:active_after_soft_delete).",
+)
+def q_soft_delete_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.dedup import (
+        active_after_soft_delete,
+    )
+
+    env = cdc_envelopes_from_events(spark, sf_dir)
+    wh = envelopes_to_warehouse(env, with_ingestion_time=False, soft_delete=True)
+    return active_after_soft_delete(wh).select(
+        "original_id", "video_id", "session_id", "watched_ratio", "version"
+    )

@@ -189,3 +189,53 @@ def test_exact_dedup(spark):
         for r in exact_dedup(df, "text", "id", by_hash=True).collect()
     }
     assert got_h == got
+
+
+def test_soft_delete_tombstone_shadow_and_revive(spark):
+    """M5 semantics: a tombstone kills older versions of its document; a
+    newer re-insert revives it (reference load_data.py:68-101 stub)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.dedup import (
+        active_after_soft_delete,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.structure import parse_envelope
+    from etl_pipeline_challenge_aladia_spark.pipeline import envelopes_to_warehouse
+
+    def env(op, doc, version, watched=10):
+        data = None
+        if op != "delete":
+            data = {
+                "video_id": "v1",
+                "session_id": "s1",
+                "watched_seconds": watched,
+                "video_duration_seconds": 61,
+                "timestamp": "2024-01-01T00:00:00Z",
+                "device_type": "mobile",
+                "quality": "720p",
+            }
+        return json.dumps(
+            {"operation": op, "document_id": doc, "timestamp": "ct",
+             "data": data, "version": version}
+        )
+
+    lines = [
+        env("insert", "dead", 1),          # shadowed by delete v2
+        env("delete", "dead", 2),
+        env("insert", "revived", 3),
+        env("delete", "revived", 4),
+        env("insert", "revived", 5, watched=50),  # re-insert after tombstone
+        env("insert", "alive", 6),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], ["value"])
+    envelopes = parse_envelope(raw).drop("_corrupt")
+    wh = envelopes_to_warehouse(envelopes, with_ingestion_time=False, soft_delete=True)
+
+    assert wh.filter(F.col("is_deleted")).count() == 2
+    active = {
+        r["original_id"]: (r["watched_seconds"], r["version"])
+        for r in active_after_soft_delete(wh).collect()
+    }
+    assert active == {"revived": (50, 5), "alive": (10, 6)}
