@@ -1,0 +1,63 @@
+"""Skew mitigation for joins at scale.
+
+AQE's skew-join split (enabled in session.py) handles most skew at runtime
+by splitting oversized shuffle partitions. ``salted_join`` is the explicit
+fallback for the pathological case AQE can't fix: a single join key so hot
+that one task would receive a large fraction of the stream side (e.g. a
+null-ish default key, a viral video_id). Salting sub-partitions the hot
+side randomly and replicates the build side per salt, so the hot key fans
+out over ``salt_factor`` tasks.
+
+Trade-off: the build side is replicated ``salt_factor`` times through the
+shuffle — use only when the build side is small-ish (but too big to
+broadcast outright, otherwise ``broadcast()`` already avoids skew since
+there is no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the probe side salted and the build side replicated.
+
+    probe gains a uniform random salt in [0, salt_factor); build is exploded
+    once per salt value; the join adds ``_salt`` to the key so each hot key
+    spreads over ``salt_factor`` shuffle partitions. Result equals
+    ``probe.join(build, on, how)`` for inner/left joins (salt is dropped).
+    """
+    if salt_factor < 2:
+        return probe.join(build, list(on), how)
+    salted_probe = probe.withColumn(
+        SALT_COL, (F.rand(seed=42) * salt_factor).cast("int")
+    )
+    replicated_build = build.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    )
+    out = salted_probe.join(replicated_build, [*on, SALT_COL], how)
+    return out.drop(SALT_COL)
+
+
+def top_key_skew(df: DataFrame, keys: Sequence[str], n: int = 5) -> DataFrame:
+    """Diagnostic: the n heaviest key groups and their share of all rows —
+    the number to look at before choosing broadcast / AQE / salting."""
+    total = df.count()
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("share", F.col("n_rows") / F.lit(float(total)))
+        .orderBy(F.desc("n_rows"), *keys)
+        .limit(n)
+    )

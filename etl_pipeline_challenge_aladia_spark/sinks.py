@@ -51,3 +51,30 @@ def upsert_warehouse_batch(spark: SparkSession, batch: DataFrame, path: str) -> 
 
     shutil.rmtree(path, ignore_errors=True)
     shutil.move(path + "._tmp", path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed+sorted managed table for co-located joins.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT an exchange: each task zips matching buckets (sort-merge over
+    pre-sorted buckets, no shuffle, no sort). At 100 TB this is the
+    difference between re-shuffling the fact table on every join and
+    paying the layout cost once at write time. Bucket pruning also applies
+    to point lookups on the bucket key.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

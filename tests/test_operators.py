@@ -239,3 +239,33 @@ def test_soft_delete_tombstone_shadow_and_revive(spark):
         for r in active_after_soft_delete(wh).collect()
     }
     assert active == {"revived": (50, 5), "alive": (10, 6)}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be result-identical to the plain equi-join."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.skew import (
+        salted_join,
+        top_key_skew,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    build = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+
+    plain = (
+        li.join(build, ["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        salted_join(li, build, ["l_orderkey"], salt_factor=4)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    skew = top_key_skew(li, ["l_orderkey"], n=3).collect()
+    assert len(skew) == 3 and all(0 < r["share"] < 1 for r in skew)
