@@ -1,0 +1,44 @@
+"""User-extension surface: Arrow-vectorized Pandas UDFs.
+
+The reference's entire UDF mechanism is the Beam DoFn (SURVEY.md §2.9-U1);
+all three of its DoFns translate to native Column expressions here, so the
+parity path has NO Python in the row loop. This module is the engine's
+extension point for logic that genuinely needs Python (custom scoring,
+model inference): scalar and grouped-aggregate Pandas UDFs, Arrow-batched —
+the ~10-100x-over-row-at-a-time path. Tests cross-check each UDF against
+the equivalent native expression so the two surfaces stay semantically
+aligned; the native version remains canonical for anything expressible in
+Columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def watched_ratio_pudf(watched: pd.Series, duration: pd.Series) -> pd.Series:
+    """Vectorized twin of enrich.watched_ratio_col (F1 semantics including
+    the asymmetric missing-field defaults, duration<=0 -> 0, and the shared
+    half-up rounding formula)."""
+    w = watched.fillna(0).astype("float64")
+    d = duration.fillna(1).astype("float64")
+    ratio = (w / d).where(d > 0, 0.0)
+    return np.floor(ratio * 10_000.0 + 0.5) / 10_000.0
+
+
+@pandas_udf("long")
+def token_count_pudf(text: pd.Series) -> pd.Series:
+    """Vectorized twin of text.token_count_col (whitespace tokens)."""
+    return text.fillna("").str.split().map(len).astype("int64")
+
+
+@pandas_udf("double")
+def grouped_mean_ratio_pudf(ratio: pd.Series) -> float:
+    """Grouped-aggregate Pandas UDF: plain mean over the group's Arrow
+    batch. Used with groupBy().agg() — partial aggregation happens per
+    group partition, the Arrow transfer is the group's column only."""
+    return float(ratio.mean())

@@ -124,3 +124,55 @@ cdc AS (
   FROM events
 )
 """
+
+
+def streaming_envelopes_rate(
+    spark: SparkSession, rows_per_second: int = 2
+) -> DataFrame:
+    """Continuous synthetic CDC envelope stream (reference S6's runtime twin).
+
+    The reference's workload generator loops forever issuing weighted random
+    ops at ~1.8 ops/s (data_simulation.py:80-94). Spark-first, that is a
+    ``rate`` source plus the SAME deterministic column derivations used for
+    the batch fixture (op mix 50/30/20, data=NULL deletes, repeating dedup
+    keys), keyed off the rate source's monotonically increasing ``value``.
+    Default rows_per_second≈2 matches the reference's expected rate; turn it
+    up for load tests — the derivation is pure column math and scales with
+    executors.
+    """
+    ev = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    e = F.col("value")
+    u = (e * 31) % 1000  # synthetic user id with repeating keys
+    op = (
+        F.when(e % 10 < 5, F.lit("insert"))
+        .when(e % 10 < 8, F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    watched = F.when(e % 97 == 0, F.lit(None).cast("long")).otherwise((e * 7919) % 3600)
+    duration = (
+        F.when(e % 89 == 3, F.lit(None).cast("long"))
+        .when(e % 83 == 7, F.lit(0).cast("long"))
+        .otherwise(F.lit(61) + F.lit(2) * ((e * 104729) % 1770))
+    )
+    data = F.struct(
+        F.concat(F.lit("video_"), (F.lit(10000) + (u * 37) % 90000).cast("string")).alias(
+            "video_id"
+        ),
+        F.concat(
+            F.lit("session_"), (F.lit(100000) + (u * 101) % 900000).cast("string")
+        ).alias("session_id"),
+        watched.cast("long").alias("watched_seconds"),
+        duration.cast("long").alias("video_duration_seconds"),
+        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        _pick(DEVICE_TYPES, u % 4).alias("device_type"),
+        _pick(QUALITIES, e % 5).alias("quality"),
+    )
+    return ev.select(
+        op.alias("operation"),
+        F.concat(F.lit("doc_"), u.cast("string")).alias("document_id"),
+        F.col("timestamp").cast("string").alias("timestamp"),
+        F.when(op != "delete", data).alias("data"),
+        e.cast("long").alias("version"),
+    )
