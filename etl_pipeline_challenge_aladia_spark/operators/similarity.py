@@ -384,3 +384,34 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup — the embedding twin of
+    ``ngram_jaccard_pairs``: correctness baseline, quadratic by design.
+
+    The scale path replaces the a<b self-join with sign-LSH banding or the
+    IVF cell structure (``ivf_topk``): candidates only within matching
+    buckets/cells, then the same exact-cosine verification. The threshold is
+    corpus-tuned (near-dup corpora use ~0.95; this synthetic corpus has no
+    planted duplicates, so the catalog query demonstrates the operator at
+    the top of its observed similarity range).
+    """
+    e = embeddings.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+    a, b = fan_out(e).alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("vec_id_a"),
+            F.col("b.id").alias("vec_id_b"),
+            round_half_up(cosine_similarity_col(F.col("a.v"), F.col("b.v")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1761,3 +1761,25 @@ def q_soft_delete_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_after_soft_delete(wh).select(
         "original_id", "video_id", "session_id", "watched_ratio", "version"
     )
+
+
+@query(
+    "emb_cosine_near_dup",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         {_s4('list_cosine_similarity(a.emb, b.emb)')} AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT * FROM p WHERE cos_sim >= 0.45
+""",
+    doc="Exact all-pairs embedding cosine near-dup pairs >= 0.45 "
+    "(operators/similarity.py:cosine_pairs) — the correctness baseline for "
+    "embedding dedup; the LSH/IVF variants are the linear-scale path.",
+)
+def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb)

@@ -1,0 +1,85 @@
+"""S7 file-format surface, the raw SQL layer, and plan-hygiene assertions
+(pushdown/pruning/broadcast actually present in the physical plans)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.sources.files import (
+    load_table,
+    register_testdata_views,
+)
+
+
+def test_warehouse_roundtrips_csv_json_parquet(spark, sf_dir, tmp_path):
+    from etl_pipeline_challenge_aladia_spark.pipeline import envelopes_to_warehouse
+    from etl_pipeline_challenge_aladia_spark.sources.cdc import (
+        cdc_envelopes_from_events,
+    )
+
+    wh = envelopes_to_warehouse(
+        cdc_envelopes_from_events(spark, sf_dir), with_ingestion_time=False
+    )
+    want = wh.count()
+    schema = wh.schema
+
+    for fmt in ["parquet", "json", "csv"]:
+        path = str(tmp_path / fmt)
+        writer = wh.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        writer.save(path)
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", True).schema(schema)
+        if fmt == "json":
+            reader = reader.schema(schema)
+        back = reader.load(path)
+        assert back.count() == want
+        assert {f.name for f in back.schema.fields} == {f.name for f in schema.fields}
+
+
+def test_sql_layer_over_registered_views(spark, sf_dir):
+    register_testdata_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    ).collect()
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and len(got) > 0
+
+    joined = spark.sql(
+        """
+        SELECT r_name, count(*) AS n FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+    assert joined.count() == 5
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") >= "1998-01-01").select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan reads only the referenced columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_for_small_dimension(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    q = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
