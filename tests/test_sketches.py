@@ -1,0 +1,47 @@
+"""Approximate operators bounded against exact answers (the correct
+contract for sketches — they are engine-specific, so no DuckDB oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.functions.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    bloom_prune_probe,
+)
+from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    exact = orders.select(F.count_distinct("o_custkey")).collect()[0][0]
+    approx = orders.select(approx_distinct("o_custkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    approx = ev.select(approx_quantiles("value", [0.5, 0.9])).collect()[0][0]
+    exact = ev.selectExpr("percentile(value, array(0.5, 0.9))").collect()[0][0]
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    spread = hi - lo
+    for a, e in zip(approx, exact):
+        assert abs(a - e) / spread < 0.02
+
+
+def test_bloom_prune_preserves_join_result(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    plain = li.join(urgent, li.l_orderkey == urgent.o_orderkey).count()
+    pruned_probe = bloom_prune_probe(
+        li, urgent, "l_orderkey", "o_orderkey", expected_items=50_000
+    )
+    pruned = pruned_probe.join(urgent, pruned_probe.l_orderkey == urgent.o_orderkey).count()
+    assert pruned == plain > 0
+    # the filter actually prunes (selective join): strictly fewer probe rows
+    assert pruned_probe.count() < li.count()
