@@ -1,0 +1,61 @@
+"""Regenerate PLANS.md: formatted physical plans for representative catalog
+queries, with the scale-relevant features called out. Run from repo root:
+
+    python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+SF = "/root/testdata/sf0.01"
+
+PICKS = {
+    "cdc_dedup_latest": "single Exchange on the dedup key; WindowGroupLimit "
+    "partial+final prunes to rank-1 rows map-side before the shuffle",
+    "tpch_q3_shipping_priority": "fact-fact shuffle join on orderkey only; "
+    "customer broadcast; filters pushed to every scan",
+    "tpch_q5_local_supplier_volume": "all four dimensions broadcast — the fact "
+    "table shuffles once for the final aggregation",
+    "tpch_q6_revenue_forecast": "pure scan+filter+agg: predicates in "
+    "PushedFilters, ReadSchema pruned to 4 columns, whole-stage codegen end to end",
+    "minhash_near_dup": "explode -> one hash aggregation for signatures; "
+    "band self-join only over matching band keys (no all-pairs)",
+    "emb_ivf_topk": "centroids broadcast twice (probe + rerank); candidate scan "
+    "joins on the probed cells only",
+    "events_sessionization": "one Exchange on user_id reused by both window "
+    "functions and the final aggregation",
+}
+
+
+def main() -> None:
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+    from etl_pipeline_challenge_aladia_spark.session import get_spark
+
+    spark = get_spark(app_name="dump-plans", cpus=8, shuffle_partitions=8)
+    out = io.StringIO()
+    out.write(
+        "# PLANS — physical-plan evidence for representative catalog queries\n\n"
+        "Regenerate with `python tools/dump_plans.py` (sf0.01 inputs; plans are\n"
+        "scale-independent in shape). Each section lists what to look for.\n"
+    )
+    for name, note in PICKS.items():
+        df = CATALOG[name].spark(spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # keep the operator tree + scan details; drop repeated column dumps
+        plan = re.sub(r"\n\(\d+\) ColumnarToRow.*?(?=\n\(\d+\)|\Z)", "", plan, flags=re.S)
+        out.write(f"\n## {name}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write(out.getvalue())
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
