@@ -19,6 +19,7 @@ BENCH_QUERIES = [
     "cdc_warehouse",
     "cdc_dedup_latest",
     "cdc_avg_watched_ratio_per_video",
+    "cdc_soft_delete_active",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",

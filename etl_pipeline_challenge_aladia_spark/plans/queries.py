@@ -1783,3 +1783,92 @@ def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb)
+
+
+@query(
+    "agg_rollup_region_nation",
+    f"""
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+       count(*) AS n_customers,
+       {_s2('sum(c_acctbal)')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    doc="ROLLUP hierarchy region -> nation -> grand total with grouping_id "
+    "disambiguating NULL-vs-ALL; partial aggregation covers all rollup "
+    "levels in one pass.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            _r2(F.sum("c_acctbal"), "total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "gid",
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@query(
+    "events_clicks_near_purchase",
+    """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id, c.click_id,
+       CAST((p.pus - c.cus) // 1000000 AS BIGINT) AS gap_s
+FROM purchases p
+JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.cus BETWEEN p.pus - 600000000 AND p.pus
+""",
+    doc="Bounded range join: clicks within 10 minutes before each purchase. "
+    "Equi-key on user_id keeps it a hash join with a residual range filter "
+    "— the scalable shape (at 100 TB add a coarse time-bucket equi-key so "
+    "each row joins only adjacent buckets instead of a full per-user "
+    "cross product).",
+)
+def q_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.unix_micros("ts").alias("pus")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & F.col("cus").between(F.col("pus") - 600_000_000, F.col("pus")),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            F.floor((F.col("pus") - F.col("cus")) / 1_000_000).cast("long").alias("gap_s"),
+        )
+    )
