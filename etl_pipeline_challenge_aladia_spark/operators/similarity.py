@@ -310,22 +310,31 @@ def simhash_near_dup_pairs(
 
 def label_centroids(
     embeddings: DataFrame,
-    dim: int,
+    dim: int | None = None,
     cell_col: str = "label",
     vec_col: str = "embedding",
     scale: int = 6,
 ) -> DataFrame:
-    """Per-cell centroid as an array column, one columnar avg per dimension.
+    """Per-cell centroid as an array column via posexplode + one (cell, dim)
+    aggregation, rebuilt into an array with a sorted collect.
 
-    Components are rounded (half-up, ``scale`` decimals) so downstream
-    ranking on centroid distances is stable across engines/summation
-    orders. At 100 TB the cell id comes from a k-means coarse quantizer;
-    here the ``label`` column stands in as the cell assignment.
+    One compact two-column aggregation instead of ``dim`` separate avg
+    expressions — a small expression tree for codegen regardless of
+    dimension (``dim`` is therefore unused and kept only for signature
+    stability). Components are rounded (half-up, ``scale`` decimals) so
+    downstream ranking on centroid distances is stable across
+    engines/summation orders. At 100 TB the cell id comes from a k-means
+    coarse quantizer; here the ``label`` column stands in as the cell
+    assignment.
     """
-    e = embeddings.select(F.col(cell_col).alias("cell"), to_double_array(vec_col).alias("v"))
-    return e.groupBy("cell").agg(
-        F.array(
-            *[round_half_up(F.avg(F.col("v")[i]), scale) for i in range(dim)]
+    e = embeddings.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(to_double_array(vec_col)).alias("dim", "val"),
+    )
+    per_dim = e.groupBy("cell", "dim").agg(round_half_up(F.avg("val"), scale).alias("cv"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda x: x["cv"]
         ).alias("centroid")
     )
 
