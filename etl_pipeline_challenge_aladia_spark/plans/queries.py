@@ -1872,3 +1872,78 @@ def q_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("pus") - F.col("cus")) / 1_000_000).cast("long").alias("gap_s"),
         )
     )
+
+
+@query(
+    "events_session_windows",
+    f"""
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS us, ts FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN us - lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sessions AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       {_s2('sum(value)')} AS total_value
+FROM sessions
+GROUP BY user_id, seq
+""",
+    doc="Built-in session_window aggregation run in BATCH mode (Spark's "
+    "unified API; the same expression runs incrementally under a watermark "
+    "in streaming/windows.py:session_window_stats). Oracle rebuilds the "
+    "gap-based windows with lag + running sum; session_end = last event + "
+    "gap by session_window's definition.",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.streaming.windows import (
+        session_window_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_window_stats(ev)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        _r2(F.col("total_value"), "total_value"),
+    )
+
+
+@query(
+    "media_feature_extract",
+    None,  # mapInPandas media decode has no SQL equivalent; rows-only check
+    doc="Multimodal plumbing end-to-end: synthetic binary media -> "
+    "mapInPandas feature extraction (Arrow batches, stub decode kernel) -> "
+    "per-modality feature stats (operators/multimodal.py). Deterministic "
+    "output; no DuckDB oracle because the kernel is Python-side by design.",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64)
+    feats = extract_features(media)
+    return (
+        feats.select("modality", "n_bytes", F.posexplode("feature").alias("pos", "v"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            _r4(F.avg("v"), "avg_feature"),
+        )
+    )
