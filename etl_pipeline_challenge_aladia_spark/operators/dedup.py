@@ -77,3 +77,53 @@ def active_after_soft_delete(warehouse: DataFrame) -> DataFrame:
             "left_anti",
         )
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "doc_id_a", id_b: str = "doc_id_b"
+) -> DataFrame:
+    """Near-dup pairs -> connected components: (id, cluster_id) with
+    cluster_id = the component's minimum id (the canonical survivor).
+
+    Iterative min-label propagation over the undirected pair graph — the
+    step after pair detection in a dedup pipeline (group near-dups, keep
+    one canonical doc per group). Each iteration is one join + one
+    aggregation, distributed; iterations = graph diameter (near-dup
+    components are shallow — a handful of rounds). The driver only checks
+    the converged? flag per round (a count), never materializes labels.
+    At 100 TB, checkpoint the label frame every few rounds to cut lineage.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # pair detection runs ONCE, not per round
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; near-dup graphs converge in a few
+        neighbor = (
+            labels.join(edges, labels["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # cut lineage: O(1) plan depth/round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -833,7 +833,9 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
 
 
-def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str:
+def _minhash_oracle_sql(
+    num_perm: int = 64, bands: int = 16, seed: int = 42, prefix_only: bool = False
+) -> str:
     """Rebuild the full MinHash+LSH pipeline in DuckDB SQL: identical token
     hashing (md5 -> 32-bit via digit arithmetic), identical seeded
     permutations, identical band keys — so even the LSH path is exactly
@@ -862,7 +864,7 @@ def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, seed: int = 42) -> 
         "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)"
         " / len(list_distinct(list_concat(ta.sh, tb.sh)))"
     )
-    return f"""
+    prefix = f"""
 WITH tok AS (
   SELECT doc_id,
          list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
@@ -879,7 +881,10 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)
+)"""
+    if prefix_only:
+        return prefix
+    return prefix + f"""
 SELECT c.doc_id_a, c.doc_id_b, {jexpr} AS jaccard
 FROM cand c
 JOIN tok ta ON ta.doc_id = c.doc_id_a
@@ -1946,4 +1951,118 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("long").alias("total_bytes"),
             _r4(F.avg("v"), "avg_feature"),
         )
+    )
+
+
+@query(
+    "tpch_q12_late_shipment_buckets",
+    """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high' ELSE 'low' END
+         AS priority_class,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END)
+         AS BIGINT) AS late_count,
+       CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END)
+         AS BIGINT) AS ontime_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+GROUP BY priority_class
+""",
+    doc="TPC-H Q12 shape (shipping modes and order priority): fact-fact "
+    "join + conditional-sum pivot on lateness; adapted to the reduced "
+    "schema (no l_shipmode/commitdate -> late = shipped >90 days after "
+    "order date).",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.date_add("o_orderdate", 90)
+    return (
+        j.select(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            ).otherwise("low").alias("priority_class"),
+            late.alias("late"),
+        )
+        .groupBy("priority_class")
+        .agg(
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("long").alias("late_count"),
+            F.sum(F.when(~F.col("late"), 1).otherwise(0)).cast("long").alias("ontime_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_count_by_part",
+    """
+SELECT p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+GROUP BY p_type, p_size
+""",
+    doc="TPC-H Q16 shape (parts/supplier relationship): distinct-count "
+    "aggregation over a broadcast-joined dimension with negated and IN "
+    "predicates; the reduced schema has no partsupp, so supplier-per-part "
+    "comes from observed lineitem pairs (two-phase distinct aggregation).",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "doc_dedup_clusters",
+    _minhash_oracle_sql(prefix_only=True).replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """,
+pairs AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_id_a
+  JOIN tok tb ON tb.doc_id = c.doc_id_b
+  WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.8
+),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+walk (id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+""",
+    doc="Near-dup cluster formation: MinHash+LSH pairs -> connected "
+    "components by iterative min-label propagation, cluster_id = canonical "
+    "(minimum) doc id (operators/dedup.py:dedup_clusters). The oracle walks "
+    "the same graph with a recursive CTE.",
+)
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.dedup import dedup_clusters
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs)
+    return dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
     )
