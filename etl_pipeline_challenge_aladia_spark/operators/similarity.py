@@ -424,3 +424,62 @@ def cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans_lite(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means (fixed iterations) -> (id, cluster).
+
+    The iterative-algorithm pattern at engine level: per round, assignment
+    is a map-only stage against a BROADCAST centroid table (k x dim is
+    tiny at any corpus scale), recompute is one posexplode + (cluster, dim)
+    aggregation, and an eager localCheckpoint cuts the lineage so plan
+    depth stays O(1) per round. Determinism: init = the k lowest-id
+    vectors, centroid components rounded (half-up) each round, argmin ties
+    broken by cluster index — so the result is reproducible run-to-run
+    (this is the real coarse quantizer behind ivf_topk's ``label`` stand-in).
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    w = Window.partitionBy("id").orderBy("dist", "cluster")
+    centroids = (
+        vecs.orderBy("id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("id")).alias("cluster"),
+            F.col("v").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(iters):
+        sq = F.zip_with("v", "c", lambda a, b: (a - b) * (a - b))
+        dist = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+        assigned = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .select("id", "v", "cluster", round_half_up(dist, scale).alias("dist"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        centroids = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(round_half_up(F.avg("val"), scale).alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda x: x["cv"],
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assigned.select("id", "cluster", "dist")

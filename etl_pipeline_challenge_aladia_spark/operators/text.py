@@ -116,3 +116,15 @@ def lang_id_col(text: Column | str, dense: float = 0.09, sparse: float = 0.05) -
         .when(r >= sparse, F.lit("stop_mid"))
         .otherwise(F.lit("stop_sparse"))
     )
+
+
+def subword_count_col(text: Column | str) -> Column:
+    """BPE-ish subword proxy count: alpha runs and digit runs as separate
+    units (the regex split real BPE tokenizers apply before merges).
+    Whitespace tokens (token_count_col) estimate words; this estimates
+    tokenizer cost — both pure column expressions.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit("[a-z]+|[0-9]+"), 0)).cast(
+        "long"
+    )

@@ -2066,3 +2066,58 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+
+
+@query(
+    "doc_subword_budget",
+    f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS BIGINT)
+         AS total_subwords,
+       {_s2("avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))")}
+         AS avg_subwords
+FROM documents
+GROUP BY source
+""",
+    doc="Tokenizer-budget estimate per source: BPE-ish subword proxy "
+    "(alpha/digit runs, operators/text.py:subword_count_col) aggregated "
+    "per corpus slice — the sizing query before a real tokenization pass.",
+)
+def q_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import subword_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", subword_count_col("text").alias("sw"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sw").cast("long").alias("total_subwords"),
+            _r2(F.avg("sw"), "avg_subwords"),
+        )
+    )
+
+
+@query(
+    "emb_kmeans_clusters",
+    None,  # iterative algorithm; driver records the rows-only check
+    doc="Deterministic Lloyd's k-means over embeddings (k=8, 3 rounds): "
+    "broadcast-centroid assignment + one (cluster, dim) aggregation per "
+    "round, eager localCheckpoint between rounds "
+    "(operators/similarity.py:kmeans_lite). Output: cluster sizes and "
+    "mean within-cluster squared distance. No SQL oracle: iterative "
+    "algorithms are the documented rows-only category.",
+)
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import kmeans_lite
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_lite(emb)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            _r4(F.avg("dist"), "avg_sq_dist"),
+        )
+    )
