@@ -114,3 +114,33 @@ def dedup_stream(
         .withWatermark("event_time", watermark_delay)
         .dropDuplicates(["document_id", "version"])
     )
+
+
+def stream_stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user clicks at
+    most ``max_gap`` before them.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    BOTH sides, so Spark can expire buffered rows — state is
+    O(rows inside the gap window), not stream length. The streaming twin of
+    the batch events_clicks_near_purchase catalog query.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark_delay)
+    p = purchases.select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    ).withWatermark("purchase_ts", watermark_delay)
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")),
+    ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")

@@ -83,3 +83,28 @@ def test_broadcast_join_for_small_dimension(spark, sf_dir):
     q = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_warehouse_partition_pruning(spark, sf_dir, tmp_path):
+    from etl_pipeline_challenge_aladia_spark.pipeline import envelopes_to_warehouse
+    from etl_pipeline_challenge_aladia_spark.sinks import append_warehouse
+    from etl_pipeline_challenge_aladia_spark.sources.cdc import (
+        cdc_envelopes_from_events,
+    )
+
+    wh = envelopes_to_warehouse(
+        cdc_envelopes_from_events(spark, sf_dir), with_ingestion_time=False
+    )
+    path = str(tmp_path / "wh")
+    append_warehouse(wh, path)
+
+    days = [r["_day"] for r in spark.read.parquet(path).select("_day").distinct().collect()]
+    assert len(days) > 1, "fixture should span multiple day partitions"
+    one_day = sorted(str(d) for d in days)[0]
+    q = spark.read.parquet(path).filter(F.col("_day") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the day predicate lands in PartitionFilters (directory pruning),
+    # not in the data filters
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "_day" in pf
+    assert q.count() > 0

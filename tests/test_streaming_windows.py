@@ -189,3 +189,39 @@ def test_dedup_stream_drops_redelivery(spark, dirs):
     _run_to_memory(deduped, "dedup_stream_t", dirs["ckpt"])
     rows = spark.table("dedup_stream_t").select("document_id", "version").collect()
     assert sorted((r["document_id"], r["version"]) for r in rows) == [("d1", 1), ("d1", 2)]
+
+
+def test_stream_stream_join_matches_batch(spark, dirs, tmp_path):
+    import json
+    import os
+
+    from etl_pipeline_challenge_aladia_spark.streaming.windows import (
+        stream_stream_click_purchase_join,
+    )
+
+    def ev(event_id, user_id, event_type, ts):
+        return json.dumps(
+            {"event_id": event_id, "user_id": user_id, "event_type": event_type, "ts": ts}
+        )
+
+    lines = [
+        ev(1, 7, "click", "2024-01-01 10:00:00"),
+        ev(2, 7, "purchase", "2024-01-01 10:05:00"),   # joins click 1
+        ev(3, 7, "click", "2024-01-01 10:30:00"),
+        ev(4, 7, "purchase", "2024-01-01 10:45:00"),   # outside 10 min: no click
+        ev(5, 9, "purchase", "2024-01-01 10:04:00"),   # other user: no click
+    ]
+    write_lines(os.path.join(dirs["in"], "ev.jsonl"), lines)
+
+    schema = "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    stream = spark.readStream.schema(schema).json(dirs["in"])
+    joined = stream_stream_click_purchase_join(
+        stream.filter("event_type = 'click'"),
+        stream.filter("event_type = 'purchase'"),
+    )
+    _run_to_memory(joined, "ss_join", dirs["ckpt"])
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in spark.table("ss_join").collect()
+    }
+    assert got == {(7, 2, 1)}
