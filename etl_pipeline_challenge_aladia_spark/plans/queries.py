@@ -2121,3 +2121,114 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.avg("dist"), "avg_sq_dist"),
         )
     )
+
+
+@query(
+    "tpch_q21_sole_late_supplier",
+    """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(*) AS n_supp,
+         sum(is_late) AS n_late_supp
+  FROM li GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM li
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE li.is_late = 1 AND per_order.n_supp >= 2 AND per_order.n_late_supp = 1
+  AND n_name = 'NATION_3'
+GROUP BY s_name
+""",
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "EXISTS/NOT-EXISTS pair decorrelated into one per-(order, supplier) "
+    "aggregate + per-order counts — two hash aggregations reusing the "
+    "orderkey shuffle instead of two correlated subquery scans; late = "
+    "shipped >90 days after order date (reduced schema).",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+
+    li = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_shipdate") > F.date_add("o_orderdate", 90), 1).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late_supp")
+    )
+    return (
+        li.join(per_order, "l_orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "inner")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, {_s4('min(l_extendedprice / l_quantity)')} AS unit_cost
+  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY l_partkey
+)
+SELECT p_partkey, p_type, s_name, unit_cost
+FROM cost
+JOIN best ON best.l_partkey = cost.l_partkey AND cost.unit_cost = best.min_cost
+JOIN part ON p_partkey = cost.l_partkey
+JOIN supplier ON s_suppkey = cost.l_suppkey
+WHERE p_type = 'LARGE' AND p_size <= 25
+""",
+    doc="TPC-H Q2 shape (minimum-cost supplier): the correlated "
+    "min-subquery decorrelated into a per-part min joined back (all "
+    "qualifying min-cost suppliers kept, as in Q2); observed unit cost "
+    "from lineitem since the reduced schema has no partsupp.",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        _r4(F.min(F.col("l_extendedprice") / F.col("l_quantity")), "unit_cost")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_type", "s_name", "unit_cost")
+    )
