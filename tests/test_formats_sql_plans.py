@@ -108,3 +108,47 @@ def test_warehouse_partition_pruning(spark, sf_dir, tmp_path):
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "_day" in pf
     assert q.count() > 0
+
+
+def test_compact_warehouse_reduces_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from etl_pipeline_challenge_aladia_spark.pipeline import envelopes_to_warehouse
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        append_warehouse,
+        compact_warehouse,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.cdc import (
+        cdc_envelopes_from_events,
+    )
+
+    wh = envelopes_to_warehouse(
+        cdc_envelopes_from_events(spark, sf_dir), with_ingestion_time=False
+    ).localCheckpoint()
+    path = str(tmp_path / "wh")
+    for _ in range(3):  # simulate micro-batch appends -> small files
+        append_warehouse(wh, path)
+    before_files = len(glob.glob(f"{path}/_day=*/*.parquet"))
+    before_rows = spark.read.parquet(path).count()
+
+    n_parts = compact_warehouse(spark, path)
+    after_files = len(glob.glob(f"{path}/_day=*/*.parquet"))
+    assert n_parts > 1
+    assert after_files == n_parts < before_files
+    assert spark.read.parquet(path).count() == before_rows
+
+
+def test_registered_sql_udfs(spark, sf_dir):
+    from etl_pipeline_challenge_aladia_spark.functions.udfs import (
+        register_sql_functions,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.files import (
+        register_testdata_views,
+    )
+
+    register_sql_functions(spark)
+    register_testdata_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT watched_ratio_py(30, 60) AS r, token_count_py('a b  c') AS t"
+    ).collect()[0]
+    assert row["r"] == 0.5 and row["t"] == 3
