@@ -2258,3 +2258,53 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("decile").cast("long").alias("decile"))
         .agg(F.count(F.lit(1)).alias("n"), _r4(F.avg("value"), "avg_value"))
     )
+
+
+@query(
+    "setop_churned_customers",
+    """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+""",
+    doc="Set operation: customers ordering in 1995 but not 1996 (EXCEPT DISTINCT = subtract = distinct anti-join), completing the set-op surface with "
+    "setop_repeat_customers (INTERSECT) and the UNION used in dedup "
+    "pipelines.",
+)
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return y95.subtract(y96)
+
+
+@query(
+    "events_props_map_stats",
+    f"""
+SELECT k AS prop_key,
+       count(*) AS n,
+       {_s4('avg(CAST(v AS DOUBLE))')} AS avg_value
+FROM (
+  SELECT k, json_extract_string(props, '$.' || k) AS v
+  FROM (SELECT props, unnest(json_keys(props::JSON)) AS k FROM events)
+)
+GROUP BY k
+""",
+    doc="MapType surface: props JSON parsed to map<string,int> "
+    "(from_json), exploded to (key, value) pairs, aggregated per key — the "
+    "schema-on-read path for semi-structured columns.",
+)
+def q_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        F.from_json("props", "map<string,int>").alias("m")
+    ).select(F.explode("m").alias("prop_key", "v"))
+    return m.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n"), _r4(F.avg("v"), "avg_value")
+    )
