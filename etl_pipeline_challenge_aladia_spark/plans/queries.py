@@ -2308,3 +2308,216 @@ def q_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("prop_key").agg(
         F.count(F.lit(1)).alias("n"), _r4(F.avg("v"), "avg_value")
     )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    f"""
+SELECT nation, o_year, {_s2('sum(amount)')} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.6 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%widget%'
+)
+GROUP BY nation, o_year
+""",
+    doc="TPC-H Q9 shape (product-type profit by nation/year): five-table "
+    "join with a LIKE part filter; the reduced schema has no partsupp, so "
+    "supply cost is proxied as 0.6 * p_retailprice (deterministic constant). "
+    "All dims broadcast; the only shuffle is the lineitem-orders join plus "
+    "the final small groupBy.",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_r2(F.sum("amount"), "sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    f"""
+WITH supplied AS (
+  SELECT l_partkey AS partkey, sum(l_extendedprice) AS raw_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT partkey, {_s2('raw_value')} AS value
+FROM supplied
+WHERE {_s2('raw_value')} > (SELECT {_s2('sum(raw_value) * 0.001')} FROM supplied)
+""",
+    doc="TPC-H Q11 shape (important stock): per-part supplied value "
+    "restricted to a nation set, kept only when above a fraction of the "
+    "global total — a HAVING-against-global-scalar-subquery plan. The "
+    "reduced schema has no partsupp, so value is observed lineitem revenue. "
+    "Spark computes the scalar once and broadcasts it (1-row cross join); "
+    "both sides compare half-up-rounded values so the cut is "
+    "engine-deterministic.",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    supp_in = supp.join(
+        F.broadcast(nation.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    supplied = (
+        li.join(F.broadcast(supp_in), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+    )
+    thresh = supplied.agg(
+        round_half_up(F.sum("raw_value") * 0.001, 2).alias("thresh")
+    )
+    return (
+        supplied.crossJoin(F.broadcast(thresh))
+        .filter(round_half_up(F.col("raw_value"), 2) > F.col("thresh"))
+        .select("partkey", _r2(F.col("raw_value"), "value"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    doc="TPC-H Q15 (top supplier): quarterly revenue view reused twice — "
+    "once per supplier, once for the global max (scalar subquery). Spark "
+    "materializes the view once, derives the 1-row max, broadcasts it, and "
+    "keeps the argmax supplier(s); revenue is rounded before the equality "
+    "compare so Spark and the oracle pick the same winner.",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                "total_revenue",
+            )
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q20_part_promotion_suppliers",
+    """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+part_total AS (
+  SELECT l_partkey AS pt_partkey, sum(qty) AS total_qty
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM shipped
+  JOIN part_total ON pt_partkey = l_partkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'old%' AND qty > 0.5 * total_qty AND total_qty >= 50
+)
+""",
+    doc="TPC-H Q20 shape (part-promotion suppliers): suppliers dominating "
+    "(>50%) a qualifying part's annual shipped quantity — nested aggregate "
+    "feeding a semi-join, the decorrelated form of Q20's IN-with-correlated-"
+    "subquery. The reduced schema has no partsupp availqty, so dominance is "
+    "measured against observed shipments. l_quantity values are small "
+    "integers stored as doubles, so the 0.5*total compare is exact on both "
+    "engines.",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("old%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    cand = (
+        shipped.join(part_total, F.col("pt_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter((F.col("qty") > 0.5 * F.col("total_qty")) & (F.col("total_qty") >= 50))
+        .select("l_suppkey")
+    )
+    return supp.join(
+        cand, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
