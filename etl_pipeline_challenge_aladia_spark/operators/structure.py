@@ -53,13 +53,19 @@ def modify_structure(envelopes: DataFrame) -> DataFrame:
     The envelope-level clusterTime ``timestamp`` is dead data and is not
     propagated (SURVEY.md §7.5.7).
     """
+    data_fields = {f.name for f in envelopes.schema["data"].dataType.fields}
+    ratio = (
+        F.col("data.watched_ratio")
+        if "watched_ratio" in data_fields
+        else F.lit(None).cast("double")
+    )
     return envelopes.filter(F.col("data").isNotNull()).select(
         F.col("document_id"),
         F.col("data.video_id").alias("video_id"),
         F.col("data.session_id").alias("session_id"),
         F.col("data.watched_seconds").alias("watched_seconds"),
         F.col("data.video_duration_seconds").alias("video_duration_seconds"),
-        F.col("data.watched_ratio").alias("watched_ratio"),
+        ratio.alias("watched_ratio"),
         F.col("data.device_type").alias("device_type"),
         F.col("data.quality").alias("quality"),
         F.col("data.timestamp").alias("timestamp"),

@@ -10,9 +10,10 @@ own README) disappears.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.operators.dedup import latest_per_key
-from etl_pipeline_challenge_aladia_spark.operators.enrich import with_watched_ratio
+from etl_pipeline_challenge_aladia_spark.operators.enrich import watched_ratio_col
 from etl_pipeline_challenge_aladia_spark.operators.structure import (
     modify_structure,
     route_ops,
@@ -34,8 +35,18 @@ def envelopes_to_warehouse(
     the M5 path its stub describes (load_data.py:68-101); read through
     ``operators.dedup.active_after_soft_delete``.
     """
-    enriched = with_watched_ratio(envelopes)
-    flat = modify_structure(enriched)
+    # Fused F1+T2: flatten FIRST, then compute the ratio on the flat
+    # columns. Semantically identical to with_watched_ratio -> flatten
+    # (the ratio depends only on watched/duration, and deletes are dropped
+    # either way), but avoids rebuilding the nested struct: each of the
+    # flatten's nine data.x extractions would otherwise re-evaluate the
+    # whole when(...).withField(...) expression (~9x the work per row).
+    flat = modify_structure(envelopes).withColumn(
+        "watched_ratio",
+        watched_ratio_col(
+            F.col("watched_seconds"), F.col("video_duration_seconds")
+        ),
+    )
     routed = route_ops(flat)
     rows = to_warehouse_row(routed, with_ingestion_time=with_ingestion_time)
     if soft_delete:
