@@ -271,8 +271,10 @@ def q_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < "1995-07-01"
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-07-01")
+    # orders/customer grow with SF — no forced broadcast; AQE picks BHJ when the
+    # filtered sides are small enough at runtime and SMJ otherwise.
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        orders.join(cust, orders.o_custkey == cust.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
     return (
@@ -316,10 +318,10 @@ def q_tpch5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == supp.s_suppkey)
             & (F.col("c_nationkey") == supp.s_nationkey),
         )
@@ -388,8 +390,8 @@ def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -419,7 +421,7 @@ def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(_r4(F.lit(100.0) * F.sum(promo) / F.sum(disc_price), "promo_revenue_pct"))
     )
 
@@ -443,23 +445,25 @@ def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
-        .agg(
-            _r2(F.max("o_totalprice"), "o_totalprice"),
-            _r2(F.sum("l_quantity"), "total_qty"),
-            F.sum("l_quantity").alias("_raw_qty"),
-        )
+    # Scale-safe shape: aggregate lineitem by l_orderkey FIRST (map-side partial
+    # agg, one shuffle on the join key), apply the HAVING before any join, then
+    # join the tiny surviving order set to orders/customer. AQE broadcasts the
+    # filtered side at runtime; nothing fact-sized is ever force-broadcast.
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_raw_qty"))
         .filter(F.col("_raw_qty") > 270)
+    )
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            "o_totalprice",
-            "total_qty",
+            _r2(F.col("o_totalprice"), "o_totalprice"),
+            _r2(F.col("_raw_qty"), "total_qty"),
         )
     )
 
@@ -1534,10 +1538,10 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), "s_nationkey")
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nc), "c_nationkey")
         .filter(
             F.col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
@@ -1595,11 +1599,11 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
     )
     joined = (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), "s_nationkey")
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
     )
@@ -1668,7 +1672,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.avg("l_quantity") * 0.2, "t_qty")
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(thresh, F.col("t_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("t_qty"))
         .agg(_r2(F.sum("l_extendedprice") / 7.0, "avg_yearly"))
@@ -1691,7 +1695,7 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+    j = li.join(part.select("p_partkey", "p_brand", "p_size"),
                 F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
@@ -2018,7 +2022,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_type", "p_size")),
+            part.select("p_partkey", "p_type", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_type", "p_size")
@@ -2181,7 +2185,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(per_order, "l_orderkey")
         .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "inner")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -2228,8 +2232,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("b_partkey"))
             & (F.col("unit_cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_type", "s_name", "unit_cost")
     )
 
@@ -2342,11 +2346,11 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     joined = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            part.select("p_partkey", "p_retailprice"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
-            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            supp.select("s_suppkey", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -2403,7 +2407,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey")
     supplied = (
-        li.join(F.broadcast(supp_in), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp_in, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum("l_extendedprice").alias("raw_value"))
     )
@@ -2458,7 +2462,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(
-            F.broadcast(supp.select("s_suppkey", "s_name")),
+            supp.select("s_suppkey", "s_name"),
             F.col("supplier_no") == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "total_revenue")
@@ -2512,7 +2516,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         shipped.join(part_total, F.col("pt_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(part.select("p_partkey")),
+            part.select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .filter((F.col("qty") > 0.5 * F.col("total_qty")) & (F.col("total_qty") >= 50))

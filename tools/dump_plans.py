@@ -17,10 +17,15 @@ SF = "/root/testdata/sf0.01"
 PICKS = {
     "cdc_dedup_latest": "single Exchange on the dedup key; WindowGroupLimit "
     "partial+final prunes to rank-1 rows map-side before the shuffle",
-    "tpch_q3_shipping_priority": "fact-fact shuffle join on orderkey only; "
-    "customer broadcast; filters pushed to every scan",
-    "tpch_q5_local_supplier_volume": "all four dimensions broadcast — the fact "
-    "table shuffles once for the final aggregation",
+    "tpch_q3_shipping_priority": "no forced broadcast of fact-sized inputs: "
+    "orders/customer join is AQE-planned from runtime stats; filters pushed "
+    "to every scan",
+    "tpch_q5_local_supplier_volume": "nation/region broadcast (bounded dims); "
+    "orders/customer/supplier joins left to AQE — BHJ when small at runtime, "
+    "SMJ at scale",
+    "tpch_q18_large_volume_customer": "HAVING pushed below the joins: lineitem "
+    "pre-aggregated on l_orderkey (map-side partial agg), the >270 filter "
+    "shrinks the build side to a handful of orders before orders/customer join",
     "tpch_q6_revenue_forecast": "pure scan+filter+agg: predicates in "
     "PushedFilters, ReadSchema pruned to 4 columns, whole-stage codegen end to end",
     "minhash_near_dup": "explode -> one hash aggregation for signatures; "
