@@ -38,23 +38,6 @@ def approx_quantiles(
     )
 
 
-def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
-    import math
-
-    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
-    k = max(1, round(m / expected_items * math.log(2)))
-    return m, k
-
-
-def _bloom_hashes(value, m: int, k: int) -> list[int]:
-    import hashlib
-
-    digest = hashlib.md5(str(value).encode()).digest()
-    h1 = int.from_bytes(digest[:8], "big")
-    h2 = int.from_bytes(digest[8:], "big") | 1
-    return [(h1 + i * h2) % m for i in range(k)]
-
-
 def bloom_prune_probe(
     probe: DataFrame,
     build: DataFrame,
@@ -65,39 +48,36 @@ def bloom_prune_probe(
 ) -> DataFrame:
     """Filter probe rows through a Bloom filter of the build side's keys.
 
-    The filter is built DISTRIBUTED: each build partition fills a local
-    bitmap, bitmaps OR-merge associatively (the treeAggregate shape Spark's
-    Scala-side bloomFilter uses), and only the final m-bit array reaches the
-    driver for broadcast — never the keys themselves. False positives pass
-    (removed by the real join); false negatives are impossible, so
-    semantics are preserved. Worth it when the join is selective: the
-    pruned probe side shuffles a fraction of its rows.
+    Everything stays JVM-side. The build runs through
+    ``DataFrameStatFunctions.bloomFilter`` — a distributed treeAggregate
+    where each build partition fills a local bitmap and bitmaps OR-merge
+    associatively, so only the final bit array reaches the driver, never
+    the keys. The probe is Spark's native ``might_contain``
+    (BloomFilterMightContain, the expression behind the optimizer's
+    runtime row-level filtering since 3.3): it inlines into whole-stage
+    codegen — no Python in either path.
+
+    Both sides hash through ``xxhash64`` so any key type works and the
+    build/probe hash spaces agree. False positives pass (removed by the
+    real join); false negatives are impossible, so semantics are
+    preserved. Worth it when the join is selective: the pruned probe side
+    shuffles a fraction of its rows. NULL probe keys are dropped — they
+    can never match an equi-join anyway.
     """
-    m, k = _bloom_params(expected_items, fpp)
+    spark = probe.sparkSession
+    jvm = spark._jvm
+    hashed = build.select(F.xxhash64(build_key).alias("__bloom_key"))
+    jbloom = hashed._jdf.stat().bloomFilter("__bloom_key", expected_items, fpp)
+    out = jvm.java.io.ByteArrayOutputStream()
+    jbloom.writeTo(out)
+    blob = bytearray(out.toByteArray())
 
-    def partition_bits(rows):
-        bits = bytearray(m // 8 + 1)
-        for r in rows:
-            v = r[0]
-            if v is None:
-                continue
-            for pos in _bloom_hashes(v, m, k):
-                bits[pos // 8] |= 1 << (pos % 8)
-        yield bytes(bits)
+    from pyspark.sql.classic.column import Column as _ClassicColumn
 
-    def merge(a: bytes, b: bytes) -> bytes:
-        return bytes(x | y for x, y in zip(a, b))
-
-    bitmap = build.select(build_key).rdd.mapPartitions(partition_bits).reduce(merge)
-    bloom_bc = probe.sparkSession.sparkContext.broadcast((bitmap, m, k))
-
-    from pyspark.sql.functions import udf
-    from pyspark.sql.types import BooleanType
-
-    def might_contain(v):
-        if v is None:
-            return False
-        bits, mm, kk = bloom_bc.value
-        return all(bits[p // 8] & (1 << (p % 8)) for p in _bloom_hashes(v, mm, kk))
-
-    return probe.filter(udf(might_contain, BooleanType())(F.col(probe_key)))
+    expr_of = jvm.org.apache.spark.sql.classic.ExpressionUtils
+    might_contain = jvm.org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        expr_of.expression(F.lit(blob)._jc),
+        expr_of.expression(F.xxhash64(probe_key)._jc),
+    )
+    keep = F.col(probe_key).isNotNull() & _ClassicColumn(expr_of.column(might_contain))
+    return probe.filter(keep)

@@ -80,7 +80,10 @@ def active_after_soft_delete(warehouse: DataFrame) -> DataFrame:
 
 
 def dedup_clusters(
-    pairs: DataFrame, id_a: str = "doc_id_a", id_b: str = "doc_id_b"
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iters: int = 50,
 ) -> DataFrame:
     """Near-dup pairs -> connected components: (id, cluster_id) with
     cluster_id = the component's minimum id (the canonical survivor).
@@ -105,7 +108,8 @@ def dedup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # diameter bound; near-dup graphs converge in a few
+    converged = False
+    for _ in range(max_iters):  # diameter bound; near-dup graphs converge fast
         neighbor = (
             labels.join(edges, labels["id"] == edges["src"])
             .select(F.col("dst").alias("id"), "label")
@@ -125,5 +129,11 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} iterations — "
+            "a component's diameter exceeds the cap; raise max_iters"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -2423,10 +2423,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q15_top_supplier",
-    """
+    f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         {_s2('sum(l_extendedprice * (1 - l_discount))')} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
   GROUP BY l_suppkey

@@ -15,10 +15,15 @@ dedup (SURVEY.md §2.1-S5, §1.4). Spark-first equivalents:
 
 from __future__ import annotations
 
+import os
+import shutil
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.operators.dedup import latest_per_key
+from etl_pipeline_challenge_aladia_spark.schemas import DEDUP_KEY
 
 
 def append_warehouse(df: DataFrame, path: str, partition_by_day: bool = True) -> None:
@@ -30,27 +35,102 @@ def append_warehouse(df: DataFrame, path: str, partition_by_day: bool = True) ->
 
 
 def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("_day")
+    df = spark.read.parquet(path)
+    for layout_col in ("_day", "_bucket"):
+        if layout_col in df.columns:
+            df = df.drop(layout_col)
+    return df
+
+
+def _promote_dir(staged: str, dst: str, keep_old_as: str) -> None:
+    """Crash-recoverable directory promote: the previous version is moved
+    aside BEFORE the new one lands, so no failure point loses both copies.
+    (Delta/Iceberg make this a metadata-only txn; plain parquet gets the
+    next best thing.)"""
+    if os.path.exists(keep_old_as):
+        shutil.rmtree(keep_old_as)
+    if os.path.exists(dst):
+        os.rename(dst, keep_old_as)
+    os.rename(staged, dst)
+    shutil.rmtree(keep_old_as, ignore_errors=True)
 
 
 def upsert_warehouse_batch(spark: SparkSession, batch: DataFrame, path: str) -> None:
     """Idempotent micro-batch upsert: union stored + batch, keep latest per
-    key, rewrite. Local-friendly full rewrite; on a real deployment this is
-    a Delta/Iceberg MERGE INTO keyed on the dedup key — same semantics,
-    partition-local IO."""
-    try:
+    key, rewrite. Simple full-rewrite variant — correct anywhere, O(table)
+    per batch; ``merge_warehouse_batch`` below is the batch-proportional
+    MERGE used at scale.
+
+    Only the missing-path case falls back to batch-only; any other read
+    failure (IO, permissions, corruption) raises instead of silently
+    discarding the stored table.
+    """
+    if os.path.exists(path):
         current = spark.read.parquet(path).drop("_day")
         merged = current.unionByName(batch, allowMissingColumns=True)
-    except Exception:
+    else:
         merged = batch
     deduped = latest_per_key(merged)
     out = deduped.withColumn("_day", F.to_date("original_timestamp"))
     out.write.mode("overwrite").partitionBy("_day").parquet(path + "._tmp")
-    # atomic-ish swap via a staging dir; Delta/Iceberg makes this a real txn
-    import shutil
+    _promote_dir(path + "._tmp", path, path + "._old")
 
-    shutil.rmtree(path, ignore_errors=True)
-    shutil.move(path + "._tmp", path)
+
+def merge_warehouse_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    num_buckets: int = 64,
+    keys: Sequence[str] = tuple(DEDUP_KEY),
+    order_col: str = "version",
+) -> int:
+    """MERGE-style upsert with I/O proportional to the batch, not the table.
+
+    Layout: parquet partitioned by ``_bucket = pmod(xxhash64(keys), N)``.
+    A micro-batch only touches the buckets its keys hash into, so the merge
+    reads and rewrites just those partitions (static partition pruning on
+    the filter below) — at 100 TB a small batch rewrites batch_buckets/N of
+    the table instead of all of it. This is the plain-parquet equivalent of
+    Delta/Iceberg ``MERGE INTO`` on a bucketed table.
+
+    Per-bucket promotes are individually crash-recoverable (old copy moved
+    aside first); a crash mid-loop leaves a mix of old/new buckets, which
+    the checkpointed ``foreachBatch`` retry repairs — re-merging the same
+    batch is idempotent because ``latest_per_key`` is. Returns the number
+    of buckets rewritten.
+    """
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast(
+        "int"
+    )
+    b = batch.withColumn("_bucket", bucket)
+    if not os.path.exists(path):
+        latest_per_key(b, keys=keys, order_col=order_col).write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(path)
+        return num_buckets
+    # bounded by num_buckets — a driver-safe collect by construction
+    touched = sorted(
+        r["_bucket"] for r in b.select("_bucket").distinct().collect()
+    )
+    current = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
+    merged = latest_per_key(
+        current.unionByName(b, allowMissingColumns=True),
+        keys=keys,
+        order_col=order_col,
+    )
+    staged = path + "._merge_tmp"
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(staged)
+    for bk in touched:
+        src = os.path.join(staged, f"_bucket={bk}")
+        if not os.path.exists(src):
+            continue
+        _promote_dir(
+            src, os.path.join(path, f"_bucket={bk}"), f"{path}._old_bucket_{bk}"
+        )
+    shutil.rmtree(staged, ignore_errors=True)
+    return len(touched)
 
 
 def save_bucketed(
@@ -81,7 +161,10 @@ def save_bucketed(
 
 
 def compact_warehouse(
-    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    max_workers: int = 4,
 ) -> int:
     """Rewrite each day partition into ~target-sized files (the small-files
     compaction every streaming-append warehouse needs operationally).
@@ -89,20 +172,35 @@ def compact_warehouse(
     Micro-batch appends leave one small file per batch per partition; scans
     then pay per-file open cost and lose row-group pruning. Compaction
     rewrites day-by-day — each rewrite is partition-local, so at 100 TB it
-    runs incrementally on recent days, not the whole table. Returns the
-    number of partitions rewritten. On Delta/Iceberg this is OPTIMIZE /
+    runs incrementally on recent days, not the whole table. Day rewrites are
+    submitted concurrently (Spark's scheduler interleaves the jobs) instead
+    of serially. NULL days — the soft-delete tombstones whose
+    original_timestamp is NULL by design — live in the
+    ``__HIVE_DEFAULT_PARTITION__`` directory and are compacted too. Returns
+    the number of partitions rewritten. On Delta/Iceberg this is OPTIMIZE /
     rewrite_data_files; plain parquet needs the staging-dir swap used here.
     """
-    import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     current = spark.read.parquet(path)
-    days = [str(r["_day"]) for r in current.select("_day").distinct().collect()]
-    for day in days:
-        part = spark.read.parquet(path).filter(F.col("_day") == day).drop("_day")
+    days = [r["_day"] for r in current.select("_day").distinct().collect()]
+
+    def rewrite(idx_day: tuple[int, object]) -> bool:
+        idx, day = idx_day
+        dirname = "_day=__HIVE_DEFAULT_PARTITION__" if day is None else f"_day={day}"
+        dst = os.path.join(path, dirname)
+        if not os.path.isdir(dst):
+            return False
+        # read the partition directory directly: each rewrite only lists its
+        # own files, so concurrent day swaps can't invalidate the scan
+        part = spark.read.parquet(dst)
         n = part.count()
         files = max(1, -(-n // target_rows_per_file))
-        staged = f"{path}/_compact_tmp_{day}"
+        staged = f"{path}._compact_tmp_{idx}"
         part.repartition(files).write.mode("overwrite").parquet(staged)
-        shutil.rmtree(f"{path}/_day={day}")
-        shutil.move(staged, f"{path}/_day={day}")
-    return len(days)
+        _promote_dir(staged, dst, f"{path}._compact_old_{idx}")
+        return True
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        done = list(pool.map(rewrite, enumerate(days)))
+    return sum(done)

@@ -47,15 +47,21 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition to full parallelism before expression-heavy
-    stages.
+    stages — ONLY when the input is under-parallel.
 
     The testdata parquet files are single-row-group, so a scan stage runs as
     ONE task no matter how many cores exist; any expensive projection chained
     onto it (envelope synthesis, shingle hashing, pairwise verification)
     would execute single-threaded. A tiny round-robin shuffle of the skinny
-    scan output spreads that work across the cluster. On real 100 TB inputs
-    (many files / many row groups) the scan already parallelizes and callers
-    can skip this — it exists for narrow-source + heavy-expression shapes.
+    scan output spreads that work across the cluster.
+
+    On real many-file/many-row-group inputs the scan already parallelizes,
+    so the repartition is gated on the input's actual partition count: wide
+    inputs pass through untouched, with no extra Exchange in the plan. The
+    partition-count probe is plan metadata (rdd.getNumPartitions on the
+    unexecuted frame), not a job.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)

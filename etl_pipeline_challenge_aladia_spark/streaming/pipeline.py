@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline_challenge_aladia_spark.operators.structure import parse_envelope
 from etl_pipeline_challenge_aladia_spark.pipeline import envelopes_to_warehouse
-from etl_pipeline_challenge_aladia_spark.sinks import upsert_warehouse_batch
+from etl_pipeline_challenge_aladia_spark.sinks import (
+    merge_warehouse_batch,
+    upsert_warehouse_batch,
+)
 
 
 def streaming_envelopes_from_json(spark: SparkSession, input_dir: str) -> DataFrame:
@@ -45,12 +48,19 @@ def run_cdc_file_stream(
     warehouse_path: str,
     checkpoint_dir: str,
     quarantine_path: str | None = None,
+    sink: str = "rewrite",
 ) -> None:
     """Run the CDC pipeline over all currently-available files and stop
     (Trigger.AvailableNow) — the batch-equivalent streaming execution used
     by tests and backfills. A production deployment drops the trigger and
     runs continuously; nothing else changes.
+
+    ``sink`` picks the upsert strategy: ``"rewrite"`` (full-table rewrite,
+    simplest) or ``"merge"`` (bucket-partitioned MERGE, I/O proportional to
+    the batch — the scale path).
     """
+    if sink not in ("rewrite", "merge"):
+        raise ValueError(f"unknown sink {sink!r}: expected 'rewrite' or 'merge'")
     envelopes = streaming_envelopes_from_json(spark, input_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -60,7 +70,10 @@ def run_cdc_file_stream(
             if bad.limit(1).count() > 0:
                 bad.write.mode("append").json(quarantine_path)
         rows = envelopes_to_warehouse(ok, with_ingestion_time=True)
-        upsert_warehouse_batch(batch.sparkSession, rows, warehouse_path)
+        if sink == "merge":
+            merge_warehouse_batch(batch.sparkSession, rows, warehouse_path)
+        else:
+            upsert_warehouse_batch(batch.sparkSession, rows, warehouse_path)
 
     (
         envelopes.writeStream.foreachBatch(process_batch)

@@ -122,14 +122,19 @@ def test_compact_warehouse_reduces_files(spark, sf_dir, tmp_path):
         cdc_envelopes_from_events,
     )
 
+    # soft_delete=True keeps tombstones, whose original_timestamp is NULL by
+    # design -> a __HIVE_DEFAULT_PARTITION__ day that compaction must handle
     wh = envelopes_to_warehouse(
-        cdc_envelopes_from_events(spark, sf_dir), with_ingestion_time=False
+        cdc_envelopes_from_events(spark, sf_dir),
+        with_ingestion_time=False,
+        soft_delete=True,
     ).localCheckpoint()
     path = str(tmp_path / "wh")
     for _ in range(3):  # simulate micro-batch appends -> small files
         append_warehouse(wh, path)
     before_files = len(glob.glob(f"{path}/_day=*/*.parquet"))
     before_rows = spark.read.parquet(path).count()
+    assert glob.glob(f"{path}/_day=__HIVE_DEFAULT_PARTITION__")
 
     n_parts = compact_warehouse(spark, path)
     after_files = len(glob.glob(f"{path}/_day=*/*.parquet"))
@@ -152,3 +157,15 @@ def test_registered_sql_udfs(spark, sf_dir):
         "SELECT watched_ratio_py(30, 60) AS r, token_count_py('a b  c') AS t"
     ).collect()[0]
     assert row["r"] == 0.5 and row["t"] == 3
+
+
+def test_fan_out_gates_on_input_parallelism(spark, sf_dir):
+    """Wide inputs pass through fan_out untouched (no RoundRobin Exchange);
+    narrow single-partition scans still spread to full parallelism."""
+    from etl_pipeline_challenge_aladia_spark.sources.files import fan_out, load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    wide = li.repartition(16)
+    assert fan_out(wide, partitions=8) is wide  # identity -> no extra node
+    narrow = li.coalesce(1)
+    assert fan_out(narrow, partitions=8).rdd.getNumPartitions() == 8

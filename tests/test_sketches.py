@@ -45,3 +45,7 @@ def test_bloom_prune_preserves_join_result(spark, sf_dir):
     assert pruned == plain > 0
     # the filter actually prunes (selective join): strictly fewer probe rows
     assert pruned_probe.count() < li.count()
+    # the probe is pure JVM: native might_contain, no Python eval node
+    plan = pruned_probe._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -62,7 +62,8 @@ def state(spark, wh_path):
     }
 
 
-def test_stream_end_to_end_with_redelivery_and_corrupt(spark, dirs):
+@pytest.mark.parametrize("sink", ["rewrite", "merge"])
+def test_stream_end_to_end_with_redelivery_and_corrupt(spark, dirs, sink):
     batch1 = [
         envelope("insert", "doc_1", 1, watched=10),
         envelope("update", "doc_1", 2, watched=20),
@@ -72,7 +73,9 @@ def test_stream_end_to_end_with_redelivery_and_corrupt(spark, dirs):
         "this is not json {",  # corrupt -> quarantine
     ]
     write_lines(os.path.join(dirs["in"], "batch1.json"), batch1)
-    run_cdc_file_stream(spark, dirs["in"], dirs["wh"], dirs["ckpt"], dirs["quar"])
+    run_cdc_file_stream(
+        spark, dirs["in"], dirs["wh"], dirs["ckpt"], dirs["quar"], sink=sink
+    )
 
     s1 = state(spark, dirs["wh"])
     assert s1 == {
@@ -90,7 +93,9 @@ def test_stream_end_to_end_with_redelivery_and_corrupt(spark, dirs):
         envelope("update", "doc_2", 5, watched=50, video="video_2"),  # stale, loses
     ]
     write_lines(os.path.join(dirs["in"], "batch2.json"), batch2)
-    run_cdc_file_stream(spark, dirs["in"], dirs["wh"], dirs["ckpt"], dirs["quar"])
+    run_cdc_file_stream(
+        spark, dirs["in"], dirs["wh"], dirs["ckpt"], dirs["quar"], sink=sink
+    )
 
     s2 = state(spark, dirs["wh"])
     assert s2 == {
@@ -109,3 +114,45 @@ def test_stream_checkpoint_no_reprocess(spark, dirs):
     # warehouse is untouched
     run_cdc_file_stream(spark, dirs["in"], dirs["wh"], dirs["ckpt"])
     assert state(spark, dirs["wh"]) == s1
+
+
+def test_merge_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """The MERGE sink's contract: a batch only rewrites the bucket
+    partitions its keys hash into — I/O proportional to the batch."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import merge_warehouse_batch
+
+    path = str(tmp_path / "wh")
+    base = spark.range(200).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("original_id"),
+        F.concat(F.lit("video_"), (F.col("id") % 10)).alias("video_id"),
+        F.lit("session_1").alias("session_id"),
+        (F.col("id") * 10).cast("long").alias("watched_seconds"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("2024-01-01 10:00:00").cast("timestamp").alias("original_timestamp"),
+    )
+    merge_warehouse_batch(spark, base, path, num_buckets=16)
+    mtimes_before = {
+        d: os.path.getmtime(d) for d in glob.glob(os.path.join(path, "_bucket=*"))
+    }
+    assert len(mtimes_before) > 4  # keys spread over many buckets
+
+    one = base.filter(F.col("original_id") == "doc_7").withColumn(
+        "version", F.lit(2).cast("long")
+    ).withColumn("watched_seconds", F.lit(999).cast("long"))
+    n = merge_warehouse_batch(spark, one, path, num_buckets=16)
+    assert n == 1  # single-key batch -> exactly one bucket rewritten
+
+    mtimes_after = {
+        d: os.path.getmtime(d) for d in glob.glob(os.path.join(path, "_bucket=*"))
+    }
+    changed = [d for d in mtimes_before if mtimes_after[d] != mtimes_before[d]]
+    assert len(changed) == 1
+
+    from etl_pipeline_challenge_aladia_spark.sinks import read_warehouse
+
+    rows = {r["original_id"]: r["watched_seconds"] for r in read_warehouse(spark, path).collect()}
+    assert rows["doc_7"] == 999 and len(rows) == 200
