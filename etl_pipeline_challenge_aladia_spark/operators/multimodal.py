@@ -119,7 +119,13 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic in-memory media fixture (no media libs needed)."""
+    """Deterministic in-memory media fixture (no media libs needed).
+
+    Partition count is bounded by the row count: a tiny fixture spread
+    across every core would spawn one Arrow/Python worker per near-empty
+    partition, and worker spawn — not the kernel — would dominate. Real
+    media tables arrive from storage with data-sized partitions.
+    """
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
@@ -135,4 +141,5 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 (64 + i, 48 + i, 1000 * (1 + i % 5)),
             )
         )
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    n_parts = max(1, min(8, n // 8))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)

@@ -51,28 +51,50 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard near-dup pairs — the all-pairs baseline.
+    """EXACT word-n-gram Jaccard near-dup pairs via an inverted shingle
+    index — not all-pairs.
 
-    Optionally blocked by ``block_col``, but note blocking trades recall:
-    on this corpus planted near-dups span languages, so the default is the
-    unblocked exact product. Quadratic — the correctness baseline only;
-    ``minhash_near_dup_pairs`` is the linear-scale path.
+    For any threshold > 0 a qualifying pair must share at least one
+    shingle, so the equi-join on shingle generates a candidate superset
+    losslessly; the exact Jaccard then comes from set sizes alone
+    (J = c / (|A| + |B| - c) with c = shared distinct shingles). Result is
+    identical to the quadratic baseline, but the cost is the index join —
+    proportional to shingle posting-list sizes, not corpus². At 100 TB the
+    one caveat is ultra-frequent shingles (boilerplate) inflating posting
+    lists; the standard mitigation is dropping shingles with document
+    frequency above a cap, which only loses pairs whose overlap is pure
+    boilerplate. Optional ``block_col`` restricts pairs to equal blocks.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("block")] if block_col else [] ),
-        shingles_col(tokens_col(text_col), n).alias("sh"),
+    base = fan_out(
+        docs.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("block")] if block_col else []),
+            shingles_col(tokens_col(text_col), n).alias("sh"),
+        )
+    ).select(
+        "id",
+        *(["block"] if block_col else []),
+        F.explode(F.array_distinct("sh")).alias("shingle"),
     )
-    a, b = fan_out(sh).alias("a"), sh.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+    sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
     if block_col:
         cond = cond & (F.col("a.block") == F.col("b.block"))
-    pairs = a.join(b, cond)
+    common = (
+        a.join(b, cond)
+        .groupBy(F.col("a.id").alias("doc_id_a"), F.col("b.id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     return (
-        pairs.select(
-            F.col("a.id").alias("doc_id_a"),
-            F.col("b.id").alias("doc_id_b"),
-            round_half_up(jaccard_cols(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
+        common.join(sizes.select(F.col("id").alias("doc_id_a"), F.col("n_sh").alias("na")), "doc_id_a")
+        .join(sizes.select(F.col("id").alias("doc_id_b"), F.col("n_sh").alias("nb")), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            round_half_up(
+                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -134,6 +134,29 @@ def q_cdc_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_envelope_roundtrip",
+    CDC_WAREHOUSE_PREFIX + "SELECT * FROM warehouse",
+    doc="T1/F2 wire-parity proof: envelopes serialized to JSON text "
+    "(to_json — the F2 serialization surface) and re-decoded through "
+    "parse_envelope (the byte-stream T1 path every streaming ingress "
+    "shares) produce a warehouse identical to the typed-column path — "
+    "same oracle as cdc_warehouse, so the driver hash-checks the decode "
+    "leg end to end.",
+)
+def q_cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.structure import (
+        parse_envelope,
+    )
+
+    env = cdc_envelopes_from_events(spark, sf_dir)
+    wire = env.select(
+        F.to_json(F.struct(*[F.col(c) for c in env.columns])).alias("value")
+    )
+    reparsed = parse_envelope(wire).filter(~F.col("_corrupt")).drop("_corrupt")
+    return envelopes_to_warehouse(reparsed, with_ingestion_time=False)
+
+
+@query(
     "cdc_dedup_latest",
     CDC_WAREHOUSE_PREFIX + "SELECT * FROM warehouse_latest",
     doc="ReplacingMergeTree read view: latest row per (original_id, video_id, "

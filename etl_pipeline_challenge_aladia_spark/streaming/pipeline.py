@@ -21,7 +21,10 @@ without external services.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.operators.structure import parse_envelope
 from etl_pipeline_challenge_aladia_spark.pipeline import envelopes_to_warehouse
@@ -42,6 +45,49 @@ def streaming_envelopes_from_json(spark: SparkSession, input_dir: str) -> DataFr
     return parse_envelope(raw, json_col="value")
 
 
+def decode_kafka_records(records: DataFrame) -> DataFrame:
+    """Kafka-shaped records (binary ``value``) -> typed envelope rows.
+
+    The single decode path shared by every byte-stream ingress: cast the
+    message bytes to UTF-8 text, then run the same T1 parse/quarantine
+    operator the file-stream and batch paths use (reference
+    consumer/consumer.py:26-27 does ``body.decode('utf-8')`` +
+    ``json.loads``; here both are one expression). Works identically on a
+    batch or streaming frame — the contract test feeds it a batch frame.
+    """
+    return parse_envelope(
+        records.withColumn("_json", F.col("value").cast("string")), json_col="_json"
+    )
+
+
+def streaming_envelopes_from_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Production ingress: Kafka topic -> typed envelope rows.
+
+    The reference's RabbitMQ consume loop (consumer/consumer.py:12-19) maps
+    to Spark's Kafka source: consumer-group offsets/acks become checkpointed
+    source offsets, and the at-least-once redelivery contract is absorbed by
+    the idempotent keyed upsert exactly as with the file-stream twin. The
+    decode/quarantine path is ``decode_kafka_records`` — byte-for-byte the
+    code the contract test exercises without a broker. Requires the
+    spark-sql-kafka connector on the classpath at runtime.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return decode_kafka_records(reader.load())
+
+
 def run_cdc_file_stream(
     spark: SparkSession,
     input_dir: str,
@@ -59,9 +105,27 @@ def run_cdc_file_stream(
     simplest) or ``"merge"`` (bucket-partitioned MERGE, I/O proportional to
     the batch — the scale path).
     """
+    envelopes = streaming_envelopes_from_json(spark, input_dir)
+    (
+        envelopes.writeStream.foreachBatch(
+            make_cdc_batch_processor(warehouse_path, quarantine_path, sink)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def make_cdc_batch_processor(
+    warehouse_path: str,
+    quarantine_path: str | None = None,
+    sink: str = "rewrite",
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body shared by every CDC ingress (file-stream,
+    Kafka): quarantine corrupt envelopes, transform, idempotent upsert."""
     if sink not in ("rewrite", "merge"):
         raise ValueError(f"unknown sink {sink!r}: expected 'rewrite' or 'merge'")
-    envelopes = streaming_envelopes_from_json(spark, input_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         ok = batch.filter(~batch["_corrupt"]).drop("_corrupt")
@@ -75,10 +139,28 @@ def run_cdc_file_stream(
         else:
             upsert_warehouse_batch(batch.sparkSession, rows, warehouse_path)
 
+    return process_batch
+
+
+def run_cdc_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    warehouse_path: str,
+    checkpoint_dir: str,
+    quarantine_path: str | None = None,
+    sink: str = "rewrite",
+) -> None:
+    """Continuous CDC pipeline off a Kafka topic — the production twin of
+    ``run_cdc_file_stream``: same decode (T1), same transform chain, same
+    idempotent sink; only the ingress differs. Blocks until the query is
+    stopped externally."""
+    envelopes = streaming_envelopes_from_kafka(spark, bootstrap_servers, topic)
     (
-        envelopes.writeStream.foreachBatch(process_batch)
+        envelopes.writeStream.foreachBatch(
+            make_cdc_batch_processor(warehouse_path, quarantine_path, sink)
+        )
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )

@@ -156,3 +156,33 @@ def test_merge_sink_rewrites_only_touched_buckets(spark, tmp_path):
 
     rows = {r["original_id"]: r["watched_seconds"] for r in read_warehouse(spark, path).collect()}
     assert rows["doc_7"] == 999 and len(rows) == 200
+
+
+def test_kafka_decode_parity_with_text_path(spark):
+    """The Kafka ingress decode (decode_kafka_records) and the text-source
+    parse produce identical envelope rows from the same message bytes —
+    the broker-free contract test for the shared T1 path."""
+    from etl_pipeline_challenge_aladia_spark.operators.structure import parse_envelope
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        decode_kafka_records,
+    )
+
+    msgs = [
+        envelope("insert", "doc_1", 1),
+        envelope("update", "doc_1", 2, watched=25),
+        envelope("delete", "doc_1", 3),
+        "corrupt {not json",
+    ]
+    # kafka record shape: binary key/value + topic/partition/offset metadata
+    kafka_like = spark.createDataFrame(
+        [(None, m.encode("utf-8"), "video_log", 0, i, None) for i, m in enumerate(msgs)],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    via_kafka = decode_kafka_records(kafka_like)
+    via_text = parse_envelope(
+        spark.createDataFrame([(m,) for m in msgs], "value string")
+    )
+    assert via_kafka.schema == via_text.schema
+    assert sorted(map(str, via_kafka.collect())) == sorted(map(str, via_text.collect()))
+    assert via_kafka.filter("_corrupt").count() == 1
