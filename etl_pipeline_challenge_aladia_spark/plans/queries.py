@@ -2548,3 +2548,47 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         cand, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@query(
+    "join_salted_status_deviation",
+    f"""
+WITH dim AS (
+  SELECT o_orderstatus AS d_status,
+         {_s2('avg(o_totalprice)')} AS status_avg
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       {_s2('avg(o_totalprice - status_avg)')} AS avg_deviation
+FROM orders JOIN dim ON o_orderstatus = d_status
+GROUP BY o_orderstatus
+""",
+    doc="Skew-mitigation demo on a pathologically hot join key: orders has "
+    "only 3 o_orderstatus values, so a plain shuffle join lands ~1/3 of the "
+    "fact table on single tasks. The Spark plan routes it through "
+    "operators/skew.salted_join (probe salted, build replicated per salt) — "
+    "each hot key fans out over salt_factor tasks; the oracle proves the "
+    "salted join is result-identical to the plain equi-join. "
+    "operators/skew.top_key_skew is the diagnostic that motivates the "
+    "rewrite (status shares ~0.49/0.49/0.02).",
+)
+def q_join_salted_status_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    dim = orders.groupBy(F.col("o_orderstatus").alias("d_status")).agg(
+        _r2(F.avg("o_totalprice"), "status_avg")
+    )
+    joined = salted_join(
+        orders,
+        dim.withColumnRenamed("d_status", "o_orderstatus"),
+        ["o_orderstatus"],
+        salt_factor=8,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        _r2(F.avg(F.col("o_totalprice") - F.col("status_avg")), "avg_deviation"),
+    )

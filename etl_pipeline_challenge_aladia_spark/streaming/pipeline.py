@@ -60,6 +60,49 @@ def decode_kafka_records(records: DataFrame) -> DataFrame:
     )
 
 
+def encode_kafka_records(envelopes: DataFrame, key_col: str = "document_id") -> DataFrame:
+    """Typed envelope rows -> Kafka-shaped records (binary key/value).
+
+    The publish twin of ``decode_kafka_records`` (reference S2: the
+    producer's BSON-extended-JSON serialize + publish,
+    producer/producer.py:48-73). The document id becomes the message key so
+    a partitioned topic preserves per-document order — the property the
+    reference got from its single durable queue. The contract test proves
+    encode -> decode is the identity on envelope rows.
+    """
+    payload_cols = [c for c in envelopes.columns if c != "_corrupt"]
+    return envelopes.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in payload_cols])).cast("binary").alias(
+            "value"
+        ),
+    )
+
+
+def publish_envelopes_to_kafka(
+    envelopes: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str = "document_id",
+):
+    """Streaming publish: envelope rows -> Kafka topic (reference S2).
+
+    Durable-queue semantics map to Kafka acks + checkpointed offsets; the
+    reference's per-message connection churn (its own named bottleneck)
+    disappears — one long-lived producer per task. Requires the
+    spark-sql-kafka connector at runtime; returns the StreamingQuery.
+    """
+    return (
+        encode_kafka_records(envelopes, key_col=key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def streaming_envelopes_from_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -186,3 +186,28 @@ def test_kafka_decode_parity_with_text_path(spark):
     assert via_kafka.schema == via_text.schema
     assert sorted(map(str, via_kafka.collect())) == sorted(map(str, via_text.collect()))
     assert via_kafka.filter("_corrupt").count() == 1
+
+
+def test_kafka_encode_decode_roundtrip(spark):
+    """S2 publish contract: encode_kafka_records -> decode_kafka_records is
+    the identity on envelope rows (keys carry the document id)."""
+    from etl_pipeline_challenge_aladia_spark.operators.structure import parse_envelope
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        decode_kafka_records,
+        encode_kafka_records,
+    )
+
+    msgs = [
+        envelope("insert", "doc_1", 1),
+        envelope("update", "doc_2", 2, watched=25, video="video_9"),
+        envelope("delete", "doc_3", 3),
+    ]
+    env = parse_envelope(spark.createDataFrame([(m,) for m in msgs], "value string"))
+    records = encode_kafka_records(env)
+    assert [f.name for f in records.schema.fields[:2]] == ["key", "value"]
+    keys = sorted(bytes(r["key"]).decode() for r in records.collect())
+    assert keys == ["doc_1", "doc_2", "doc_3"]
+    back = decode_kafka_records(records)
+    assert back.schema == env.schema
+    assert sorted(map(str, back.collect())) == sorted(map(str, env.collect()))
+    assert back.filter("_corrupt").count() == 0

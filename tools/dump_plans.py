@@ -30,6 +30,12 @@ PICKS = {
     "PushedFilters, ReadSchema pruned to 4 columns, whole-stage codegen end to end",
     "minhash_near_dup": "explode -> one hash aggregation for signatures; "
     "band self-join only over matching band keys (no all-pairs)",
+    "doc_ngram_jaccard_dups": "exact Jaccard via inverted shingle index: "
+    "equi-join on shared shingles + count-based similarity — no cartesian "
+    "product anywhere in the plan",
+    "join_salted_status_deviation": "hot-key (3-value) join routed through "
+    "salted_join: probe salted, build exploded per salt, join key widened "
+    "with _salt so each hot key spans salt_factor tasks",
     "emb_ivf_topk": "centroids broadcast twice (probe + rerank); candidate scan "
     "joins on the probed cells only",
     "events_sessionization": "one Exchange on user_id reused by both window "
