@@ -1806,15 +1806,20 @@ p AS (
 )
 SELECT * FROM p WHERE cos_sim >= 0.45
 """,
-    doc="Exact all-pairs embedding cosine near-dup pairs >= 0.45 "
-    "(operators/similarity.py:cosine_pairs) — the correctness baseline for "
-    "embedding dedup; the LSH/IVF variants are the linear-scale path.",
+    doc="Exact all-pairs embedding cosine near-dup pairs >= 0.45 via the "
+    "distributed blocked matrix product "
+    "(operators/similarity.py:cosine_pairs_blocked): BLAS matmuls inside "
+    "applyInPandas instead of per-pair expression evaluation, result-"
+    "identical to the fold-based cosine_pairs baseline (pytest-asserted); "
+    "the LSH/IVF variants are the linear-scale path.",
 )
 def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_pipeline_challenge_aladia_spark.operators.similarity import cosine_pairs
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb)
+    return cosine_pairs_blocked(emb)
 
 
 @query(

@@ -49,3 +49,26 @@ def test_brute_force_topk_self_similarity(spark, sf_dir):
     for qid, r in rows.items():
         assert r["neighbor_id"] == qid
         assert r["cos_sim"] == 1.0
+
+
+def test_cosine_pairs_blocked_equals_fold_baseline(spark, sf_dir):
+    """The blocked-GEMM all-pairs cosine must be result-identical to the
+    fold-based baseline: same ids, same rounded similarity."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+        for r in cosine_pairs(emb, threshold=0.3).collect()
+    }
+    blocked = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+        for r in cosine_pairs_blocked(emb, threshold=0.3, blocks=4).collect()
+    }
+    assert set(fold) == set(blocked)
+    diffs = [k for k in fold if abs(fold[k] - blocked[k]) > 1e-12]
+    assert not diffs, f"rounded similarity drift on {len(diffs)} pairs: {diffs[:5]}"
