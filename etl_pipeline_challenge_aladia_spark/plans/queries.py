@@ -2597,3 +2597,38 @@ def q_join_salted_status_deviation(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         _r2(F.avg(F.col("o_totalprice") - F.col("status_avg")), "avg_deviation"),
     )
+
+
+@query(
+    "agg_grouping_sets_orders",
+    f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       {_s2('sum(o_totalprice)')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="Explicit GROUPING SETS (the general form behind CUBE/ROLLUP): "
+    "per-status totals, per-priority totals, and the grand total in one "
+    "pass — one Expand + one aggregation, no union of three scans.",
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r2(F.sum("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )

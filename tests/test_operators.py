@@ -15,6 +15,8 @@ Each case encodes a behavior verified in the reference source:
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row
 
@@ -269,3 +271,29 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
 
     skew = top_key_skew(li, ["l_orderkey"], n=3).collect()
     assert len(skew) == 3 and all(0 < r["share"] < 1 for r in skew)
+
+
+def test_upsert_raises_on_unreadable_store(spark, tmp_path):
+    """Only a MISSING warehouse path falls back to batch-only; an existing
+    but unreadable store must raise, never silently discard the table."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import upsert_warehouse_batch
+
+    path = str(tmp_path / "wh")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "w") as f:
+        f.write("this is not a parquet file")
+    batch = spark.range(1).select(
+        F.lit("doc_1").alias("original_id"),
+        F.lit("video_1").alias("video_id"),
+        F.lit("session_1").alias("session_id"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("2024-01-01 10:00:00").cast("timestamp").alias("original_timestamp"),
+    )
+    with pytest.raises(Exception):
+        upsert_warehouse_batch(spark, batch, path)
+    # the corrupt store was not replaced by the batch
+    with open(os.path.join(path, "part-00000.parquet")) as f:
+        assert f.read() == "this is not a parquet file"
