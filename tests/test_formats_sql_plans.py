@@ -169,3 +169,20 @@ def test_fan_out_gates_on_input_parallelism(spark, sf_dir):
     assert fan_out(wide, partitions=8) is wide  # identity -> no extra node
     narrow = li.coalesce(1)
     assert fan_out(narrow, partitions=8).rdd.getNumPartitions() == 8
+
+
+def test_no_forced_broadcast_of_fact_tables():
+    """Policy guard (VERDICT r01): explicit F.broadcast is reserved for
+    bounded dims (nation/region) and single-row aggregates. Anything that
+    grows with SF — lineitem, orders, customer, supplier, part — must be
+    left to AQE so the plan survives a 100x scale-up."""
+    import re
+
+    src = open(
+        "etl_pipeline_challenge_aladia_spark/plans/queries.py"
+    ).read()
+    banned = re.findall(
+        r"F\.broadcast\(\s*(?:li|lineitem|orders|cust|customer|supp|supplier|part)\b[^)]*",
+        src,
+    )
+    assert not banned, f"fact-scale broadcast hints found: {banned}"

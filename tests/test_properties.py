@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the semantics ledger.
+
+The reference has no tests at all (SURVEY.md §5.1); these pin the engine's
+load-bearing scalar semantics against independent Python models across the
+whole input space, not just the fixture values:
+
+- round_half_up == the documented floor(x*10^s + 0.5)/10^s IEEE formula
+- watched_ratio == the reference F1 decision table (missing->0/1, d<=0 -> 0)
+- latest_per_key is invariant under input permutation (the README's
+  "order doesn't matter" contract, README:223)
+
+Each hypothesis example batches many values into ONE DataFrame so the
+property runs at Spark speed, not job-per-example speed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.functions.rounding import round_half_up
+from etl_pipeline_challenge_aladia_spark.operators.dedup import latest_per_key
+from etl_pipeline_challenge_aladia_spark.operators.enrich import watched_ratio_col
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+def model_round_half_up(x: float, scale: int) -> float:
+    factor = float(10**scale)
+    return math.floor(x * factor + 0.5) / factor
+
+
+def model_watched_ratio(watched, duration) -> float:
+    w = 0 if watched is None else watched
+    d = 1 if duration is None else duration
+    raw = w / d if d > 0 else 0.0
+    return model_round_half_up(raw, 4)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=50), st.integers(0, 6))
+def test_round_half_up_matches_ieee_model(spark, values, scale):
+    df = spark.createDataFrame([(v,) for v in values], "x double").coalesce(1)
+    got = [r[0] for r in df.select(round_half_up(F.col("x"), scale)).collect()]
+    want = [model_round_half_up(v, scale) for v in values]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 10_000)),
+            st.one_of(st.none(), st.integers(-10, 10_000)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_watched_ratio_matches_reference_decision_table(spark, rows):
+    df = spark.createDataFrame(rows, "watched long, duration long").coalesce(1)
+    got = [
+        r[0]
+        for r in df.select(
+            watched_ratio_col(F.col("watched"), F.col("duration"))
+        ).collect()
+    ]
+    want = [model_watched_ratio(w, d) for w, d in rows]
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1_000_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],  # version is the engine's monotonic unique id
+    ),
+    st.randoms(),
+)
+def test_latest_per_key_order_invariant(spark, rows, rnd):
+    """Same multiset of (key, version) rows in any arrival order -> same
+    deduped state: max version per key."""
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+
+    def dedup_state(data):
+        df = spark.createDataFrame(
+            [(f"k{k}", f"v{k}", "s", v) for k, v in data],
+            "original_id string, video_id string, session_id string, version long",
+        ).coalesce(2)
+        return {
+            (r["original_id"], r["version"])
+            for r in latest_per_key(df).collect()
+        }
+
+    want = {
+        (f"k{k}", max(v for kk, v in rows if kk == k))
+        for k, _ in rows
+    }
+    assert dedup_state(rows) == dedup_state(shuffled) == want
