@@ -2248,6 +2248,14 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
     )
     supp = load_table(spark, sf_dir, "supplier")
+    # push the selective part predicate BELOW the aggregation: per-partkey
+    # min-cost is independent across parts, so semi-joining lineitem to the
+    # qualifying part keys first shrinks the agg input by the part
+    # selectivity — a pushdown Catalyst can't derive through the
+    # decorrelated join-back structure on its own
+    li = li.join(
+        part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         _r4(F.min(F.col("l_extendedprice") / F.col("l_quantity")), "unit_cost")
     )

@@ -105,14 +105,18 @@ def dedup_stream(
     """Streaming exact-once filter: drop redelivered (document_id, version)
     pairs within the watermark horizon.
 
-    ``dropDuplicates`` keyed on the delivery identity is the stream-side
-    half of the at-least-once contract (SURVEY.md §2.8-X1); the keyed
-    upsert sink remains the backstop for duplicates farther apart than the
-    watermark."""
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), not plain
+    ``dropDuplicates``: with the event-time column absent from the dedup
+    key, plain dropDuplicates keeps every key's state FOREVER — an
+    unbounded state store at 100 TB. The WithinWatermark variant expires
+    each key once the watermark passes its event time, bounding state to
+    the delay window. This is the stream-side half of the at-least-once
+    contract (SURVEY.md §2.8-X1); the keyed upsert sink remains the
+    backstop for duplicates farther apart than the watermark."""
     return (
         enveloped_event_time(envelopes)
         .withWatermark("event_time", watermark_delay)
-        .dropDuplicates(["document_id", "version"])
+        .dropDuplicatesWithinWatermark(["document_id", "version"])
     )
 
 
