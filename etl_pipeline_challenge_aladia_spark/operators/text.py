@@ -128,3 +128,69 @@ def subword_count_col(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit("[a-z]+|[0-9]+"), 0)).cast(
         "long"
     )
+
+
+#: PII patterns restricted to regex features with identical semantics in
+#: Java regex (Spark) and RE2 (DuckDB/most engines): no lookaround, no
+#: backreferences.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^ ]+"
+
+
+def scrub_pii_col(text: Column | str) -> Column:
+    """Redact emails and URLs -> '<EMAIL>' / '<URL>' placeholders.
+
+    The standard pre-training scrub pass, as a pure column expression
+    (regexp_replace is global in Spark). Chain additional patterns the same
+    way; at 100 TB this stays inside whole-stage codegen — no Python.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    no_mail = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_mail, URL_PATTERN, "<URL>")
+
+
+def pii_match_count_col(text: Column | str) -> Column:
+    """How many email/URL spans a document contains (audit metric for the
+    scrub pass)."""
+    c = F.col(text) if isinstance(text, str) else text
+    emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
+    urls = F.size(F.regexp_extract_all(c, F.lit(URL_PATTERN), 0))
+    return (emails + urls).cast("long")
+
+
+def chunk_plan(
+    docs,
+    chunk_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Documents -> fixed-size training-chunk work plan: one row per
+    (doc, chunk) with its token span.
+
+    The split step every pre-training pipeline runs before tokenization.
+    Pure column math — chunk counts from the separator-count token formula,
+    spans from ``sequence`` + explode — so the plan (not the text) is what
+    shuffles; downstream tokenizers read only their span. Every doc yields
+    at least one chunk (the token formula is >= 1 even for empty text).
+    """
+    n_tok = token_count_col(text_col)
+    with_counts = docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.ceil(n_tok / F.lit(float(chunk_tokens))).cast("long").alias("n_chunks"),
+    )
+    return with_counts.select(
+        id_col,
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+    ).select(
+        id_col,
+        "chunk_id",
+        (F.col("chunk_id") * chunk_tokens).alias("start_token"),
+        F.least(
+            F.lit(chunk_tokens).cast("long"),
+            F.col("n_tokens") - F.col("chunk_id") * chunk_tokens,
+        ).alias("chunk_len"),
+    )

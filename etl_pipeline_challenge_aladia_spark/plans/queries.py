@@ -2640,3 +2640,38 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@query(
+    "doc_chunk_plan",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(ceil(n_tokens / 64.0) AS BIGINT) AS n_chunks
+  FROM t
+),
+x AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM c
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 64 AS BIGINT) AS start_token,
+       CAST(least(64, n_tokens - chunk_id * 64) AS BIGINT) AS chunk_len
+FROM x
+""",
+    doc="Training-chunk work plan (operators/text.py:chunk_plan): one row "
+    "per (doc, 64-token chunk) with its token span — the split step before "
+    "tokenization in a pre-training pipeline, as pure column math "
+    "(sequence + explode; the plan shuffles, the text does not).",
+)
+def q_doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import chunk_plan
+
+    return chunk_plan(load_table(spark, sf_dir, "documents"), chunk_tokens=64)

@@ -297,3 +297,34 @@ def test_upsert_raises_on_unreadable_store(spark, tmp_path):
     # the corrupt store was not replaced by the batch
     with open(os.path.join(path, "part-00000.parquet")) as f:
         assert f.read() == "this is not a parquet file"
+
+
+def test_scrub_pii_redacts_emails_and_urls(spark):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        pii_match_count_col,
+        scrub_pii_col,
+    )
+
+    rows = [
+        ("contact me at a.b+c@example.co.uk for details", 1),
+        ("see https://example.com/x?y=1 and http://a.io", 2),
+        ("no pii here at all", 0),
+        ("mix: x@y.org then https://z.dev/page end", 2),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = df.select(
+        scrub_pii_col("text").alias("clean"),
+        pii_match_count_col("text").alias("n"),
+    ).collect()
+    assert [r["n"] for r in got] == [n for _, n in rows]
+    assert got[0]["clean"] == "contact me at <EMAIL> for details"
+    assert got[1]["clean"] == "see <URL> and <URL>"
+    assert got[2]["clean"] == "no pii here at all"
+    assert got[3]["clean"] == "mix: <EMAIL> then <URL> end"
+    # idempotent: scrubbing scrubbed text changes nothing
+    again = df.select(
+        scrub_pii_col(scrub_pii_col("text")).alias("clean2")
+    ).collect()
+    assert [r["clean2"] for r in again] == [r["clean"] for r in got]
