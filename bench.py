@@ -6,7 +6,9 @@ Runs the ENTIRE query catalog at $SPARK_GRAFT_SF_DIR (default
 
 Each query is forced end-to-end with a noop sink (full execution, no
 driver-side collect). Per-query times for the full catalog make regressions
-attributable round over round.
+attributable round over round. Each query runs $SPARK_GRAFT_BENCH_RUNS
+times (default 2) and reports the per-query minimum — machine-load noise
+otherwise swings single-pass totals by ~1.5x, drowning real plan changes.
 """
 
 from __future__ import annotations
@@ -37,14 +39,17 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in CATALOG.items():
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = float("inf")
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
