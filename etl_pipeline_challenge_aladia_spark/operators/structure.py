@@ -22,7 +22,10 @@ def parse_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
 
     PERMISSIVE mode + a ``_corrupt`` flag replaces the reference's
     nack+requeue loop for undecodable messages (SURVEY.md §2.8-X5): corrupt
-    records are quarantined by the caller, not retried forever.
+    records are quarantined by the caller, not retried forever. ``_raw``
+    carries the original message text for corrupt rows (NULL otherwise) so
+    the quarantine retains something inspectable/replayable, not just a
+    row of NULLs.
     """
     import pyspark.sql.types as T
 
@@ -40,6 +43,7 @@ def parse_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
     return parsed.select(
         *[F.col(f"_parsed.{f.name}") for f in ENVELOPE_SCHEMA.fields],
         F.col("_parsed._corrupt_record").isNotNull().alias("_corrupt"),
+        F.col("_parsed._corrupt_record").alias("_raw"),
     )
 
 

@@ -150,11 +150,17 @@ def scrub_pii_col(text: Column | str) -> Column:
 
 
 def pii_match_count_col(text: Column | str) -> Column:
-    """How many email/URL spans a document contains (audit metric for the
-    scrub pass)."""
+    """How many redactions ``scrub_pii_col`` applies to a document.
+
+    Counts mirror the scrub's pass order — emails on the raw text, then
+    URLs on the email-scrubbed text — so an email embedded in a URL counts
+    as two redactions (both replacements happen), never double-counts one
+    span, and the metric agrees with the pass it audits.
+    """
     c = F.col(text) if isinstance(text, str) else text
     emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
-    urls = F.size(F.regexp_extract_all(c, F.lit(URL_PATTERN), 0))
+    after_email = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    urls = F.size(F.regexp_extract_all(after_email, F.lit(URL_PATTERN), 0))
     return (emails + urls).cast("long")
 
 

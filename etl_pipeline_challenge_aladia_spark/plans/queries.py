@@ -152,7 +152,9 @@ def q_cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = env.select(
         F.to_json(F.struct(*[F.col(c) for c in env.columns])).alias("value")
     )
-    reparsed = parse_envelope(wire).filter(~F.col("_corrupt")).drop("_corrupt")
+    reparsed = (
+        parse_envelope(wire).filter(~F.col("_corrupt")).drop("_corrupt", "_raw")
+    )
     return envelopes_to_warehouse(reparsed, with_ingestion_time=False)
 
 

@@ -44,15 +44,29 @@ def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
 
 def _promote_dir(staged: str, dst: str, keep_old_as: str) -> None:
     """Crash-recoverable directory promote: the previous version is moved
-    aside BEFORE the new one lands, so no failure point loses both copies.
-    (Delta/Iceberg make this a metadata-only txn; plain parquet gets the
-    next best thing.)"""
+    aside BEFORE the new one lands, so no failure point loses both copies —
+    PROVIDED the caller runs ``_recover_dir(dst, keep_old_as)`` first, which
+    repairs the one window where ``dst`` is missing and the only copy sits
+    in ``keep_old_as``. (Delta/Iceberg make this a metadata-only txn; plain
+    parquet gets the next best thing.)"""
     if os.path.exists(keep_old_as):
         shutil.rmtree(keep_old_as)
     if os.path.exists(dst):
         os.rename(dst, keep_old_as)
     os.rename(staged, dst)
     shutil.rmtree(keep_old_as, ignore_errors=True)
+
+
+def _recover_dir(dst: str, keep_old_as: str) -> None:
+    """Repair an interrupted ``_promote_dir``: a crash between moving the
+    old copy aside and installing the new one leaves ``dst`` missing with
+    the only copy in ``keep_old_as`` — restore it. If both exist, the
+    promote completed and the leftover old copy is safe to drop."""
+    if os.path.exists(keep_old_as):
+        if os.path.exists(dst):
+            shutil.rmtree(keep_old_as)
+        else:
+            os.rename(keep_old_as, dst)
 
 
 def upsert_warehouse_batch(spark: SparkSession, batch: DataFrame, path: str) -> None:
@@ -65,6 +79,7 @@ def upsert_warehouse_batch(spark: SparkSession, batch: DataFrame, path: str) -> 
     failure (IO, permissions, corruption) raises instead of silently
     discarding the stored table.
     """
+    _recover_dir(path, path + "._old")
     if os.path.exists(path):
         current = spark.read.parquet(path).drop("_day")
         merged = current.unionByName(batch, allowMissingColumns=True)
@@ -94,24 +109,30 @@ def merge_warehouse_batch(
     Delta/Iceberg ``MERGE INTO`` on a bucketed table.
 
     Per-bucket promotes are individually crash-recoverable (old copy moved
-    aside first); a crash mid-loop leaves a mix of old/new buckets, which
-    the checkpointed ``foreachBatch`` retry repairs — re-merging the same
-    batch is idempotent because ``latest_per_key`` is. Returns the number
-    of buckets rewritten.
+    aside first, and any interrupted promote from a previous run is
+    repaired on entry); a crash mid-loop leaves a mix of old/new buckets,
+    which the checkpointed ``foreachBatch`` retry repairs — re-merging the
+    same batch is idempotent because ``latest_per_key`` is. Returns the
+    number of buckets written.
     """
+    import glob as _glob
+
+    for leftover in _glob.glob(f"{path}._old_bucket_*"):
+        bk = leftover.rsplit("_", 1)[-1]
+        _recover_dir(os.path.join(path, f"_bucket={bk}"), leftover)
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast(
         "int"
     )
     b = batch.withColumn("_bucket", bucket)
-    if not os.path.exists(path):
-        latest_per_key(b, keys=keys, order_col=order_col).write.mode(
-            "overwrite"
-        ).partitionBy("_bucket").parquet(path)
-        return num_buckets
     # bounded by num_buckets — a driver-safe collect by construction
     touched = sorted(
         r["_bucket"] for r in b.select("_bucket").distinct().collect()
     )
+    if not os.path.exists(path):
+        latest_per_key(b, keys=keys, order_col=order_col).write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(path)
+        return len(touched)
     current = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
     merged = latest_per_key(
         current.unionByName(b, allowMissingColumns=True),
@@ -180,13 +201,20 @@ def compact_warehouse(
     the number of partitions rewritten. On Delta/Iceberg this is OPTIMIZE /
     rewrite_data_files; plain parquet needs the staging-dir swap used here.
     """
+    import glob as _glob
     from concurrent.futures import ThreadPoolExecutor
+
+    # repair any promote a previous compaction crashed in the middle of
+    # (old-copy names are keyed by partition directory, so this is exact)
+    for leftover in _glob.glob(f"{path}._compact_old_*"):
+        _recover_dir(
+            os.path.join(path, leftover.rsplit("._compact_old_", 1)[-1]), leftover
+        )
 
     current = spark.read.parquet(path)
     days = [r["_day"] for r in current.select("_day").distinct().collect()]
 
-    def rewrite(idx_day: tuple[int, object]) -> bool:
-        idx, day = idx_day
+    def rewrite(day: object) -> bool:
         dirname = "_day=__HIVE_DEFAULT_PARTITION__" if day is None else f"_day={day}"
         dst = os.path.join(path, dirname)
         if not os.path.isdir(dst):
@@ -196,11 +224,11 @@ def compact_warehouse(
         part = spark.read.parquet(dst)
         n = part.count()
         files = max(1, -(-n // target_rows_per_file))
-        staged = f"{path}._compact_tmp_{idx}"
+        staged = f"{path}._compact_tmp_{dirname}"
         part.repartition(files).write.mode("overwrite").parquet(staged)
-        _promote_dir(staged, dst, f"{path}._compact_old_{idx}")
+        _promote_dir(staged, dst, f"{path}._compact_old_{dirname}")
         return True
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        done = list(pool.map(rewrite, enumerate(days)))
+        done = list(pool.map(rewrite, days))
     return sum(done)

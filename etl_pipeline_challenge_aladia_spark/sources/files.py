@@ -57,11 +57,17 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
 
     On real many-file/many-row-group inputs the scan already parallelizes,
     so the repartition is gated on the input's actual partition count: wide
-    inputs pass through untouched, with no extra Exchange in the plan. The
-    partition-count probe is plan metadata (rdd.getNumPartitions on the
-    unexecuted frame), not a job.
+    inputs pass through untouched, with no extra Exchange in the plan.
+
+    Probe caveat: ``df.rdd.getNumPartitions()`` is free for the scan-stage
+    frames this utility is meant for, but under AQE it MATERIALIZES any
+    upstream shuffle stages (and raises on streaming frames) — so pass
+    scan-shaped inputs, not post-aggregation ones; streaming frames skip
+    the probe and repartition unconditionally.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.isStreaming:
+        return df.repartition(n)
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

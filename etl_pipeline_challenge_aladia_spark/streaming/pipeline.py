@@ -70,7 +70,7 @@ def encode_kafka_records(envelopes: DataFrame, key_col: str = "document_id") -> 
     reference got from its single durable queue. The contract test proves
     encode -> decode is the identity on envelope rows.
     """
-    payload_cols = [c for c in envelopes.columns if c != "_corrupt"]
+    payload_cols = [c for c in envelopes.columns if c not in ("_corrupt", "_raw")]
     return envelopes.select(
         F.col(key_col).cast("string").cast("binary").alias("key"),
         F.to_json(F.struct(*[F.col(c) for c in payload_cols])).cast("binary").alias(
@@ -171,9 +171,14 @@ def make_cdc_batch_processor(
         raise ValueError(f"unknown sink {sink!r}: expected 'rewrite' or 'merge'")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        ok = batch.filter(~batch["_corrupt"]).drop("_corrupt")
+        ok = batch.filter(~batch["_corrupt"]).drop("_corrupt", "_raw")
         if quarantine_path is not None:
-            bad = batch.filter(batch["_corrupt"])
+            # persist the original message text — the quarantine's purpose
+            # is inspection/replay, not a row of NULL envelope fields
+            bad = batch.filter(batch["_corrupt"]).select(
+                F.col("_raw").alias("raw"),
+                F.current_timestamp().alias("quarantined_at"),
+            )
             if bad.limit(1).count() > 0:
                 bad.write.mode("append").json(quarantine_path)
         rows = envelopes_to_warehouse(ok, with_ingestion_time=True)

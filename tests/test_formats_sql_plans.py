@@ -177,10 +177,12 @@ def test_no_forced_broadcast_of_fact_tables():
     grows with SF — lineitem, orders, customer, supplier, part — must be
     left to AQE so the plan survives a 100x scale-up."""
     import re
+    from pathlib import Path
 
-    src = open(
-        "etl_pipeline_challenge_aladia_spark/plans/queries.py"
-    ).read()
+    src = (
+        Path(__file__).parents[1]
+        / "etl_pipeline_challenge_aladia_spark/plans/queries.py"
+    ).read_text()
     banned = re.findall(
         r"F\.broadcast\(\s*(?:li|lineitem|orders|cust|customer|supp|supplier|part)\b[^)]*",
         src,

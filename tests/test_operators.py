@@ -328,3 +328,24 @@ def test_scrub_pii_redacts_emails_and_urls(spark):
         scrub_pii_col(scrub_pii_col("text")).alias("clean2")
     ).collect()
     assert [r["clean2"] for r in again] == [r["clean"] for r in got]
+
+
+def test_pii_count_matches_scrub_on_nested_spans(spark):
+    """An email inside a URL is two redactions (email first, then the URL
+    that the placeholder now sits in) — the count mirrors the pass order."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        pii_match_count_col,
+        scrub_pii_col,
+    )
+
+    df = spark.createDataFrame(
+        [("go to http://x.com/a@b.co now",)], "text string"
+    )
+    row = df.select(
+        scrub_pii_col("text").alias("clean"),
+        pii_match_count_col("text").alias("n"),
+    ).collect()[0]
+    assert row["clean"] == "go to <URL> now"
+    assert row["n"] == 2

@@ -211,3 +211,50 @@ def test_kafka_encode_decode_roundtrip(spark):
     assert back.schema == env.schema
     assert sorted(map(str, back.collect())) == sorted(map(str, env.collect()))
     assert back.filter("_corrupt").count() == 0
+
+
+def test_merge_sink_recovers_interrupted_promote(spark, tmp_path):
+    """A crash between moving a bucket aside and installing its replacement
+    leaves only the ._old copy; the next merge must restore it, not lose it."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        merge_warehouse_batch,
+        read_warehouse,
+    )
+
+    path = str(tmp_path / "wh")
+    base = spark.range(50).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("original_id"),
+        F.lit("v").alias("video_id"),
+        F.lit("s").alias("session_id"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("2024-01-01 10:00:00").cast("timestamp").alias("original_timestamp"),
+    )
+    merge_warehouse_batch(spark, base, path, num_buckets=8)
+    before = read_warehouse(spark, path).count()
+    # simulate the crash window: one bucket moved aside, replacement missing
+    victim = sorted(glob.glob(os.path.join(path, "_bucket=*")))[0]
+    bk = victim.rsplit("=", 1)[-1]
+    shutil.move(victim, f"{path}._old_bucket_{bk}")
+    assert not os.path.exists(victim)
+
+    empty = base.filter(F.lit(False))
+    merge_warehouse_batch(spark, empty, path, num_buckets=8)
+    assert os.path.exists(victim)
+    assert read_warehouse(spark, path).count() == before
+
+
+def test_quarantine_retains_raw_payload(spark, dirs):
+    corrupt = "definitely not json {{{"
+    write_lines(
+        os.path.join(dirs["in"], "b.json"),
+        [envelope("insert", "doc_1", 1), corrupt],
+    )
+    run_cdc_file_stream(spark, dirs["in"], dirs["wh"], dirs["ckpt"], dirs["quar"])
+    quarantined = spark.read.json(dirs["quar"]).collect()
+    assert len(quarantined) == 1
+    assert quarantined[0]["raw"] == corrupt
