@@ -14,3 +14,36 @@ search, text analysis, multimodal plumbing) the project north star calls for.
 """
 
 __version__ = "0.1.0"
+
+from etl_pipeline_challenge_aladia_spark.pipeline import (  # noqa: E402
+    envelopes_to_warehouse,
+    warehouse_dedup_view,
+)
+from etl_pipeline_challenge_aladia_spark.session import get_spark  # noqa: E402
+from etl_pipeline_challenge_aladia_spark.sinks import (  # noqa: E402
+    append_warehouse,
+    compact_warehouse,
+    merge_warehouse_batch,
+    read_warehouse,
+    save_bucketed,
+    upsert_warehouse_batch,
+)
+from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (  # noqa: E402
+    run_cdc_file_stream,
+    run_cdc_kafka_stream,
+)
+
+__all__ = [
+    "get_spark",
+    "envelopes_to_warehouse",
+    "warehouse_dedup_view",
+    "append_warehouse",
+    "read_warehouse",
+    "upsert_warehouse_batch",
+    "merge_warehouse_batch",
+    "compact_warehouse",
+    "save_bucketed",
+    "run_cdc_file_stream",
+    "run_cdc_kafka_stream",
+    "__version__",
+]
