@@ -37,3 +37,46 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 when either norm is zero."""
     denom = norm_col(a) * norm_col(b)
     return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def l2_normalize_col(a: Column) -> Column:
+    """Unit-normalize an array<double> column; zero vectors pass through
+    unchanged (norm 0 would otherwise divide by zero)."""
+    n = norm_col(a)
+    return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def int8_quantize_col(a: Column) -> Column:
+    """Symmetric int8 quantization of an array<double>: scale = amax/127,
+    q_i = clamp(floor(v_i/scale + 0.5), -127, 127). The floor(x+0.5)
+    rounding is the engine-portable half-up convention
+    (functions/rounding.py); all-zero vectors quantize to zeros."""
+    amax = F.array_max(F.transform(a, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        a,
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(F.lit(127).cast("long"), F.floor(x / scale + F.lit(0.5))),
+        ),
+    )
+    return F.when(amax > 0, q).otherwise(F.transform(a, lambda x: F.lit(0).cast("long")))
+
+
+def int8_quant_error_col(a: Column) -> Column:
+    """Mean absolute reconstruction error of int8 round-trip quantization,
+    as a double. The fidelity metric for deciding whether a stored corpus
+    can ship int8 embeddings (4x smaller scans) instead of f32. Pure fold
+    arithmetic — deterministic order, engine-reproducible."""
+    amax = F.array_max(F.transform(a, F.abs))
+    scale = amax / F.lit(127.0)
+    err_sum = F.aggregate(
+        F.zip_with(
+            a,
+            int8_quantize_col(a),
+            lambda x, q: F.abs(x - q.cast("double") * scale),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(amax > 0, err_sum / F.size(a)).otherwise(F.lit(0.0))

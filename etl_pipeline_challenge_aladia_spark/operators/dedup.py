@@ -137,3 +137,38 @@ def dedup_clusters(
             "a component's diameter exceeds the cap; raise max_iters"
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def canonical_per_cluster(
+    labels: DataFrame,
+    scored: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick the survivor per near-dup cluster: the member with the highest
+    quality score (ties -> smallest id).
+
+    The selection step that turns cluster labels (``dedup_clusters``) into a
+    kept/dropped decision — dedup pipelines keep the best-quality member,
+    not an arbitrary one. One join + one hash aggregation: the argmax is a
+    single ``max(struct(score, -id))`` (struct ordering compares score
+    first, then the negated id, so the tie-break needs no second pass or
+    window shuffle). Scores are pre-rounded by the caller so the argmax is
+    deterministic cross-engine.
+    """
+    members = labels.join(
+        scored.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")),
+        "id",
+    )
+    picked = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.struct(F.col("_score").alias("s"), (-F.col("id")).alias("nid"))).alias(
+            "_best"
+        ),
+    )
+    return picked.select(
+        "cluster_id",
+        (-F.col("_best.nid")).alias("canonical_id"),
+        F.col("_best.s").alias("canonical_score"),
+        "n_members",
+    )

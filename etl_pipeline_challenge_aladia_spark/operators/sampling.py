@@ -1,0 +1,53 @@
+"""Deterministic dataset splitting and sampling (north-star scope).
+
+Every training-data pipeline needs a train/val/test split and down-sampling
+that are (a) stable across runs and engines, (b) a pure function of the row
+key — so re-running the pipeline, adding executors, or re-partitioning the
+input never moves a document between splits. Spark's ``randomSplit`` /
+``sample`` are neither (partition-dependent seeds), so these operators hash
+the id instead: split membership is decided by ``md5_fold32(id) % 100``,
+reproducible in any engine (functions/hashing.py carries the SQL twin).
+
+Scale: both operators are single narrow projections/filters — zero shuffle,
+fully codegen'd, trivially 100 TB-safe. The hash read ranges also compose:
+``deterministic_sample(rate=0.1)`` selects a subset of the ``train`` split's
+buckets, so samples are nested across rates (a 1% sample is contained in
+the 10% sample) — the property curriculum/ablation runs rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.functions.hashing import md5_fold32_col
+
+
+def hash_bucket_col(id_col: Column | str, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from the stringified id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(md5_fold32_col(c.cast("string")), F.lit(buckets)).cast("long")
+
+
+def hash_split_col(
+    id_col: Column | str, train_pct: int = 80, val_pct: int = 10
+) -> Column:
+    """'train' / 'val' / 'test' assignment from the id hash: buckets
+    [0, train) -> train, [train, train+val) -> val, rest -> test."""
+    b = hash_bucket_col(id_col, 100)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate: float, buckets: int = 1000
+) -> DataFrame:
+    """Keep rows whose id-hash bucket falls below ``rate`` — a stable,
+    engine-reproducible Bernoulli-style sample (exact membership, not just
+    expected rate). Nested: a lower-rate sample is a subset of a higher-rate
+    one over the same ``buckets``."""
+    cut = int(rate * buckets)
+    return df.filter(hash_bucket_col(id_col, buckets) < cut)

@@ -25,6 +25,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_challenge_aladia_spark.functions.hashing import md5_fold32_col
 from etl_pipeline_challenge_aladia_spark.functions.rounding import round_half_up
 from etl_pipeline_challenge_aladia_spark.functions.vectors import (
     cosine_similarity_col,
@@ -110,7 +111,7 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def shingle_hash_col(sh) -> F.Column:
     """Engine-independent 32-bit shingle hash: first 8 hex chars of md5."""
-    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
+    return md5_fold32_col(sh)
 
 
 def minhash_signatures(

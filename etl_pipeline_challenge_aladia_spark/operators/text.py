@@ -164,6 +164,31 @@ def pii_match_count_col(text: Column | str) -> Column:
     return (emails + urls).cast("long")
 
 
+def shingle_doc_freq(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(shingle, doc_freq): in how many documents each distinct word-n-gram
+    appears — the boilerplate / heavy-hitter detector.
+
+    Feeds two pipeline decisions: (a) the posting-list cap for the inverted
+    shingle index (``similarity.ngram_jaccard_pairs`` docstring — drop
+    shingles with doc_freq above a threshold so boilerplate can't inflate
+    join fan-out), and (b) boilerplate stripping before training. One
+    explode + one hash aggregation with map-side partials; at 100 TB the
+    exact top-k over the full shingle vocabulary stays one shuffle of
+    (shingle, partial-count) pairs. If only approximate heavy hitters are
+    needed, swap the agg for a count-min / space-saving sketch per
+    partition and merge — same plan shape, bounded state.
+    """
+    return (
+        docs.select(
+            F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle")
+        )
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
 def chunk_plan(
     docs,
     chunk_tokens: int = 64,

@@ -2677,3 +2677,215 @@ def q_doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.text import chunk_plan
 
     return chunk_plan(load_table(spark, sf_dir, "documents"), chunk_tokens=64)
+
+
+# --------------------------------------------------------------------------
+# Dataset splitting / sampling, boilerplate detection, dedup survivor
+# selection, embedding quantization (north-star scope, round 2)
+# --------------------------------------------------------------------------
+
+from etl_pipeline_challenge_aladia_spark.functions.hashing import sql_md5_fold32  # noqa: E402
+
+
+@query(
+    "doc_hash_split",
+    f"""
+WITH b AS (
+  SELECT {sql_md5_fold32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket, n_chars
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1
+""",
+    doc="Deterministic 80/10/10 train/val/test split by id hash "
+    "(operators/sampling.py:hash_split_col): membership is a pure function "
+    "of doc_id — stable across runs, partitionings, and engines (the "
+    "md5-fold has an exact DuckDB twin). Zero-shuffle assignment; the "
+    "aggregation here just audits split sizes.",
+)
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import hash_split_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(hash_split_col("doc_id").alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "doc_boilerplate_shingles",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ex AS (SELECT unnest(sh) AS shingle FROM tok)
+SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+FROM ex
+GROUP BY shingle
+ORDER BY doc_freq DESC, shingle
+LIMIT 20
+""",
+    doc="Top-20 highest-document-frequency 3-gram shingles "
+    "(operators/text.py:shingle_doc_freq) — the boilerplate detector that "
+    "sets the posting-list cap for the inverted-index Jaccard join and "
+    "flags template text before training. Exact heavy hitters via one "
+    "explode + one partial-agg'd hash aggregation; the top-k orders by the "
+    "count with a full tie-break so the LIMIT is deterministic.",
+)
+def q_doc_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import shingle_doc_freq
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shingle_doc_freq(docs, n=3)
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(20)
+    )
+
+
+# quality_score (operators/text.py:quality_score_col) as DuckDB SQL —
+# identical to the doc_quality_score oracle, inlined for the cluster join
+_Q4_SQL = _s4(
+    "(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    " / (length(text) - length(replace(text, ' ', '')) + 1))"
+    " * (1.0 - CAST(len(list_filter(string_split(text, ' '),"
+    " x -> x IN ('the', 'a'))) AS DOUBLE)"
+    " / (length(text) - length(replace(text, ' ', '')) + 1))"
+)
+
+
+@query(
+    "doc_canonical_per_cluster",
+    _minhash_oracle_sql(prefix_only=True).replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + f""",
+pairs AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_id_a
+  JOIN tok tb ON tb.doc_id = c.doc_id_b
+  WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.8
+),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+walk (id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+labels AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+q AS (
+  SELECT doc_id, {_Q4_SQL} AS q4
+  FROM documents
+),
+ranked AS (
+  SELECT l.cluster_id, l.id, q.q4,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.q4 DESC, l.id) AS rn,
+         count(*) OVER (PARTITION BY l.cluster_id) AS nm
+  FROM labels l JOIN q ON q.doc_id = l.id
+)
+SELECT cluster_id,
+       id AS canonical_id,
+       q4 AS canonical_score,
+       CAST(nm AS BIGINT) AS n_members
+FROM ranked
+WHERE rn = 1
+""",
+    doc="Dedup survivor selection: near-dup clusters "
+    "(operators/dedup.py:dedup_clusters over MinHash+LSH pairs) joined "
+    "with the quality score, keeping the best-quality member per cluster "
+    "(ties -> smallest id) via a single max(struct) argmax — no window "
+    "shuffle (operators/dedup.py:canonical_per_cluster). This is the "
+    "decision step that turns pair detection into a kept corpus.",
+)
+def q_doc_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.dedup import (
+        canonical_per_cluster,
+        dedup_clusters,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_near_dup_pairs,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import with_text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup_clusters(minhash_near_dup_pairs(docs))
+    scored = with_text_stats(docs).select(
+        "doc_id", round_half_up(F.col("quality_score"), 4).alias("q4")
+    )
+    return canonical_per_cluster(labels, scored, score_col="q4").select(
+        "cluster_id", "canonical_id", F.col("canonical_score"), "n_members"
+    )
+
+
+@query(
+    "emb_quantize_error",
+    f"""
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+m AS (
+  SELECT label, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v
+),
+err AS (
+  SELECT label,
+         CASE WHEN amax > 0 THEN
+           list_sum(list_transform(e,
+             x -> abs(x - greatest(-127, least(127, floor(x / (amax / 127.0) + 0.5)))
+                        * (amax / 127.0)))) / len(e)
+         ELSE 0.0 END AS err
+  FROM m
+),
+fx AS (SELECT label, CAST(floor(err * 100000000.0 + 0.5) AS BIGINT) AS ef FROM err)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {sql_round_half_up("CAST(sum(ef) AS DOUBLE) / 100000000.0 / count(*)", 6)}
+         AS avg_quant_err
+FROM fx
+GROUP BY label
+""",
+    doc="Int8-quantization fidelity per label: mean absolute reconstruction "
+    "error of symmetric int8 round-trip (functions/vectors.py:"
+    "int8_quant_error_col) — the go/no-go metric for shipping 4x-smaller "
+    "int8 embeddings. Per-vector errors are fixed-pointed to int64 BEFORE "
+    "the group sum, so the aggregate is an exact integer sum — immune to "
+    "FP summation-order differences across engines/partitionings (the "
+    "latent-flakiness class ADVICE.md flagged).",
+)
+def q_emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+        int8_quant_error_col,
+        to_double_array,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    err = int8_quant_error_col(to_double_array("embedding"))
+    fixed = F.floor(err * F.lit(1e8) + F.lit(0.5)).cast("long")
+    return (
+        emb.select("label", fixed.alias("ef"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            round_half_up(
+                F.sum("ef").cast("double") / F.lit(1e8) / F.count(F.lit(1)), 6
+            ).alias("avg_quant_err"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Unit tests for deterministic splitting/sampling, boilerplate shingle
+frequency, dedup survivor selection, and int8 embedding quantization
+(round-2 north-star operators)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+    int8_quant_error_col,
+    int8_quantize_col,
+    l2_normalize_col,
+    to_double_array,
+)
+from etl_pipeline_challenge_aladia_spark.operators.dedup import canonical_per_cluster
+from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket_col,
+    hash_split_col,
+)
+from etl_pipeline_challenge_aladia_spark.operators.text import shingle_doc_freq
+
+
+def test_hash_split_is_deterministic_and_partitions(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = df.select("doc_id", hash_split_col("doc_id").alias("s")).collect()
+    b = (
+        df.repartition(7)
+        .select("doc_id", hash_split_col("doc_id").alias("s"))
+        .collect()
+    )
+    assert {r["doc_id"]: r["s"] for r in a} == {r["doc_id"]: r["s"] for r in b}
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(hash_split_col("doc_id").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    # 80/10/10 in expectation; allow generous slack for 1000 draws
+    assert 700 < counts["train"] < 900
+
+
+def test_deterministic_sample_is_nested_across_rates(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.01).collect()}
+    s10 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.10).collect()}
+    s100 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 1.0).collect()}
+    assert s1 <= s10 <= s100
+    assert len(s100) == 2000
+    assert 100 < len(s10) < 320  # ~200 expected
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    mm = df.select(
+        F.min(hash_bucket_col("doc_id", 100)).alias("lo"),
+        F.max(hash_bucket_col("doc_id", 100)).alias("hi"),
+    ).first()
+    assert 0 <= mm["lo"] and mm["hi"] <= 99
+
+
+def test_shingle_doc_freq_counts_documents_not_occurrences(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c a b c a b c"),  # shingle "a b c" thrice
+            Row(doc_id=2, text="a b c x y z"),
+            Row(doc_id=3, text="x y z only here"),
+        ]
+    )
+    freq = {
+        r["shingle"]: r["doc_freq"] for r in shingle_doc_freq(docs, n=3).collect()
+    }
+    assert freq["a b c"] == 2  # distinct-per-doc: doc 1 counts once
+    assert freq["x y z"] == 2
+    assert freq["b c a"] == 1
+
+
+def test_canonical_per_cluster_picks_best_quality_then_smallest_id(spark):
+    labels = spark.createDataFrame(
+        [Row(id=1, cluster_id=1), Row(id=2, cluster_id=1), Row(id=3, cluster_id=1),
+         Row(id=7, cluster_id=7), Row(id=9, cluster_id=7)]
+    )
+    scored = spark.createDataFrame(
+        [Row(doc_id=1, q=0.5), Row(doc_id=2, q=0.9), Row(doc_id=3, q=0.9),
+         Row(doc_id=7, q=0.4), Row(doc_id=9, q=0.4)]
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in canonical_per_cluster(labels, scored, score_col="q").collect()
+    }
+    assert out[1]["canonical_id"] == 2  # 0.9 tie -> smaller id
+    assert out[1]["n_members"] == 3
+    assert out[7]["canonical_id"] == 7
+    assert out[7]["canonical_score"] == pytest.approx(0.4)
+
+
+def test_int8_quantize_roundtrip_and_error(spark):
+    df = spark.createDataFrame(
+        [Row(vid=1, v=[1.0, -0.5, 0.25, 0.0]), Row(vid=2, v=[0.0, 0.0, 0.0, 0.0])]
+    )
+    arr = to_double_array("v")
+    rows = {
+        r["vid"]: r
+        for r in df.select(
+            "vid",
+            int8_quantize_col(arr).alias("q"),
+            int8_quant_error_col(arr).alias("err"),
+        ).collect()
+    }
+    # scale = 1/127: 1.0 -> 127, -0.5 -> floor(-63.5+0.5) = -63, 0.25 -> 32
+    assert rows[1]["q"] == [127, -63, 32, 0]
+    recon = [q / 127.0 for q in rows[1]["q"]]
+    expected_err = sum(
+        abs(x - r) for x, r in zip([1.0, -0.5, 0.25, 0.0], recon)
+    ) / 4
+    assert rows[1]["err"] == pytest.approx(expected_err, abs=1e-12)
+    # all-zero vector: quantizes to zeros, zero error (no division blowup)
+    assert rows[2]["q"] == [0, 0, 0, 0]
+    assert rows[2]["err"] == 0.0
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([Row(v=[3.0, 4.0]), Row(v=[0.0, 0.0])])
+    got = df.select(l2_normalize_col(to_double_array("v")).alias("n")).collect()
+    assert got[0]["n"][0] == pytest.approx(0.6)
+    assert got[0]["n"][1] == pytest.approx(0.8)
+    assert math.isclose(
+        sum(x * x for x in got[0]["n"]), 1.0, rel_tol=1e-12
+    )
+    assert got[1]["n"] == [0.0, 0.0]  # zero vector passes through

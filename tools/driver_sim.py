@@ -69,6 +69,10 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     q, o = e.queries(), e.oracle_sql()
+    only = [a for a in sys.argv[2:] if a]
+    if only:
+        q = {k: v for k, v in q.items() if k in only}
+        o = {k: v for k, v in o.items() if k in only}
     failures = []
     for name in sorted(o):
         try:
