@@ -17,10 +17,18 @@ the 10% sample) — the property curriculum/ablation runs rely on.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.functions.hashing import md5_fold32_col
+
+
+def hash_order_col(id_col: Column | str) -> Column:
+    """Stable pseudo-random priority from the stringified id — the full
+    32-bit md5 fold (no modulus). Ordering by it gives every deterministic
+    selection ('first k by hash') the same winners in any engine."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_fold32_col(c.cast("string"))
 
 
 def hash_bucket_col(id_col: Column | str, buckets: int = 100) -> Column:
@@ -51,3 +59,29 @@ def deterministic_sample(
     one over the same ``buckets``."""
     cut = int(rate * buckets)
     return df.filter(hash_bucket_col(id_col, buckets) < cut)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, cap: int, id_col: str
+) -> DataFrame:
+    """Domain capping / stratified down-sampling: keep at most ``cap`` rows
+    per group, chosen deterministically by id-hash priority (ties broken by
+    the id itself).
+
+    The mixture-balancing step of a training pipeline — no single domain /
+    language / source may dominate the corpus. Hash-priority selection
+    keeps the survivors a pure function of the ids: adding or removing
+    OTHER rows of a group only ever swaps the boundary rows, never
+    reshuffles the whole selection, and any engine picks the same winners.
+    One hash-partition shuffle on the group key; the rank<=cap filter is
+    recognized by Spark's WindowGroupLimit rule, which prunes each group to
+    its top ``cap`` rows map-side BEFORE the exchange — so at 100 TB the
+    shuffle carries at most cap rows per group per input partition, not
+    the whole corpus.
+    """
+    w = Window.partitionBy(group_col).orderBy(hash_order_col(id_col), F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

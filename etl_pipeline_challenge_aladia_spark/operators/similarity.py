@@ -20,6 +20,7 @@ across runs and engines.
 
 from __future__ import annotations
 
+import hashlib
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -588,3 +589,131 @@ def kmeans_lite(
             .localCheckpoint(eager=True)
         )
     return assigned.select("id", "cluster", "dist")
+
+
+def rp_planes(bits: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): component (i, j)
+    is md5("rp{seed}_{i}_{j}") folded to 32 bits and rescaled. Generated
+    driver-side from a seed string, so the identical float literals can be
+    embedded in any engine's SQL — signatures are engine-reproducible."""
+    planes = []
+    for i in range(bits):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"rp{seed}_{i}_{j}".encode()).hexdigest()[:8]
+            row.append(int(h, 16) / 2.0**31 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def rp_signature_col(vec_name: str, planes: list[list[float]]) -> F.Column:
+    """Sign-bit LSH signature of an array<double> column (referenced by
+    name): bit i is set iff dot(v, plane_i) >= 0 (SimHash for dense
+    vectors — Charikar's rounding scheme: P[bit match] = 1 - angle/pi).
+
+    Built as ONE SQL expression string parsed JVM-side: composing the
+    bits x dim literal tree through the Column API would cost thousands
+    of Py4J round-trips of driver time PER CALL (measured ~2s at 48x64),
+    while the parser swallows the same tree in milliseconds. The fold is
+    left-to-right (`aggregate`), matching the oracle's literal `+` chain
+    term-for-term, so sign bits are engine-identical.
+    """
+    terms = []
+    for i, plane in enumerate(planes):
+        # exponent-form literals (1e-09) are already DOUBLE in Spark SQL;
+        # plain decimals need the D suffix or they parse as DECIMAL
+        lits = ", ".join(
+            repr(c) if "e" in repr(c) else f"{c!r}D" for c in plane
+        )
+        dot = (
+            f"aggregate(zip_with({vec_name}, array({lits}),"
+            " (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0D THEN {2**i}L ELSE 0L END)")
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
+def rp_lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    bits: int = 48,
+    bands: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """Random-hyperplane LSH near-duplicate pairs over an embedding column:
+    banded sign-bit candidate generation + exact cosine rerank.
+
+    The hyperplane complement to ``ivf_topk``: no training/centroid pass is
+    needed (planes are derived from a seed), so it composes with streaming
+    and incremental ingest, and candidate generation is a pure narrow
+    projection + one equi-join on (band, key) — linear in corpus plus
+    band-bucket collisions. A pair at cosine ``t`` matches each sign bit
+    w.p. 1-acos(t)/pi, so with 4 bands of 12 bits recall is
+    1-(1-(1-acos(t)/pi)^12)^4 — ~0.9994 at t=0.999, exactly 1.0 for exact
+    duplicates (identical vectors have identical signatures) — while an
+    UNRELATED pair (bit-match prob ~0.5) collides on a band w.p. 2^-12, so
+    only ~0.1% of random pairs ever reach the rerank: the join stays
+    linear, never all-pairs. This pruning argument holds ONLY in the
+    high-threshold (true near-duplicate) regime: at mid thresholds
+    (t <~ 0.7) the signal bit-match rate ~0.65 is too close to the 0.5
+    noise floor, and any banding loose enough to recall also admits most
+    random pairs — use ``ivf_topk`` / ``brute_force_topk`` for
+    mid-similarity search instead. The exact rerank removes all false
+    positives, so output precision is 1.0 regardless. Candidates are
+    deduped as skinny (id, id) pairs BEFORE rejoining vectors, so the wide
+    embedding payload never passes through the distinct.
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    vecs = fan_out(embeddings).select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    # Materialize the SKINNY (id, sig) frame — 16 bytes/row at any corpus
+    # size — so the 48-projection signature pass runs once instead of once
+    # per join branch; the wide vectors are NOT checkpointed (the rerank
+    # re-reads them from the columnar source, where pruning is free).
+    sigs = vecs.select(
+        "id", rp_signature_col("v", rp_planes(bits, dim, seed)).alias("sig")
+    ).localCheckpoint(eager=True)
+    band_rows = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .distinct()
+    )
+    va = vecs.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    scored = (
+        cand.join(va, "ia")
+        .join(vb, "ib")
+        .select(
+            F.col("ia").alias("vec_id_a"),
+            F.col("ib").alias("vec_id_b"),
+            round_half_up(cosine_similarity_col(F.col("va"), F.col("vb")), scale).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)

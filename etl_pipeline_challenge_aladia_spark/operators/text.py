@@ -51,16 +51,46 @@ def quality_score_col(n_unique: Column, n_tokens: Column, n_stop: Column) -> Col
     return (n_unique.cast("double") / t) * (F.lit(1.0) - n_stop.cast("double") / t)
 
 
-def shingles_col(words: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of an array<string> column. Docs
-    shorter than n tokens yield an empty set (Spark's ``sequence`` would
-    otherwise descend for negative spans)."""
+def ngrams_col(words: Column, n: int = 3) -> Column:
+    """All word n-grams of an array<string> column, in order, duplicates
+    kept. Docs shorter than n tokens yield an empty list (Spark's
+    ``sequence`` would otherwise descend for negative spans)."""
     joined = F.transform(
         F.sequence(F.lit(0), F.size(words) - n),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
     empty = F.array().cast("array<string>")
-    return F.when(F.size(words) >= n, F.array_distinct(joined)).otherwise(empty)
+    return F.when(F.size(words) >= n, joined).otherwise(empty)
+
+
+def shingles_col(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of an array<string> column."""
+    return F.array_distinct(ngrams_col(words, n))
+
+
+def repetition_ratio_col(words: Column, n: int = 2) -> Column:
+    """Fraction of within-document n-gram occurrences that are repeats:
+    1 - distinct/total, in [0, 1); 0.0 for docs shorter than n tokens.
+
+    The Gopher-style repetition quality signal — high values flag looping
+    generators, boilerplate, and degenerate text before training. Pure
+    higher-order-function arithmetic on the token array: no explode, no
+    shuffle, codegen'd per row. The n-gram list is referenced three times
+    (count, distinct-count, emptiness guard); wrapping it in a
+    single-element array and scoring inside ``transform`` binds it to the
+    lambda variable so it is BUILT ONCE per row — inlining it directly
+    would re-evaluate the construction per reference (measured 2x on the
+    bench corpus, since CollapseProject duplicates non-trivial exprs).
+    """
+    score = F.transform(
+        F.array(ngrams_col(words, n)),
+        lambda g: F.when(
+            F.size(g) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    return F.element_at(score, 1)
 
 
 def token_hash_col(w: Column) -> Column:
@@ -186,6 +216,45 @@ def shingle_doc_freq(
         )
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_bench: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: (train doc id, n_shared_shingles) for
+    every training document sharing at least one word-n-gram with the
+    benchmark/eval set.
+
+    The standard pre-training decontamination pass (n-gram collision
+    against held-out benchmarks). Shape: explode distinct shingles on both
+    sides, inner-join on the shingle, count per train doc — one shuffle
+    each side, linear in corpus size, never all-pairs. Benchmark suites
+    are tiny relative to a 100 TB corpus, so set ``broadcast_bench=True``
+    in production and the train side never shuffles at all; at equal-sized
+    inputs (e.g. auditing a 10% test split) leave it to AQE. For very long
+    shingles, hash them to 8-byte keys first (xxhash64) so the join
+    shuffles fixed-width keys — kept as raw strings here so any engine
+    reproduces the exact same collisions.
+    """
+    tr = train.select(
+        F.col(id_col),
+        F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle"),
+    )
+    te = bench.select(
+        F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle")
+    ).distinct()
+    if broadcast_bench:
+        te = F.broadcast(te)
+    return (
+        tr.join(te, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
 
 

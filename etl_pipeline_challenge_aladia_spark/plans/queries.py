@@ -2889,3 +2889,195 @@ def q_emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quant_err"),
         )
     )
+
+
+_FOLD_DOC_ID = sql_md5_fold32("CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "doc_decontaminate",
+    f"""
+WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS w, {_FOLD_DOC_ID} % 100 AS bucket
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, bucket,
+         list_distinct(list_transform(range(greatest(len(w) - 3, 0)),
+             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+  FROM b
+),
+tr AS (SELECT doc_id, unnest(sh) AS shingle FROM tok WHERE bucket < 80),
+te AS (SELECT DISTINCT unnest(sh) AS shingle FROM tok WHERE bucket >= 90)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM tr JOIN te USING (shingle)
+GROUP BY tr.doc_id
+""",
+    doc="Benchmark decontamination (operators/text.py:contamination_overlap): "
+    "train-split documents sharing at least one 4-gram with the held-out "
+    "test split (splits from the deterministic id-hash, so train/test "
+    "membership is engine-reproducible). Inverted-index join on the "
+    "shingle — linear, never all-pairs; in production the benchmark side "
+    "broadcasts and the 100 TB train side never shuffles.",
+)
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import hash_split_col
+    from etl_pipeline_challenge_aladia_spark.operators.text import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split_col("doc_id")
+    train = docs.filter(split == "train")
+    test = docs.filter(split == "test")
+    return contamination_overlap(train, test, n=4)
+
+
+@query(
+    "doc_domain_cap",
+    f"""
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_FOLD_DOC_ID}, doc_id) AS rk
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM r WHERE rk <= 30
+GROUP BY lang
+""",
+    doc="Domain capping (operators/sampling.py:cap_per_group): keep at most "
+    "30 documents per language, chosen by deterministic id-hash priority — "
+    "the mixture-balancing step that stops any domain dominating the "
+    "corpus. The rank<=cap filter hits Spark's WindowGroupLimit rule, so "
+    "each input partition prunes to its per-group top-30 BEFORE the "
+    "exchange; the audit aggregation checks which rows survived (kept_chars "
+    "depends on the exact winner set, not just counts).",
+)
+def q_doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cap_per_group(docs, "lang", 30, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(greatest(len(w) - 1, 0)),
+                        i -> w[i+1] || ' ' || w[i+2]) AS g2,
+         list_transform(range(greatest(len(w) - 2, 0)),
+                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g3
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(g2) > 0 THEN {_s4('1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)')}
+            ELSE 0.0 END AS rep_2gram,
+       CASE WHEN len(g3) > 0 THEN {_s4('1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)')}
+            ELSE 0.0 END AS rep_3gram
+FROM g
+""",
+    doc="Gopher-style repetition quality signal "
+    "(operators/text.py:repetition_ratio_col): per-document fraction of "
+    "duplicated 2-grams and 3-grams — flags looping generators and "
+    "boilerplate before training. Pure higher-order-function arithmetic "
+    "on the token array: zero shuffle, zero explode, codegen'd per row.",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        repetition_ratio_col,
+        tokens_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.files import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        _r4(repetition_ratio_col(words, 2), "rep_2gram"),
+        _r4(repetition_ratio_col(words, 3), "rep_3gram"),
+    )
+
+
+def _rp_oracle_sql(
+    bits: int = 48, bands: int = 4, dim: int = 64, seed: int = 7, threshold: float = 0.999
+) -> str:
+    """DuckDB twin of the duplicate-injection audit over
+    rp_lsh_near_dup_pairs: embeds the IDENTICAL hyperplane float literals
+    (similarity.py:rp_planes) and mirrors the left-to-right dot-product
+    fold, so sign bits — and therefore candidates — match Spark
+    bit-for-bit."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import rp_planes
+
+    planes = rp_planes(bits, dim, seed)
+    terms = []
+    for i, plane in enumerate(planes):
+        chain = " + ".join(f"emb[{j + 1}] * ({c!r})" for j, c in enumerate(plane))
+        terms.append(f"(CASE WHEN ({chain}) >= 0 THEN {2**i} ELSE 0 END)")
+    sig = "\n       + ".join(terms)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fold_vec = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+e AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, emb FROM base WHERE {fold_vec} % 1000 < 100
+),
+sig AS (SELECT vec_id, {sig} AS sg FROM e),
+bands AS (
+  SELECT vec_id, t.b AS b, (sg >> ({band_bits} * t.b)) & {mask} AS key
+  FROM sig, range({bands}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.ia AS vec_id_a, c.ib AS vec_id_b,
+         {_s4('list_cosine_similarity(ea.emb, eb.emb)')} AS cos_sim
+  FROM cand c JOIN e ea ON ea.vec_id = c.ia JOIN e eb ON eb.vec_id = c.ib
+)
+SELECT * FROM scored WHERE cos_sim >= {threshold}
+"""
+
+
+@query(
+    "emb_rp_lsh_near_dup",
+    _rp_oracle_sql(),
+    doc="Duplicate-injection audit via random-hyperplane LSH "
+    "(operators/similarity.py:rp_lsh_near_dup_pairs): the corpus is "
+    "unioned with a deterministic 10% hash-sample of itself (ids shifted "
+    "+100000 — the re-crawl / second-snapshot scenario), then sign-bit "
+    "signatures against 48 seed-derived hyperplanes, a 4x12-bit banded "
+    "candidate join, and exact cosine rerank >= 0.999 recover the "
+    "injected duplicates. Identical vectors have identical signatures, so "
+    "recall on exact dups is 1.0 by construction; a random pair collides "
+    "on a band w.p. 2^-12, so ~0.1% of pairs reach the rerank — linear "
+    "cost, never all-pairs. Training-free (no centroid pass), so it "
+    "composes with streaming ingest; the mid-similarity regime belongs to "
+    "ivf_topk instead (see operator docstring for the regime math).",
+)
+def q_emb_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        deterministic_sample,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        rp_lsh_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    injected = deterministic_sample(emb, "vec_id", 0.1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return rp_lsh_near_dup_pairs(emb.unionByName(injected), dim=64, threshold=0.999)
