@@ -2767,10 +2767,10 @@ _Q4_SQL = _s4(
 )
 
 
-@query(
-    "doc_canonical_per_cluster",
-    _minhash_oracle_sql(prefix_only=True).replace("WITH tok", "WITH RECURSIVE tok", 1)
-    + f""",
+#: DuckDB twin of dedup_clusters over verified MinHash pairs: exact-Jaccard
+#: verification, symmetric edge set, recursive min-label walk. Appended to
+#: the (RECURSIVE-patched) _minhash_oracle_sql prefix.
+_CLUSTER_LABELS_SQL = """,
 pairs AS (
   SELECT c.doc_id_a, c.doc_id_b
   FROM cand c
@@ -2789,7 +2789,14 @@ walk (id, label) AS (
   UNION
   SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
 ),
-labels AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+labels AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)"""
+
+
+@query(
+    "doc_canonical_per_cluster",
+    _minhash_oracle_sql(prefix_only=True).replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _CLUSTER_LABELS_SQL
+    + f""",
 q AS (
   SELECT doc_id, {_Q4_SQL} AS q4
   FROM documents
@@ -3081,3 +3088,107 @@ def q_emb_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return rp_lsh_near_dup_pairs(emb.unionByName(injected), dim=64, threshold=0.999)
+
+
+# rep_2gram as DuckDB SQL over a pre-split token array column `w`
+_REP2_RAW = (
+    "(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2))"
+)
+
+
+@query(
+    "doc_curation_pipeline",
+    _minhash_oracle_sql(prefix_only=True).replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _CLUSTER_LABELS_SQL
+    + f""",
+t0 AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+         (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+         {sql_md5_fold32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+),
+t1 AS (
+  SELECT doc_id, lang, n_tokens, bucket, {_Q4_SQL} AS q4,
+         list_transform(range(greatest(len(w) - 1, 0)),
+                        i -> w[i+1] || ' ' || w[i+2]) AS g2
+  FROM t0
+),
+stats AS (
+  SELECT doc_id, lang, n_tokens, bucket, q4,
+         CASE WHEN len(g2) > 0 THEN {_s4(_REP2_RAW)} ELSE 0.0 END AS rep2
+  FROM t1
+),
+ranked AS (
+  SELECT l.id, row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY s.q4 DESC, l.id) AS rn
+  FROM labels l JOIN stats s ON s.doc_id = l.id
+),
+kept AS (
+  SELECT s.* FROM stats s
+  LEFT JOIN (SELECT id FROM ranked WHERE rn > 1) d ON d.id = s.doc_id
+  WHERE d.id IS NULL AND s.q4 >= 0.35 AND s.rep2 <= 0.1
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM kept
+GROUP BY 1, 2
+""",
+    doc="END-TO-END corpus curation as ONE declarative plan — the flagship "
+    "composition of the training-data operators: quality scoring + "
+    "repetition filtering (operators/text.py), MinHash near-dup clustering "
+    "with best-quality survivor selection (operators/similarity.py + "
+    "dedup.py:dedup_clusters/canonical_per_cluster), deterministic "
+    "train/val/test assignment (operators/sampling.py:hash_split_col), and "
+    "a per-(split, lang) token-budget audit. Catalyst sees the whole "
+    "pipeline: the quality/split projections stay narrow and fused over "
+    "the scan, the dedup path reuses the banded-LSH linear shuffle, and "
+    "the non-survivor removal is a left-anti join on a skinny id list. "
+    "Thresholds (q>=0.35, rep<=0.1) compare rounded values on both "
+    "engines so the kept set is hash-stable.",
+)
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.dedup import (
+        canonical_per_cluster,
+        dedup_clusters,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import hash_split_col
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_near_dup_pairs,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        repetition_ratio_col,
+        token_count_col,
+        tokens_col,
+        with_text_stats,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.files import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = with_text_stats(fan_out(docs)).select(
+        "doc_id",
+        "lang",
+        _r4(F.col("quality_score"), "q4"),
+        _r4(repetition_ratio_col(tokens_col("text"), 2), "rep2"),
+        token_count_col("text").alias("n_tokens"),
+        hash_split_col("doc_id").alias("split"),
+    )
+    labels = dedup_clusters(minhash_near_dup_pairs(docs))
+    canon = canonical_per_cluster(
+        labels, stats.select("doc_id", "q4"), score_col="q4"
+    )
+    non_survivors = (
+        labels.join(canon.select("cluster_id", "canonical_id"), "cluster_id")
+        .filter(F.col("id") != F.col("canonical_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = stats.filter((F.col("q4") >= 0.35) & (F.col("rep2") <= 0.1)).join(
+        non_survivors, "doc_id", "left_anti"
+    )
+    return kept.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

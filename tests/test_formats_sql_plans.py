@@ -23,7 +23,7 @@ def test_warehouse_roundtrips_csv_json_parquet(spark, sf_dir, tmp_path):
     want = wh.count()
     schema = wh.schema
 
-    for fmt in ["parquet", "json", "csv"]:
+    for fmt in ["parquet", "orc", "json", "csv"]:
         path = str(tmp_path / fmt)
         writer = wh.write.mode("overwrite").format(fmt)
         if fmt == "csv":
