@@ -3192,3 +3192,133 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "events_funnel_view_click_purchase",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_prev FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_prev
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_prev
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_prev
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_prev
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_reached_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_reached_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_reached_purchase
+""",
+    doc="Ordered funnel view -> click -> purchase "
+    "(operators/funnel.py:funnel_counts): each stage keeps ONE timestamp "
+    "per user (the earliest qualifying touch), so the plan is a chain of "
+    "linear hash shuffles on user_id with no window over event history "
+    "and no per-user event-list state — the funnel shape that survives "
+    "100 TB of events.",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "events_weekly_retention",
+    """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7.0)
+              AS BIGINT) AS week_offset
+  FROM events e JOIN f ON f.user_id = e.user_id
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2
+""",
+    doc="Cohort retention matrix: users grouped by first-seen day, counted "
+    "once per week-offset in which they return. Two hash aggregations and "
+    "one join on user_id; the DISTINCT collapses per-(user, week) before "
+    "the final count so the last aggregation sees at most "
+    "users x active-weeks rows.",
+)
+def q_events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "doc_mixture_weights",
+    f"""
+WITH tok AS (
+  SELECT lang, (length(text) - length(replace(text, ' ', '')) + 1) AS n
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS lang_tokens
+  FROM tok GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(lang_tokens) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS k
+  FROM agg
+)
+SELECT lang, n_docs, lang_tokens,
+       {_s4('lang_tokens / total')} AS current_share,
+       {_s4('(total / k) / lang_tokens')} AS uniform_weight
+FROM agg, tot
+""",
+    doc="Domain-mixture planner: per-language token mass, its share of the "
+    "corpus, and the repetition/sampling weight that would equalize the "
+    "mixture (uniform target) — the input every data-mixing recipe needs "
+    "before reweighting. One hash aggregation + a broadcast single-row "
+    "total; compose the weights with "
+    "operators/sampling.py:deterministic_sample rates to materialize the "
+    "resampled corpus deterministically.",
+)
+def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.select("lang", token_count_col("text").alias("n")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("lang_tokens"),
+    )
+    tot = agg.agg(
+        F.sum("lang_tokens").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        _r4(F.col("lang_tokens") / F.col("total"), "current_share"),
+        _r4((F.col("total") / F.col("k")) / F.col("lang_tokens"), "uniform_weight"),
+    )
