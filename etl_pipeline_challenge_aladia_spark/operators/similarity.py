@@ -717,3 +717,45 @@ def rp_lsh_near_dup_pairs(
         )
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def knn_classify(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Majority-vote k-NN label assignment: each query vector takes the
+    most common label among its ``k`` exact-cosine nearest labeled
+    vectors (ties -> smaller label, for determinism).
+
+    The label-propagation step of semi-supervised data curation (assign
+    quality/domain labels from a small annotated seed set to the whole
+    corpus). Built on ``brute_force_topk`` — broadcast query set, streamed
+    candidate scan — plus one neighbor-label join and one per-query
+    argmax, computed as ``max(struct(votes, -label))`` so no second
+    window pass is needed. For corpus-scale query sets swap the top-k
+    stage for ``ivf_topk`` (same output contract).
+    """
+    nn = brute_force_topk(labeled, queries, k, id_col, vec_col, query_id_col)
+    lab = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = nn.join(lab, "neighbor_id").groupBy("query_id", "_nl").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    picked = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("n_votes").alias("v"), (-F.col("_nl")).alias("nl")
+            )
+        ).alias("_best")
+    )
+    return picked.select(
+        "query_id",
+        (-F.col("_best.nl")).alias("predicted_label"),
+        F.col("_best.v").cast("long").alias("n_votes"),
+    )

@@ -1,0 +1,197 @@
+"""Corpus term statistics for training-data curation: TF-IDF keyword
+extraction, vocabulary/Zipf profiles, inverted posting lists, and bigram
+collocation strength.
+
+All four are classic "understand the corpus before you train on it"
+passes. Every operator is explode + hash-aggregate + (bounded) window —
+JVM column expressions only, no Python in the row loop. Windows are
+partitioned by document or run over vocabulary-sized aggregates, never
+over the raw corpus, so each stage is one linear shuffle at 100 TB.
+
+Determinism contract (shared with the DuckDB oracles in plans/queries.py):
+scores are ratios of exact integer counts computed with the same IEEE
+operation order on both engines — no transcendental functions (ln-based
+idf/PMI is replaced by the monotone-equivalent count ratio), so rank
+order and rounded values are reproducible bit-for-bit cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.functions.rounding import round_half_up
+from etl_pipeline_challenge_aladia_spark.operators.text import (
+    ngrams_col,
+    shingles_col,
+    tokens_col,
+)
+
+
+def _term_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document, scored by
+    tf * (N / df) — the monotone count-ratio form of tf-idf (same ranking
+    as tf * ln-idf for any fixed tf, no transcendental in the compare).
+
+    Plan shape: one explode, two hash aggregations (per-doc tf, corpus
+    df), one join, and a window partitioned BY DOCUMENT (never global).
+    The df side is vocabulary-sized; AQE picks broadcast vs shuffle from
+    its runtime size — no forced hint, since real corpora can push the
+    shingle/term vocabulary past broadcast limits.
+    """
+    tok = _term_rows(docs, id_col, text_col)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))  # single-row frame
+        .withColumn(
+            "score", (F.col("tf").cast("double") * F.col("n_docs")) / F.col("df")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "rnk", round_half_up(F.col("score"), 4).alias("score"))
+    )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary profile: the ``k`` most frequent tokens with
+    document frequency, occurrence count, rank, and corpus share — the
+    Zipf-curve head every tokenizer/mixture audit starts from.
+
+    One explode + one hash aggregation over the corpus; the final ranking
+    window runs over the VOCABULARY aggregate (|V| rows, not |corpus|),
+    which at 100 TB is millions of rows, not billions — and only after
+    map-side partial aggregation has collapsed the token stream.
+    """
+    tok = _term_rows(docs, id_col, text_col)
+    counts = tok.groupBy(F.col("term").alias("token")).agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    total = counts.agg(F.sum("n_occ").cast("double").alias("total"))
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("token"))
+    return (
+        counts.crossJoin(F.broadcast(total))  # single-row frame
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "token",
+            "df",
+            "n_occ",
+            round_half_up(F.col("n_occ").cast("double") / F.col("total"), 4).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def inverted_shingle_index(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_df: int = 5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted index over word n-gram shingles, keeping rare postings
+    (``min_df <= df <= max_df``): shingle -> sorted comma-joined doc ids.
+
+    The retrieval-side building block for substring-level decontamination
+    and provenance lookups. df-bounded posting lists keep each output row
+    O(max_df); the frequency cap is also what makes the index scale-safe —
+    boilerplate shingles with huge posting lists are exactly the ones the
+    filter drops. One explode + one hash aggregation; collect_list is
+    bounded by ``max_df`` per group (the HAVING prunes, the sort is
+    per-row on <= max_df elements).
+    """
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle"),
+    )
+    grouped = ex.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("_ids"),
+    )
+    return (
+        grouped.filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select(
+            "shingle",
+            "df",
+            F.array_join(
+                F.transform(F.col("_ids"), lambda x: x.cast("string")), ","
+            ).alias("postings"),
+        )
+    )
+
+
+def bigram_lift(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by lift = P(w1 w2) / (P(w1) P(w2)),
+    computed as the integer-count ratio (c_ab * N) / (c_a * c_b) — the
+    monotone-equivalent of PMI without the logarithm, so cross-engine
+    ordering is exact. ``min_count`` suppresses noise collocations.
+
+    Two explodes (bigrams, unigrams) + three hash aggregations; the
+    unigram count table is vocabulary-sized, so the two count joins are
+    AQE-broadcastable. The ranking window runs over the filtered
+    collocation table (<= distinct-bigram rows), never the corpus.
+    """
+    words = docs.select(tokens_col(text_col).alias("w"))
+    bg = words.select(F.explode(ngrams_col(F.col("w"), 2)).alias("bigram"))
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = words.select(F.explode("w").alias("wd"))
+    cu = uni.groupBy("wd").agg(F.count(F.lit(1)).alias("c_w"))
+    tot = cu.agg(F.sum("c_w").cast("double").alias("n"))
+    a = cu.withColumnsRenamed({"wd": "_w1", "c_w": "c_a"})
+    b = cu.withColumnsRenamed({"wd": "_w2", "c_w": "c_b"})
+    scored = (
+        cb.filter(F.col("c_ab") >= min_count)
+        .withColumn("_w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("_w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(a, "_w1")
+        .join(b, "_w2")
+        .crossJoin(F.broadcast(tot))  # single-row frame
+        .withColumn(
+            "lift",
+            (F.col("c_ab").cast("double") * F.col("n"))
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "rnk", "bigram", "c_ab", round_half_up(F.col("lift"), 4).alias("lift")
+        )
+    )

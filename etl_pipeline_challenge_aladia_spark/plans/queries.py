@@ -3322,3 +3322,324 @@ def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("lang_tokens") / F.col("total"), "current_share"),
         _r4((F.col("total") / F.col("k")) / F.col("lang_tokens"), "uniform_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus term statistics, sequence packing, kNN label propagation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_tfidf_top_terms",
+    f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             (CAST(tf.tf AS DOUBLE) * n.n_docs) / df.df AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, {_s4('score')} AS score
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
+WHERE rnk <= 3
+""",
+    doc="Top-3 characteristic terms per document by tf * (N/df) — the "
+    "monotone count-ratio form of tf-idf, no transcendental so cross-"
+    "engine ordering is bitwise exact (operators/terms.py:tfidf_top_terms)."
+    " One explode, two hash aggs, per-DOCUMENT window; the df side is "
+    "vocabulary-sized and AQE-broadcastable.",
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "doc_vocab_topk",
+    f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(count(*) AS BIGINT) AS n_occ FROM t GROUP BY token),
+tot AS (SELECT CAST(sum(n_occ) AS DOUBLE) AS total FROM c)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS rank,
+         token, df, n_occ, {_s4('n_occ / total')} AS share
+  FROM c, tot) WHERE rank <= 50
+""",
+    doc="Zipf-head vocabulary profile: top-50 tokens with document "
+    "frequency, occurrences, rank, and corpus share "
+    "(operators/terms.py:vocab_topk). The ranking window runs over the "
+    "vocabulary AGGREGATE (|V| rows after map-side partials), never the "
+    "token stream.",
+)
+def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import vocab_topk
+
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=50)
+
+
+@query(
+    "doc_inverted_index_rare",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM tok)
+SELECT shingle, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM ex GROUP BY shingle HAVING count(*) BETWEEN 2 AND 5
+""",
+    doc="Inverted index over 3-gram shingles keeping rare postings "
+    "(2 <= df <= 5): shingle -> sorted doc-id list "
+    "(operators/terms.py:inverted_shingle_index) — the retrieval building "
+    "block for substring decontamination/provenance. The df cap bounds "
+    "every posting list AND drops exactly the boilerplate shingles that "
+    "would blow up at 100 TB.",
+)
+def q_doc_inverted_index_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import (
+        inverted_shingle_index,
+    )
+
+    return inverted_shingle_index(
+        load_table(spark, sf_dir, "documents"), min_df=2, max_df=5
+    )
+
+
+@query(
+    "doc_bigram_lift",
+    f"""
+WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT unnest(list_transform(range(greatest(len(w) - 1, 0)),
+                     i -> w[i+1] || ' ' || w[i+2])) AS bigram FROM w),
+cb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
+cu AS (SELECT wd, count(*) AS c_w FROM (
+         SELECT unnest(string_split(text, ' ')) AS wd FROM documents) GROUP BY wd),
+tot AS (SELECT CAST(sum(c_w) AS DOUBLE) AS n FROM cu),
+s AS (SELECT bigram, c_ab,
+             (CAST(c_ab AS DOUBLE) * n)
+               / (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE)) AS lift
+      FROM cb, tot, cu a, cu b
+      WHERE a.wd = split_part(bigram, ' ', 1)
+        AND b.wd = split_part(bigram, ' ', 2)
+        AND c_ab >= 5)
+SELECT CAST(rnk AS BIGINT) AS rnk, bigram, c_ab, {_s4('lift')} AS lift
+FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, bigram) AS rnk FROM s)
+WHERE rnk <= 20
+""",
+    doc="Top-20 bigram collocations by lift = (c_ab * N) / (c_a * c_b) — "
+    "PMI's monotone count-ratio twin, exact cross-engine "
+    "(operators/terms.py:bigram_lift). Two explodes + three hash aggs; "
+    "the ranking window sees only the filtered collocation table.",
+)
+def q_doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import bigram_lift
+
+    return bigram_lift(load_table(spark, sf_dir, "documents"), min_count=5, k=20)
+
+
+@query(
+    "doc_pack_sequences",
+    """
+WITH n AS (SELECT doc_id, source,
+                  (length(text) - length(replace(text, ' ', '')) + 1) AS n_tok
+           FROM documents),
+p AS (SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+      FROM n)
+SELECT source, CAST(floor(start_off / 2048.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM p GROUP BY 1, 2
+""",
+    doc="GPT-style concatenate-then-split sequence packing plan: docs "
+    "concatenated per source stream in doc_id order, cut every 2048 "
+    "tokens; a doc belongs to the sequence its first token lands in "
+    "(operators/packing.py:pack_sequences). Token counts are separator "
+    "arithmetic (no explode); the running-sum window is partitioned by "
+    "source, so parallelism = number of streams.",
+)
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=2048)
+
+
+@query(
+    "emb_knn_classify",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qe, label AS true_label FROM e WHERE vec_id < 25),
+c AS (SELECT vec_id AS neighbor_id, emb AS ce, label FROM e WHERE vec_id >= 25),
+p AS (SELECT query_id, neighbor_id,
+             {_s4('list_cosine_similarity(qe, ce)')} AS cos_sim FROM q, c),
+nn AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+         FROM p) WHERE rnk <= 5),
+votes AS (SELECT nn.query_id, c.label, count(*) AS n_votes
+          FROM nn JOIN c ON c.neighbor_id = nn.neighbor_id GROUP BY 1, 2),
+pick AS (SELECT query_id, label AS predicted_label, CAST(n_votes AS BIGINT) AS n_votes
+         FROM (SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY n_votes DESC, label) AS r
+               FROM votes) WHERE r = 1)
+SELECT q.query_id, q.true_label, p.predicted_label, p.n_votes
+FROM pick p JOIN q ON q.query_id = p.query_id
+""",
+    doc="Majority-vote 5-NN label propagation: query vectors (vec_id < 25) "
+    "take the most common label among their exact-cosine nearest labeled "
+    "vectors, ties -> smaller label "
+    "(operators/similarity.py:knn_classify) — the semi-supervised step "
+    "that fans a small annotated seed set out to the corpus. Broadcast "
+    "query set, streamed candidates, per-query argmax via max(struct), "
+    "no second window pass.",
+)
+def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.col("label").alias("true_label"),
+    )
+    cands = emb.filter(F.col("vec_id") >= 25)
+    pred = knn_classify(cands, qs.select("query_id", "embedding"), k=5)
+    return pred.join(qs.select("query_id", "true_label"), "query_id").select(
+        "query_id", "true_label", "predicted_label", "n_votes"
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality checks and profiling (operators/quality_checks.py)
+# --------------------------------------------------------------------------
+
+_DQ_ORDER_RULES_SQL = [
+    ("totalprice_nonpositive", "o_totalprice <= 0"),
+    ("totalprice_over_500k", "o_totalprice > 500000"),
+    ("status_invalid", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    ("custkey_null", "o_custkey IS NULL"),
+    ("high_value_open", "o_orderstatus = 'O' AND o_totalprice > 400000"),
+]
+
+
+@query(
+    "dq_orders_checks",
+    "WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN COALESCE({expr}, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
+        for i, (_, expr) in enumerate(_DQ_ORDER_RULES_SQL)
+    )
+    + " FROM orders)\n"
+    + "\nUNION ALL ".join(
+        f"SELECT '{name}' AS check_name, v{i} AS n_violations, n_rows, "
+        + _s4(f"CAST(v{i} AS DOUBLE) / n_rows")
+        + " AS violation_rate FROM a"
+        for i, (name, _) in enumerate(_DQ_ORDER_RULES_SQL)
+    ),
+    doc="Declarative rule validation over orders: 5 violation predicates "
+    "(non-positive price, out-of-range price, invalid status, null FK, "
+    "suspicious high-value-open) evaluated in ONE scan — one conditional "
+    "sum per rule, unpivoted from the single aggregate row "
+    "(operators/quality_checks.py:check_rules). NULL predicate results "
+    "count as violations by contract.",
+)
+def q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.quality_checks import check_rules
+
+    o = load_table(spark, sf_dir, "orders")
+    return check_rules(
+        o,
+        {
+            "totalprice_nonpositive": F.col("o_totalprice") <= 0,
+            "totalprice_over_500k": F.col("o_totalprice") > 500000,
+            "status_invalid": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_null": F.col("o_custkey").isNull(),
+            "high_value_open": (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 400000),
+        },
+    )
+
+
+@query(
+    "dq_fk_orphans",
+    """
+WITH lk AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+l AS (SELECT 'lineitem->orders' AS relationship,
+             CAST(sum(c) AS BIGINT) AS n_children,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN c ELSE 0 END) AS BIGINT)
+               AS n_orphans
+      FROM lk LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON o.o_orderkey = lk.k),
+ok AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+o2 AS (SELECT 'orders->customer' AS relationship,
+              CAST(sum(c) AS BIGINT) AS n_children,
+              CAST(sum(CASE WHEN c2.c_custkey IS NULL THEN c ELSE 0 END) AS BIGINT)
+                AS n_orphans
+       FROM ok LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c2
+         ON c2.c_custkey = ok.k)
+SELECT * FROM l UNION ALL SELECT * FROM o2
+""",
+    doc="Referential-integrity audit: orphaned lineitems (no parent order) "
+    "and orphaned orders (no parent customer) "
+    "(operators/quality_checks.py:fk_orphans). The child side aggregates "
+    "to (key, count) BEFORE the join so the shuffle carries one row per "
+    "distinct key, not per child row; NULL keys count as orphans.",
+)
+def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.quality_checks import fk_orphans
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return fk_orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders").unionAll(
+        fk_orphans(o, c, "o_custkey", "c_custkey", "orders->customer")
+    )
+
+
+_DQ_PROFILE_COLS = [
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", None),  # double: pre-rounded before min/max
+    ("o_orderdate", "o_orderdate"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+
+@query(
+    "dq_profile_orders",
+    "\nUNION ALL ".join(
+        f"SELECT '{c}' AS column_name, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        + (
+            f"CAST(min({c}) AS VARCHAR) AS min_value, "
+            f"CAST(max({c}) AS VARCHAR) AS max_value"
+            if raw
+            else f"CAST(min({_s4(c)}) AS VARCHAR) AS min_value, "
+            f"CAST(max({_s4(c)}) AS VARCHAR) AS max_value"
+        )
+        + " FROM orders"
+        for c, raw in _DQ_PROFILE_COLS
+    ),
+    doc="Table profile of orders: per-column null count, exact distinct "
+    "count, and stringified min/max in one aggregation pass "
+    "(operators/quality_checks.py:profile_table). Doubles are pre-rounded "
+    "half-up so the text form is engine-stable.",
+)
+def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.quality_checks import (
+        profile_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(o, [c for c, _ in _DQ_PROFILE_COLS])
