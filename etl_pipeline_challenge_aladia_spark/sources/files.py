@@ -34,6 +34,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    # Parquet timestamps without isAdjustedToUTC read as TIMESTAMP_NTZ under
+    # Spark 4's inferTimestampNTZ default, which unix_micros/window functions
+    # reject. The session timezone is pinned to UTC, so casting NTZ -> LTZ is
+    # value-identical and matches how the DuckDB oracle reads the same file.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
