@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_pipeline_challenge_aladia_spark.functions.rounding import round_half_up
+
 
 def funnel_counts(
     events: DataFrame,
@@ -45,3 +47,48 @@ def funnel_counts(
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))  # single-row frames
     return out
+
+def debounce_stats(
+    events: DataFrame,
+    gap_seconds: int = 60,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Burst-collapse (debounce) audit per event type: an event is KEPT iff
+    it is the first of its (user, type) stream or arrived at least
+    ``gap_seconds`` after its immediate predecessor — repeated rapid-fire
+    events (double-clicks, retry storms, bot bursts) collapse to their
+    burst opener. Returns ``(event_type, n_total, n_kept, kept_ratio)``.
+
+    The keep rule reads the PREVIOUS RAW event (one ``lag`` over a window
+    partitioned by (user, type)), not the previous kept one — that keeps
+    the operator a single declarative window instead of an iterative
+    chain, and is the standard debounce semantics for burst suppression.
+    Per-(user, type) partitions are bounded, the window carries one lag
+    value of state, and the final rollup is a tiny hash aggregation —
+    linear at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col, type_col).orderBy(us, F.col(id_col))
+    gap = us - F.lag(us).over(w)
+    kept = F.when(gap.isNull() | (gap >= gap_seconds * 1_000_000), 1).otherwise(0)
+    flagged = events.select(
+        F.col(type_col).alias("event_type"), kept.alias("_kept")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("_kept").cast("long").alias("n_kept"),
+        )
+        .withColumn(
+            "kept_ratio",
+            round_half_up(
+                F.col("n_kept").cast("double") / F.col("n_total").cast("double"), 4
+            ),
+        )
+    )

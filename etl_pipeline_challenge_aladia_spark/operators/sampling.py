@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.functions.hashing import md5_fold32_col
+from etl_pipeline_challenge_aladia_spark.functions.rounding import round_half_up
 
 
 def hash_order_col(id_col: Column | str) -> Column:
@@ -84,4 +85,43 @@ def cap_per_group(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
+    )
+
+def length_buckets(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Equal-mass token-length buckets per corpus slice: ntile over
+    ``(n_tokens, id)`` within each ``group_col``, summarized as
+    ``(group, bucket, n_docs, min_tokens, max_tokens, avg_tokens)`` — the
+    length-distribution audit that sizes packing/chunking and exposes
+    truncation-heavy slices before training.
+
+    The ntile window partitions BY GROUP (one sort per slice, parallel
+    across slices, never global); the unique ``(n_tokens, id)`` order
+    makes bucket membership deterministic across engines. For a single
+    giant slice at 100 TB the same summary comes from approx-quantile
+    boundaries + a range bucket join instead — the per-group exact form
+    here is the audit-grade variant.
+    """
+    from etl_pipeline_challenge_aladia_spark.operators.text import token_count_col
+
+    w = Window.partitionBy("grp").orderBy(F.col("n_tokens"), F.col(id_col))
+    d = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        token_count_col(text_col).alias("n_tokens"),
+    ).withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+    return (
+        d.groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            round_half_up(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+        .withColumnRenamed("grp", group_col)
     )

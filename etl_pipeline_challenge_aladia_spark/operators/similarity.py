@@ -759,3 +759,49 @@ def knn_classify(
         (-F.col("_best.nl")).alias("predicted_label"),
         F.col("_best.v").cast("long").alias("n_votes"),
     )
+
+def centroid_outliers(
+    embeddings: DataFrame,
+    k: int = 5,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``k`` vectors farthest from their own cell's centroid — the
+    embedding-space outlier sweep (mislabeled / out-of-distribution
+    candidates) run before training on a labeled corpus.
+
+    Determinism: centroids come from :func:`label_centroids` (components
+    rounded half-up to 1e-6 on both engines), and the squared distance is
+    fixed-pointed PER DIMENSION (``floor(d*d*1e8 + 0.5)`` as int64) before
+    the fold, so the sum is an exact integer in any order.
+
+    Plan shape: the centroid table is (cells x dims) — tiny at any corpus
+    scale — and joins broadcast; the ranking window partitions BY CELL, so
+    no global sort. Everything else is one linear pass over the vectors.
+    """
+    cents = label_centroids(embeddings, cell_col=cell_col, vec_col=vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(cell_col).alias("cell"),
+        to_double_array(vec_col).alias("v"),
+    )
+    d2fx = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("centroid"),
+            lambda x, c: F.floor((x - c) * (x - c) * F.lit(100000000.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("d2").desc(), F.col("vec_id"))
+    return (
+        e.join(F.broadcast(cents), "cell")
+        .withColumn("d2", d2fx.cast("double") / F.lit(100000000.0))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("cell").alias(cell_col), "vec_id", "d2", "rnk")
+    )

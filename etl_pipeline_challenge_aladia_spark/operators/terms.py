@@ -17,6 +17,8 @@ order and rounded values are reproducible bit-for-bit cross-engine.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -195,3 +197,69 @@ def bigram_lift(
             "rnk", "bigram", "c_ab", round_half_up(F.col("lift"), 4).alias("lift")
         )
     )
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25 ranking —
+    the retrieval pass of quality-by-example curation (rank a corpus
+    against a trusted seed query, keep the head).
+
+    Two determinism choices, mirrored by the SQL oracle:
+
+    - idf is the rational Robertson form ``(N - df + 0.5) / (df + 0.5)``
+      WITHOUT the log — a monotone transform per term, no transcendental,
+      so cross-engine values are exact;
+    - per-term contributions are fixed-pointed to 1e-6 (``floor(x*1e6 +
+      0.5)`` as int64) before the per-document sum, making the sum
+      associative — Spark's partial-agg order cannot drift from the
+      oracle's sequential fold.
+
+    Plan shape: the token stream is filtered to the query's terms BEFORE
+    any aggregation (the per-(doc, term) tf table carries only query
+    terms), df/N/avgdl are single-row or |terms|-row frames joined by
+    broadcast, and the final top-k is a global TakeOrdered (no full sort).
+    Scale-safe at 100 TB: everything after the scan is proportional to
+    documents-containing-query-terms, not corpus size.
+    """
+    tok = _term_rows(docs, id_col, text_col)
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).cast("long").alias("dl"),
+    )
+    g = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    qt = [str(t) for t in query_terms]
+    tf = (
+        tok.filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1l, bl = F.lit(float(k1)), F.lit(float(b))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tf_part = (F.col("tf") * (k1l + F.lit(1.0))) / (
+        F.col("tf")
+        + k1l * (F.lit(1.0) - bl + bl * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = F.floor(idf * tf_part * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))  # single-row frame
+        .withColumn("_sfx", contrib)
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("_sfx").cast("double") / F.lit(1000000.0)).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(k)

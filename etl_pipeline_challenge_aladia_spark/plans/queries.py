@@ -3643,3 +3643,245 @@ def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return profile_table(o, [c for c, _ in _DQ_PROFILE_COLS])
+
+
+# --------------------------------------------------------------------------
+# Retrieval ranking, embedding outliers, corpus balancing, burst debounce,
+# PII scrub audit
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "doc_bm25_search",
+    f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+g AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+t AS (SELECT doc_id, unnest(w) AS term FROM w),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM t WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             CAST(floor(((n_docs - df + 0.5) / (df + 0.5))
+                        * ((tf * (1.2 + 1.0))
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS sfx
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g)
+SELECT doc_id,
+       CAST(sum(sfx) AS DOUBLE) / 1000000.0 AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM s GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+    doc="BM25 top-10 retrieval for a fixed bag-of-terms query "
+    "(operators/terms.py:bm25_topk) — rank-by-example curation. idf is "
+    "the rational Robertson form (no log, monotone per term) and per-term "
+    "contributions are fixed-pointed to 1e-6 before the per-doc sum, so "
+    "cross-engine values are exact. Token stream is filtered to query "
+    "terms before any aggregation; df/avgdl frames broadcast; final top-k "
+    "is a TakeOrdered, not a global sort.",
+)
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@query(
+    "emb_centroid_outliers",
+    f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+ex AS (SELECT label, unnest(e) AS val, generate_subscripts(e, 1) AS dim FROM v),
+cent AS (SELECT label, dim, {sql_round_half_up('avg(val)', 6)} AS cv
+         FROM ex GROUP BY label, dim),
+evd AS (SELECT vec_id, label, unnest(e) AS val, generate_subscripts(e, 1) AS dim FROM v),
+dfx AS (SELECT vec_id, label,
+               CAST(floor((val - cv) * (val - cv) * 100000000.0 + 0.5) AS BIGINT) AS fx
+        FROM evd JOIN cent USING (label, dim)),
+d AS (SELECT vec_id, label, CAST(sum(fx) AS DOUBLE) / 100000000.0 AS d2
+      FROM dfx GROUP BY vec_id, label)
+SELECT label, vec_id, d2, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk
+      FROM d)
+WHERE rnk <= 5
+""",
+    doc="Embedding-space outlier sweep: top-5 vectors farthest from their "
+    "own label centroid (operators/similarity.py:centroid_outliers) — the "
+    "mislabeled/out-of-distribution candidate pass before training on a "
+    "labeled corpus. Centroid components rounded half-up to 1e-6 and "
+    "per-dimension squared distances fixed-pointed to 1e-8 on both "
+    "engines, so sums are order-independent integers. Centroids broadcast "
+    "(cells x dims rows); ranking window partitions by cell.",
+)
+def q_emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    return centroid_outliers(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
+    "doc_length_buckets",
+    f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT source, n_tokens,
+         ntile(10) OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS bucket
+  FROM d
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       {_s2('avg(n_tokens)')} AS avg_tokens
+FROM b GROUP BY source, bucket
+""",
+    doc="Equal-mass token-length deciles per corpus slice "
+    "(operators/sampling.py:length_buckets): the length-distribution "
+    "audit behind packing/chunking decisions. ntile partitions BY SOURCE "
+    "with a unique (n_tokens, doc_id) order — deterministic buckets, one "
+    "parallel sort per slice, never a global sort; token counts come from "
+    "separator counting (no array materialization).",
+)
+def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import length_buckets
+
+    return length_buckets(load_table(spark, sf_dir, "documents"), n_buckets=10)
+
+
+@query(
+    "events_debounce_burst",
+    f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+),
+f AS (
+  SELECT event_type,
+         CASE WHEN us - lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= 60000000 THEN 1 ELSE 0 END AS kept
+  FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       {_s4('CAST(sum(kept) AS DOUBLE) / count(*)')} AS kept_ratio
+FROM f GROUP BY event_type
+""",
+    doc="Burst-collapse (debounce) audit: events kept iff first of their "
+    "(user, type) stream or >= 60s after their immediate predecessor "
+    "(operators/funnel.py:debounce_stats) — double-click/retry-storm/bot "
+    "suppression. One lag window over bounded (user, type) partitions + a "
+    "tiny rollup; single linear shuffle at any scale.",
+)
+def q_events_debounce_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.funnel import debounce_stats
+
+    return debounce_stats(load_table(spark, sf_dir, "events"), gap_seconds=60)
+
+
+def _pii_oracle_sql() -> str:
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        EMAIL_PATTERN,
+        URL_PATTERN,
+    )
+
+    em, ur = EMAIL_PATTERN, URL_PATTERN
+    count = (
+        f"len(regexp_extract_all(t2, '{em}'))"
+        f" + len(regexp_extract_all(regexp_replace(t2, '{em}', '<EMAIL>', 'g'), '{ur}'))"
+    )
+    scrubbed = (
+        f"regexp_replace(regexp_replace(t2, '{em}', '<EMAIL>', 'g'),"
+        f" '{ur}', '<URL>', 'g')"
+    )
+    residual = (
+        f"len(regexp_extract_all(s, '{em}'))"
+        f" + len(regexp_extract_all(regexp_replace(s, '{em}', '<EMAIL>', 'g'), '{ur}'))"
+    )
+    return f"""
+WITH inj AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0 THEN
+                text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              WHEN doc_id % 3 = 1 THEN
+                text || ' see https://example.org/' || CAST(doc_id AS VARCHAR) || ' today'
+              ELSE text END AS t2
+  FROM documents
+),
+c AS (SELECT source, {count} AS cnt, {scrubbed} AS s FROM inj),
+r AS (SELECT source, cnt, {residual} AS residual FROM c)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(sum(cnt) AS BIGINT) AS n_redactions,
+       CAST(sum(residual) AS BIGINT) AS n_residual
+FROM r GROUP BY source
+"""
+
+
+@query(
+    "doc_pii_scrub_stats",
+    _pii_oracle_sql(),
+    doc="PII scrub audit per corpus slice: deterministic contact strings "
+    "(email / URL, keyed off doc_id) injected into the synthetic corpus, "
+    "then counted (operators/text.py:pii_match_count_col), scrubbed "
+    "(scrub_pii_col), and re-scanned — n_residual == 0 proves the scrub "
+    "removed everything it counts. Patterns are restricted to the "
+    "Java-regex/RE2 common subset so Spark and the oracle match the same "
+    "spans; all passes are regexp column expressions inside whole-stage "
+    "codegen — no Python in the row loop.",
+)
+def q_doc_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        pii_match_count_col,
+        scrub_pii_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inj = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://example.org/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t2"),
+    )
+    counted = inj.select(
+        "source",
+        pii_match_count_col("t2").alias("cnt"),
+        pii_match_count_col(scrub_pii_col("t2")).alias("residual"),
+    )
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_docs_with_pii"
+        ),
+        F.sum("cnt").cast("long").alias("n_redactions"),
+        F.sum("residual").cast("long").alias("n_residual"),
+    )
