@@ -125,3 +125,51 @@ def length_buckets(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+def keep_above_group_median(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group summary of a keep-above-median filter: for each group the
+    LOWER MEDIAN of ``score_col`` (the element at row ceil(n/2) in
+    ``(score, id)`` order — an actual data value, no interpolation, so the
+    cut is deterministic in any engine) and how many rows sit strictly
+    above it. Returns ``(group, n_rows, median_score, n_kept)``.
+
+    This is the per-slice adaptive quality cut (keep the better half of
+    every language/domain) as opposed to a global threshold, which
+    over-prunes low-resource slices. One window per group (rank) + one
+    aggregation; group partitions bound the sort — no global ordering.
+    """
+    w = Window.partitionBy("grp").orderBy(F.col("sc"), F.col("rid"))
+    wc = Window.partitionBy("grp")
+    d = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(score_col).alias("sc"),
+            F.col(id_col).alias("rid"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    # the lower-median row of each group; group-count-sized frame, so the
+    # join back is AQE-broadcastable at any corpus size
+    # floor() explicitly: engines disagree on float->int CAST rounding
+    # (truncate vs half-away), and (n+1)/2 is x.5 for even groups
+    med = d.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long")).select(
+        "grp", F.col("sc").alias("median_score")
+    )
+    return (
+        d.join(med, "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max("median_score").alias("median_score"),
+            F.sum(F.when(F.col("sc") > F.col("median_score"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

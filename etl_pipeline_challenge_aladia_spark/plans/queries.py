@@ -3885,3 +3885,199 @@ def q_doc_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("n_redactions"),
         F.sum("residual").cast("long").alias("n_residual"),
     )
+
+
+@query(
+    "doc_quality_above_median",
+    f"""
+WITH s AS (SELECT doc_id, lang, {_Q4_SQL} AS q4 FROM documents),
+r AS (
+  SELECT lang, q4,
+         row_number() OVER (PARTITION BY lang ORDER BY q4, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s
+),
+med AS (
+  SELECT lang, q4 AS median_score FROM r
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+)
+SELECT r.lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       max(median_score) AS median_score,
+       CAST(sum(CASE WHEN r.q4 > median_score THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM r JOIN med ON med.lang = r.lang
+GROUP BY r.lang
+""",
+    doc="Per-language adaptive quality cut "
+    "(operators/sampling.py:keep_above_group_median): the LOWER MEDIAN of "
+    "the rounded quality score per language — an actual data value picked "
+    "by row_number, no interpolation, so the cut is engine-deterministic — "
+    "and how many docs sit strictly above it. The per-slice form of "
+    "quality filtering that a global threshold gets wrong on low-resource "
+    "languages. Group-partitioned windows only; the median frame is "
+    "group-count-sized and AQE-broadcastable.",
+)
+def q_doc_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        keep_above_group_median,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import with_text_stats
+
+    docs = with_text_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", round_half_up(F.col("quality_score"), 4).alias("q4")
+    )
+    return keep_above_group_median(docs, "q4", "lang", "doc_id")
+
+
+@query(
+    "orders_rfm_segments",
+    """
+WITH cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+         ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m
+  FROM cust
+)
+SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1
+""",
+    doc="RFM customer segmentation over orders: per-customer recency/"
+    "frequency/monetary quartiles (ntile with unique tie-breaks; monetary "
+    "summed in integer cents so the quartile order is exact cross-engine), "
+    "rolled up to segment sizes. The classic warehouse cohort shape. At "
+    "100 TB the three global ntiles become approx-quantile boundary "
+    "lookups; the per-customer aggregation underneath is the same single "
+    "hash shuffle either way.",
+)
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias(
+            "cents"
+        ),
+    )
+    scored = cust.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey")))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("cents").desc(), F.col("o_custkey")))
+        .alias("m"),
+    )
+    return (
+        scored.select(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("long")
+            .alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+@query(
+    "events_anomaly_days",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+g AS (SELECT CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_events FROM daily),
+dev AS (
+  SELECT day, n_events, {_s4('abs(CAST(n_events AS DOUBLE) - mean_events)')} AS deviation
+  FROM daily CROSS JOIN g
+)
+SELECT CAST(day AS VARCHAR) AS day, n_events, deviation
+FROM dev ORDER BY deviation DESC, day LIMIT 5
+""",
+    doc="Traffic-anomaly sweep: top-5 days by absolute deviation of the "
+    "daily event count from the period mean — the ops-facing outlier "
+    "check over ingest volume. Mean is one exact integer-sum division "
+    "(no variance/stddev, whose partial-agg summation order differs "
+    "across engines); final top-5 is a TakeOrdered over the tiny daily "
+    "aggregate.",
+)
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    g = daily.agg(
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("mean_events")
+    )
+    return (
+        daily.crossJoin(F.broadcast(g))  # single-row frame
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_events",
+            round_half_up(
+                F.abs(F.col("n_events").cast("double") - F.col("mean_events")), 4
+            ).alias("deviation"),
+        )
+        .orderBy(F.col("deviation").desc(), F.col("day"))
+        .limit(5)
+    )
+
+
+@query(
+    "lineitem_yearly_growth",
+    f"""
+WITH yearly AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1
+)
+SELECT ship_year,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       {_s4('CASE WHEN lag(cents) OVER (ORDER BY ship_year) IS NULL THEN NULL '
+          'ELSE (CAST(cents AS DOUBLE) - lag(cents) OVER (ORDER BY ship_year))'
+          ' / lag(cents) OVER (ORDER BY ship_year) END')} AS yoy_growth
+FROM yearly
+""",
+    doc="Year-over-year revenue growth from lineitem: per-year revenue "
+    "summed in integer cents (fixed-point — partial-agg order cannot "
+    "drift), then one lag window over the years-sized aggregate. The "
+    "window input is O(years), so the global ordering is free at any "
+    "corpus scale.",
+)
+def q_lineitem_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    yearly = li.groupBy(
+        F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
+            ).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy("ship_year")
+    prev = F.lag("cents").over(w)
+    return yearly.select(
+        "ship_year",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            round_half_up(
+                (F.col("cents").cast("double") - prev) / prev, 4
+            )
+        )
+        .alias("yoy_growth"),
+    )
