@@ -136,3 +136,50 @@ def profile_table(
             )
         ).alias("r")
     ).select("r.*")
+
+
+def fixed_width_histogram(
+    df: DataFrame, value_col: str, n_bins: int = 20, scale: int = 4
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: ``(bin, lo, hi, n_rows)``
+    with ``n_bins`` equal-width bins spanning [min, max]; the max value
+    lands in the last bin. NULLs are excluded (profile them via
+    ``profile_table``).
+
+    Two passes: a 1-row min/max aggregate (broadcast back), then one
+    linear binning pass + a bins-sized aggregation — the distribution
+    profile at any corpus scale. Bin edges are the same IEEE divisions on
+    every engine, so assignment is deterministic.
+    """
+    v = F.col(value_col).cast("double")
+    mm = df.filter(v.isNotNull()).agg(
+        F.min(v).alias("_mn"), F.max(v).alias("_mx")
+    )
+    binned = (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(mm))  # single-row frame
+        .select(
+            F.when(
+                F.col("_mx") == F.col("_mn"), F.lit(0)
+            )
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (v - F.col("_mn"))
+                        / ((F.col("_mx") - F.col("_mn")) / F.lit(float(n_bins)))
+                    ),
+                    F.lit(n_bins - 1),
+                )
+            )
+            .cast("long")
+            .alias("bin"),
+            "_mn",
+            "_mx",
+        )
+    )
+    w = (F.col("_mx") - F.col("_mn")) / F.lit(float(n_bins))
+    return binned.groupBy("bin").agg(
+        round_half_up(F.min(F.col("_mn") + F.col("bin") * w), scale).alias("lo"),
+        round_half_up(F.min(F.col("_mn") + (F.col("bin") + 1) * w), scale).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

@@ -263,3 +263,45 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(k)
+
+
+def token_diversity(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice lexical diversity via the Simpson index
+    ``1 - sum(tf^2) / n^2`` over each document's token distribution —
+    the repetition-collapse signal (template/spam pages score near 0,
+    varied prose near 1) computed WITHOUT logarithms: entropy's usual
+    ``p log p`` is transcendental and engines disagree in the last ulp,
+    while this rational form is exact integer arithmetic until one final
+    division.
+
+    Per-document indexes are fixed-pointed to 1e-6 before the per-slice
+    mean, so the aggregate is an order-independent integer sum. One
+    explode + two hash aggregations; the final frame is slice-sized.
+    """
+    tok = _term_rows(docs.withColumnRenamed(id_col, "doc_id"), "doc_id", text_col)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n"), F.sum(F.col("tf") * F.col("tf")).alias("s2")
+    )
+    div = F.lit(1.0) - F.col("s2").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    d6 = F.floor(div * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    grp = docs.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp"))
+    return (
+        per_doc.withColumn("d6", d6)
+        .join(grp, "doc_id")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            round_half_up(
+                F.sum("d6").cast("double") / F.lit(1000000.0) / F.count(F.lit(1)), 6
+            ).alias("avg_diversity"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

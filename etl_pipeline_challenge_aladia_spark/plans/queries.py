@@ -4081,3 +4081,113 @@ def q_lineitem_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("yoy_growth"),
     )
+
+
+@query(
+    "events_value_histogram",
+    f"""
+WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+mm AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+b AS (
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE CAST(least(floor((v - mn) / ((mx - mn) / 20.0)), 19) AS BIGINT)
+         END AS bin, mn, mx
+  FROM v CROSS JOIN mm
+)
+SELECT bin,
+       {_s4('min(mn + bin * ((mx - mn) / 20.0))')} AS lo,
+       {_s4('min(mn + (bin + 1) * ((mx - mn) / 20.0))')} AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY bin
+""",
+    doc="Fixed-width 20-bin histogram of event values "
+    "(operators/quality_checks.py:fixed_width_histogram): the value-"
+    "distribution profile. One 1-row min/max aggregate broadcast back + "
+    "one linear binning pass; bin edges are identical IEEE divisions on "
+    "both engines, so assignment is deterministic.",
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.quality_checks import (
+        fixed_width_histogram,
+    )
+
+    return fixed_width_histogram(
+        load_table(spark, sf_dir, "events"), "value", n_bins=20
+    )
+
+
+@query(
+    "doc_token_diversity",
+    """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+pd AS (SELECT doc_id, sum(tf) AS n, sum(tf * tf) AS s2 FROM tf GROUP BY doc_id),
+d AS (
+  SELECT doc_id,
+         CAST(floor((1.0 - CAST(s2 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1000000.0 + 0.5)
+              AS BIGINT) AS d6
+  FROM pd
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor((CAST(sum(d6) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5)
+            / 1000000.0 AS DOUBLE) AS avg_diversity
+FROM d JOIN documents USING (doc_id)
+GROUP BY lang
+""",
+    doc="Per-language lexical diversity: Simpson index 1 - sum(tf^2)/n^2 "
+    "over each document's token distribution (operators/terms.py:"
+    "token_diversity) — the repetition-collapse signal computed WITHOUT "
+    "logarithms (rational arithmetic; engines disagree on ln in the last "
+    "ulp). Per-doc values fixed-pointed to 1e-6, so the per-slice mean is "
+    "an order-independent integer sum.",
+)
+def q_doc_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import token_diversity
+
+    return token_diversity(load_table(spark, sf_dir, "documents"), group_col="lang")
+
+
+@query(
+    "media_frame_plan",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id, 1000 * (1 + doc_id % 5) AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+),
+plan AS (
+  SELECT media_id, unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000))
+           AS frame_ts_ms
+  FROM media
+)
+SELECT media_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms FROM plan
+""",
+    doc="Video frame-sampling WORK PLAN (operators/multimodal.py:"
+    "frame_sample_plan): one row per (video, frame timestamp) at 1 fps, "
+    "derived from typed metadata only — the explode that turns per-video "
+    "decode into per-frame cluster-wide parallelism, emitted BEFORE any "
+    "decoder runs. The video set is derived deterministically from "
+    "documents (id % 3, duration from id % 5) so the oracle reproduces "
+    "the same metadata without binary payloads; the decode stage itself "
+    "is the rows-only media_feature_extract entry.",
+)
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.lit(None).cast("binary").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (1000 * (1 + F.col("doc_id") % 5)).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
