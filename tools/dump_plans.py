@@ -40,6 +40,18 @@ PICKS = {
     "joins on the probed cells only",
     "events_sessionization": "one Exchange on user_id reused by both window "
     "functions and the final aggregation",
+    "doc_bm25_search": "token stream filtered to the query's terms BEFORE any "
+    "aggregation; df/avgdl single-row frames broadcast; final top-k is "
+    "TakeOrderedAndProject, not a global sort",
+    "orders_rfm_segments": "one hash aggregation per customer, then three "
+    "ntile windows over the customer AGGREGATE (documented: approx-quantile "
+    "boundaries replace the global ntiles at corpus scale)",
+    "events_value_histogram": "1-row min/max aggregate broadcast back into a "
+    "linear binning pass; the histogram aggregate is bins-sized",
+    "doc_quality_above_median": "group-partitioned rank windows only; the "
+    "median frame is group-count-sized and joined back via AQE broadcast",
+    "events_debounce_burst": "single Exchange on (user, type) feeding one lag "
+    "window + a tiny rollup — linear at any scale",
 }
 
 
