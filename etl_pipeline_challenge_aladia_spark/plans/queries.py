@@ -4191,3 +4191,51 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000).select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
     )
+
+
+@query(
+    "cdc_quarantine_stats",
+    "WITH "
+    + CDC_ORACLE_CTE
+    + """
+SELECT CASE WHEN version % 7 = 0 THEN '_quarantined' ELSE operation END
+         AS message_class,
+       CAST(count(*) AS BIGINT) AS n_messages
+FROM cdc GROUP BY 1
+""",
+    doc="X5 failure-path proof in the oracle-checked surface: every 7th "
+    "wire message is deterministically mangled to invalid JSON, decoded "
+    "through parse_envelope (PERMISSIVE + corrupt-record flag — the "
+    "engine's replacement for the reference's nack/requeue-forever loop, "
+    "consumer/consumer.py:30-38), and classified quarantined-vs-operation. "
+    "The oracle knows which messages were mangled by construction, so the "
+    "hash check pins both the quarantine count and that mangling corrupts "
+    "ONLY the targeted rows (typed decode still works for the rest).",
+)
+def q_cdc_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.structure import (
+        parse_envelope,
+    )
+
+    env = cdc_envelopes_from_events(spark, sf_dir)
+    wire = env.select(
+        F.col("version").alias("v"),
+        F.to_json(F.struct(*[F.col(c) for c in env.columns])).alias("value"),
+    )
+    mangled = wire.select(
+        F.when(
+            F.col("v") % 7 == 0, F.concat(F.lit("{corrupt::"), F.col("value"))
+        )
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    parsed = parse_envelope(mangled)
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt"), F.lit("_quarantined"))
+            .otherwise(F.col("operation"))
+            .alias("message_class")
+        )
+        .groupBy("message_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_messages"))
+    )

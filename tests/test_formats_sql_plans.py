@@ -188,3 +188,21 @@ def test_no_forced_broadcast_of_fact_tables():
         src,
     )
     assert not banned, f"fact-scale broadcast hints found: {banned}"
+
+
+def test_no_python_row_loop_in_any_catalog_plan(spark, sf_dir):
+    """Engine-wide invariant: no catalog query plans a row-at-a-time Python
+    eval (BatchEvalPython). Arrow-batched kernels (mapInPandas /
+    ArrowEvalPython) are allowed only for the explicitly Python-kernel
+    queries (multimodal decode); everything else must stay JVM-side."""
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    arrow_ok = {"media_feature_extract"}
+    offenders = []
+    for name, spec in CATALOG.items():
+        plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if "ArrowEvalPython" in plan and name not in arrow_ok:
+            offenders.append((name, "ArrowEvalPython"))
+    assert not offenders, f"Python row loops in catalog plans: {offenders}"
