@@ -96,3 +96,70 @@ def latest_state_stream(flat_rows: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: Debounce output: the kept (burst-opening) events.
+DEBOUNCE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("us", LongType()),
+    ]
+)
+
+#: State per (user, type): timestamp of the last KEPT event.
+DEBOUNCE_STATE_SCHEMA = StructType([StructField("last_kept_us", LongType())])
+
+
+def _debounce_fn(gap_us: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (last_kept,) = state.get if state.exists else (None,)
+        kept_ids, kept_us = [], []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for _, row in pdf.sort_values(["us", "event_id"]).iterrows():
+                us = int(row["us"])
+                if last_kept is None or us - last_kept >= gap_us:
+                    kept_ids.append(int(row["event_id"]))
+                    kept_us.append(us)
+                    last_kept = us
+        if kept_ids:
+            state.update((last_kept,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(kept_ids),
+                    "event_type": [key[1]] * len(kept_ids),
+                    "event_id": kept_ids,
+                    "us": kept_us,
+                }
+            )
+
+    return fn
+
+
+def debounce_stream(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
+    """TRUE debounce as a stateful streaming operator: an event is kept iff
+    it arrives >= ``gap_seconds`` after the last KEPT event of its
+    (user, type) stream — chained-burst suppression that the batch lag
+    window (operators/funnel.py:debounce_stats, previous-RAW-event rule)
+    deliberately does not express: a declarative lag can't reference its
+    own output, but one long per key of streaming state can.
+
+    Input: rows with (user_id, event_type, event_id, us — microseconds).
+    Emits kept events; output mode ``append``/``update``. State is ONE
+    int64 per live (user, type) key, sharded across executors by the
+    group-by — bounded by live keys, not stream length.
+    """
+    return events.select("user_id", "event_type", "event_id", "us").groupBy(
+        "user_id", "event_type"
+    ).applyInPandasWithState(
+        _debounce_fn(gap_seconds * 1_000_000),
+        outputStructType=DEBOUNCE_OUTPUT,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -225,3 +225,54 @@ def test_stream_stream_join_matches_batch(spark, dirs, tmp_path):
         for r in spark.table("ss_join").collect()
     }
     assert got == {(7, 2, 1)}
+
+
+def test_debounce_stream_chained_bursts_across_batches(spark, dirs, tmp_path):
+    """True debounce: the keep decision references the last KEPT event, so a
+    chain 0s/40s/80s at gap=60 keeps 0 and 80 (batch lag-vs-previous-RAW
+    would keep only 0) — and state carries across micro-batches."""
+    import pandas as pd
+
+    from etl_pipeline_challenge_aladia_spark.streaming.stateful import debounce_stream
+
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows, columns=["user_id", "event_type", "event_id", "us"]
+        ).to_json(os.path.join(in_dir, name), orient="records", lines=True)
+
+    write_batch(
+        "b0.jsonl",
+        [
+            (1, "click", 1, 0),
+            (1, "click", 2, 40_000_000),  # 40s after kept #1 -> dropped
+            (1, "click", 3, 80_000_000),  # 80s after kept #1 -> KEPT
+        ],
+    )
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, event_id long, us long"
+    ).json(in_dir)
+
+    emitted: list = []
+
+    def run_once():
+        q = (
+            debounce_stream(stream, gap_seconds=60)
+            .writeStream.foreachBatch(lambda b, _id: emitted.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["event_id"] for r in emitted)
+
+    assert run_once() == [1, 3]
+
+    # next delivery: 100s is only 20s after kept #3 -> dropped (state
+    # survived the restart via the checkpoint); 150s is kept
+    write_batch("b1.jsonl", [(1, "click", 4, 100_000_000), (1, "click", 5, 150_000_000)])
+    assert run_once() == [1, 3, 5]
