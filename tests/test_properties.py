@@ -104,3 +104,75 @@ def test_latest_per_key_order_invariant(spark, rows, rnd):
         for k, _ in rows
     }
     assert dedup_state(rows) == dedup_state(shuffled) == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(finite_doubles, min_size=1, max_size=60),
+    st.integers(2, 16),
+)
+def test_histogram_partitions_rows_exactly(spark, values, n_bins):
+    """Histogram bins partition the input: counts sum to n, every count
+    positive, bins within range, and a Python model agrees per bin."""
+    from pyspark.sql import Row
+
+    from etl_pipeline_challenge_aladia_spark.operators.quality_checks import (
+        fixed_width_histogram,
+    )
+
+    df = spark.createDataFrame([Row(value=float(v)) for v in values])
+    rows = fixed_width_histogram(df, "value", n_bins=n_bins).collect()
+    assert sum(r["n_rows"] for r in rows) == len(values)
+    assert all(0 <= r["bin"] < n_bins for r in rows)
+    mn, mx = min(values), max(values)
+    model: dict[int, int] = {}
+    for v in values:
+        b = 0 if mx == mn else min(int((v - mn) / ((mx - mn) / n_bins)), n_bins - 1)
+        model[b] = model.get(b, 0) + 1
+    assert {r["bin"]: r["n_rows"] for r in rows} == model
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),  # (user, second offset)
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 120),
+)
+def test_debounce_matches_lag_model(spark, events, gap_s):
+    """debounce_stats == the previous-RAW-event lag model: per (user, type)
+    stream ordered by (ts, id), an event is kept iff first or >= gap after
+    its predecessor."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from etl_pipeline_challenge_aladia_spark.operators.funnel import debounce_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            user_id=u,
+            event_type="e",
+            ts=t0 + dt.timedelta(seconds=s),
+        )
+        for i, (u, s) in enumerate(events)
+    ]
+    got = debounce_stats(spark.createDataFrame(rows), gap_s).collect()[0]
+
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(events):
+        per_user.setdefault(u, []).append((s, i))
+    kept = 0
+    for stream in per_user.values():
+        stream.sort()
+        prev = None
+        for s, _ in stream:
+            if prev is None or s - prev >= gap_s:
+                kept += 1
+            prev = s
+    assert got["n_total"] == len(events)
+    assert got["n_kept"] == kept
