@@ -566,11 +566,22 @@ def kmeans_lite(
     )
     assigned = None
     for _ in range(iters):
-        sq = F.zip_with("v", "c", lambda a, b: (a - b) * (a - b))
-        dist = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+        # fixed-point per-dimension squared diffs (1e-8 quanta, int64): the
+        # distance sum is exact integer arithmetic, so argmin assignment is
+        # engine-reproducible and an unrolled SQL twin matches bit-for-bit
+        sq = F.zip_with(
+            "v",
+            "c",
+            lambda a, b: F.floor(
+                (a - b) * (a - b) * F.lit(100000000.0) + F.lit(0.5)
+            ).cast("long"),
+        )
+        dist = F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x).cast(
+            "double"
+        ) / F.lit(100000000.0)
         assigned = (
             vecs.crossJoin(F.broadcast(centroids))
-            .select("id", "v", "cluster", round_half_up(dist, scale).alias("dist"))
+            .select("id", "v", "cluster", dist.alias("dist"))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")

@@ -2133,26 +2133,84 @@ def q_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled-SQL twin of kmeans_lite: the fixed iteration count makes the
+    iterative algorithm expressible as ``iters`` chained CTE stages. Exactness
+    contract shared with the Spark side: per-dimension squared diffs are
+    fixed-pointed to 1e-8 int64 before summing (argmin is integer compare),
+    centroid components rounded half-up to 1e-6 each round."""
+    fx = "sum(CAST(floor((ev.val - c.cv) * (ev.val - c.cv) * 100000000.0 + 0.5) AS BIGINT))"
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+ev AS (SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM v),
+init AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}),
+c0a AS (SELECT e, row_number() OVER (ORDER BY vec_id) AS cluster FROM init),
+c0 AS (SELECT cluster, generate_subscripts(e, 1) AS dim, unnest(e) AS cv FROM c0a)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT ev.vec_id, c.cluster, {fx} AS fx
+  FROM ev JOIN c{r - 1} c USING (dim) GROUP BY ev.vec_id, c.cluster
+),
+a{r} AS (
+  SELECT vec_id, cluster, fx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fx, cluster) AS rn
+    FROM d{r})
+  WHERE rn = 1
+)"""
+        )
+        if r < iters:
+            parts.append(
+                f""",
+c{r} AS (
+  SELECT a.cluster, ev.dim, {sql_round_half_up('avg(ev.val)', 6)} AS cv
+  FROM a{r} a JOIN ev ON ev.vec_id = a.vec_id GROUP BY a.cluster, ev.dim
+)"""
+            )
+    parts.append(
+        f"""
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {_s4('CAST(sum(fx) AS DOUBLE) / 100000000.0 / count(*)')} AS avg_sq_dist
+FROM a{iters} GROUP BY cluster"""
+    )
+    return "".join(parts)
+
+
 @query(
     "emb_kmeans_clusters",
-    None,  # iterative algorithm; driver records the rows-only check
+    _kmeans_oracle_sql(),
     doc="Deterministic Lloyd's k-means over embeddings (k=8, 3 rounds): "
     "broadcast-centroid assignment + one (cluster, dim) aggregation per "
     "round, eager localCheckpoint between rounds "
     "(operators/similarity.py:kmeans_lite). Output: cluster sizes and "
-    "mean within-cluster squared distance. No SQL oracle: iterative "
-    "algorithms are the documented rows-only category.",
+    "mean within-cluster squared distance. The SQL oracle UNROLLS the "
+    "three rounds as chained CTEs — possible because every round is "
+    "engine-exact: fixed-point int64 distance sums (argmin = integer "
+    "compare), half-up-rounded centroid components, lowest-id init, "
+    "cluster-index tie-breaks.",
 )
 def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.similarity import kmeans_lite
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # recover the exact int64 fixed-point distance so the per-cluster mean
+    # is an order-independent integer sum (same expression in the oracle)
+    fxl = F.floor(F.col("dist") * 100000000.0 + 0.5).cast("long")
     return (
         kmeans_lite(emb)
+        .select(F.col("cluster").cast("long").alias("cluster"), fxl.alias("fx"))
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            _r4(F.avg("dist"), "avg_sq_dist"),
+            round_half_up(
+                F.sum("fx").cast("double") / F.lit(100000000.0) / F.count(F.lit(1)), 4
+            ).alias("avg_sq_dist"),
         )
     )
 
