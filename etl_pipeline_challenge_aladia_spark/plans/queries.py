@@ -4297,3 +4297,134 @@ def q_cdc_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("message_class")
         .agg(F.count(F.lit(1)).cast("long").alias("n_messages"))
     )
+
+
+@query(
+    "join_bloom_pruned_urgent_revenue",
+    f"""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       {_s2('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+""",
+    doc="Runtime-filter demo IN the exact surface: lineitem is pre-pruned "
+    "through a Bloom filter of the urgent orders' keys "
+    "(functions/sketches.py:bloom_prune_probe — distributed treeAggregate "
+    "build, native might_contain probe inside whole-stage codegen, no "
+    "Python) BEFORE the join shuffle, so ~80% of the probe side never "
+    "shuffles. False positives pass and are removed by the exact join, so "
+    "the result — and the oracle, which knows nothing of the bloom — is "
+    "unchanged. The hand-rolled twin of Spark's runtime.bloomFilter "
+    "injection (enabled in session.py), usable where the optimizer "
+    "declines it.",
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.sketches import (
+        bloom_prune_probe,
+    )
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_prune_probe(
+        li, urgent, "l_orderkey", "o_orderkey", expected_items=200_000
+    )
+    return (
+        pruned.join(urgent, pruned["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                "revenue",
+            ),
+        )
+    )
+
+
+def _zorder_oracle_sql(bits: int = 8, bucket_shift: int = 10) -> str:
+    from etl_pipeline_challenge_aladia_spark.operators.layout import zorder_sql
+
+    cells = float(1 << bits)
+    qa = f"CAST(floor(CAST(ck - mnc AS DOUBLE) * {cells} / CAST(mxc - mnc + 1 AS DOUBLE)) AS BIGINT)"
+    qb = f"CAST(floor(CAST(dy - mnd AS DOUBLE) * {cells} / CAST(mxd - mnd + 1 AS DOUBLE)) AS BIGINT)"
+    z = zorder_sql("qa", "qb", bits)
+    return f"""
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dy
+  FROM orders
+),
+mm AS (SELECT min(ck) AS mnc, max(ck) AS mxc, min(dy) AS mnd, max(dy) AS mxd FROM o),
+q AS (SELECT ck, dy, {qa} AS qa, {qb} AS qb FROM o CROSS JOIN mm),
+zk AS (SELECT ck, dy, CAST({z} >> {bucket_shift} AS BIGINT) AS bucket FROM q)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(ck) AS min_custkey, max(ck) AS max_custkey,
+       min(dy) AS min_day, max(dy) AS max_day
+FROM zk GROUP BY bucket
+"""
+
+
+@query(
+    "orders_zorder_layout",
+    _zorder_oracle_sql(),
+    doc="Z-order (Morton) layout key over (custkey, order day) "
+    "(operators/layout.py): both dimensions quantized to 8-bit cells "
+    "against global min/max (exact integer-granularity floor division), "
+    "bit-interleaved, and bucketed by the key's high bits — each bucket's "
+    "min/max on BOTH columns is bounded, which is exactly the per-file "
+    "statistics property that lets scans filtered on EITHER column skip "
+    "files (Delta/Iceberg OPTIMIZE ZORDER, as a plain expression usable "
+    "with repartitionByRange + sortWithinPartitions on write). Pure "
+    "shift/mask integer expressions, whole-stage codegen, zero FP "
+    "ambiguity.",
+)
+def q_orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.layout import (
+        quantize_col,
+        zorder_key_col,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("dy"),
+    )
+    mm = o.agg(
+        F.min("ck").alias("mnc"),
+        F.max("ck").alias("mxc"),
+        F.min("dy").alias("mnd"),
+        F.max("dy").alias("mxd"),
+    )
+    q = o.crossJoin(F.broadcast(mm)).select(
+        "ck",
+        "dy",
+        quantize_col(F.col("ck"), F.col("mnc"), F.col("mxc"), 8).alias("qa"),
+        quantize_col(F.col("dy"), F.col("mnd"), F.col("mxd"), 8).alias("qb"),
+    )
+    zk = q.select(
+        "ck",
+        "dy",
+        F.shiftright(zorder_key_col(F.col("qa"), F.col("qb"), 8), 10)
+        .cast("long")
+        .alias("bucket"),
+    )
+    return zk.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("ck").alias("min_custkey"),
+        F.max("ck").alias("max_custkey"),
+        F.min("dy").alias("min_day"),
+        F.max("dy").alias("max_day"),
+    )

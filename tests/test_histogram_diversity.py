@@ -37,3 +37,48 @@ def test_token_diversity_extremes(spark):
     assert rows["rep"]["avg_diversity"] == 0.0
     assert rows["var"]["avg_diversity"] == 0.75
     assert rows["var"]["n_docs"] == 1
+
+
+def test_zorder_interleave_model(spark):
+    """zorder_key_col matches the Python bit-interleave model, and buckets
+    bound both dimensions."""
+    from pyspark.sql import Row
+
+    from etl_pipeline_challenge_aladia_spark.operators.layout import zorder_key_col
+
+    import pyspark.sql.functions as F
+
+    cases = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (3, 12)]
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in cases])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key_col(F.col("a"), F.col("b"), 8).alias("z")
+        ).collect()
+    }
+
+    def model(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): model(a, b) for a, b in cases}
+
+
+def test_quantize_col_range_and_monotone(spark):
+    from pyspark.sql import Row
+
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.layout import quantize_col
+
+    df = spark.createDataFrame([Row(v=v) for v in range(100, 200)])
+    out = df.select(
+        "v",
+        quantize_col(F.col("v"), F.lit(100), F.lit(199), 4).alias("q"),
+    ).collect()
+    qs = [r["q"] for r in sorted(out, key=lambda r: r["v"])]
+    assert min(qs) == 0 and max(qs) == 15
+    assert qs == sorted(qs)  # monotone in v
