@@ -4428,3 +4428,41 @@ def q_orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dy").alias("min_day"),
         F.max("dy").alias("max_day"),
     )
+
+
+@query(
+    "cdc_scd2_history",
+    CDC_WAREHOUSE_PREFIX
+    + """
+SELECT original_id, video_id, session_id,
+       watched_seconds, version AS valid_from_version,
+       lead(version) OVER (
+         PARTITION BY original_id, video_id, session_id ORDER BY version)
+         AS valid_to_version,
+       CASE WHEN lead(version) OVER (
+         PARTITION BY original_id, video_id, session_id ORDER BY version)
+         IS NULL THEN TRUE ELSE FALSE END AS is_current
+FROM warehouse
+""",
+    doc="SCD Type-2 history view of the CDC warehouse: every version of "
+    "every (original_id, video_id, session_id) key with its validity "
+    "range [valid_from_version, valid_to_version) derived by one lead "
+    "window — the full-history complement of the ReplacingMergeTree "
+    "read view (cdc_dedup_latest keeps only the current row; this keeps "
+    "them all, queryable as-of any version). One Exchange on the dedup "
+    "key, shared by the window; linear at any scale.",
+)
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("original_id", "video_id", "session_id").orderBy(
+        "version"
+    )
+    nxt = F.lead("version").over(w)
+    return _warehouse(spark, sf_dir).select(
+        "original_id",
+        "video_id",
+        "session_id",
+        "watched_seconds",
+        F.col("version").alias("valid_from_version"),
+        nxt.alias("valid_to_version"),
+        nxt.isNull().alias("is_current"),
+    )

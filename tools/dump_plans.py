@@ -52,6 +52,12 @@ PICKS = {
     "median frame is group-count-sized and joined back via AQE broadcast",
     "events_debounce_burst": "single Exchange on (user, type) feeding one lag "
     "window + a tiny rollup — linear at any scale",
+    "join_bloom_pruned_urgent_revenue": "BloomFilterMightContain in the probe "
+    "scan's filter BEFORE the join exchange (no Python, no extra shuffle); "
+    "the exact join removes bloom false positives",
+    "orders_zorder_layout": "pure shift/mask integer projection (whole-stage "
+    "codegen) + one bucket aggregation; the interleave key is what "
+    "repartitionByRange would sort by on write",
 }
 
 
