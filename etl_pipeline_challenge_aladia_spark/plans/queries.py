@@ -4466,3 +4466,58 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to_version"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "events_hourly_click_purchase_full_outer",
+    f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT strftime(COALESCE(c.hr, p.hr), '%Y-%m-%d %H:00:00') AS hour,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       CASE WHEN COALESCE(n_clicks, 0) > 0 THEN
+         {_s4('CAST(COALESCE(n_purchases, 0) AS DOUBLE) / COALESCE(n_clicks, 0)')}
+       ELSE NULL END AS purchases_per_click
+FROM c FULL OUTER JOIN p ON c.hr = p.hr
+""",
+    doc="Hourly click-vs-purchase reconciliation via FULL OUTER join of two "
+    "independent hourly aggregates — hours with clicks but no purchases "
+    "(and vice versa) survive with zero-filled counts, which an inner/left "
+    "join would silently drop. Both inputs are hour-grain aggregates "
+    "(map-side partials first), so the outer join is tiny at any scale; "
+    "the shuffle keys are the same hour column, so AQE plans one exchange "
+    "per side.",
+)
+def q_events_hourly_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def hourly(tp: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == tp)
+            .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    c, p = hourly("click", "n_clicks"), hourly("purchase", "n_purchases")
+    nc = F.coalesce("n_clicks", F.lit(0))
+    np_ = F.coalesce("n_purchases", F.lit(0))
+    return (
+        c.join(p, "hr", "full_outer")
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:00:00").alias("hour"),
+            nc.alias("n_clicks"),
+            np_.alias("n_purchases"),
+            F.when(
+                nc > 0, round_half_up(np_.cast("double") / nc, 4)
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("purchases_per_click"),
+        )
+    )
