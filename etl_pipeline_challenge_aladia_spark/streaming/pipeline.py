@@ -39,10 +39,28 @@ def streaming_envelopes_from_json(spark: SparkSession, input_dir: str) -> DataFr
 
     Reads as raw text then applies the engine's own T1 decode (from_json +
     corrupt-record quarantine) so the streaming path exercises the same
-    parse operator as batch.
+    parse operator as batch. Decode-health metrics ride along via
+    ``observe_decode_health``.
     """
     raw = spark.readStream.format("text").load(input_dir)
-    return parse_envelope(raw, json_col="value")
+    return observe_decode_health(parse_envelope(raw, json_col="value"))
+
+
+def observe_decode_health(envelopes: DataFrame, name: str = "decode_health") -> DataFrame:
+    """Attach per-micro-batch decode metrics (total messages, corrupt
+    count) as a named ``observe`` — surfaced in every StreamingQueryProgress
+    under ``observedMetrics[name]`` with zero extra passes over the data
+    (the aggregates piggyback on the existing scan).
+
+    This is the ops signal the reference lacked: its consumer nack-requeued
+    undecodable messages forever with no counter anywhere
+    (consumer/consumer.py:30-38). An alerting hook is one
+    StreamingQueryListener reading ``n_corrupt / n_messages``."""
+    return envelopes.observe(
+        name,
+        F.count(F.lit(1)).alias("n_messages"),
+        F.sum(F.col("_corrupt").cast("long")).alias("n_corrupt"),
+    )
 
 
 def decode_kafka_records(records: DataFrame) -> DataFrame:

@@ -258,3 +258,37 @@ def test_quarantine_retains_raw_payload(spark, dirs):
     quarantined = spark.read.json(dirs["quar"]).collect()
     assert len(quarantined) == 1
     assert quarantined[0]["raw"] == corrupt
+
+
+def test_decode_health_observed_metrics(spark, dirs):
+    """Every micro-batch reports decode totals + corrupt counts through the
+    named observe — the engine's replacement for the reference's uncounted
+    nack/requeue loop."""
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        streaming_envelopes_from_json,
+    )
+
+    write_lines(
+        os.path.join(dirs["in"], "b0.jsonl"),
+        [
+            envelope("insert", "doc1", 1),
+            envelope("insert", "doc2", 2),
+            "{this is not json",
+        ],
+    )
+    env = streaming_envelopes_from_json(spark, dirs["in"])
+    q = (
+        env.writeStream.format("noop")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    observed = [
+        p["observedMetrics"]["decode_health"]
+        for p in q.recentProgress
+        if "decode_health" in p.get("observedMetrics", {})
+    ]
+    total = sum(m["n_messages"] for m in observed)
+    corrupt = sum(m["n_corrupt"] for m in observed)
+    assert total == 3 and corrupt == 1
