@@ -100,6 +100,74 @@ def extract_features(
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _stub_resize_kernel(
+    content: bytes, w: int, h: int, out_w: int, out_h: int
+) -> bytes:
+    """Deterministic fake resample: tags the payload hash with the target
+    geometry. Placeholder for a real PIL/ffmpeg scaler (not installed
+    here); replace via the ``kernel`` argument of ``resize_images``."""
+    tag = f"{out_w}x{out_h}".encode()
+    return hashlib.sha256((content or b"") + tag).digest()
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int = 224,
+    out_h: int = 224,
+    kernel: Callable[[bytes, int, int, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image rows -> resized payloads via mapInPandas (the standard
+    pre-embedding normalization pass, e.g. 224x224 for a ViT encoder).
+
+    Same Arrow-batched shape as ``extract_features``: binary payloads move
+    in columnar batches, the kernel runs per item inside a streamed pandas
+    iterator, and the aspect-preserving target geometry (fit within
+    out_w x out_h) is computed from typed metadata in Python ints — no
+    decode needed to size the work. Swap the stub for a real scaler with
+    ``kernel=``.
+    """
+    k = kernel or _stub_resize_kernel
+
+    def fit(w: int | None, h: int | None) -> tuple[int, int]:
+        if not w or not h or w <= 0 or h <= 0:
+            return out_w, out_h
+        scale = min(out_w / w, out_h / h)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [
+                fit(w, h)
+                for w, h in zip(pdf["meta"].map(lambda m: m["width"]),
+                                pdf["meta"].map(lambda m: m["height"]))
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": [d[0] for d in dims],
+                    "out_height": [d[1] for d in dims],
+                    "content": [
+                        k(c or b"", 0, 0, d[0], d[1])
+                        for c, d in zip(pdf["content"], dims)
+                    ],
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video -> frame-sampling work plan: one row per (media_id, frame_ts).
 

@@ -52,3 +52,23 @@ def test_frame_sample_plan(spark):
     videos = media.filter("modality = 'video'").select("media_id", "meta.duration_ms").collect()
     expected = sum((v["duration_ms"] - 1) // 1000 + 1 for v in videos)
     assert len(rows) == expected
+
+
+def test_resize_images_aspect_fit_and_determinism(spark):
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    out = resize_images(media, out_w=224, out_h=224).collect()
+    # only image rows survive, geometry fits in the box preserving aspect
+    assert len(out) == len([r for r in media.collect() if r["modality"] == "image"])
+    for r in out:
+        assert 1 <= r["out_width"] <= 224 and 1 <= r["out_height"] <= 224
+        # fit, not shrink-only (>=223 allows the one-ulp int truncation)
+        assert max(r["out_width"], r["out_height"]) >= 223
+        assert isinstance(r["content"], (bytes, bytearray)) and len(r["content"]) == 32
+    # deterministic: same inputs -> same payloads
+    again = {r["media_id"]: r["content"] for r in resize_images(media).collect()}
+    assert {r["media_id"]: r["content"] for r in out} == again
