@@ -1,0 +1,80 @@
+"""Command-line entry point — run any catalog query or the CDC pipeline.
+
+    python -m etl_pipeline_challenge_aladia_spark list
+    python -m etl_pipeline_challenge_aladia_spark run tpch_q1_pricing_summary \
+        --sf-dir /root/testdata/sf0.01 --limit 20
+    python -m etl_pipeline_challenge_aladia_spark cdc --input ./in \
+        --warehouse ./wh --checkpoint ./ckpt --sink merge
+
+The reference is driven by per-container scripts (producer/consumer); this
+is the single-binary equivalent for the Spark engine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="etl_pipeline_challenge_aladia_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list catalog queries (name + oracle status)")
+
+    runp = sub.add_parser("run", help="run one catalog query and print rows")
+    runp.add_argument("query")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    runp.add_argument("--limit", type=int, default=20)
+    runp.add_argument("--explain", action="store_true", help="print the plan too")
+
+    cdcp = sub.add_parser("cdc", help="run the CDC file-stream pipeline once")
+    cdcp.add_argument("--input", required=True)
+    cdcp.add_argument("--warehouse", required=True)
+    cdcp.add_argument("--checkpoint", required=True)
+    cdcp.add_argument("--quarantine", default=None)
+    cdcp.add_argument("--sink", choices=["rewrite", "merge"], default="merge")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    if args.cmd == "list":
+        for name, spec in CATALOG.items():
+            kind = "sql-oracle" if spec.oracle else "rows-only"
+            print(f"{name:45s} {kind}")
+        return 0
+
+    from etl_pipeline_challenge_aladia_spark.session import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+    if args.cmd == "run":
+        if args.query not in CATALOG:
+            print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+            return 2
+        df = CATALOG[args.query].spark(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+        return 0
+
+    # args.cmd == "cdc"
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        run_cdc_file_stream,
+    )
+
+    run_cdc_file_stream(
+        spark,
+        args.input,
+        args.warehouse,
+        args.checkpoint,
+        quarantine_path=args.quarantine,
+        sink=args.sink,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -206,3 +206,18 @@ def test_no_python_row_loop_in_any_catalog_plan(spark, sf_dir):
         if "ArrowEvalPython" in plan and name not in arrow_ok:
             offenders.append((name, "ArrowEvalPython"))
     assert not offenders, f"Python row loops in catalog plans: {offenders}"
+
+
+def test_cli_list_and_run(capsys, spark, sf_dir):
+    """The module CLI lists the catalog and runs a query end to end."""
+    from etl_pipeline_challenge_aladia_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "tpch_q1_pricing_summary" in out and "sql-oracle" in out
+
+    assert main(["run", "tpch_q6_revenue_forecast", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "revenue" in out
+
+    assert main(["run", "no_such_query"]) == 2
