@@ -28,3 +28,28 @@ def sql_round_half_up(expr: str, scale: int = 4) -> str:
     """The identical formula as ANSI SQL text (for DuckDB oracles)."""
     factor = float(10**scale)
     return f"CAST(floor(({expr}) * {factor} + 0.5) / {factor} AS DOUBLE)"
+
+
+def avg_fixed_point(col: Column, quant_scale: int = 6) -> Column:
+    """Order-independent mean (aggregate expression): quantize each value to
+    fixed-point int64 (``floor(x * 10^q + 0.5)``), sum EXACTLY in integer
+    space, then make one double division by the count.
+
+    A raw double ``avg`` is summation-order-dependent, so Spark's partial-agg
+    fold and a sequential oracle fold can land on opposite sides of a
+    rounding boundary; with the sum integer-exact, every engine computes the
+    identical rational and the single division is one deterministic IEEE op.
+    NULLs are ignored on both sides (sum/count skip them, like ``avg``).
+    """
+    q = float(10**quant_scale)
+    fx = F.floor(col * F.lit(q) + F.lit(0.5)).cast("long")
+    return F.sum(fx).cast("double") / F.lit(q) / F.count(col)
+
+
+def sql_avg_fixed_point(expr: str, quant_scale: int = 6) -> str:
+    """The identical order-independent mean as ANSI SQL text."""
+    q = float(10**quant_scale)
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {q} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {q} / count({expr})"
+    )

@@ -63,8 +63,18 @@ def bloom_prune_probe(
     preserved. Worth it when the join is selective: the pruned probe side
     shuffles a fraction of its rows. NULL probe keys are dropped — they
     can never match an equi-join anyway.
+
+    The native path reaches through non-public JVM surfaces
+    (``ExpressionUtils``/``BloomFilterMightContain`` constructors), so it
+    is capability-probed once per JVM: if a PySpark upgrade moves them,
+    this degrades gracefully to ``semi_join_prune`` — a fully public
+    broadcast distinct-key semi-join prefilter with the same
+    keeps-all-true-matches contract (stricter, in fact: zero false
+    positives) — instead of raising at call time.
     """
     spark = probe.sparkSession
+    if not _native_bloom_available(spark):
+        return semi_join_prune(probe, build, probe_key, build_key)
     jvm = spark._jvm
     hashed = build.select(F.xxhash64(build_key).alias("__bloom_key"))
     jbloom = hashed._jdf.stat().bloomFilter("__bloom_key", expected_items, fpp)
@@ -81,3 +91,47 @@ def bloom_prune_probe(
     )
     keep = F.col(probe_key).isNotNull() & _ClassicColumn(expr_of.column(might_contain))
     return probe.filter(keep)
+
+
+def semi_join_prune(
+    probe: DataFrame, build: DataFrame, probe_key: str, build_key: str
+) -> DataFrame:
+    """Public-API fallback for ``bloom_prune_probe``: broadcast the build
+    side's DISTINCT keys and left-semi join the probe against them.
+
+    Same contract (every true match kept, NULL probe keys dropped —
+    leftsemi on an equi-condition never matches NULL) and exact rather
+    than approximate. The distinct-key list must fit the broadcast
+    threshold, which holds whenever bloom pruning is worthwhile (a
+    selective small build side); a build side too big to broadcast is one
+    the bloom filter also wouldn't be built from.
+    """
+    keys = build.select(F.col(build_key).alias("__prune_key")).distinct()
+    return probe.join(
+        F.broadcast(keys), F.col(probe_key) == F.col("__prune_key"), "leftsemi"
+    )
+
+
+#: Per-JVM capability cache: None = unprobed, else bool.
+_NATIVE_BLOOM_OK: bool | None = None
+
+
+def _native_bloom_available(spark) -> bool:
+    """Probe (once) every non-public surface the native bloom path needs;
+    any missing piece flips the whole path to the public fallback."""
+    global _NATIVE_BLOOM_OK
+    if _NATIVE_BLOOM_OK is None:
+        try:
+            from pyspark.sql.classic.column import Column  # noqa: F401
+
+            jvm = spark._jvm
+            expr_of = jvm.org.apache.spark.sql.classic.ExpressionUtils
+            # py4j resolves lazily: force both lookups to prove they exist
+            probe_expr = expr_of.expression(F.lit(1)._jc)
+            jvm.org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+                probe_expr, probe_expr
+            )
+            _NATIVE_BLOOM_OK = True
+        except Exception:
+            _NATIVE_BLOOM_OK = False
+    return _NATIVE_BLOOM_OK

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.functions.hashing import md5_fold32_col
-from etl_pipeline_challenge_aladia_spark.functions.rounding import round_half_up
+from etl_pipeline_challenge_aladia_spark.functions.rounding import (
+    avg_fixed_point,
+    round_half_up,
+)
 from etl_pipeline_challenge_aladia_spark.functions.vectors import (
     cosine_similarity_col,
     to_double_array,
@@ -355,7 +358,12 @@ def label_centroids(
         F.col(cell_col).alias("cell"),
         F.posexplode(to_double_array(vec_col)).alias("dim", "val"),
     )
-    per_dim = e.groupBy("cell", "dim").agg(round_half_up(F.avg("val"), scale).alias("cv"))
+    # order-independent mean: fixed-point int64 sum, not a raw double avg —
+    # Spark's partial-agg fold and a sequential oracle fold would otherwise
+    # disagree at half-up boundaries
+    per_dim = e.groupBy("cell", "dim").agg(
+        round_half_up(avg_fixed_point(F.col("val")), scale).alias("cv")
+    )
     return per_dim.groupBy("cell").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda x: x["cv"]
@@ -554,7 +562,7 @@ def kmeans_lite(
     vecs = embeddings.select(
         F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
     )
-    w = Window.partitionBy("id").orderBy("dist", "cluster")
+    w = Window.partitionBy("id").orderBy("dist_fx", "cluster")
     centroids = (
         vecs.orderBy("id")
         .limit(k)
@@ -576,12 +584,10 @@ def kmeans_lite(
                 (a - b) * (a - b) * F.lit(100000000.0) + F.lit(0.5)
             ).cast("long"),
         )
-        dist = F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x).cast(
-            "double"
-        ) / F.lit(100000000.0)
+        dist_fx = F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x)
         assigned = (
             vecs.crossJoin(F.broadcast(centroids))
-            .select("id", "v", "cluster", dist.alias("dist"))
+            .select("id", "v", "cluster", dist_fx.alias("dist_fx"))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
@@ -589,7 +595,7 @@ def kmeans_lite(
         centroids = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(round_half_up(F.avg("val"), scale).alias("cv"))
+            .agg(round_half_up(avg_fixed_point(F.col("val")), scale).alias("cv"))
             .groupBy("cluster")
             .agg(
                 F.transform(
@@ -599,7 +605,16 @@ def kmeans_lite(
             )
             .localCheckpoint(eager=True)
         )
-    return assigned.select("id", "cluster", "dist")
+    # dist_fx is the EXACT int64 fixed-point squared distance (1e-8 quanta)
+    # — consumers needing exact integer aggregation use it directly instead
+    # of round-tripping the double `dist` back through floor(x*1e8+0.5),
+    # which silently breaks past ~2^52; `dist` is the human-scale view.
+    return assigned.select(
+        "id",
+        "cluster",
+        "dist_fx",
+        (F.col("dist_fx").cast("double") / F.lit(100000000.0)).alias("dist"),
+    )
 
 
 def rp_planes(bits: int, dim: int, seed: int = 7) -> list[list[float]]:

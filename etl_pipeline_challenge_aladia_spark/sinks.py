@@ -35,6 +35,15 @@ def append_warehouse(df: DataFrame, path: str, partition_by_day: bool = True) ->
 
 
 def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
+    """Read a warehouse table, resolving through the snapshot manifest when
+    one exists (MERGE-sink tables): the manifest names one directory per
+    bucket, so a reader sees exactly the bucket set a single atomic commit
+    published — never a half-merged mix. Legacy/append layouts read the
+    directory tree directly as before."""
+    manifest = _read_manifest(path)
+    if manifest is not None and manifest["buckets"]:
+        dirs = [os.path.join(path, d) for d in manifest["buckets"].values()]
+        return spark.read.parquet(*dirs)
     df = spark.read.parquet(path)
     for layout_col in ("_day", "_bucket"):
         if layout_col in df.columns:
@@ -91,6 +100,42 @@ def upsert_warehouse_batch(spark: SparkSession, batch: DataFrame, path: str) -> 
     _promote_dir(path + "._tmp", path, path + "._old")
 
 
+#: Snapshot manifest file name (inside the table directory).
+_MANIFEST = "_manifest.json"
+
+
+def _read_manifest(path: str) -> dict | None:
+    f = os.path.join(path, _MANIFEST)
+    if not os.path.exists(f):
+        return None
+    import json
+
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(path: str, manifest: dict) -> None:
+    """The ONE atomic visibility switch: fsync a temp file, then rename it
+    over the manifest (POSIX rename is atomic; object stores use a
+    conditional PUT here). Readers resolve the table exclusively through
+    the manifest, so every bucket written this commit becomes visible at
+    once or not at all — the plain-parquet analog of the reference's
+    atomic ClickHouse part swap (reference clickhouse/init.sql:22-24) and
+    of a Delta/Iceberg metadata commit."""
+    import json
+
+    tmp = os.path.join(path, "._manifest_tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def _bucket_dirname(bk: int, version: int) -> str:
+    return f"b{bk:05d}_v{version:08d}"
+
+
 def merge_warehouse_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -99,27 +144,63 @@ def merge_warehouse_batch(
     keys: Sequence[str] = tuple(DEDUP_KEY),
     order_col: str = "version",
 ) -> int:
-    """MERGE-style upsert with I/O proportional to the batch, not the table.
+    """MERGE-style upsert with I/O proportional to the batch, not the table,
+    and SNAPSHOT-ATOMIC visibility for concurrent readers.
 
-    Layout: parquet partitioned by ``_bucket = pmod(xxhash64(keys), N)``.
-    A micro-batch only touches the buckets its keys hash into, so the merge
-    reads and rewrites just those partitions (static partition pruning on
-    the filter below) — at 100 TB a small batch rewrites batch_buckets/N of
-    the table instead of all of it. This is the plain-parquet equivalent of
-    Delta/Iceberg ``MERGE INTO`` on a bucketed table.
+    Layout: one directory per bucket (``_bucket = pmod(xxhash64(keys), N)``)
+    per version, resolved through ``_manifest.json``. A micro-batch only
+    touches the buckets its keys hash into, so the merge reads and rewrites
+    just those — at 100 TB a small batch rewrites batch_buckets/N of the
+    table instead of all of it. All touched buckets are staged as NEW
+    version directories first, then published by one atomic manifest rename
+    (``_commit_manifest``): a reader resolving the manifest before the
+    commit sees the complete old snapshot, after it the complete new one,
+    never a mix. This is the plain-parquet equivalent of Delta/Iceberg
+    ``MERGE INTO``.
 
-    Per-bucket promotes are individually crash-recoverable (old copy moved
-    aside first, and any interrupted promote from a previous run is
-    repaired on entry); a crash mid-loop leaves a mix of old/new buckets,
-    which the checkpointed ``foreachBatch`` retry repairs — re-merging the
-    same batch is idempotent because ``latest_per_key`` is. Returns the
-    number of buckets written.
+    Crash safety: a crash before the manifest commit leaves only
+    unreferenced new-version directories — the table still reads as the old
+    snapshot, and the next merge garbage-collects the strays; the
+    checkpointed ``foreachBatch`` retry then re-merges the same batch,
+    which is idempotent because ``latest_per_key`` is. Replaced directories
+    are kept for ONE further commit (listed in the manifest's ``garbage``)
+    so in-flight readers of the previous snapshot finish their scans —
+    snapshot retention with lag 1, the knob Iceberg calls snapshot expiry.
+
+    ``num_buckets`` is pinned in the manifest at table creation; later
+    calls use the pinned value (a caller drifting the bucket count would
+    otherwise split keys across buckets and break the merge locality).
+    Returns the number of buckets written.
     """
     import glob as _glob
 
-    for leftover in _glob.glob(f"{path}._old_bucket_*"):
-        bk = leftover.rsplit("_", 1)[-1]
-        _recover_dir(os.path.join(path, f"_bucket={bk}"), leftover)
+    manifest = _read_manifest(path)
+    if manifest is None:
+        # pre-manifest layout (or fresh table): adopt any legacy
+        # ``_bucket=N`` partition dirs as version-0 buckets after running
+        # the legacy interrupted-promote repair
+        for leftover in _glob.glob(f"{path}._old_bucket_*"):
+            bk = leftover.rsplit("_", 1)[-1]
+            _recover_dir(os.path.join(path, f"_bucket={bk}"), leftover)
+        os.makedirs(path, exist_ok=True)
+        manifest = {"version": 0, "num_buckets": num_buckets, "buckets": {},
+                    "garbage": []}
+        for legacy in sorted(_glob.glob(os.path.join(path, "_bucket=*"))):
+            bk = int(legacy.rsplit("=", 1)[-1])
+            adopted = _bucket_dirname(bk, 0)
+            os.rename(legacy, os.path.join(path, adopted))
+            manifest["buckets"][str(bk)] = adopted
+        _commit_manifest(path, manifest)
+    num_buckets = int(manifest["num_buckets"])
+
+    # GC: every version directory the current manifest does not reference
+    # is either aged-out garbage (replaced a full commit ago) or a stray
+    # from a crashed pre-commit attempt — both safe to drop now
+    referenced = set(manifest["buckets"].values())
+    for d in _glob.glob(os.path.join(path, "b[0-9]*_v[0-9]*")):
+        if os.path.basename(d) not in referenced:
+            shutil.rmtree(d, ignore_errors=True)
+
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast(
         "int"
     )
@@ -128,30 +209,53 @@ def merge_warehouse_batch(
     touched = sorted(
         r["_bucket"] for r in b.select("_bucket").distinct().collect()
     )
-    if not os.path.exists(path):
-        latest_per_key(b, keys=keys, order_col=order_col).write.mode(
-            "overwrite"
-        ).partitionBy("_bucket").parquet(path)
-        return len(touched)
-    current = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
-    merged = latest_per_key(
-        current.unionByName(b, allowMissingColumns=True),
-        keys=keys,
-        order_col=order_col,
-    )
+    if not touched:
+        _commit_manifest(path, {**manifest, "garbage": []})
+        return 0
+    current_dirs = [
+        os.path.join(path, manifest["buckets"][str(bk)])
+        for bk in touched
+        if str(bk) in manifest["buckets"]
+    ]
+    if current_dirs:
+        # bucket dirs store only data columns; the bucket id is recomputed
+        # from the keys — the same deterministic expression that routed the
+        # rows at write time
+        current = spark.read.parquet(*current_dirs).withColumn("_bucket", bucket)
+        merged = latest_per_key(
+            current.unionByName(b, allowMissingColumns=True),
+            keys=keys,
+            order_col=order_col,
+        )
+    else:
+        merged = latest_per_key(b, keys=keys, order_col=order_col)
     staged = path + "._merge_tmp"
     if os.path.exists(staged):
         shutil.rmtree(staged)
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(staged)
+
+    version = int(manifest["version"]) + 1
+    buckets = dict(manifest["buckets"])
+    replaced = []
+    written = 0
     for bk in touched:
         src = os.path.join(staged, f"_bucket={bk}")
         if not os.path.exists(src):
             continue
-        _promote_dir(
-            src, os.path.join(path, f"_bucket={bk}"), f"{path}._old_bucket_{bk}"
-        )
+        new_name = _bucket_dirname(bk, version)
+        os.rename(src, os.path.join(path, new_name))
+        old = buckets.get(str(bk))
+        if old is not None:
+            replaced.append(old)
+        buckets[str(bk)] = new_name
+        written += 1
+    _commit_manifest(
+        path,
+        {"version": version, "num_buckets": num_buckets, "buckets": buckets,
+         "garbage": replaced},
+    )
     shutil.rmtree(staged, ignore_errors=True)
-    return len(touched)
+    return written
 
 
 def save_bucketed(

@@ -68,13 +68,66 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
 
     Probe caveat: ``df.rdd.getNumPartitions()`` is free for the scan-stage
     frames this utility is meant for, but under AQE it MATERIALIZES any
-    upstream shuffle stages (and raises on streaming frames) — so pass
-    scan-shaped inputs, not post-aggregation ones; streaming frames skip
-    the probe and repartition unconditionally.
+    upstream shuffle stages (and raises on streaming frames). That contract
+    is enforced, not conventional: streaming frames and frames whose
+    analyzed plan contains a shuffle-introducing node (aggregate, join,
+    window, sort, distinct, repartition, limit) SKIP the probe and
+    repartition unconditionally — never silently double-executing the
+    upstream stage just to count partitions.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.isStreaming:
         return df.repartition(n)
+    shape, count = _plan_shape(df)
+    if shape == "repartition":
+        # explicit target parallelism is readable off the plan — decide
+        # without touching .rdd (which would materialize the shuffle)
+        return df if count >= n else df.repartition(n)
+    if shape == "other":
+        return df.repartition(n)
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+#: Logical nodes that put a shuffle (or other full stage) between the scan
+#: and fan_out's probe — probing .rdd on these materializes that stage.
+_NON_SCAN_NODES = (
+    "Aggregate",
+    "Join",
+    "Window",
+    "Sort",
+    "Distinct",
+    "Deduplicate",
+    "GlobalLimit",
+    "Repartition",
+)
+
+
+def _plan_shape(df: DataFrame) -> tuple[str, int]:
+    """Classify the analyzed logical plan for the probe gate:
+
+    - ``("scan", 0)`` — scan/project/filter only: probing
+      ``df.rdd.getNumPartitions()`` costs nothing.
+    - ``("repartition", k)`` — the topmost non-scan node is an explicit
+      round-robin ``Repartition k``/coalesce: the target parallelism is in
+      the plan, no probe needed.
+    - ``("other", 0)`` — an aggregate/join/window/... sits above the scan:
+      probing would MATERIALIZE that stage under AQE, so callers must not.
+
+    Node names are matched at line starts (after tree-drawing prefixes),
+    never inside expression text, so a column literally named "sort" can't
+    false-positive.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    pattern = r"(?m)^[\s+:*\-()0-9]*(%s)" % "|".join(_NON_SCAN_NODES)
+    m = re.search(pattern, plan)
+    if m is None:
+        return ("scan", 0)
+    if m.group(1) == "Repartition":
+        k = re.match(r"Repartition (\d+), (?:true|false)", plan[m.start(1):])
+        if k:
+            return ("repartition", int(k.group(1)))
+    return ("other", 0)

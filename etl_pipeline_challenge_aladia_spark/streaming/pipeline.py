@@ -193,12 +193,14 @@ def make_cdc_batch_processor(
         if quarantine_path is not None:
             # persist the original message text — the quarantine's purpose
             # is inspection/replay, not a row of NULL envelope fields
+            # written unconditionally: an empty append is one cheap no-row
+            # task, while probing emptiness first (limit(1).count()) costs a
+            # full extra job on EVERY micro-batch of the hot path
             bad = batch.filter(batch["_corrupt"]).select(
                 F.col("_raw").alias("raw"),
                 F.current_timestamp().alias("quarantined_at"),
             )
-            if bad.limit(1).count() > 0:
-                bad.write.mode("append").json(quarantine_path)
+            bad.write.mode("append").json(quarantine_path)
         rows = envelopes_to_warehouse(ok, with_ingestion_time=True)
         if sink == "merge":
             merge_warehouse_batch(batch.sparkSession, rows, warehouse_path)

@@ -118,13 +118,21 @@ def _debounce_fn(gap_us: int):
     ) -> Iterator[pd.DataFrame]:
         (last_kept,) = state.get if state.exists else (None,)
         kept_ids, kept_us = [], []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            for _, row in pdf.sort_values(["us", "event_id"]).iterrows():
-                us = int(row["us"])
+        # A group's rows may arrive as MULTIPLE Arrow chunks with no global
+        # order guarantee (chunk size = spark.sql.execution.arrow
+        # .maxRecordsPerBatch). The keep/drop decision is order-dependent,
+        # so materialize every chunk and sort ONCE before iterating.
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["us", "event_id"]
+            )
+            for eid, us in zip(
+                pdf["event_id"].to_numpy(), pdf["us"].to_numpy()
+            ):
+                us = int(us)
                 if last_kept is None or us - last_kept >= gap_us:
-                    kept_ids.append(int(row["event_id"]))
+                    kept_ids.append(int(eid))
                     kept_us.append(us)
                     last_kept = us
         if kept_ids:

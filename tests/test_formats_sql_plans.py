@@ -171,6 +171,35 @@ def test_fan_out_gates_on_input_parallelism(spark, sf_dir):
     assert fan_out(narrow, partitions=8).rdd.getNumPartitions() == 8
 
 
+def test_fan_out_never_probes_non_scan_inputs(spark, sf_dir, monkeypatch):
+    """Contract guard (VERDICT r02 #6): ``df.rdd`` under AQE MATERIALIZES
+    upstream shuffle stages, so fan_out must never probe a frame with an
+    aggregate/join/... above the scan — it repartitions unconditionally.
+    Proven by making any .rdd access raise: a probe would blow up here."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    from etl_pipeline_challenge_aladia_spark.sources.files import fan_out, load_table
+
+    aggregated = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+    )
+
+    def _boom(self):
+        raise AssertionError("fan_out probed .rdd on a non-scan input")
+
+    monkeypatch.setattr(cdf.DataFrame, "rdd", property(_boom))
+    out = fan_out(aggregated, partitions=8)
+    monkeypatch.undo()
+    assert out.rdd.getNumPartitions() == 8
+
+    # explicit Repartition inputs are decided off the plan, still no probe
+    monkeypatch.setattr(cdf.DataFrame, "rdd", property(_boom))
+    wide = load_table(spark, sf_dir, "lineitem").select("l_orderkey").repartition(16)
+    assert fan_out(wide, partitions=8) is wide
+
+
 def test_no_forced_broadcast_of_fact_tables():
     """Policy guard (VERDICT r01): explicit F.broadcast is reserved for
     bounded dims (nation/region) and single-row aggregates. Anything that

@@ -49,3 +49,37 @@ def test_bloom_prune_preserves_join_result(spark, sf_dir):
     plan = pruned_probe._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_prune_fallback_semi_join(spark, sf_dir, monkeypatch):
+    """Capability degradation (VERDICT r02 #3): with the private JVM bloom
+    surfaces unavailable, bloom_prune_probe must transparently use the
+    public broadcast semi-join prefilter — same join result, broadcast
+    semi-join plan, still zero Python eval nodes."""
+    import etl_pipeline_challenge_aladia_spark.functions.sketches as sk
+
+    monkeypatch.setattr(sk, "_NATIVE_BLOOM_OK", False)
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    plain = li.join(urgent, li.l_orderkey == urgent.o_orderkey).count()
+    pruned_probe = bloom_prune_probe(li, urgent, "l_orderkey", "o_orderkey")
+    pruned = pruned_probe.join(
+        urgent, pruned_probe.l_orderkey == urgent.o_orderkey
+    ).count()
+    assert pruned == plain > 0
+    assert pruned_probe.count() < li.count()
+    plan = pruned_probe._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # probe failure itself also flips the cache to the fallback
+    monkeypatch.setattr(sk, "_NATIVE_BLOOM_OK", None)
+    monkeypatch.setattr(
+        sk.F, "lit", lambda *_a, **_k: (_ for _ in ()).throw(RuntimeError("gone"))
+    )
+    assert sk._native_bloom_available(spark) is False

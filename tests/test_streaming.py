@@ -134,11 +134,11 @@ def test_merge_sink_rewrites_only_touched_buckets(spark, tmp_path):
         F.lit(1).cast("long").alias("version"),
         F.lit("2024-01-01 10:00:00").cast("timestamp").alias("original_timestamp"),
     )
+    from etl_pipeline_challenge_aladia_spark.sinks import _read_manifest
+
     merge_warehouse_batch(spark, base, path, num_buckets=16)
-    mtimes_before = {
-        d: os.path.getmtime(d) for d in glob.glob(os.path.join(path, "_bucket=*"))
-    }
-    assert len(mtimes_before) > 4  # keys spread over many buckets
+    buckets_before = dict(_read_manifest(path)["buckets"])
+    assert len(buckets_before) > 4  # keys spread over many buckets
 
     one = base.filter(F.col("original_id") == "doc_7").withColumn(
         "version", F.lit(2).cast("long")
@@ -146,11 +146,12 @@ def test_merge_sink_rewrites_only_touched_buckets(spark, tmp_path):
     n = merge_warehouse_batch(spark, one, path, num_buckets=16)
     assert n == 1  # single-key batch -> exactly one bucket rewritten
 
-    mtimes_after = {
-        d: os.path.getmtime(d) for d in glob.glob(os.path.join(path, "_bucket=*"))
-    }
-    changed = [d for d in mtimes_before if mtimes_after[d] != mtimes_before[d]]
+    buckets_after = dict(_read_manifest(path)["buckets"])
+    changed = [k for k in buckets_before if buckets_after[k] != buckets_before[k]]
     assert len(changed) == 1
+    # unchanged buckets keep their exact directories — no data was rewritten
+    untouched = [d for k, d in buckets_before.items() if k not in changed]
+    assert all(os.path.isdir(os.path.join(path, d)) for d in untouched)
 
     from etl_pipeline_challenge_aladia_spark.sinks import read_warehouse
 
@@ -213,13 +214,96 @@ def test_kafka_encode_decode_roundtrip(spark):
     assert back.filter("_corrupt").count() == 0
 
 
-def test_merge_sink_recovers_interrupted_promote(spark, tmp_path):
-    """A crash between moving a bucket aside and installing its replacement
-    leaves only the ._old copy; the next merge must restore it, not lose it."""
+def _merge_base_frame(spark, n=50, version=1, watched=None):
+    from pyspark.sql import functions as F
+
+    w = (F.col("id") * 10) if watched is None else F.lit(watched)
+    return spark.range(n).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("original_id"),
+        F.lit("v").alias("video_id"),
+        F.lit("s").alias("session_id"),
+        w.cast("long").alias("watched_seconds"),
+        F.lit(version).cast("long").alias("version"),
+        F.lit("2024-01-01 10:00:00").cast("timestamp").alias("original_timestamp"),
+    )
+
+
+def test_merge_sink_recovers_crashed_precommit_attempt(spark, tmp_path):
+    """A crash AFTER staging new bucket versions but BEFORE the manifest
+    commit leaves only unreferenced directories: the table must still read
+    as the old snapshot, and the next merge garbage-collects the strays."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        _read_manifest,
+        merge_warehouse_batch,
+        read_warehouse,
+    )
+
+    path = str(tmp_path / "wh")
+    merge_warehouse_batch(spark, _merge_base_frame(spark), path, num_buckets=8)
+    before = read_warehouse(spark, path).count()
+    # simulate the crash window: a new-version bucket dir exists (with
+    # DIFFERENT content) but the manifest was never switched
+    manifest = _read_manifest(path)
+    some_dir = sorted(manifest["buckets"].values())[0]
+    stray = os.path.join(path, "b00000_v00000099")
+    shutil.copytree(os.path.join(path, some_dir), stray)
+
+    assert read_warehouse(spark, path).count() == before  # old snapshot intact
+
+    empty = _merge_base_frame(spark).filter(F.lit(False))
+    merge_warehouse_batch(spark, empty, path, num_buckets=8)
+    assert not os.path.exists(stray)  # stray GC'd
+    assert read_warehouse(spark, path).count() == before
+
+
+def test_merge_sink_adopts_legacy_bucket_layout(spark, tmp_path):
+    """Tables written by the pre-manifest merge sink (``_bucket=N``
+    partition dirs, including an interrupted ``._old_bucket_`` promote)
+    migrate in place on the first manifest-era merge, losing no rows."""
     import glob
     import shutil
 
     from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.schemas import DEDUP_KEY
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        _read_manifest,
+        merge_warehouse_batch,
+        read_warehouse,
+    )
+
+    path = str(tmp_path / "wh")
+    base = _merge_base_frame(spark)
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in DEDUP_KEY]), F.lit(8)).cast("int")
+    base.withColumn("_bucket", bucket).write.partitionBy("_bucket").parquet(path)
+    # legacy crash window: one bucket moved aside, replacement missing
+    victim = sorted(glob.glob(os.path.join(path, "_bucket=*")))[0]
+    bk = victim.rsplit("=", 1)[-1]
+    shutil.move(victim, f"{path}._old_bucket_{bk}")
+
+    one = _merge_base_frame(spark, version=2, watched=999).filter(
+        F.col("original_id") == "doc_3"
+    )
+    merge_warehouse_batch(spark, one, path, num_buckets=8)
+    rows = {
+        r["original_id"]: r["watched_seconds"]
+        for r in read_warehouse(spark, path).collect()
+    }
+    assert len(rows) == 50 and rows["doc_3"] == 999
+    assert _read_manifest(path) is not None
+    assert not glob.glob(os.path.join(path, "_bucket=*"))  # fully adopted
+
+
+def test_merge_snapshot_isolation_under_concurrent_reads(spark, tmp_path):
+    """THE atomicity contract (VERDICT r02 #1): while a merge rewriting
+    every bucket runs in another thread, every row-set a reader observes
+    equals either the complete pre-merge or the complete post-merge
+    snapshot — never a half-merged mix of old and new buckets."""
+    import threading
 
     from etl_pipeline_challenge_aladia_spark.sinks import (
         merge_warehouse_batch,
@@ -227,25 +311,42 @@ def test_merge_sink_recovers_interrupted_promote(spark, tmp_path):
     )
 
     path = str(tmp_path / "wh")
-    base = spark.range(50).select(
-        F.concat(F.lit("doc_"), F.col("id")).alias("original_id"),
-        F.lit("v").alias("video_id"),
-        F.lit("s").alias("session_id"),
-        F.lit(1).cast("long").alias("version"),
-        F.lit("2024-01-01 10:00:00").cast("timestamp").alias("original_timestamp"),
+    merge_warehouse_batch(spark, _merge_base_frame(spark, n=40), path, num_buckets=8)
+    pre = frozenset(
+        (r["original_id"], r["version"], r["watched_seconds"])
+        for r in read_warehouse(spark, path).collect()
     )
-    merge_warehouse_batch(spark, base, path, num_buckets=8)
-    before = read_warehouse(spark, path).count()
-    # simulate the crash window: one bucket moved aside, replacement missing
-    victim = sorted(glob.glob(os.path.join(path, "_bucket=*")))[0]
-    bk = victim.rsplit("=", 1)[-1]
-    shutil.move(victim, f"{path}._old_bucket_{bk}")
-    assert not os.path.exists(victim)
+    update = _merge_base_frame(spark, n=40, version=2, watched=777)
+    post = frozenset((f"doc_{i}", 2, 777) for i in range(40))
+    assert pre != post
 
-    empty = base.filter(F.lit(False))
-    merge_warehouse_batch(spark, empty, path, num_buckets=8)
-    assert os.path.exists(victim)
-    assert read_warehouse(spark, path).count() == before
+    err: list = []
+
+    def run_merge():
+        try:
+            merge_warehouse_batch(spark, update, path, num_buckets=8)
+        except Exception as ex:  # noqa: BLE001
+            err.append(ex)
+
+    t = threading.Thread(target=run_merge)
+    t.start()
+    observed = []
+    while t.is_alive():
+        snap = frozenset(
+            (r["original_id"], r["version"], r["watched_seconds"])
+            for r in read_warehouse(spark, path).collect()
+        )
+        observed.append(snap)
+    t.join()
+    assert not err
+    final = frozenset(
+        (r["original_id"], r["version"], r["watched_seconds"])
+        for r in read_warehouse(spark, path).collect()
+    )
+    assert final == post
+    bad = [s for s in observed if s != pre and s != post]
+    assert not bad, f"{len(bad)} torn snapshot(s) observed of {len(observed)}"
+    assert observed, "reader never overlapped the merge"
 
 
 def test_quarantine_retains_raw_payload(spark, dirs):

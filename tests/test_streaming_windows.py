@@ -276,3 +276,49 @@ def test_debounce_stream_chained_bursts_across_batches(spark, dirs, tmp_path):
     # survived the restart via the checkpoint); 150s is kept
     write_batch("b1.jsonl", [(1, "click", 4, 100_000_000), (1, "click", 5, 150_000_000)])
     assert run_once() == [1, 3, 5]
+
+
+def test_debounce_fn_multi_chunk_out_of_order():
+    """A group's rows can span MULTIPLE Arrow chunks (maxRecordsPerBatch)
+    with no cross-chunk order guarantee. The keep decision is order
+    dependent, so _debounce_fn must globally sort before iterating: chunk
+    order [80s] then [0s, 40s] must still keep {0s, 80s} at gap=60 (the
+    per-chunk-sort bug kept only 80s)."""
+    import pandas as pd
+
+    from etl_pipeline_challenge_aladia_spark.streaming.stateful import _debounce_fn
+
+    class _FakeState:
+        def __init__(self):
+            self._t = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+    def chunk(rows):
+        return pd.DataFrame(rows, columns=["user_id", "event_type", "event_id", "us"])
+
+    state = _FakeState()
+    out = list(
+        _debounce_fn(60 * 1_000_000)(
+            (1, "click"),
+            iter(
+                [
+                    chunk([(1, "click", 3, 80_000_000)]),
+                    chunk([(1, "click", 1, 0), (1, "click", 2, 40_000_000)]),
+                ]
+            ),
+            state,
+        )
+    )
+    kept = sorted(out[0]["event_id"].tolist())
+    assert kept == [1, 3]
+    assert state.get == (80_000_000,)

@@ -1,11 +1,16 @@
 """Simulate the external driver: fresh SparkSession, __spark_entry__ contract,
 full oracle sweep at sf0.01 with order-insensitive exact compare.
 
-    python tools/driver_sim.py [sf_dir]
+    python tools/driver_sim.py [sf_dir] [query ...] [--out FILE]
+
+With ``--out`` the FULL-catalog result is also written in the driver's
+CORRECTNESS_r{N}.json schema (rows/schema/hash per query), so the local
+gate is an auditable committed artifact, not just a green terminal.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 
@@ -69,18 +74,35 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     q, o = e.queries(), e.oracle_sql()
-    only = [a for a in sys.argv[2:] if a]
+    args = sys.argv[2:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = [a for a in args if a]
     if only:
         q = {k: v for k, v in q.items() if k in only}
         o = {k: v for k, v in o.items() if k in only}
     failures = []
+    results: dict[str, dict] = {}
     for name in sorted(o):
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
         try:
             got = q[name](spark, SF_DIR).toPandas()
             want = con.execute(o[name]).df()
+            rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
+            rec["rows_match"] = len(got) == len(want)
+            rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
             err = same(got, want)
+            rec["hash_match"] = err is None
         except Exception as ex:  # noqa: BLE001
             err = f"exception: {ex}"
+            rec["err"] = err
+        results[name] = rec
         if err:
             failures.append((name, err))
             print(f"FAIL {name}: {err}", flush=True)
@@ -89,7 +111,16 @@ def main() -> None:
     no_oracle = sorted(set(q) - set(o))
     for name in no_oracle:
         n = q[name](spark, SF_DIR).count()
+        results[name] = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": n, "oracle_rows": None, "err": None,
+            "rows_only": True,
+        }
         print(f"rows-only {name}: {n} rows", flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out_path} ({len(results)} queries)", flush=True)
     print(f"\n{len(o) - len(failures)}/{len(o)} oracle-checked pass; "
           f"{len(no_oracle)} rows-only", flush=True)
     if failures:
