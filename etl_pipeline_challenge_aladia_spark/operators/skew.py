@@ -50,6 +50,39 @@ def salted_join(
     return out.drop(SALT_COL)
 
 
+def auto_salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    share_threshold: float = 0.2,
+    salt_factor: int = 8,
+    how: str = "inner",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Measure-then-decide salting: run the ``top_key_skew`` diagnostic and
+    salt ONLY when the heaviest key holds at least ``share_threshold`` of
+    the probe rows; otherwise emit the plain join (no rand/explode nodes,
+    no build-side replication for the common non-skewed case).
+
+    The diagnostic is one small aggregation returning a single row — at
+    100 TB pass ``sample_fraction`` (e.g. 0.01) so the measurement reads a
+    sample instead of the full probe side; a key hot enough to need
+    salting is hot in any honest sample. The measured share is a
+    plan-time decision, so the choice is visible in the physical plan
+    (explode+salt present or absent), not buried in a config.
+    """
+    diag = (
+        probe.sample(fraction=sample_fraction, seed=42)
+        if sample_fraction
+        else probe
+    )
+    top = top_key_skew(diag, on, n=1).collect()
+    share = top[0]["share"] if top else 0.0
+    if share >= share_threshold:
+        return salted_join(probe, build, on, salt_factor=salt_factor, how=how)
+    return probe.join(build, list(on), how)
+
+
 def top_key_skew(df: DataFrame, keys: Sequence[str], n: int = 5) -> DataFrame:
     """Diagnostic: the n heaviest key groups and their share of all rows —
     the number to look at before choosing broadcast / AQE / salting."""

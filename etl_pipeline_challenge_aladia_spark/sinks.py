@@ -41,9 +41,12 @@ def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
     published — never a half-merged mix. Legacy/append layouts read the
     directory tree directly as before."""
     manifest = _read_manifest(path)
-    if manifest is not None and manifest["buckets"]:
+    if manifest is not None and manifest.get("buckets"):
         dirs = [os.path.join(path, d) for d in manifest["buckets"].values()]
         return spark.read.parquet(*dirs)
+    if manifest is not None and manifest.get("table_dir"):
+        df = spark.read.parquet(os.path.join(path, manifest["table_dir"]))
+        return df.drop("_day") if "_day" in df.columns else df
     df = spark.read.parquet(path)
     for layout_col in ("_day", "_bucket"):
         if layout_col in df.columns:
@@ -84,20 +87,79 @@ def upsert_warehouse_batch(spark: SparkSession, batch: DataFrame, path: str) -> 
     per batch; ``merge_warehouse_batch`` below is the batch-proportional
     MERGE used at scale.
 
-    Only the missing-path case falls back to batch-only; any other read
+    Visibility is SNAPSHOT-ATOMIC like the merge sink: each rewrite lands
+    as a new table-version directory published by one atomic manifest
+    rename, with the previous version retained one commit for in-flight
+    readers (``_commit_manifest``). A crash before the commit leaves only
+    an unreferenced staging/version dir — readers keep the old snapshot and
+    the next upsert garbage-collects the stray. Pre-manifest tables
+    (day dirs directly under ``path``, possibly with an interrupted
+    ``._old`` promote) are adopted in place.
+
+    Only the missing-table case starts from batch-only; any other read
     failure (IO, permissions, corruption) raises instead of silently
     discarding the stored table.
     """
-    _recover_dir(path, path + "._old")
-    if os.path.exists(path):
-        current = spark.read.parquet(path).drop("_day")
-        merged = current.unionByName(batch, allowMissingColumns=True)
+    import glob as _glob
+
+    manifest = _read_manifest(path)
+    if manifest is not None and "buckets" in manifest:
+        raise ValueError(
+            f"{path} was written by the bucketed MERGE sink; "
+            "use merge_warehouse_batch on it, not upsert_warehouse_batch"
+        )
+    legacy_entries: list[str] = []
+    if manifest is None:
+        # pre-manifest table (or fresh path): read whatever is stored —
+        # raising on anything unreadable, exactly like before — and migrate
+        # it into the first version directory on this write
+        _recover_dir(path, path + "._old")
+        shutil.rmtree(path + "._tmp", ignore_errors=True)
+        legacy_entries = (
+            [e for e in os.listdir(path) if not e.startswith("._")]
+            if os.path.exists(path)
+            else []
+        )
+        if legacy_entries:
+            current = spark.read.parquet(path)
+            if "_day" in current.columns:
+                current = current.drop("_day")
+            merged = current.unionByName(batch, allowMissingColumns=True)
+        else:
+            merged = batch
+        version = 1
+        garbage: list[str] = []
     else:
-        merged = batch
+        # GC: version dirs the manifest doesn't reference are aged-out
+        # garbage or strays from a crashed pre-commit attempt
+        for d in _glob.glob(os.path.join(path, "v[0-9]*")):
+            if os.path.basename(d) != manifest["table_dir"]:
+                shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(path + "._tmp", ignore_errors=True)
+        if manifest["table_dir"] is not None:
+            current = spark.read.parquet(
+                os.path.join(path, manifest["table_dir"])
+            ).drop("_day")
+            merged = current.unionByName(batch, allowMissingColumns=True)
+        else:
+            merged = batch
+        version = int(manifest["version"]) + 1
+        garbage = [manifest["table_dir"]] if manifest["table_dir"] else []
     deduped = latest_per_key(merged)
     out = deduped.withColumn("_day", F.to_date("original_timestamp"))
+    # executing this write also materializes the legacy read above, BEFORE
+    # anything is moved or deleted — an unreadable store raises here with
+    # the stored files untouched
     out.write.mode("overwrite").partitionBy("_day").parquet(path + "._tmp")
-    _promote_dir(path + "._tmp", path, path + "._old")
+    new_dir = f"v{version:08d}"
+    os.makedirs(path, exist_ok=True)
+    os.rename(path + "._tmp", os.path.join(path, new_dir))
+    _commit_manifest(
+        path, {"version": version, "table_dir": new_dir, "garbage": garbage}
+    )
+    for e in legacy_entries:
+        full = os.path.join(path, e)
+        shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
 
 
 #: Snapshot manifest file name (inside the table directory).
@@ -175,6 +237,11 @@ def merge_warehouse_batch(
     import glob as _glob
 
     manifest = _read_manifest(path)
+    if manifest is not None and "buckets" not in manifest:
+        raise ValueError(
+            f"{path} was written by the rewrite (upsert) sink; "
+            "use upsert_warehouse_batch on it, not merge_warehouse_batch"
+        )
     if manifest is None:
         # pre-manifest layout (or fresh table): adopt any legacy
         # ``_bucket=N`` partition dirs as version-0 buckets after running
@@ -307,6 +374,14 @@ def compact_warehouse(
     """
     import glob as _glob
     from concurrent.futures import ThreadPoolExecutor
+
+    # manifest-era upsert tables keep their day dirs inside the current
+    # version directory — compact within the published snapshot in place
+    # (day swaps stay crash-recoverable; snapshot atomicity is the
+    # sink's concern, compaction never changes row content)
+    manifest = _read_manifest(path)
+    if manifest is not None and manifest.get("table_dir"):
+        path = os.path.join(path, manifest["table_dir"])
 
     # repair any promote a previous compaction crashed in the middle of
     # (old-copy names are keyed by partition directory, so this is exact)

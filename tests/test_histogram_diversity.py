@@ -82,3 +82,76 @@ def test_quantize_col_range_and_monotone(spark):
     qs = [r["q"] for r in sorted(out, key=lambda r: r["v"])]
     assert min(qs) == 0 and max(qs) == 15
     assert qs == sorted(qs)  # monotone in v
+
+
+def test_zorder_layout_enables_file_skipping(spark, sf_dir, tmp_path):
+    """The point of the z-order key: files written range-partitioned by the
+    Morton key cover bounded rectangles of (custkey, orderdate) space, so a
+    narrow filter on EITHER dimension overlaps few files' min/max stats,
+    while a random layout leaves every file covering ~the full range (no
+    skipping). Asserted from the actual parquet footer statistics — the
+    same stats a scan's row-group pruning consults."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.layout import (
+        quantize_col,
+        zorder_key_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "o_day"
+        ),
+    )
+    lo = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_day"), F.max("o_day")
+    ).collect()[0]
+    ck_mn, ck_mx, d_mn, d_mx = (int(v) for v in lo)
+    z = zorder_key_col(
+        quantize_col(F.col("o_custkey"), F.lit(ck_mn), F.lit(ck_mx), 8),
+        quantize_col(F.col("o_day"), F.lit(d_mn), F.lit(d_mx), 8),
+        8,
+    )
+    n_files = 16
+    zdir, rdir = str(tmp_path / "zorder"), str(tmp_path / "random")
+    orders.withColumn("_z", z).repartitionByRange(n_files, "_z").drop(
+        "_z"
+    ).write.parquet(zdir)
+    orders.repartition(n_files).write.parquet(rdir)
+
+    def overlap_fraction(d: str, col: str, lo_v: int, hi_v: int) -> float:
+        files = glob.glob(os.path.join(d, "part-*.parquet"))
+        assert len(files) >= n_files // 2
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if min(mins) <= hi_v and max(maxs) >= lo_v:
+                hit += 1
+        return hit / len(files)
+
+    ck_span = (ck_mx - ck_mn) // 10
+    day_span = max(1, (d_mx - d_mn) // 10)
+    for col, lo_v, hi_v in [
+        ("o_custkey", ck_mn, ck_mn + ck_span),
+        ("o_day", d_mn, d_mn + day_span),
+    ]:
+        z_frac = overlap_fraction(zdir, col, lo_v, hi_v)
+        r_frac = overlap_fraction(rdir, col, lo_v, hi_v)
+        # random layout: every file spans ~everything; z-order: a ~10% slice
+        # of either dimension touches a minority of files
+        assert r_frac > 0.9, f"{col}: random layout unexpectedly prunable"
+        assert z_frac <= 0.5, f"{col}: zorder layout not prunable ({z_frac})"
+        assert z_frac < r_frac

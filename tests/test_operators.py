@@ -349,3 +349,35 @@ def test_pii_count_matches_scrub_on_nested_spans(spark):
     ).collect()[0]
     assert row["clean"] == "go to <URL> now"
     assert row["n"] == 2
+
+
+def test_auto_salted_join_decides_from_measured_skew(spark, sf_dir):
+    """auto_salted_join salts exactly when the measured top-key share
+    crosses the threshold: a skewed probe gets the explode+salt plan, a
+    uniform probe gets the plain join — and both return identical results
+    to the plain equi-join."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.skew import auto_salted_join
+
+    build = spark.range(10).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    skewed = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id") % 10).alias("k")
+    )
+    uniform = spark.range(1000).select((F.col("id") % 10).alias("k"))
+
+    for probe in (skewed, uniform):
+        got = auto_salted_join(probe, build, ["k"], share_threshold=0.5)
+        plain = probe.join(build, ["k"])
+        assert sorted(map(str, got.collect())) == sorted(map(str, plain.collect()))
+
+    salted_plan = auto_salted_join(
+        skewed, build, ["k"], share_threshold=0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    plain_plan = auto_salted_join(
+        uniform, build, ["k"], share_threshold=0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "explode" in salted_plan.lower()
+    assert "explode" not in plain_plan.lower()

@@ -393,3 +393,61 @@ def test_decode_health_observed_metrics(spark, dirs):
     total = sum(m["n_messages"] for m in observed)
     corrupt = sum(m["n_corrupt"] for m in observed)
     assert total == 3 and corrupt == 1
+
+
+def test_upsert_sink_snapshot_versions_and_migration(spark, tmp_path):
+    """The rewrite sink's atomicity contract: each upsert publishes a new
+    table-version directory via the manifest (previous version retained one
+    commit for in-flight readers), a stray pre-commit version is GC'd, and
+    a pre-manifest day-partitioned table migrates in place on first write."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        _read_manifest,
+        read_warehouse,
+        upsert_warehouse_batch,
+    )
+
+    path = str(tmp_path / "wh")
+    base = _merge_base_frame(spark)
+    # pre-manifest layout: day dirs directly under path
+    base.withColumn("_day", F.to_date("original_timestamp")).write.partitionBy(
+        "_day"
+    ).parquet(path)
+
+    upd = _merge_base_frame(spark, version=2, watched=555).filter(
+        F.col("original_id") == "doc_1"
+    )
+    upsert_warehouse_batch(spark, upd, path)
+    m1 = _read_manifest(path)
+    assert m1 is not None and m1["table_dir"] == "v00000001"
+    rows = {
+        r["original_id"]: r["watched_seconds"]
+        for r in read_warehouse(spark, path).collect()
+    }
+    assert len(rows) == 50 and rows["doc_1"] == 555
+
+    # stray version from a crashed pre-commit attempt: invisible, then GC'd
+    stray = os.path.join(path, "v00000099")
+    shutil.copytree(os.path.join(path, "v00000001"), stray)
+    assert read_warehouse(spark, path).count() == 50
+
+    upsert_warehouse_batch(
+        spark,
+        _merge_base_frame(spark, version=3, watched=7).filter(
+            F.col("original_id") == "doc_2"
+        ),
+        path,
+    )
+    m2 = _read_manifest(path)
+    assert m2["table_dir"] == "v00000002" and m2["garbage"] == ["v00000001"]
+    assert not os.path.exists(stray)
+    # previous version still on disk for in-flight readers (lag-1 retention)
+    assert os.path.isdir(os.path.join(path, "v00000001"))
+    rows = {
+        r["original_id"]: r["watched_seconds"]
+        for r in read_warehouse(spark, path).collect()
+    }
+    assert rows["doc_2"] == 7 and rows["doc_1"] == 555

@@ -78,11 +78,24 @@ def transform_documents(t: pa.Table, r: int) -> pa.Table:
 
 
 def transform_embeddings(t: pa.Table, r: int) -> pa.Table:
+    """Per-replica deterministic sign-flip pattern on the components:
+    preserves every norm and all intra-replica geometry (distances between
+    same-replica vectors are unchanged up to the common reflection), while
+    cross-replica cosines decorrelate — so near-dup/cluster structure
+    repeats 10x instead of every vector gaining 9 artificial near-twins
+    (a constant shift would leave cross-replica cosine ~= 1 and grow LSH
+    buckets 10x, testing the generator, not the engine)."""
     if r == 0:
         return t
+    import numpy as np
+
     col = t["embedding"].combine_chunks()
-    shifted = pc.add(col.values, pa.scalar(0.003 * r, type=pa.float32()))
-    arr = pa.ListArray.from_arrays(col.offsets, shifted)
+    vals = col.values.to_numpy(zero_copy_only=False).copy()
+    dim = len(vals) // t.num_rows
+    rng = np.random.RandomState(1000 + r)
+    signs = np.where(rng.rand(dim) < 0.5, -1.0, 1.0).astype("float32")
+    vals = (vals.reshape(-1, dim) * signs).reshape(-1)
+    arr = pa.ListArray.from_arrays(col.offsets, pa.array(vals, type=pa.float32()))
     return t.set_column(
         t.column_names.index("embedding"),
         pa.field("embedding", t.schema.field("embedding").type),
