@@ -62,6 +62,36 @@ def deterministic_sample(
     return df.filter(hash_bucket_col(id_col, buckets) < cut)
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Per-stratum rate sampling — the mixture-REWEIGHTING step (keep 10%
+    of crawl, 100% of curated, 50% of forum...), complementing
+    ``cap_per_group``'s absolute caps. Membership is the same pure
+    id-hash-bucket function as ``deterministic_sample``, applied with a
+    per-group cut, so it inherits every determinism property: stable
+    across runs/engines/partitionings, and nested across rates per group.
+
+    The rates table is a literal-sized frame broadcast into one equi-join
+    (never a shuffle of ``df``), then a single filter — scan-shaped cost
+    at any corpus size. Groups absent from ``rates`` use ``default_rate``.
+    """
+    spark = df.sparkSession
+    rows = [(k, int(v * buckets)) for k, v in sorted(rates.items())]
+    cuts = spark.createDataFrame(rows, f"{group_col} string, _cut int")
+    return (
+        df.join(F.broadcast(cuts), group_col, "left")
+        .withColumn("_cut", F.coalesce(F.col("_cut"), F.lit(int(default_rate * buckets))))
+        .filter(hash_bucket_col(id_col, buckets) < F.col("_cut"))
+        .drop("_cut")
+    )
+
+
 def cap_per_group(
     df: DataFrame, group_col: str, cap: int, id_col: str
 ) -> DataFrame:

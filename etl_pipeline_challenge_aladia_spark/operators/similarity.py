@@ -617,6 +617,174 @@ def kmeans_lite(
     )
 
 
+def pq_assignments(
+    embeddings: DataFrame,
+    blocks: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each vector into ``blocks`` contiguous
+    subvectors and train an independent ``kmeans_lite`` codebook per block
+    -> (id, block, code, dist_fx) where ``code`` is the block's nearest
+    codeword and ``dist_fx`` the EXACT int64 fixed-point squared
+    reconstruction error of that block (1e-8 quanta).
+
+    The memory math that motivates PQ at 100 TB: a 64-dim float32 vector
+    (256 B) compresses to ``blocks`` codeword ids (4 B at blocks=4, k<=256)
+    — a 64x shrink with distances still computable from codebook lookup
+    tables. Each block's training is the same broadcast-centroid Lloyd's
+    pass as ``kmeans_lite`` (deterministic: lowest-id init, fixed-point
+    distances, order-independent centroid means), so the whole operator is
+    engine-reproducible and the SQL twin unrolls per block x round.
+    """
+    codes, _books = pq_model(embeddings, blocks, k, iters, id_col, vec_col)
+    return codes
+
+
+def pq_model(
+    embeddings: DataFrame,
+    blocks: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train the PQ model once and return BOTH halves:
+
+    - ``codes``: (id, block, code, dist_fx) — each vector's nearest
+      codeword per block and its exact int64 reconstruction error;
+    - ``codebooks``: (block, code, centroid array<double>) — the codeword
+      vectors, components recomputed from the final assignment with the
+      same order-independent fixed-point mean the training rounds use, so
+      the model is engine-reproducible end-to-end.
+
+    ``codebooks`` is blocks x k rows — broadcast-sized at any corpus
+    scale; ADC search (``pq_adc_topk``) needs only these two frames plus
+    the query vectors, never the original corpus vectors.
+    """
+    first = embeddings.select(to_double_array(vec_col).alias("v")).first()
+    dim = len(first["v"])
+    if dim % blocks:
+        raise ValueError(f"dim {dim} not divisible into {blocks} blocks")
+    sub_len = dim // blocks
+    code_parts, book_parts = [], []
+    for b in range(blocks):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(to_double_array(vec_col), b * sub_len + 1, sub_len).alias(
+                "sub"
+            ),
+        )
+        a = kmeans_lite(sub, k=k, iters=iters, id_col=id_col, vec_col="sub")
+        code_parts.append(
+            a.select(
+                "id",
+                F.lit(b).cast("long").alias("block"),
+                F.col("cluster").cast("long").alias("code"),
+                "dist_fx",
+            )
+        )
+        members = a.select("id", "cluster").join(
+            sub.select(F.col(id_col).alias("id"), "sub"), "id"
+        )
+        book_parts.append(
+            members.select("cluster", F.posexplode("sub").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(round_half_up(avg_fixed_point(F.col("val")), 6).alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda x: x["cv"],
+                ).alias("centroid")
+            )
+            .select(
+                F.lit(b).cast("long").alias("block"),
+                F.col("cluster").cast("long").alias("code"),
+                "centroid",
+            )
+        )
+    codes, books = code_parts[0], book_parts[0]
+    for c in code_parts[1:]:
+        codes = codes.unionByName(c)
+    for bk in book_parts[1:]:
+        books = books.unionByName(bk)
+    return codes, books
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    blocks: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate nearest neighbors over PQ
+    codes: per (query, block, codeword) squared distances form a tiny
+    lookup table (queries x blocks x k rows, broadcast), and each
+    candidate's approximate distance is ONE sum of ``blocks`` table
+    lookups joined on its codes — the corpus's raw vectors are never
+    touched at query time. This is the classic IVF-ADC shape at 100 TB:
+    the codes table (a few bytes/vector) is the only corpus-sized scan.
+
+    Distances stay exact int64 fixed-point (1e-8 quanta) end-to-end, so
+    ranking ties break identically in any engine ((dist, neighbor_id)
+    order).
+    """
+    codes, books = pq_model(embeddings, blocks, k, iters, id_col, vec_col)
+    first = queries.select(to_double_array(vec_col).alias("v")).first()
+    dim = len(first["v"])
+    sub_len = dim // blocks
+    q_subs = None
+    for b in range(blocks):
+        part = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.lit(b).cast("long").alias("block"),
+            F.slice(to_double_array(vec_col), b * sub_len + 1, sub_len).alias(
+                "qsub"
+            ),
+        )
+        q_subs = part if q_subs is None else q_subs.unionByName(part)
+    fx = F.aggregate(
+        F.zip_with(
+            "qsub",
+            "centroid",
+            lambda a, c: F.floor(
+                (a - c) * (a - c) * F.lit(100000000.0) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = q_subs.join(books, "block").select(
+        "query_id", "block", "code", fx.alias("qfx")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["block", "code"])
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("qfx").alias("adc_fx"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_fx", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(
+                F.col("adc_fx").cast("double") / F.lit(100000000.0), 6
+            ).alias("adc_dist"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def rp_planes(bits: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1): component (i, j)
     is md5("rp{seed}_{i}_{j}") folded to 32 bits and rescaled. Generated

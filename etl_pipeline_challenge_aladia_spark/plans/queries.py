@@ -2269,6 +2269,206 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_chain_sql(b: int, lo: int, hi: int, k: int, iters: int, src: str) -> str:
+    """One PQ block's unrolled kmeans CTE chain (prefixed ``b{b}``), over
+    ``src``'s ``full_e[lo:hi]`` slice — the ``_kmeans_oracle_sql`` pattern
+    under the same exactness contract: fixed-point int64 distances,
+    order-independent fixed-point centroid means, lowest-id init,
+    cluster-index tie-breaks. Ends at ``b{b}a{iters}``: (vec_id, cluster,
+    fx)."""
+    fx = (
+        "sum(CAST(floor((ev.val - c.cv) * (ev.val - c.cv) * 100000000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    p = f"b{b}"
+    parts = [
+        f""",
+{p}e AS (SELECT vec_id, full_e[{lo}:{hi}] AS e FROM {src}),
+{p}ev AS (SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM {p}e),
+{p}init AS (SELECT vec_id, e FROM {p}e ORDER BY vec_id LIMIT {k}),
+{p}c0a AS (SELECT e, row_number() OVER (ORDER BY vec_id) AS cluster FROM {p}init),
+{p}c0 AS (SELECT cluster, generate_subscripts(e, 1) AS dim, unnest(e) AS cv FROM {p}c0a)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""",
+{p}d{r} AS (
+  SELECT ev.vec_id, c.cluster, {fx} AS fx
+  FROM {p}ev ev JOIN {p}c{r - 1} c USING (dim) GROUP BY ev.vec_id, c.cluster
+),
+{p}a{r} AS (
+  SELECT vec_id, cluster, fx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fx, cluster) AS rn
+    FROM {p}d{r})
+  WHERE rn = 1
+)"""
+        )
+        if r < iters:
+            parts.append(
+                f""",
+{p}c{r} AS (
+  SELECT a.cluster, ev.dim, {sql_round_half_up(sql_avg_fixed_point('ev.val'), 6)} AS cv
+  FROM {p}a{r} a JOIN {p}ev ev ON ev.vec_id = a.vec_id GROUP BY a.cluster, ev.dim
+)"""
+            )
+    return "".join(parts)
+
+
+def _pq_oracle_sql(blocks: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-SQL twin of pq_assignments + the per-label error rollup."""
+    sub = dim // blocks
+    parts = [
+        """WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS full_e
+  FROM embeddings
+)"""
+    ]
+    for b in range(blocks):
+        parts.append(_pq_chain_sql(b, b * sub + 1, (b + 1) * sub, k, iters, "v"))
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, fx FROM b{b}a{iters}" for b in range(blocks)
+    )
+    parts.append(
+        f""",
+u AS ({union}),
+pv AS (SELECT vec_id, sum(fx) AS fx FROM u GROUP BY vec_id)
+SELECT CAST(v.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {sql_round_half_up('CAST(sum(pv.fx) AS DOUBLE) / 100000000.0 / count(*)', 6)}
+         AS avg_pq_err
+FROM pv JOIN v USING (vec_id) GROUP BY v.label"""
+    )
+    return "".join(parts)
+
+
+def _pq_adc_oracle_sql(
+    blocks: int = 4, k: int = 4, iters: int = 2, dim: int = 64, topk: int = 5
+) -> str:
+    """Unrolled-SQL twin of pq_adc_topk: train per-block codebooks on the
+    candidate set (vec_id >= 5), rebuild the final codeword components with
+    the shared fixed-point mean, build the (query, block, code) distance
+    lookup table from the query slices, then rank candidates by the summed
+    table lookups — every distance an exact int64."""
+    sub = dim // blocks
+    qfx = (
+        "sum(CAST(floor((q.val - cb.cv) * (q.val - cb.cv) * 100000000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    parts = [
+        """WITH va AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS full_e
+  FROM embeddings
+),
+v AS (SELECT * FROM va WHERE vec_id >= 5)"""
+    ]
+    score_unions = []
+    for b in range(blocks):
+        lo, hi = b * sub + 1, (b + 1) * sub
+        p = f"b{b}"
+        parts.append(_pq_chain_sql(b, lo, hi, k, iters, "v"))
+        parts.append(
+            f""",
+{p}cb AS (
+  SELECT a.cluster AS code, ev.dim,
+         {sql_round_half_up(sql_avg_fixed_point('ev.val'), 6)} AS cv
+  FROM {p}a{iters} a JOIN {p}ev ev ON ev.vec_id = a.vec_id
+  GROUP BY a.cluster, ev.dim
+),
+{p}q AS (
+  SELECT vec_id AS query_id, generate_subscripts(full_e[{lo}:{hi}], 1) AS dim,
+         unnest(full_e[{lo}:{hi}]) AS val
+  FROM va WHERE vec_id < 5
+),
+{p}lut AS (
+  SELECT q.query_id, cb.code, {qfx} AS qfx
+  FROM {p}q q JOIN {p}cb cb USING (dim) GROUP BY q.query_id, cb.code
+)"""
+        )
+        score_unions.append(
+            f"SELECT l.query_id, a.vec_id AS neighbor_id, l.qfx"
+            f" FROM b{b}a{iters} a JOIN b{b}lut l ON l.code = a.cluster"
+        )
+    union = " UNION ALL ".join(score_unions)
+    parts.append(
+        f""",
+s AS ({union}),
+agg AS (
+  SELECT query_id, neighbor_id, sum(qfx) AS adc_fx
+  FROM s GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id,
+       {sql_round_half_up('CAST(adc_fx AS DOUBLE) / 100000000.0', 6)} AS adc_dist,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_fx, neighbor_id) AS rnk
+  FROM agg)
+WHERE rnk <= {topk}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "emb_pq_error",
+    _pq_oracle_sql(),
+    doc="Product-quantization fidelity per label: independent kmeans_lite "
+    "codebooks over 4 contiguous subvector blocks (k=4, 2 Lloyd rounds "
+    "each), mean squared reconstruction error per label "
+    "(operators/similarity.py:pq_assignments). The compression story "
+    "behind ANN at 100 TB: 64-dim float vectors -> 4 codeword ids (64x "
+    "smaller) with distances from codebook lookup tables; IVF handles the "
+    "coarse routing, PQ the residual compression. The SQL oracle unrolls "
+    "blocks x rounds as prefixed CTE chains under the engine-exactness "
+    "contract (fixed-point distances, order-independent centroid means).",
+)
+def q_emb_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        pq_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asn = pq_assignments(emb, blocks=4, k=4, iters=2)
+    per_vec = asn.groupBy("id").agg(F.sum("dist_fx").alias("fx"))
+    lab = emb.select(
+        F.col("vec_id").alias("id"), F.col("label").cast("long").alias("label")
+    )
+    return (
+        per_vec.join(lab, "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            round_half_up(
+                F.sum("fx").cast("double") / F.lit(100000000.0) / F.count(F.lit(1)),
+                6,
+            ).alias("avg_pq_err"),
+        )
+    )
+
+
+@query(
+    "emb_pq_adc_topk",
+    _pq_adc_oracle_sql(),
+    doc="PQ asymmetric-distance (ADC) approximate top-5 neighbors "
+    "(operators/similarity.py:pq_adc_topk): per-block codebooks trained on "
+    "the candidate set, a queries x blocks x k distance lookup table "
+    "(broadcast), and each candidate scored by ONE sum of code lookups — "
+    "raw corpus vectors never touched at query time. With IVF for coarse "
+    "routing this is the standard IVF-ADC layout serving billion-vector "
+    "ANN; distances stay exact int64 fixed-point so ranking is "
+    "engine-identical. Oracle: the per-block kmeans chains plus lookup "
+    "scoring, fully unrolled.",
+)
+def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return pq_adc_topk(cands, queries_df, blocks=4, k=4, iters=2, topk=5)
+
+
 @query(
     "tpch_q21_sole_late_supplier",
     """
@@ -2797,6 +2997,45 @@ def q_doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from etl_pipeline_challenge_aladia_spark.functions.hashing import sql_md5_fold32  # noqa: E402
+
+
+_STRAT_RATES = {"en": 0.3, "zh": 1.0, "fr": 0.6}  # default 1.0 for the rest
+
+
+@query(
+    "doc_stratified_sample",
+    f"""
+WITH cuts(lang, cut) AS (VALUES ('en', 300), ('zh', 1000), ('fr', 600)),
+b AS (
+  SELECT d.lang, d.n_chars,
+         {sql_md5_fold32("CAST(d.doc_id AS VARCHAR)")} % 1000 AS bucket,
+         coalesce(c.cut, 1000) AS cut
+  FROM documents d LEFT JOIN cuts c USING (lang)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM b WHERE bucket < cut
+GROUP BY lang
+""",
+    doc="Mixture reweighting by per-stratum sampling rates "
+    "(operators/sampling.py:stratified_sample): keep 30% of en, 60% of fr, "
+    "everything else whole — membership is the same pure id-hash-bucket "
+    "function as the global sampler, so per-language subsets are stable "
+    "across runs/engines and nested across rates. The rates frame is "
+    "literal-sized and broadcast; the corpus never shuffles.",
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", _STRAT_RATES, id_col="doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
 
 
 @query(

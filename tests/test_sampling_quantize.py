@@ -134,3 +134,31 @@ def test_l2_normalize(spark):
         sum(x * x for x in got[0]["n"]), 1.0, rel_tol=1e-12
     )
     assert got[1]["n"] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_stratified_sample_nested_and_deterministic(spark, sf_dir):
+    """Per-stratum rate sampling: lower per-group rates select SUBSETS of
+    higher ones (nested samples), unlisted groups keep default_rate, and
+    membership is stable across repartitionings."""
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo = stratified_sample(docs, "lang", {"en": 0.1, "fr": 0.3}, "doc_id")
+    hi = stratified_sample(docs, "lang", {"en": 0.4, "fr": 0.9}, "doc_id")
+    lo_ids = {r["doc_id"] for r in lo.select("doc_id").collect()}
+    hi_ids = {r["doc_id"] for r in hi.select("doc_id").collect()}
+    assert lo_ids <= hi_ids
+    # unlisted langs ride through whole at default_rate=1.0
+    n_de = docs.filter("lang = 'de'").count()
+    assert lo.filter("lang = 'de'").count() == n_de
+    # stable under repartitioning
+    re_ids = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13), "lang", {"en": 0.1, "fr": 0.3}, "doc_id"
+        ).select("doc_id").collect()
+    }
+    assert re_ids == lo_ids

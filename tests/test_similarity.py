@@ -72,3 +72,24 @@ def test_cosine_pairs_blocked_equals_fold_baseline(spark, sf_dir):
     assert set(fold) == set(blocked)
     diffs = [k for k in fold if abs(fold[k] - blocked[k]) > 1e-12]
     assert not diffs, f"rounded similarity drift on {len(diffs)} pairs: {diffs[:5]}"
+
+
+def test_pq_model_shapes_and_codes(spark, sf_dir):
+    """PQ model sanity: every vector gets exactly one code per block, codes
+    index into the blocks x k codebook, reconstruction errors are
+    non-negative, and the codebook is broadcast-sized."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import pq_model
+    from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    codes, books = pq_model(emb, blocks=4, k=4, iters=2)
+    assert codes.count() == n * 4
+    assert codes.groupBy("id").count().filter("count != 4").count() == 0
+    assert codes.filter("code < 1 or code > 4").count() == 0
+    assert codes.filter("dist_fx < 0").count() == 0
+    b = books.collect()
+    assert len(b) == 16  # 4 blocks x k=4
+    assert all(len(r["centroid"]) == 16 for r in b)  # 64 dims / 4 blocks

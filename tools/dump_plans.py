@@ -28,6 +28,9 @@ PICKS = {
     "shrinks the build side to a handful of orders before orders/customer join",
     "tpch_q6_revenue_forecast": "pure scan+filter+agg: predicates in "
     "PushedFilters, ReadSchema pruned to 4 columns, whole-stage codegen end to end",
+    "emb_pq_adc_topk": "PQ-ADC serving shape: the corpus-sized side is the "
+    "skinny codes frame; the distance lookup table (queries x blocks x k) "
+    "is broadcast into one join; raw vectors never read at query time",
     "minhash_near_dup": "explode -> one hash aggregation for signatures; "
     "band self-join only over matching band keys (no all-pairs)",
     "doc_ngram_jaccard_dups": "exact Jaccard via inverted shingle index: "
