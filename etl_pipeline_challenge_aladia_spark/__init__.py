@@ -25,6 +25,7 @@ from etl_pipeline_challenge_aladia_spark.sinks import (  # noqa: E402
     compact_warehouse,
     merge_warehouse_batch,
     read_warehouse,
+    read_warehouse_key,
     save_bucketed,
     upsert_warehouse_batch,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "warehouse_dedup_view",
     "append_warehouse",
     "read_warehouse",
+    "read_warehouse_key",
     "upsert_warehouse_batch",
     "merge_warehouse_batch",
     "compact_warehouse",

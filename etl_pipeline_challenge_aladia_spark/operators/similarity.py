@@ -147,6 +147,95 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """Signature -> one row per (id, band, band key). The band key is the
+    EXACT concatenation of the band's signature slice (not a hash): no
+    false candidates from key collisions, and the candidate set is
+    engine-reproducible (the DuckDB oracle builds the same keys)."""
+    rows_per_band = num_perm // bands
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup: each DELTA doc checked against the existing
+    CORPUS — the daily-ingest dedup shape. Band rows are built for both
+    sides, but candidates come ONLY from delta-vs-corpus bucket joins:
+    query-time cost scales with the delta's shingles plus the bucket
+    matches, never corpus x corpus (at 100 TB the corpus side is a
+    precomputed, stored signature table — recompute here only because the
+    fixture is small). Delta-internal duplicates are a separate
+    ``minhash_near_dup_pairs`` call on the delta alone.
+
+    Output: (delta_id, corpus_id, jaccard >= threshold), exact-Jaccard
+    verified like the batch path.
+    """
+    corpus_bands = _band_rows(
+        minhash_signatures(corpus, id_col, text_col, n, num_perm, seed),
+        num_perm,
+        bands,
+    ).alias("x")
+    delta_bands = _band_rows(
+        minhash_signatures(delta, id_col, text_col, n, num_perm, seed),
+        num_perm,
+        bands,
+    ).alias("y")
+    candidates = (
+        delta_bands.join(
+            corpus_bands,
+            (F.col("y.band") == F.col("x.band"))
+            & (F.col("y.band_hash") == F.col("x.band_hash")),
+        )
+        .select(F.col("y.id").alias("delta_id"), F.col("x.id").alias("corpus_id"))
+        .distinct()
+    )
+    sh_c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        shingles_col(tokens_col(text_col), n).alias("sh_c"),
+    )
+    sh_d = delta.select(
+        F.col(id_col).alias("delta_id"),
+        shingles_col(tokens_col(text_col), n).alias("sh_d"),
+    )
+    return (
+        candidates.join(sh_d, "delta_id")
+        .join(sh_c, "corpus_id")
+        .select(
+            "delta_id",
+            "corpus_id",
+            round_half_up(jaccard_cols(F.col("sh_d"), F.col("sh_c")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -163,28 +252,10 @@ def minhash_near_dup_pairs(
     at j=0.8, steeply suppressing low-similarity pairs. Candidates then
     verify against exact shingle Jaccard so output precision is exact.
     """
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm, seed)
-
-    # band key = exact concatenation of the band's signature slice (not a
-    # hash): no false candidates from key collisions, and the candidate set
-    # is engine-reproducible (the DuckDB oracle builds the same keys)
-    band_rows = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("signature")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+    band_rows = _band_rows(
+        minhash_signatures(docs, id_col, text_col, n, num_perm, seed),
+        num_perm,
+        bands,
     )
     left = band_rows.alias("x")
     right = band_rows.alias("y")
@@ -560,16 +631,39 @@ def kmeans_lite(
     (this is the real coarse quantizer behind ivf_topk's ``label`` stand-in).
     """
     vecs = embeddings.select(
-        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+        F.lit(0).alias("grp"),
+        F.col(id_col).alias("id"),
+        to_double_array(vec_col).alias("v"),
     )
-    w = Window.partitionBy("id").orderBy("dist_fx", "cluster")
+    return kmeans_lite_grouped(vecs, k=k, iters=iters, scale=scale).select(
+        "id", "cluster", "dist_fx", "dist"
+    )
+
+
+def kmeans_lite_grouped(
+    vecs: DataFrame, k: int = 8, iters: int = 3, scale: int = 6
+) -> DataFrame:
+    """Lloyd's k-means over MANY groups at once: ``vecs`` is (grp, id, v)
+    and every group trains its own independent k centroids, but all groups
+    share each round's jobs — one broadcast join, one argmin window, one
+    (grp, cluster, dim) aggregation, one lineage checkpoint PER ROUND,
+    regardless of group count. This is what lets product quantization train
+    ``blocks`` codebooks for the price of one k-means, and at 100 TB it is
+    the difference between ``blocks`` passes over the corpus per round and
+    a single pass.
+
+    Per-group semantics are identical to the single-group ``kmeans_lite``
+    (the oracle unrolls per group unchanged): init = the k lowest-id
+    vectors OF THE GROUP, fixed-point int64 distances (argmin is integer
+    compare, ties to the lower cluster index), centroid components from
+    the order-independent fixed-point mean, rounded half-up.
+    """
+    w = Window.partitionBy("grp", "id").orderBy("dist_fx", "cluster")
+    w_init = Window.partitionBy("grp").orderBy("id")
     centroids = (
-        vecs.orderBy("id")
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy("id")).alias("cluster"),
-            F.col("v").alias("c"),
-        )
+        vecs.withColumn("_rn", F.row_number().over(w_init))
+        .filter(F.col("_rn") <= k)
+        .select("grp", F.col("_rn").alias("cluster"), F.col("v").alias("c"))
         .localCheckpoint(eager=True)
     )
     assigned = None
@@ -586,17 +680,17 @@ def kmeans_lite(
         )
         dist_fx = F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x)
         assigned = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .select("id", "v", "cluster", dist_fx.alias("dist_fx"))
+            vecs.join(F.broadcast(centroids), "grp")
+            .select("grp", "id", "v", "cluster", dist_fx.alias("dist_fx"))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
         centroids = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
+            assigned.select("grp", "cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("grp", "cluster", "dim")
             .agg(round_half_up(avg_fixed_point(F.col("val")), scale).alias("cv"))
-            .groupBy("cluster")
+            .groupBy("grp", "cluster")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("dim", "cv"))),
@@ -610,6 +704,7 @@ def kmeans_lite(
     # of round-tripping the double `dist` back through floor(x*1e8+0.5),
     # which silently breaks past ~2^52; `dist` is the human-scale view.
     return assigned.select(
+        "grp",
         "id",
         "cluster",
         "dist_fx",
@@ -669,48 +764,51 @@ def pq_model(
     if dim % blocks:
         raise ValueError(f"dim {dim} not divisible into {blocks} blocks")
     sub_len = dim // blocks
-    code_parts, book_parts = [], []
-    for b in range(blocks):
-        sub = embeddings.select(
-            F.col(id_col),
-            F.slice(to_double_array(vec_col), b * sub_len + 1, sub_len).alias(
-                "sub"
-            ),
-        )
-        a = kmeans_lite(sub, k=k, iters=iters, id_col=id_col, vec_col="sub")
-        code_parts.append(
-            a.select(
-                "id",
+    # ONE scan fans every vector out to its block subvectors (block = the
+    # k-means group), so all codebooks train together in kmeans_lite_grouped
+    # — per round: one broadcast join + one window + one aggregation, not
+    # ``blocks`` separate job chains
+    slices = F.array(
+        *[
+            F.struct(
                 F.lit(b).cast("long").alias("block"),
-                F.col("cluster").cast("long").alias("code"),
-                "dist_fx",
+                F.slice(
+                    to_double_array(vec_col), b * sub_len + 1, sub_len
+                ).alias("sub"),
             )
+            for b in range(blocks)
+        ]
+    )
+    subs = embeddings.select(
+        F.col(id_col).alias("id"), F.explode(slices).alias("s")
+    ).select(F.col("s.block").alias("grp"), "id", F.col("s.sub").alias("v"))
+    a = kmeans_lite_grouped(subs, k=k, iters=iters).localCheckpoint(eager=True)
+    codes = a.select(
+        "id",
+        F.col("grp").alias("block"),
+        F.col("cluster").cast("long").alias("code"),
+        "dist_fx",
+    )
+    members = a.select("grp", "id", "cluster").join(
+        subs.select("grp", "id", "v"), ["grp", "id"]
+    )
+    books = (
+        members.select("grp", "cluster", F.posexplode("v").alias("dim", "val"))
+        .groupBy("grp", "cluster", "dim")
+        .agg(round_half_up(avg_fixed_point(F.col("val")), 6).alias("cv"))
+        .groupBy("grp", "cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda x: x["cv"],
+            ).alias("centroid")
         )
-        members = a.select("id", "cluster").join(
-            sub.select(F.col(id_col).alias("id"), "sub"), "id"
+        .select(
+            F.col("grp").alias("block"),
+            F.col("cluster").cast("long").alias("code"),
+            "centroid",
         )
-        book_parts.append(
-            members.select("cluster", F.posexplode("sub").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(round_half_up(avg_fixed_point(F.col("val")), 6).alias("cv"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda x: x["cv"],
-                ).alias("centroid")
-            )
-            .select(
-                F.lit(b).cast("long").alias("block"),
-                F.col("cluster").cast("long").alias("code"),
-                "centroid",
-            )
-        )
-    codes, books = code_parts[0], book_parts[0]
-    for c in code_parts[1:]:
-        codes = codes.unionByName(c)
-    for bk in book_parts[1:]:
-        books = books.unionByName(bk)
+    )
     return codes, books
 
 
@@ -767,6 +865,105 @@ def pq_adc_topk(
     )
     scored = (
         codes.join(F.broadcast(lut), ["block", "code"])
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("qfx").alias("adc_fx"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_fx", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(
+                F.col("adc_fx").cast("double") / F.lit(100000000.0), 6
+            ).alias("adc_dist"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def ivf_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    nprobe: int = 2,
+    blocks: int = 4,
+    k_code: int = 4,
+    iters: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-ADC: the full billion-vector serving layout — coarse cells route
+    each query to its ``nprobe`` nearest cell centroids (exact fixed-point
+    L2, broadcast centroid table), then only the probed cells' PQ codes are
+    scored by broadcast distance-table lookups (``pq_adc_topk``'s ADC).
+
+    Query-time cost at 100 TB: centroids (cells x dim) and the lookup
+    table (queries x blocks x k) broadcast; the only corpus-sized input is
+    the skinny codes frame, pre-filterable to probed cells (partition
+    pruning when codes are stored partitioned by cell). Raw vectors are
+    touched only at model-build time. All arithmetic is exact int64
+    fixed-point, so probe selection and final ranking are engine-identical
+    ((dist, cell) and (dist, neighbor_id) tie-breaks).
+    """
+    cents = label_centroids(embeddings, None, cell_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double_array(vec_col).alias("qe")
+    )
+    cell_fx = F.aggregate(
+        F.zip_with(
+            "qe",
+            "centroid",
+            lambda a, c: F.floor(
+                (a - c) * (a - c) * F.lit(100000000.0) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy("cell_fx", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "cell", cell_fx.alias("cell_fx"))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    codes, books = pq_model(embeddings, blocks, k_code, iters, id_col, vec_col)
+    cells = embeddings.select(
+        F.col(id_col).alias("id"), F.col(cell_col).alias("cell")
+    )
+    first = q.select("qe").first()
+    sub_len = len(first["qe"]) // blocks
+    q_subs = None
+    for b in range(blocks):
+        part = q.select(
+            "query_id",
+            F.lit(b).cast("long").alias("block"),
+            F.slice("qe", b * sub_len + 1, sub_len).alias("qsub"),
+        )
+        q_subs = part if q_subs is None else q_subs.unionByName(part)
+    qfx = F.aggregate(
+        F.zip_with(
+            "qsub",
+            "centroid",
+            lambda a, c: F.floor(
+                (a - c) * (a - c) * F.lit(100000000.0) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = q_subs.join(books, "block").select(
+        "query_id", "block", "code", qfx.alias("qfx")
+    )
+    scored = (
+        codes.join(cells, "id")
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["query_id", "block", "code"])
         .groupBy("query_id", F.col("id").alias("neighbor_id"))
         .agg(F.sum("qfx").alias("adc_fx"))
     )

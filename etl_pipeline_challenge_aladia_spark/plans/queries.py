@@ -942,6 +942,57 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.8)
 
 
+def _minhash_incremental_oracle_sql(split_id: int = 400) -> str:
+    """The incremental variant of the MinHash oracle: same tok/sig/bands
+    CTEs, but candidates pair delta docs (doc_id >= split) against corpus
+    docs (doc_id < split) only."""
+    jexpr = _s4(
+        "CAST(len(list_intersect(td.sh, tc.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(td.sh, tc.sh)))"
+    )
+    return _minhash_oracle_sql(prefix_only=True).replace(
+        """cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)""",
+        f"""cand AS (
+  SELECT DISTINCT b.doc_id AS delta_id, a.doc_id AS corpus_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < {split_id} AND b.doc_id >= {split_id}
+)""",
+    ) + f"""
+SELECT c.delta_id, c.corpus_id, {jexpr} AS jaccard
+FROM cand c
+JOIN tok td ON td.doc_id = c.delta_id
+JOIN tok tc ON tc.doc_id = c.corpus_id
+WHERE {jexpr} >= 0.8
+"""
+
+
+@query(
+    "doc_incremental_near_dup",
+    _minhash_incremental_oracle_sql(),
+    doc="Incremental (delta-vs-corpus) MinHash near-dup "
+    "(operators/similarity.py:minhash_incremental_pairs): new docs "
+    "(doc_id >= 400, the 'daily ingest') checked against the existing "
+    "corpus via LSH bucket joins between the two signature sets — cost "
+    "scales with the delta, never corpus x corpus. At scale the corpus "
+    "signatures are a stored table; exact-Jaccard verification keeps "
+    "output precision exact, same as the batch path.",
+)
+def q_doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_incremental_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    return minhash_incremental_pairs(corpus, delta, threshold=0.8)
+
+
 @query(
     "emb_cosine_topk",
     f"""
@@ -2443,6 +2494,128 @@ def q_emb_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_pq_err"),
         )
     )
+
+
+def _ivf_adc_oracle_sql(
+    blocks: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    nprobe: int = 2,
+) -> str:
+    """Unrolled-SQL twin of ivf_adc_topk: cell centroids + fixed-point
+    probe ranking on top of the PQ-ADC oracle's block chains and lookup
+    tables, with candidates filtered to each query's probed cells."""
+    sub = dim // blocks
+    cellfx = (
+        "sum(CAST(floor((q.val - c.cv) * (q.val - c.cv) * 100000000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    qfx = (
+        "sum(CAST(floor((q.val - cb.cv) * (q.val - cb.cv) * 100000000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    parts = [
+        f"""WITH va AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS full_e
+  FROM embeddings
+),
+v AS (SELECT * FROM va WHERE vec_id >= 5),
+vev AS (SELECT label, generate_subscripts(full_e, 1) AS dim, unnest(full_e) AS val
+        FROM v),
+cent AS (
+  SELECT label, dim, {sql_round_half_up(sql_avg_fixed_point('val'), 6)} AS cv
+  FROM vev GROUP BY label, dim
+),
+qv AS (SELECT vec_id AS query_id, generate_subscripts(full_e, 1) AS dim,
+              unnest(full_e) AS val
+       FROM va WHERE vec_id < 5),
+probefx AS (
+  SELECT q.query_id, c.label AS cell, {cellfx} AS cell_fx
+  FROM qv q JOIN cent c USING (dim) GROUP BY q.query_id, c.label
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cell_fx, cell) AS rn
+    FROM probefx)
+  WHERE rn <= {nprobe}
+),
+cells AS (SELECT vec_id, label AS cell FROM v)"""
+    ]
+    score_unions = []
+    for b in range(blocks):
+        lo, hi = b * sub + 1, (b + 1) * sub
+        p = f"b{b}"
+        parts.append(_pq_chain_sql(b, lo, hi, k, iters, "v"))
+        parts.append(
+            f""",
+{p}cb AS (
+  SELECT a.cluster AS code, ev.dim,
+         {sql_round_half_up(sql_avg_fixed_point('ev.val'), 6)} AS cv
+  FROM {p}a{iters} a JOIN {p}ev ev ON ev.vec_id = a.vec_id
+  GROUP BY a.cluster, ev.dim
+),
+{p}q AS (
+  SELECT vec_id AS query_id, generate_subscripts(full_e[{lo}:{hi}], 1) AS dim,
+         unnest(full_e[{lo}:{hi}]) AS val
+  FROM va WHERE vec_id < 5
+),
+{p}lut AS (
+  SELECT q.query_id, cb.code, {qfx} AS qfx
+  FROM {p}q q JOIN {p}cb cb USING (dim) GROUP BY q.query_id, cb.code
+)"""
+        )
+        score_unions.append(
+            f"SELECT l.query_id, a.vec_id AS neighbor_id, l.qfx"
+            f" FROM b{b}a{iters} a"
+            f" JOIN cells ce ON ce.vec_id = a.vec_id"
+            f" JOIN b{b}lut l ON l.code = a.cluster"
+            f" JOIN probes p ON p.query_id = l.query_id AND p.cell = ce.cell"
+        )
+    union = " UNION ALL ".join(score_unions)
+    parts.append(
+        f""",
+s AS ({union}),
+agg AS (
+  SELECT query_id, neighbor_id, sum(qfx) AS adc_fx
+  FROM s GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id,
+       {sql_round_half_up('CAST(adc_fx AS DOUBLE) / 100000000.0', 6)} AS adc_dist,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_fx, neighbor_id) AS rnk
+  FROM agg)
+WHERE rnk <= {topk}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "emb_ivf_adc_topk",
+    _ivf_adc_oracle_sql(),
+    doc="IVF-ADC, the full billion-vector ANN serving layout "
+    "(operators/similarity.py:ivf_adc_topk): queries route to their nprobe "
+    "nearest cell centroids by exact fixed-point L2, then ONLY the probed "
+    "cells' PQ codes are scored via the broadcast distance lookup table. "
+    "Composes the IVF coarse structure with the PQ compression — raw "
+    "vectors touched only at model-build time; the query-time corpus-sized "
+    "input is the skinny codes frame pre-filtered to probed cells. Oracle "
+    "unrolls centroids + probe ranking + per-block kmeans chains + lookup "
+    "scoring, all exact int64.",
+)
+def q_emb_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import ivf_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return ivf_adc_topk(cands, queries_df, topk=5, nprobe=2, blocks=4, k_code=4)
 
 
 @query(

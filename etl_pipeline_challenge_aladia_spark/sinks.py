@@ -325,6 +325,43 @@ def merge_warehouse_batch(
     return written
 
 
+def read_warehouse_key(
+    spark: SparkSession,
+    path: str,
+    key_values: Sequence[str],
+    keys: Sequence[str] = tuple(DEDUP_KEY),
+) -> DataFrame:
+    """Point lookup on a MERGE-sink table: hash the key to its bucket and
+    scan ONLY that bucket's directory (resolved through the manifest) —
+    I/O is 1/num_buckets of the table regardless of size, the read-side
+    payoff of the bucketed layout. Falls back to a filtered full scan on
+    non-manifest tables. The returned frame is already filtered to the key.
+    """
+    manifest = _read_manifest(path)
+    cond = None
+    for col, val in zip(keys, key_values):
+        c = F.col(col) == F.lit(val)
+        cond = c if cond is None else cond & c
+    if manifest is None or "buckets" not in manifest:
+        return read_warehouse(spark, path).filter(cond)
+    num_buckets = int(manifest["num_buckets"])
+    # same deterministic route the writer used — computed driver-side on
+    # the literal key, no Spark job needed to find the bucket
+    bk = (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(*[F.lit(v) for v in key_values]), F.lit(num_buckets)
+            ).cast("int")
+        )
+        .first()[0]
+    )
+    dirname = manifest["buckets"].get(str(bk))
+    if dirname is None:  # bucket never written -> key cannot exist
+        return read_warehouse(spark, path).filter(cond).limit(0)
+    return spark.read.parquet(os.path.join(path, dirname)).filter(cond)
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,

@@ -451,3 +451,63 @@ def test_upsert_sink_snapshot_versions_and_migration(spark, tmp_path):
         for r in read_warehouse(spark, path).collect()
     }
     assert rows["doc_2"] == 7 and rows["doc_1"] == 555
+
+
+def test_read_warehouse_key_scans_single_bucket(spark, tmp_path):
+    """Point lookup reads exactly one bucket directory (manifest-routed) —
+    1/num_buckets of the table's files — and returns the right row."""
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        merge_warehouse_batch,
+        read_warehouse_key,
+    )
+
+    path = str(tmp_path / "wh")
+    merge_warehouse_batch(spark, _merge_base_frame(spark, n=200), path, num_buckets=16)
+    df = read_warehouse_key(spark, path, ["doc_42", "v", "s"])
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["watched_seconds"] == 420
+    files = df.inputFiles()
+    assert files
+    dirs = {f.rsplit("/", 2)[-2] for f in files}
+    assert len(dirs) == 1 and next(iter(dirs)).startswith("b")
+
+
+def test_compact_warehouse_on_manifest_upsert_table(spark, tmp_path):
+    """Compaction resolves through the manifest on rewrite-sink tables:
+    files shrink inside the published version dir, rows and manifest are
+    untouched."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        _read_manifest,
+        compact_warehouse,
+        read_warehouse,
+        upsert_warehouse_batch,
+    )
+
+    path = str(tmp_path / "wh")
+    # several small upserts -> many small files inside the current version
+    for v in range(1, 4):
+        upsert_warehouse_batch(
+            spark,
+            _merge_base_frame(spark, n=30, version=v).repartition(4),
+            path,
+        )
+    m = _read_manifest(path)
+    vdir = os.path.join(path, m["table_dir"])
+    before = sorted(map(str, read_warehouse(spark, path).collect()))
+
+    def n_files():
+        return len(glob.glob(os.path.join(vdir, "_day=*", "*.parquet")))
+
+    # split into ~10-row files, then compact back down — both rewrites land
+    # inside the published version dir and never touch the manifest
+    assert compact_warehouse(spark, path, target_rows_per_file=10) >= 1
+    fragmented = n_files()
+    assert fragmented >= 3
+    assert compact_warehouse(spark, path, target_rows_per_file=1_000_000) >= 1
+    assert n_files() < fragmented
+    assert sorted(map(str, read_warehouse(spark, path).collect())) == before
+    assert _read_manifest(path) == m  # manifest untouched by compaction
