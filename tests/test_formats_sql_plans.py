@@ -250,3 +250,32 @@ def test_cli_list_and_run(capsys, spark, sf_dir):
     assert "revenue" in out
 
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Scale evidence: a fact table stored partitioned by a join-derived
+    column gets DYNAMIC partition pruning when joined to a filtered dim —
+    the scan reads only the partitions the dim filter selects, decided at
+    runtime. This is the mechanism that makes dim-filtered fact joins
+    cheap at 100 TB without any manual predicate."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+    fact_dir = str(tmp_path / "orders_by_month")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("o_month").parquet(fact_dir)
+    months = (
+        orders.select("o_month").distinct()
+        .withColumn("pick", F.col("o_month").substr(-2, 2) == "03")
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(months.filter("pick"), "o_month").drop("pick")
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in the scan"
+    n_months = months.filter("pick").count()
+    got_months = joined.select("o_month").distinct().count()
+    assert got_months == n_months > 0

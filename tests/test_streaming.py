@@ -511,3 +511,53 @@ def test_compact_warehouse_on_manifest_upsert_table(spark, tmp_path):
     assert n_files() < fragmented
     assert sorted(map(str, read_warehouse(spark, path).collect())) == before
     assert _read_manifest(path) == m  # manifest untouched by compaction
+
+
+def test_upsert_snapshot_isolation_under_concurrent_reads(spark, tmp_path):
+    """The rewrite sink's atomicity under a live reader: while an upsert
+    rewriting the whole table runs in another thread, every observed
+    row-set equals the complete pre- or post-upsert snapshot."""
+    import threading
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        read_warehouse,
+        upsert_warehouse_batch,
+    )
+
+    path = str(tmp_path / "wh")
+    upsert_warehouse_batch(spark, _merge_base_frame(spark, n=40), path)
+    pre = frozenset(
+        (r["original_id"], r["version"], r["watched_seconds"])
+        for r in read_warehouse(spark, path).collect()
+    )
+    update = _merge_base_frame(spark, n=40, version=2, watched=777)
+    post = frozenset((f"doc_{i}", 2, 777) for i in range(40))
+    assert pre != post
+
+    err: list = []
+
+    def run_upsert():
+        try:
+            upsert_warehouse_batch(spark, update, path)
+        except Exception as ex:  # noqa: BLE001
+            err.append(ex)
+
+    t = threading.Thread(target=run_upsert)
+    t.start()
+    observed = []
+    while t.is_alive():
+        snap = frozenset(
+            (r["original_id"], r["version"], r["watched_seconds"])
+            for r in read_warehouse(spark, path).collect()
+        )
+        observed.append(snap)
+    t.join()
+    assert not err
+    bad = [s for s in observed if s != pre and s != post]
+    assert not bad, f"{len(bad)} torn snapshot(s) of {len(observed)}"
+    assert observed, "reader never overlapped the upsert"
+    final = frozenset(
+        (r["original_id"], r["version"], r["watched_seconds"])
+        for r in read_warehouse(spark, path).collect()
+    )
+    assert final == post
