@@ -190,3 +190,32 @@ def canonical_per_cluster(
         F.col("_best.s").alias("canonical_score"),
         "n_members",
     )
+
+
+def snapshot_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Corpus snapshot diff: classify every id across two corpus versions as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by comparing
+    content fingerprints — the audit that sizes an incremental reprocess
+    (only added+changed need re-embedding/re-scoring) and catches silent
+    corpus drift between training runs.
+
+    One full-outer equi-join on the id: linear shuffle on both sides, or
+    shuffle-free when both snapshots are stored bucketed by id
+    (sinks.save_bucketed). Fingerprints are the engine-independent rolling
+    hash (operators/text.py:fingerprint_col), so the classification is
+    reproducible anywhere.
+    """
+    a = v1.select(F.col(id_col).alias("id"), F.col(fp_col).alias("_fp_a"))
+    b = v2.select(F.col(id_col).alias("id"), F.col(fp_col).alias("_fp_b"))
+    status = (
+        F.when(F.col("_fp_a").isNull(), F.lit("added"))
+        .when(F.col("_fp_b").isNull(), F.lit("removed"))
+        .when(F.col("_fp_a") != F.col("_fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return a.join(b, "id", "full_outer").select("id", status.alias("status"))

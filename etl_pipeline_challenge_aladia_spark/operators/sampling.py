@@ -92,6 +92,54 @@ def stratified_sample(
     )
 
 
+def upsample_by_rate(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """The UPsampling half of mixture reweighting (rates may exceed 1):
+    each row is emitted ``floor(rate)`` times, plus one more iff its hash
+    bucket falls under the fractional remainder — so a rate of 2.3 yields
+    exactly 2 copies of every row and a deterministic, engine-stable 30%
+    subset yields a third. The emitted ``epoch`` column (0-based copy
+    index) keeps downstream shuffles/dedup from collapsing the copies and
+    records which pass of the data each copy belongs to.
+
+    This is how low-resource slices get > 1 epoch in a training mixture
+    while the corpus stays one declarative frame: one broadcast rates
+    join, one ``explode(sequence(...))`` — zero extra shuffles, linear
+    output cost. Composes with ``stratified_sample`` (rates < 1) to
+    express any mixture vector.
+    """
+    spark = df.sparkSession
+    rows = [
+        (g, int(r), int(round((r - int(r)) * buckets)))
+        for g, r in sorted(rates.items())
+    ]
+    cuts = spark.createDataFrame(
+        rows, f"{group_col} string, _whole int, _frac_cut int"
+    )
+    d_whole, d_frac = int(default_rate), int(
+        round((default_rate - int(default_rate)) * buckets)
+    )
+    n_copies = F.col("_whole") + (
+        hash_bucket_col(id_col, buckets) < F.col("_frac_cut")
+    ).cast("int")
+    return (
+        df.join(F.broadcast(cuts), group_col, "left")
+        .withColumn("_whole", F.coalesce(F.col("_whole"), F.lit(d_whole)))
+        .withColumn("_frac_cut", F.coalesce(F.col("_frac_cut"), F.lit(d_frac)))
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_whole", "_frac_cut", "_n")
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )
+
+
 def cap_per_group(
     df: DataFrame, group_col: str, cap: int, id_col: str
 ) -> DataFrame:

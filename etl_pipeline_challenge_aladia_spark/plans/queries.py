@@ -3211,6 +3211,120 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fp_sql(text_expr: str) -> str:
+    """The doc_fingerprint rolling hash as SQL text over ``text_expr``."""
+    return (
+        "list_reduce(list_concat([CAST(0 AS BIGINT)],"
+        f" list_transform(string_split({text_expr}, ' '),"
+        " x -> CAST(ascii(x) * 131 + length(x) AS BIGINT))),"
+        " (acc, h) -> (acc * 1000003 + h) % 2147483647)"
+    )
+
+
+@query(
+    "doc_corpus_diff",
+    f"""
+WITH fp1 AS (SELECT doc_id, {_fp_sql('text')} AS fp FROM documents),
+v2src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 23 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 29 = 0
+),
+fp2 AS (SELECT doc_id, {_fp_sql('text')} AS fp FROM v2src),
+j AS (
+  SELECT coalesce(fp1.doc_id, fp2.doc_id) AS id, fp1.fp AS fa, fp2.fp AS fb
+  FROM fp1 FULL OUTER JOIN fp2 ON fp1.doc_id = fp2.doc_id
+)
+SELECT CASE WHEN fa IS NULL THEN 'added'
+            WHEN fb IS NULL THEN 'removed'
+            WHEN fa != fb THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1
+""",
+    doc="Corpus snapshot diff (operators/dedup.py:snapshot_diff): two "
+    "corpus versions (v2 derived deterministically: ~1/17 changed, ~1/23 "
+    "removed, ~1/29 cloned as new ids) classified added/removed/changed/"
+    "unchanged by the engine-independent rolling fingerprint — the audit "
+    "that sizes an incremental reprocess and catches silent corpus drift "
+    "between training runs. One full-outer join on the id; shuffle-free "
+    "when snapshots are stored bucketed by id.",
+)
+def q_doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.dedup import snapshot_diff
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        fingerprint_col,
+        tokens_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint_col(tokens_col("text"))
+    v1 = docs.select("doc_id", fp.alias("fingerprint"))
+    changed = F.when(
+        F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    v2_kept = docs.filter(F.col("doc_id") % 23 != 0).select(
+        "doc_id", changed.alias("text")
+    )
+    v2_new = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    v2 = v2_kept.unionByName(v2_new).select(
+        "doc_id", fingerprint_col(tokens_col("text")).alias("fingerprint")
+    )
+    return (
+        snapshot_diff(v1, v2)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_UPSAMPLE_RATES = {"zh": 2.5, "fr": 1.4}  # default 1.0 for the rest
+
+
+@query(
+    "doc_mixture_upsample",
+    f"""
+WITH cuts(lang, whole, frac_cut) AS (VALUES ('fr', 1, 400), ('zh', 2, 500)),
+b AS (
+  SELECT d.lang, d.doc_id,
+         coalesce(c.whole, 1)
+           + CASE WHEN {sql_md5_fold32("CAST(d.doc_id AS VARCHAR)")} % 1000
+                       < coalesce(c.frac_cut, 0)
+                  THEN 1 ELSE 0 END AS n
+  FROM documents d LEFT JOIN cuts c USING (lang)
+)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n) - 1 AS BIGINT) AS max_epoch
+FROM b WHERE n > 0
+GROUP BY lang
+""",
+    doc="The UPsampling half of mixture reweighting "
+    "(operators/sampling.py:upsample_by_rate): zh at 2.5 epochs, fr at "
+    "1.4, everything else once — floor(rate) copies per row plus a "
+    "deterministic hash-bucket subset for the fraction, each copy tagged "
+    "with its 0-based epoch index. One broadcast rates join + one "
+    "explode(sequence), zero extra shuffles; composes with "
+    "doc_stratified_sample (rates < 1) to express any mixture vector.",
+)
+def q_doc_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        upsample_by_rate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    up = upsample_by_rate(docs, "lang", _UPSAMPLE_RATES, id_col="doc_id")
+    return up.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.max("epoch").alias("max_epoch"),
+    )
+
+
 @query(
     "doc_hash_split",
     f"""
