@@ -28,6 +28,7 @@ from etl_pipeline_challenge_aladia_spark.sinks import (  # noqa: E402
     read_warehouse_key,
     save_bucketed,
     upsert_warehouse_batch,
+    vacuum_warehouse,
 )
 from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (  # noqa: E402
     run_cdc_file_stream,
@@ -44,6 +45,7 @@ __all__ = [
     "upsert_warehouse_batch",
     "merge_warehouse_batch",
     "compact_warehouse",
+    "vacuum_warehouse",
     "save_bucketed",
     "run_cdc_file_stream",
     "run_cdc_kafka_stream",

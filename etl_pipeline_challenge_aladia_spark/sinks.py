@@ -100,8 +100,6 @@ def upsert_warehouse_batch(spark: SparkSession, batch: DataFrame, path: str) -> 
     failure (IO, permissions, corruption) raises instead of silently
     discarding the stored table.
     """
-    import glob as _glob
-
     manifest = _read_manifest(path)
     if manifest is not None and "buckets" in manifest:
         raise ValueError(
@@ -130,11 +128,8 @@ def upsert_warehouse_batch(spark: SparkSession, batch: DataFrame, path: str) -> 
         version = 1
         garbage: list[str] = []
     else:
-        # GC: version dirs the manifest doesn't reference are aged-out
-        # garbage or strays from a crashed pre-commit attempt
-        for d in _glob.glob(os.path.join(path, "v[0-9]*")):
-            if os.path.basename(d) != manifest["table_dir"]:
-                shutil.rmtree(d, ignore_errors=True)
+        # entry GC: unreferenced versions are aged-out garbage or strays
+        _gc_unreferenced(path, manifest)
         shutil.rmtree(path + "._tmp", ignore_errors=True)
         if manifest["table_dir"] is not None:
             current = spark.read.parquet(
@@ -196,6 +191,43 @@ def _commit_manifest(path: str, manifest: dict) -> None:
 
 def _bucket_dirname(bk: int, version: int) -> str:
     return f"b{bk:05d}_v{version:08d}"
+
+
+def _gc_unreferenced(path: str, manifest: dict) -> int:
+    """Drop every version directory the manifest does not currently
+    reference — aged-out garbage (replaced a full commit ago) and strays
+    from crashed pre-commit attempts. Shared by both sinks' entry GC and
+    the public ``vacuum_warehouse``. Returns directories removed."""
+    import glob as _glob
+
+    if "buckets" in manifest:
+        referenced = set(manifest["buckets"].values())
+        pattern = "b[0-9]*_v[0-9]*"
+    else:
+        referenced = {manifest["table_dir"]} if manifest.get("table_dir") else set()
+        pattern = "v[0-9]*"
+    removed = 0
+    for d in _glob.glob(os.path.join(path, pattern)):
+        if os.path.basename(d) not in referenced:
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+    return removed
+
+
+def vacuum_warehouse(path: str) -> int:
+    """Operational GC for manifest tables (the VACUUM / snapshot-expiry
+    knob): drop all unreferenced version directories NOW instead of
+    waiting for the next write, and clear the manifest's garbage list.
+    Safe any time no reader is older than the previous commit — the same
+    retention contract the write-path GC already enforces. No-op (returns
+    0) on non-manifest tables."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        return 0
+    removed = _gc_unreferenced(path, manifest)
+    if manifest.get("garbage"):
+        _commit_manifest(path, {**manifest, "garbage": []})
+    return removed
 
 
 def merge_warehouse_batch(
@@ -260,13 +292,9 @@ def merge_warehouse_batch(
         _commit_manifest(path, manifest)
     num_buckets = int(manifest["num_buckets"])
 
-    # GC: every version directory the current manifest does not reference
-    # is either aged-out garbage (replaced a full commit ago) or a stray
-    # from a crashed pre-commit attempt — both safe to drop now
-    referenced = set(manifest["buckets"].values())
-    for d in _glob.glob(os.path.join(path, "b[0-9]*_v[0-9]*")):
-        if os.path.basename(d) not in referenced:
-            shutil.rmtree(d, ignore_errors=True)
+    # entry GC: unreferenced versions are aged-out garbage (replaced a
+    # full commit ago — lag-1 retention) or crashed pre-commit strays
+    _gc_unreferenced(path, manifest)
 
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast(
         "int"

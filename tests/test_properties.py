@@ -176,3 +176,71 @@ def test_debounce_matches_lag_model(spark, events, gap_s):
             prev = s
     assert got["n_total"] == len(events)
     assert got["n_kept"] == kept
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                 max_size=40, unique=True),
+    rate=st.floats(min_value=0.0, max_value=3.5, allow_nan=False),
+)
+def test_upsample_by_rate_matches_python_model(spark, ids, rate):
+    """upsample_by_rate == the per-row Python model: floor(rate) copies
+    plus one iff md5-bucket(id) < round(frac*1000), epochs 0..n-1."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        upsample_by_rate,
+    )
+
+    df = spark.createDataFrame([Row(g="x", doc_id=i) for i in ids])
+    got = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in upsample_by_rate(df, "g", {"x": rate}, "doc_id").collect()
+    )
+
+    whole, frac_cut = int(rate), int(round((rate - int(rate)) * 1000))
+    want = []
+    for i in ids:
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+        n = whole + (1 if bucket < frac_cut else 0)
+        want.extend((i, e) for e in range(n))
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    v1=st.dictionaries(st.integers(min_value=0, max_value=50),
+                       st.integers(min_value=0, max_value=3), max_size=25),
+    v2=st.dictionaries(st.integers(min_value=0, max_value=50),
+                       st.integers(min_value=0, max_value=3), max_size=25),
+)
+def test_snapshot_diff_matches_set_model(spark, v1, v2):
+    """snapshot_diff == the obvious set model over (id -> fingerprint)."""
+    from pyspark.sql import Row
+
+    from etl_pipeline_challenge_aladia_spark.operators.dedup import snapshot_diff
+
+    def frame(d):
+        rows = [Row(doc_id=k, fingerprint=v) for k, v in d.items()]
+        return spark.createDataFrame(
+            rows, "doc_id long, fingerprint long"
+        ) if rows else spark.createDataFrame([], "doc_id long, fingerprint long")
+
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(frame(v1), frame(v2)).collect()
+    }
+    want = {}
+    for k in set(v1) | set(v2):
+        if k not in v1:
+            want[k] = "added"
+        elif k not in v2:
+            want[k] = "removed"
+        elif v1[k] != v2[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want

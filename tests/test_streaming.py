@@ -561,3 +561,81 @@ def test_upsert_snapshot_isolation_under_concurrent_reads(spark, tmp_path):
         for r in read_warehouse(spark, path).collect()
     )
     assert final == post
+
+
+def test_vacuum_and_num_buckets_pinning(spark, tmp_path):
+    """vacuum_warehouse drops retained-garbage versions on demand and
+    clears the manifest's garbage list; num_buckets is pinned at table
+    creation, so a caller drifting the bucket count cannot split keys
+    across buckets."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        _read_manifest,
+        merge_warehouse_batch,
+        read_warehouse,
+        vacuum_warehouse,
+    )
+
+    path = str(tmp_path / "wh")
+    merge_warehouse_batch(spark, _merge_base_frame(spark, n=60), path, num_buckets=8)
+    upd = _merge_base_frame(spark, n=60, version=2, watched=111).filter(
+        F.col("original_id") == "doc_5"
+    )
+    # wrong num_buckets on a later call: pinned manifest value wins
+    merge_warehouse_batch(spark, upd, path, num_buckets=64)
+    m = _read_manifest(path)
+    assert m["num_buckets"] == 8
+    rows = {
+        r["original_id"]: r["watched_seconds"]
+        for r in read_warehouse(spark, path).collect()
+    }
+    assert len(rows) == 60 and rows["doc_5"] == 111
+
+    assert m["garbage"], "second merge should retain a replaced version"
+    removed = vacuum_warehouse(path)
+    assert removed == len(m["garbage"])
+    m2 = _read_manifest(path)
+    assert m2["garbage"] == []
+    assert read_warehouse(spark, path).count() == 60
+    assert vacuum_warehouse(path) == 0  # idempotent
+
+
+def test_incremental_dedup_stream_screens_against_growing_corpus(spark, tmp_path):
+    """Streaming ingest dedup: batch 2's near-dup of a batch-1 doc is
+    flagged because the corpus ACCUMULATES micro-batch by micro-batch;
+    clean docs pass. Replays are idempotent (batch-keyed overwrite)."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        run_incremental_dedup_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    base_text = " ".join(f"tok{i}" for i in range(40))
+    near_dup = base_text + " extra"  # high-Jaccard variant
+    clean = " ".join(f"other{i}" for i in range(40))
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    write_batch("b1.jsonl", [{"doc_id": 1, "text": base_text},
+                             {"doc_id": 2, "text": clean}])
+    run_incremental_dedup_stream(spark, in_dir, corpus, report, ckpt)
+    write_batch("b2.jsonl", [{"doc_id": 10, "text": near_dup},
+                             {"doc_id": 11, "text": "completely unrelated words here"}])
+    run_incremental_dedup_stream(spark, in_dir, corpus, report, ckpt)
+
+    pairs = {
+        (r["delta_id"], r["corpus_id"])
+        for r in spark.read.parquet(report).collect()
+    }
+    assert pairs == {(10, 1)}
+    assert spark.read.parquet(corpus).count() == 4
+    # replay with no new input: nothing reprocesses, outputs unchanged
+    run_incremental_dedup_stream(spark, in_dir, corpus, report, ckpt)
+    assert spark.read.parquet(corpus).count() == 4
