@@ -3067,14 +3067,15 @@ GROUP BY o_orderstatus
     doc="Skew-mitigation demo on a pathologically hot join key: orders has "
     "only 3 o_orderstatus values, so a plain shuffle join lands ~1/3 of the "
     "fact table on single tasks. The Spark plan routes it through "
-    "operators/skew.salted_join (probe salted, build replicated per salt) — "
-    "each hot key fans out over salt_factor tasks; the oracle proves the "
-    "salted join is result-identical to the plain equi-join. "
-    "operators/skew.top_key_skew is the diagnostic that motivates the "
-    "rewrite (status shares ~0.49/0.49/0.02).",
+    "operators/skew.auto_salted_join — the measured decision: "
+    "top_key_skew's share (~0.49 here) crosses the 0.2 threshold, so the "
+    "probe is salted and the build replicated per salt, each hot key "
+    "fanning out over salt_factor tasks (a uniform key would get the "
+    "plain join, no rand/explode nodes). The oracle proves the salted "
+    "join is result-identical to the plain equi-join.",
 )
 def q_join_salted_status_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_pipeline_challenge_aladia_spark.operators.skew import salted_join
+    from etl_pipeline_challenge_aladia_spark.operators.skew import auto_salted_join
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_totalprice"
@@ -3082,10 +3083,11 @@ def q_join_salted_status_deviation(spark: SparkSession, sf_dir: str) -> DataFram
     dim = orders.groupBy(F.col("o_orderstatus").alias("d_status")).agg(
         _r2(F.avg("o_totalprice"), "status_avg")
     )
-    joined = salted_join(
+    joined = auto_salted_join(
         orders,
         dim.withColumnRenamed("d_status", "o_orderstatus"),
         ["o_orderstatus"],
+        share_threshold=0.2,
         salt_factor=8,
     )
     return joined.groupBy("o_orderstatus").agg(
