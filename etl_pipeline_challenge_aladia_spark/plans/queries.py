@@ -993,6 +993,66 @@ def q_doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_incremental_pairs(corpus, delta, threshold=0.8)
 
 
+_DUP_RATE_JEXPR = _s4(
+    "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(ta.sh, tb.sh)))"
+)
+
+
+@query(
+    "doc_dup_rate_by_source",
+    _minhash_oracle_sql(prefix_only=True)
+    + f""",
+pairs AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_id_a
+  JOIN tok tb ON tb.doc_id = c.doc_id_b
+  WHERE {_DUP_RATE_JEXPR} >= 0.8
+),
+involved AS (
+  SELECT doc_id_a AS doc_id FROM pairs
+  UNION SELECT doc_id_b AS doc_id FROM pairs
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(i.doc_id) AS BIGINT) AS n_dup_docs,
+       {_s4('CAST(count(i.doc_id) AS DOUBLE) / count(*)')} AS dup_rate
+FROM documents d LEFT JOIN involved i USING (doc_id)
+GROUP BY d.source
+""",
+    doc="Per-source duplicate-rate audit: the MinHash+LSH near-dup pairs "
+    "rolled up to which SOURCES are dirtiest (n_docs, docs involved in "
+    ">= 1 near-dup pair, dup rate) — the slice-level signal that decides "
+    "which crawls need aggressive dedup or exclusion, composed from the "
+    "same verified pair set as minhash_near_dup.",
+)
+def q_doc_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.8)
+    involved = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.join(involved, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup").alias("n_dup_docs"),
+            _r4(
+                F.count("_dup").cast("double") / F.count(F.lit(1)), "dup_rate"
+            ),
+        )
+    )
+
+
 @query(
     "emb_cosine_topk",
     f"""
