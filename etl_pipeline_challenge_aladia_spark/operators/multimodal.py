@@ -6,11 +6,14 @@ the Spark-idiomatic shape for per-item Python work: data moves in columnar
 Arrow batches, never row-at-a-time, and each task streams batches so a
 partition never has to fit in pandas memory at once.
 
-The actual decoders (PIL/ffmpeg/librosa) are NOT available in this
-environment, so the decode kernel is stubbed: ``decode_stub=True`` (default)
-derives deterministic fake features from the bytes themselves, keeping the
-Spark-side plumbing — schema, batch iteration, partitioning, UDF signature —
-real and testable. Wire a real decoder by passing ``kernel=``.
+Decoder availability is format-, not modality-, shaped: PIL/ffmpeg/librosa
+are NOT available here, so *compressed* containers (JPEG, MP3, H.264) keep
+an injectable stub kernel — but the uncompressed members of each family
+(PPM/PGM images, PCM WAV audio, Y4M video) are decoded FOR REAL by the
+pure-numpy codecs in operators/codecs.py. ``real_feature_kernel`` and
+``real_resize_kernel`` sniff magic bytes and decode what they recognize,
+falling back to the deterministic stub for everything else; the same
+``kernel=`` injection point remains for wiring native decoders later.
 """
 
 from __future__ import annotations
@@ -18,11 +21,24 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .codecs import (
+    decode_pnm,
+    decode_wav,
+    decode_y4m,
+    encode_pgm,
+    encode_ppm,
+    encode_wav_pcm16,
+    encode_y4m,
+    resize_nearest,
+    sniff_format,
+)
 
 #: A media row: opaque payload + typed metadata (SURVEY.md §2.10 mapping).
 MEDIA_SCHEMA = T.StructType(
@@ -211,3 +227,212 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         )
     n_parts = max(1, min(8, n // 8))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
+
+
+# --------------------------------------------------------------------------
+# Real decode kernels (pure-numpy codecs; see operators/codecs.py)
+# --------------------------------------------------------------------------
+
+
+def real_feature_kernel(content: bytes) -> list[float]:
+    """Decode-and-featurize kernel for uncompressed containers.
+
+    Sniffs the payload and computes modality-appropriate summary features
+    from the DECODED samples (not the bytes):
+
+    - image (PPM/PGM): [width, height, channels, mean, std, min, max, 0]
+    - audio (WAV):     [n_samples, rate, dur_s, rms, peak, zcr, mean, std]
+    - video (Y4M):     [frames, width, height, fps, mean, std, first-frame
+                        mean, last-frame mean]
+
+    Unknown containers (compressed formats needing native libs) fall back
+    to the deterministic stub, so a mixed corpus never errors — the
+    features of un-decodable rows are tagged by construction (stub values
+    live in [0, 1); real dims are >= 1).
+    """
+    data = content or b""
+    fmt = sniff_format(data)
+    if fmt in ("ppm", "pgm"):
+        img = decode_pnm(data)
+        px = img.astype(np.float64)
+        channels = 1 if img.ndim == 2 else img.shape[2]
+        return [
+            float(img.shape[1]),
+            float(img.shape[0]),
+            float(channels),
+            float(px.mean()),
+            float(px.std()),
+            float(px.min()),
+            float(px.max()),
+            0.0,
+        ]
+    if fmt == "wav":
+        samples, rate = decode_wav(data)
+        x = samples.astype(np.float64)
+        n = max(1, x.size)
+        zcr = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / n
+        return [
+            float(x.size),
+            float(rate),
+            float(x.size) / rate,
+            float(np.sqrt((x * x).mean())) if x.size else 0.0,
+            float(np.abs(x).max()) if x.size else 0.0,
+            zcr,
+            float(x.mean()) if x.size else 0.0,
+            float(x.std()) if x.size else 0.0,
+        ]
+    if fmt == "y4m":
+        frames, fps = decode_y4m(data)
+        luma = frames.astype(np.float64)
+        nf = frames.shape[0]
+        return [
+            float(nf),
+            float(frames.shape[2]),
+            float(frames.shape[1]),
+            float(fps),
+            float(luma.mean()) if nf else 0.0,
+            float(luma.std()) if nf else 0.0,
+            float(luma[0].mean()) if nf else 0.0,
+            float(luma[-1].mean()) if nf else 0.0,
+        ]
+    return _stub_kernel(data)
+
+
+def real_resize_kernel(
+    content: bytes, w: int, h: int, out_w: int, out_h: int
+) -> bytes:
+    """Real image resample: decode PPM/PGM, nearest-neighbor resize, and
+    re-encode in the same container. Non-image / unknown payloads fall
+    back to the stub tag so ``resize_images`` stays total."""
+    data = content or b""
+    fmt = sniff_format(data)
+    if fmt in ("ppm", "pgm"):
+        img = resize_nearest(decode_pnm(data), out_w, out_h)
+        return encode_ppm(img) if img.ndim == 3 else encode_pgm(img)
+    return _stub_resize_kernel(data, w, h, out_w, out_h)
+
+
+# -- deterministic REAL-payload fixture ------------------------------------
+#
+# Same id -> modality rotation as synthetic_media, but the payloads are
+# genuine PPM/WAV/Y4M streams built from closed-form integer formulas, so
+# an SQL oracle can recompute every decoded fact (dims, counts, exact
+# pixel/sample sums) without running the decoder: the parity check then
+# proves encoder -> decoder -> aggregate equals the formula, cross-engine.
+
+
+def _real_image_dims(i: int) -> tuple[int, int]:
+    return 16 + i % 5, 12 + i % 7  # (w, h)
+
+
+def _real_audio_n(i: int) -> int:
+    return 200 + 3 * i
+
+
+def _real_video_dims(i: int) -> tuple[int, int, int]:
+    return 2 + i % 3, 8 + i % 4, 6 + i % 5  # (frames, w, h)
+
+
+AUDIO_RATE = 8000
+VIDEO_FPS = 25
+
+
+def synthetic_media_real(spark, n: int = 48) -> DataFrame:
+    """Deterministic media fixture with REAL container payloads.
+
+    - ``i % 3 == 0`` image: P6 PPM, pixel(c,y,x) = (3x + 7y + 11c + i) % 256
+    - ``i % 3 == 1`` audio: PCM16 WAV, sample(j) = (31j + 17i) % 4001 - 2000
+    - ``i % 3 == 2`` video: Cmono Y4M, luma(t,y,x) = (x + 3y + 5t + i) % 256
+    """
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            w, h = _real_image_dims(i)
+            c, y, x = np.meshgrid(
+                np.arange(3), np.arange(h), np.arange(w), indexing="ij"
+            )
+            img = ((3 * x + 7 * y + 11 * c + i) % 256).astype(np.uint8)
+            payload = encode_ppm(np.moveaxis(img, 0, 2))
+            rows.append((i, "image", "image/x-portable-pixmap", payload, (w, h, None)))
+        elif i % 3 == 1:
+            ns = _real_audio_n(i)
+            j = np.arange(ns)
+            samples = ((31 * j + 17 * i) % 4001 - 2000).astype(np.int16)
+            payload = encode_wav_pcm16(samples, AUDIO_RATE)
+            dur_ms = ns * 1000 // AUDIO_RATE
+            rows.append((i, "audio", "audio/wav", payload, (None, None, dur_ms)))
+        else:
+            nf, w, h = _real_video_dims(i)
+            t, y, x = np.meshgrid(
+                np.arange(nf), np.arange(h), np.arange(w), indexing="ij"
+            )
+            frames = ((x + 3 * y + 5 * t + i) % 256).astype(np.uint8)
+            payload = encode_y4m(frames, VIDEO_FPS)
+            dur_ms = nf * 1000 // VIDEO_FPS
+            rows.append((i, "video", "video/x-yuv4mpeg", payload, (w, h, dur_ms)))
+    n_parts = max(1, min(8, n // 8))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
+
+
+DECODE_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+    ]
+)
+
+
+def decode_media_audit(media: DataFrame) -> DataFrame:
+    """REAL-decode audit: parse every recognizable payload and emit exact
+    integer facts about the decoded samples — dimensions, frame/sample
+    counts, and full int64 pixel/sample sums.
+
+    Integer sums (not float means) make the output bit-exact across
+    engines, so the SQL oracle can verify the entire decode path —
+    container parsing, plane geometry, sample values — by recomputing the
+    same integers from the fixture's closed-form formulas. mapInPandas
+    keeps the decode Arrow-batched and partition-parallel; at 100 TB each
+    task decodes only its own batches and emits 9 skinny columns.
+    """
+
+    def audit_one(i: int, data: bytes) -> tuple:
+        fmt = sniff_format(data or b"")
+        if fmt in ("ppm", "pgm"):
+            img = decode_pnm(data)
+            h, w = img.shape[:2]
+            return (i, fmt, w, h, 1, None, None, int(img.sum(dtype=np.int64)), None)
+        if fmt == "wav":
+            samples, rate = decode_wav(data)
+            return (
+                i, fmt, None, None, None, int(samples.size), int(rate),
+                None, int(samples.sum(dtype=np.int64)),
+            )
+        if fmt == "y4m":
+            frames, fps = decode_y4m(data)
+            nf, h, w = frames.shape
+            return (
+                i, fmt, w, h, nf, None, int(fps),
+                int(frames.sum(dtype=np.int64)), None,
+            )
+        return (i, "unknown", None, None, None, None, None, None, None)
+
+    cols = [f.name for f in DECODE_AUDIT_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = [
+                audit_one(int(mid), b)
+                for mid, b in zip(pdf["media_id"], pdf["content"])
+            ]
+            yield pd.DataFrame.from_records(recs, columns=cols)
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=DECODE_AUDIT_SCHEMA
+    )

@@ -1,0 +1,160 @@
+"""Pure-numpy media codec tests: container round trips, spec-shaped header
+handling, nearest-neighbor resize geometry, real decode kernels, and the
+Spark-side decode-audit operator over genuine PPM/WAV/Y4M payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_pipeline_challenge_aladia_spark.operators.codecs import (
+    decode_pnm,
+    decode_wav,
+    decode_y4m,
+    encode_pgm,
+    encode_ppm,
+    encode_wav_pcm16,
+    encode_y4m,
+    resize_nearest,
+    sniff_format,
+)
+from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+    decode_media_audit,
+    real_feature_kernel,
+    real_resize_kernel,
+    resize_images,
+    synthetic_media_real,
+)
+
+
+def test_ppm_pgm_round_trip_and_header_quirks():
+    img = np.arange(12 * 16 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    assert (decode_pnm(encode_ppm(img)) == img).all()
+    gray = np.arange(12 * 16, dtype=np.uint8).reshape(12, 16)
+    assert (decode_pnm(encode_pgm(gray)) == gray).all()
+    # NetPBM allows comments and arbitrary whitespace inside the header
+    quirky = b"P5\n# comment line\n 16\t12\n255\n" + gray.tobytes()
+    assert (decode_pnm(quirky) == gray).all()
+    with pytest.raises(ValueError):
+        decode_pnm(b"P6\n4 4\n255\n" + b"\x00" * 5)  # truncated payload
+    with pytest.raises(ValueError):
+        decode_pnm(b"\x89PNG\r\n")  # compressed container, not a PNM
+
+
+def test_wav_round_trip_and_chunk_walking():
+    s = ((np.arange(500) * 31) % 4001 - 2000).astype(np.int16)
+    data = encode_wav_pcm16(s, 8000)
+    out, rate = decode_wav(data)
+    assert rate == 8000 and (out == s).all()
+    # a LIST chunk before data must be skipped (chunk walk, not fixed offset)
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    with_list = data[:12] + extra + data[12:]
+    with_list = b"RIFF" + struct.pack("<I", len(with_list) - 8) + with_list[8:]
+    out2, rate2 = decode_wav(with_list)
+    assert rate2 == 8000 and (out2 == s).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")  # missing fmt/data
+
+
+def test_y4m_round_trip():
+    frames = (np.arange(3 * 6 * 8, dtype=np.uint8)).reshape(3, 6, 8)
+    data = encode_y4m(frames, 25)
+    out, fps = decode_y4m(data)
+    assert fps == 25 and (out == frames).all()
+    with pytest.raises(ValueError):
+        decode_y4m(data[:-1])  # truncated final frame
+
+
+def test_resize_nearest_geometry_and_identity():
+    img = np.arange(12 * 16 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    assert resize_nearest(img, 8, 6).shape == (6, 8, 3)
+    assert resize_nearest(img, 32, 24).shape == (24, 32, 3)
+    # identity resize must be exact (pixel-center map hits every source px)
+    assert (resize_nearest(img, 16, 12) == img).all()
+    # 2x downscale picks every other pixel starting at offset 0 or 1
+    small = resize_nearest(img, 8, 6)
+    candidates = {tuple(img[y, x]) for y in (0, 1) for x in (0, 1)}
+    assert tuple(small[0, 0]) in candidates
+
+
+def test_sniff_format():
+    assert sniff_format(b"P6\n1 1\n255\n\x00\x00\x00") == "ppm"
+    assert sniff_format(b"P5\n1 1\n255\n\x00") == "pgm"
+    assert sniff_format(encode_wav_pcm16(np.zeros(4, np.int16))) == "wav"
+    assert sniff_format(b"YUV4MPEG2 W1 H1 F25:1\n") == "y4m"
+    assert sniff_format(b"RIFFxxxxAVI ") is None  # RIFF but not WAVE
+    assert sniff_format(b"\xff\xd8\xff") is None  # JPEG: needs native lib
+
+
+def test_real_feature_kernel_per_modality():
+    img = np.full((10, 20, 3), 7, np.uint8)
+    f = real_feature_kernel(encode_ppm(img))
+    assert f[:3] == [20.0, 10.0, 3.0]
+    assert f[3] == 7.0 and f[4] == 0.0  # mean/std of a constant image
+    s = np.array([100, -100] * 50, np.int16)
+    f = real_feature_kernel(encode_wav_pcm16(s, 16000))
+    assert f[0] == 100.0 and f[1] == 16000.0
+    assert f[3] == pytest.approx(100.0)  # RMS of a +/-100 square wave
+    assert f[5] == pytest.approx(99 / 100)  # zcr: every adjacent pair flips
+    frames = np.stack([np.full((4, 6), v, np.uint8) for v in (10, 30)])
+    f = real_feature_kernel(encode_y4m(frames, 25))
+    assert f[:4] == [2.0, 6.0, 4.0, 25.0]
+    assert f[6] == 10.0 and f[7] == 30.0  # first/last frame means
+    # unknown container falls back to the stub (values in [0, 1))
+    f = real_feature_kernel(b"\xff\xd8\xffJPEG-ish")
+    assert all(0.0 <= v < 1.0 for v in f)
+
+
+def test_real_resize_kernel_reencodes_same_container():
+    img = np.arange(12 * 16 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    out = real_resize_kernel(encode_ppm(img), 16, 12, 8, 8)
+    assert sniff_format(out) == "ppm"
+    assert decode_pnm(out).shape == (8, 8, 3)
+    gray = np.arange(12 * 16, dtype=np.uint8).reshape(12, 16)
+    out = real_resize_kernel(encode_pgm(gray), 16, 12, 4, 4)
+    assert sniff_format(out) == "pgm"
+    assert decode_pnm(out).shape == (4, 4)
+
+
+def test_decode_media_audit_matches_fixture_spec(spark):
+    audit = {
+        r["media_id"]: r
+        for r in decode_media_audit(synthetic_media_real(spark, n=18)).collect()
+    }
+    assert len(audit) == 18
+    for i, r in audit.items():
+        if i % 3 == 0:
+            w, h = 16 + i % 5, 12 + i % 7
+            pix = sum(
+                (3 * x + 7 * y + 11 * c + i) % 256
+                for c in range(3)
+                for y in range(h)
+                for x in range(w)
+            )
+            assert (r["container"], r["width"], r["height"]) == ("ppm", w, h)
+            assert r["pix_sum"] == pix
+        elif i % 3 == 1:
+            ns = 200 + 3 * i
+            assert (r["container"], r["n_samples"], r["rate"]) == ("wav", ns, 8000)
+            assert r["sample_sum"] == sum(
+                (31 * j + 17 * i) % 4001 - 2000 for j in range(ns)
+            )
+        else:
+            nf, w, h = 2 + i % 3, 8 + i % 4, 6 + i % 5
+            assert (r["container"], r["width"], r["height"], r["n_frames"]) == (
+                "y4m", w, h, nf,
+            )
+
+
+def test_resize_images_with_real_kernel_decodable_output(spark):
+    media = synthetic_media_real(spark, n=9)
+    out = resize_images(media, out_w=8, out_h=8, kernel=real_resize_kernel)
+    rows = out.collect()
+    assert rows  # the image third of the fixture
+    for r in rows:
+        img = decode_pnm(bytes(r["content"]))
+        # aspect-fit within 8x8, geometry echoed in the typed columns
+        assert img.shape[0] == r["out_height"] and img.shape[1] == r["out_width"]
+        assert img.shape[0] <= 8 and img.shape[1] <= 8
