@@ -34,13 +34,25 @@ def append_warehouse(df: DataFrame, path: str, partition_by_day: bool = True) ->
     writer.parquet(path)
 
 
-def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
+def read_warehouse(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read a warehouse table, resolving through the snapshot manifest when
-    one exists (MERGE-sink tables): the manifest names one directory per
-    bucket, so a reader sees exactly the bucket set a single atomic commit
-    published — never a half-merged mix. Legacy/append layouts read the
-    directory tree directly as before."""
+    one exists (manifest-sink tables): the manifest names one directory per
+    bucket (or one table-version directory), so a reader sees exactly the
+    set a single atomic commit published — never a half-merged mix.
+    Legacy/append layouts read the directory tree directly as before.
+
+    ``version=`` time-travels to a RETAINED earlier snapshot (the
+    manifest's ``history`` list, rotation depth set by the sinks'
+    ``retain_snapshots``) — the plain-parquet analog of Delta's
+    ``VERSION AS OF``. Raises ``KeyError`` listing the readable versions
+    when the requested one was never committed or has been vacuumed."""
     manifest = _read_manifest(path)
+    if manifest is not None and version is not None:
+        manifest = _resolve_snapshot(manifest, version)
+    elif version is not None:
+        raise KeyError(f"{path} has no snapshot manifest; cannot time-travel")
     if manifest is not None and manifest.get("buckets"):
         dirs = [os.path.join(path, d) for d in manifest["buckets"].values()]
         return spark.read.parquet(*dirs)
@@ -52,6 +64,50 @@ def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
         if layout_col in df.columns:
             df = df.drop(layout_col)
     return df
+
+
+def _snapshot_entry(manifest: dict) -> dict:
+    """The frozen, re-readable core of a manifest: version + directory
+    refs. What history retains per commit — nothing else in the manifest
+    is needed to resolve a past snapshot."""
+    if "buckets" in manifest:
+        return {"version": manifest["version"], "buckets": dict(manifest["buckets"])}
+    return {"version": manifest["version"], "table_dir": manifest["table_dir"]}
+
+
+def _rotate_history(manifest: dict, retain_snapshots: int) -> list[dict]:
+    """History for the NEXT commit: append the about-to-be-replaced current
+    snapshot, keep the newest ``retain_snapshots`` entries. 0 disables
+    time travel (lag-1 ``garbage`` retention still applies)."""
+    history = list(manifest.get("history", []))
+    if manifest.get("buckets") or manifest.get("table_dir"):
+        history.append(_snapshot_entry(manifest))
+    return history[-retain_snapshots:] if retain_snapshots > 0 else []
+
+
+def _resolve_snapshot(manifest: dict, version: int) -> dict:
+    if int(manifest.get("version", -1)) == version:
+        return manifest
+    for snap in manifest.get("history", []):
+        if int(snap["version"]) == version:
+            return snap
+    have = sorted(
+        [int(s["version"]) for s in manifest.get("history", [])]
+        + [int(manifest["version"])]
+    )
+    raise KeyError(
+        f"snapshot version {version} not retained; readable versions: {have}"
+    )
+
+
+def table_history(path: str) -> list[dict]:
+    """Readable snapshots, oldest first, current last: ``[{version,
+    table_dir | buckets}, ...]`` — Delta's ``DESCRIBE HISTORY`` shape for
+    the manifest warehouse. Empty for non-manifest tables."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        return []
+    return list(manifest.get("history", [])) + [_snapshot_entry(manifest)]
 
 
 def _promote_dir(staged: str, dst: str, keep_old_as: str) -> None:
@@ -81,7 +137,12 @@ def _recover_dir(dst: str, keep_old_as: str) -> None:
             os.rename(keep_old_as, dst)
 
 
-def upsert_warehouse_batch(spark: SparkSession, batch: DataFrame, path: str) -> None:
+def upsert_warehouse_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    retain_snapshots: int = 1,
+) -> None:
     """Idempotent micro-batch upsert: union stored + batch, keep latest per
     key, rewrite. Simple full-rewrite variant — correct anywhere, O(table)
     per batch; ``merge_warehouse_batch`` below is the batch-proportional
@@ -149,8 +210,11 @@ def upsert_warehouse_batch(spark: SparkSession, batch: DataFrame, path: str) -> 
     new_dir = f"v{version:08d}"
     os.makedirs(path, exist_ok=True)
     os.rename(path + "._tmp", os.path.join(path, new_dir))
+    history = _rotate_history(manifest or {}, retain_snapshots)
     _commit_manifest(
-        path, {"version": version, "table_dir": new_dir, "garbage": garbage}
+        path,
+        {"version": version, "table_dir": new_dir, "garbage": garbage,
+         "history": history},
     )
     for e in legacy_entries:
         full = os.path.join(path, e)
@@ -194,17 +258,21 @@ def _bucket_dirname(bk: int, version: int) -> str:
 
 
 def _gc_unreferenced(path: str, manifest: dict) -> int:
-    """Drop every version directory the manifest does not currently
-    reference — aged-out garbage (replaced a full commit ago) and strays
-    from crashed pre-commit attempts. Shared by both sinks' entry GC and
-    the public ``vacuum_warehouse``. Returns directories removed."""
+    """Drop every version directory neither the current manifest nor any
+    RETAINED history snapshot references — aged-out garbage (rotated out
+    of history) and strays from crashed pre-commit attempts. Shared by
+    both sinks' entry GC and the public ``vacuum_warehouse``. Returns
+    directories removed."""
     import glob as _glob
 
+    snapshots = [manifest] + list(manifest.get("history", []))
     if "buckets" in manifest:
-        referenced = set(manifest["buckets"].values())
+        referenced = {d for s in snapshots for d in s.get("buckets", {}).values()}
         pattern = "b[0-9]*_v[0-9]*"
     else:
-        referenced = {manifest["table_dir"]} if manifest.get("table_dir") else set()
+        referenced = {
+            s["table_dir"] for s in snapshots if s.get("table_dir")
+        }
         pattern = "v[0-9]*"
     removed = 0
     for d in _glob.glob(os.path.join(path, pattern)):
@@ -214,19 +282,22 @@ def _gc_unreferenced(path: str, manifest: dict) -> int:
     return removed
 
 
-def vacuum_warehouse(path: str) -> int:
+def vacuum_warehouse(path: str, keep_snapshots: int = 0) -> int:
     """Operational GC for manifest tables (the VACUUM / snapshot-expiry
-    knob): drop all unreferenced version directories NOW instead of
-    waiting for the next write, and clear the manifest's garbage list.
-    Safe any time no reader is older than the previous commit — the same
-    retention contract the write-path GC already enforces. No-op (returns
-    0) on non-manifest tables."""
+    knob): expire history beyond ``keep_snapshots`` past versions (default
+    0 — current only, Delta's ``VACUUM RETAIN 0``), drop every now-
+    unreferenced version directory, and clear the manifest's garbage
+    list. Safe any time no reader is older than the newest expired
+    snapshot. No-op (returns 0) on non-manifest tables."""
     manifest = _read_manifest(path)
     if manifest is None:
         return 0
-    removed = _gc_unreferenced(path, manifest)
-    if manifest.get("garbage"):
-        _commit_manifest(path, {**manifest, "garbage": []})
+    history = list(manifest.get("history", []))
+    kept = history[-keep_snapshots:] if keep_snapshots > 0 else []
+    trimmed = {**manifest, "history": kept}
+    removed = _gc_unreferenced(path, trimmed)
+    if manifest.get("garbage") or kept != history:
+        _commit_manifest(path, {**trimmed, "garbage": []})
     return removed
 
 
@@ -237,6 +308,7 @@ def merge_warehouse_batch(
     num_buckets: int = 64,
     keys: Sequence[str] = tuple(DEDUP_KEY),
     order_col: str = "version",
+    retain_snapshots: int = 1,
 ) -> int:
     """MERGE-style upsert with I/O proportional to the batch, not the table,
     and SNAPSHOT-ATOMIC visibility for concurrent readers.
@@ -256,10 +328,12 @@ def merge_warehouse_batch(
     unreferenced new-version directories — the table still reads as the old
     snapshot, and the next merge garbage-collects the strays; the
     checkpointed ``foreachBatch`` retry then re-merges the same batch,
-    which is idempotent because ``latest_per_key`` is. Replaced directories
-    are kept for ONE further commit (listed in the manifest's ``garbage``)
-    so in-flight readers of the previous snapshot finish their scans —
-    snapshot retention with lag 1, the knob Iceberg calls snapshot expiry.
+    which is idempotent because ``latest_per_key`` is. The previous
+    ``retain_snapshots`` snapshots stay fully readable (manifest
+    ``history``) — in-flight readers finish their scans, and
+    ``read_warehouse(version=)`` time-travels to any retained version
+    until ``vacuum_warehouse`` expires it: the knob Iceberg calls
+    snapshot expiry, Delta ``VERSION AS OF`` + ``VACUUM``.
 
     ``num_buckets`` is pinned in the manifest at table creation; later
     calls use the pinned value (a caller drifting the bucket count would
@@ -347,7 +421,8 @@ def merge_warehouse_batch(
     _commit_manifest(
         path,
         {"version": version, "num_buckets": num_buckets, "buckets": buckets,
-         "garbage": replaced},
+         "garbage": replaced,
+         "history": _rotate_history(manifest, retain_snapshots)},
     )
     shutil.rmtree(staged, ignore_errors=True)
     return written

@@ -639,3 +639,101 @@ def test_incremental_dedup_stream_screens_against_growing_corpus(spark, tmp_path
     # replay with no new input: nothing reprocesses, outputs unchanged
     run_incremental_dedup_stream(spark, in_dir, corpus, report, ckpt)
     assert spark.read.parquet(corpus).count() == 4
+
+
+def test_time_travel_merge_table(spark, tmp_path):
+    """read_warehouse(version=) returns the exact row-set each retained
+    commit published; table_history lists readable snapshots oldest-first;
+    rotation keeps only retain_snapshots past versions; vacuum expires
+    history and makes expired versions raise with the readable list."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        merge_warehouse_batch,
+        read_warehouse,
+        table_history,
+        vacuum_warehouse,
+    )
+
+    path = str(tmp_path / "wh")
+    merge_warehouse_batch(
+        spark, _merge_base_frame(spark, n=40), path, num_buckets=8,
+        retain_snapshots=2,
+    )
+    for v, w in ((2, 111), (3, 222)):
+        upd = _merge_base_frame(spark, n=40, version=v, watched=w).filter(
+            F.col("original_id") == "doc_7"
+        )
+        merge_warehouse_batch(spark, upd, path, retain_snapshots=2)
+
+    hist = table_history(path)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    def doc7(version=None):
+        return read_warehouse(spark, path, version=version).filter(
+            F.col("original_id") == "doc_7"
+        ).first()["watched_seconds"]
+    assert doc7() == 222 and doc7(3) == 222
+    assert doc7(2) == 111
+    assert doc7(1) == 70
+    # every snapshot is complete, not just the touched bucket
+    assert read_warehouse(spark, path, version=1).count() == 40
+
+    # a third update rotates version 1 out (retain_snapshots=2)
+    merge_warehouse_batch(
+        spark,
+        _merge_base_frame(spark, n=40, version=4, watched=333).filter(
+            F.col("original_id") == "doc_7"
+        ),
+        path,
+        retain_snapshots=2,
+    )
+    assert [h["version"] for h in table_history(path)] == [2, 3, 4]
+    with pytest.raises(KeyError, match=r"\[2, 3, 4\]"):
+        read_warehouse(spark, path, version=1)
+    assert doc7(2) == 111  # retained ones still resolve after rotation
+
+    # vacuum with keep_snapshots=1 expires version 2 but keeps 3
+    vacuum_warehouse(path, keep_snapshots=1)
+    assert [h["version"] for h in table_history(path)] == [3, 4]
+    assert doc7(3) == 222 and doc7() == 333
+    with pytest.raises(KeyError):
+        read_warehouse(spark, path, version=2)
+
+
+def test_time_travel_upsert_table(spark, tmp_path):
+    """Same contract on the rewrite sink: full past table versions stay
+    readable for retain_snapshots commits; non-manifest paths refuse
+    version= with a clear error."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        read_warehouse,
+        table_history,
+        upsert_warehouse_batch,
+    )
+
+    path = str(tmp_path / "wh")
+    upsert_warehouse_batch(
+        spark, _merge_base_frame(spark, n=30), path, retain_snapshots=3
+    )
+    upsert_warehouse_batch(
+        spark,
+        _merge_base_frame(spark, n=30, version=2, watched=99).filter(
+            F.col("original_id") == "doc_3"
+        ),
+        path,
+        retain_snapshots=3,
+    )
+    assert [h["version"] for h in table_history(path)] == [1, 2]
+    v1 = read_warehouse(spark, path, version=1)
+    assert v1.filter(F.col("original_id") == "doc_3").first()[
+        "watched_seconds"
+    ] == 30
+    assert read_warehouse(spark, path).filter(
+        F.col("original_id") == "doc_3"
+    ).first()["watched_seconds"] == 99
+
+    plain = str(tmp_path / "plain")
+    _merge_base_frame(spark, n=5).write.parquet(plain)
+    with pytest.raises(KeyError, match="no snapshot manifest"):
+        read_warehouse(spark, plain, version=1)
