@@ -551,3 +551,64 @@ def compact_warehouse(
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         done = list(pool.map(rewrite, days))
     return sum(done)
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: Sequence[str] = tuple(DEDUP_KEY),
+    order_col: str = "version",
+) -> DataFrame:
+    """Change data feed between two RETAINED snapshots: one row per key
+    whose latest state differs, tagged ``_change_type`` in
+    ('insert', 'update', 'delete') — Delta's ``table_changes`` on top of
+    the manifest history, the hook an incremental downstream pipeline
+    polls instead of re-scanning the table.
+
+    Diffed by full outer join on the merge keys comparing ``order_col``
+    (the sinks' monotonic version column), so a row rewritten with the
+    same version is — correctly — not a change. 'delete' only appears if
+    rows were physically removed between snapshots (the CDC pipeline's
+    soft deletes surface as 'update' of ``is_deleted``, matching its
+    warehouse semantics). Emitted columns are the NEW side for
+    insert/update and the OLD side for delete.
+
+    Cost: a keyed join of exactly the two snapshots — at 100 TB both
+    sides share the sinks' bucket layout, and for merge tables the join
+    could be further restricted to buckets whose directory names differ
+    between the snapshots (version-named directories make the unchanged
+    ones trivially identical).
+    """
+    old = read_warehouse(spark, path, version=from_version)
+    new = read_warehouse(
+        spark, path, version=to_version
+    )  # None -> current snapshot
+    key_cols = list(keys)
+    o = latest_per_key(old, keys=keys, order_col=order_col).alias("o")
+    n = latest_per_key(new, keys=keys, order_col=order_col).alias("n")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    o_key = F.col(f"o.{key_cols[0]}")
+    n_key = F.col(f"n.{key_cols[0]}")
+    change = (
+        F.when(o_key.isNull(), F.lit("insert"))
+        .when(n_key.isNull(), F.lit("delete"))
+        .when(
+            F.col(f"n.{order_col}") != F.col(f"o.{order_col}"), F.lit("update")
+        )
+        .otherwise(F.lit(None))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+        for c in n.columns
+    ]
+    return (
+        joined.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*out_cols, "_change_type")
+    )

@@ -737,3 +737,48 @@ def test_time_travel_upsert_table(spark, tmp_path):
     _merge_base_frame(spark, n=5).write.parquet(plain)
     with pytest.raises(KeyError, match="no snapshot manifest"):
         read_warehouse(spark, plain, version=1)
+
+
+def test_table_changes_between_snapshots(spark, tmp_path):
+    """Change data feed over retained snapshots: updated keys surface as
+    'update' with the NEW row, brand-new keys as 'insert', and keys absent
+    from the target snapshot as 'delete' (exercised by diffing backwards);
+    unchanged keys never appear."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        merge_warehouse_batch,
+        table_changes,
+    )
+
+    path = str(tmp_path / "wh")
+    merge_warehouse_batch(
+        spark, _merge_base_frame(spark, n=20), path, num_buckets=8,
+        retain_snapshots=3,
+    )
+    batch2 = _merge_base_frame(spark, n=21, version=2, watched=77).filter(
+        F.col("original_id").isin("doc_4", "doc_20")  # update + insert
+    )
+    merge_warehouse_batch(spark, batch2, path, retain_snapshots=3)
+
+    fwd = {
+        r["original_id"]: r
+        for r in table_changes(spark, path, from_version=1, to_version=2).collect()
+    }
+    assert set(fwd) == {"doc_4", "doc_20"}
+    assert fwd["doc_4"]["_change_type"] == "update"
+    assert fwd["doc_4"]["watched_seconds"] == 77  # new side emitted
+    assert fwd["doc_20"]["_change_type"] == "insert"
+
+    # to_version=None means current snapshot
+    cur = table_changes(spark, path, from_version=1)
+    assert {r["original_id"] for r in cur.collect()} == {"doc_4", "doc_20"}
+
+    back = {
+        r["original_id"]: r
+        for r in table_changes(spark, path, from_version=2, to_version=1).collect()
+    }
+    assert back["doc_20"]["_change_type"] == "delete"
+    assert back["doc_20"]["watched_seconds"] == 77  # old (v2) side emitted
+    assert back["doc_4"]["_change_type"] == "update"
+    assert back["doc_4"]["watched_seconds"] == 40
