@@ -110,8 +110,22 @@ def dedup_clusters(
     Both paths emit identical labels (min-id components, deterministic).
     """
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # explode both orientations from ONE pass over the pairs — a
+        # union of two selects would instantiate the (expensive) pair-
+        # detection subtree twice in the checkpoint job
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)  # pair detection runs ONCE, not per round
     )

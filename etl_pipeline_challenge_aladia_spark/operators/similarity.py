@@ -214,23 +214,27 @@ def minhash_incremental_pairs(
         .select(F.col("y.id").alias("delta_id"), F.col("x.id").alias("corpus_id"))
         .distinct()
     )
-    sh_c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        shingles_col(tokens_col(text_col), n).alias("sh_c"),
+    # join TEXT and shingle AFTER the joins: only matched candidate rows
+    # pay the shingle computation (see minhash_near_dup_pairs)
+    t_c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(text_col).alias("t_c")
     )
-    sh_d = delta.select(
-        F.col(id_col).alias("delta_id"),
-        shingles_col(tokens_col(text_col), n).alias("sh_d"),
+    t_d = delta.select(
+        F.col(id_col).alias("delta_id"), F.col(text_col).alias("t_d")
     )
     return (
-        candidates.join(sh_d, "delta_id")
-        .join(sh_c, "corpus_id")
+        candidates.join(t_d, "delta_id")
+        .join(t_c, "corpus_id")
         .select(
             "delta_id",
             "corpus_id",
-            round_half_up(jaccard_cols(F.col("sh_d"), F.col("sh_c")), 4).alias(
-                "jaccard"
-            ),
+            round_half_up(
+                jaccard_cols(
+                    shingles_col(tokens_col("t_d"), n),
+                    shingles_col(tokens_col("t_c"), n),
+                ),
+                4,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -270,16 +274,25 @@ def minhash_near_dup_pairs(
         .distinct()
     )
 
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles_col(tokens_col(text_col), n).alias("sh")
-    )
+    # join TEXT, shingle AFTER the joins: candidates are a vanishing
+    # fraction of the corpus, so computing shingles post-join touches only
+    # matched rows. Shingling before the join would tokenize the ENTIRE
+    # corpus twice more (the projection sits below the join and Catalyst
+    # never hoists expensive expressions above one).
+    txt = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     verified = (
-        candidates.join(sh.withColumnsRenamed({"id": "doc_id_a", "sh": "sh_a"}), "doc_id_a")
-        .join(sh.withColumnsRenamed({"id": "doc_id_b", "sh": "sh_b"}), "doc_id_b")
+        candidates.join(txt.withColumnsRenamed({"id": "doc_id_a", "t": "t_a"}), "doc_id_a")
+        .join(txt.withColumnsRenamed({"id": "doc_id_b", "t": "t_b"}), "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
-            round_half_up(jaccard_cols(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+            round_half_up(
+                jaccard_cols(
+                    shingles_col(tokens_col("t_a"), n),
+                    shingles_col(tokens_col("t_b"), n),
+                ),
+                4,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -839,16 +852,19 @@ def pq_adc_topk(
     first = queries.select(to_double_array(vec_col).alias("v")).first()
     dim = len(first["v"])
     sub_len = dim // blocks
-    q_subs = None
-    for b in range(blocks):
-        part = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.lit(b).cast("long").alias("block"),
-            F.slice(to_double_array(vec_col), b * sub_len + 1, sub_len).alias(
-                "qsub"
-            ),
-        )
-        q_subs = part if q_subs is None else q_subs.unionByName(part)
+    # one posexplode pass, not a union of per-block selects (a union
+    # re-instantiates the query subtree once per block)
+    q_subs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(to_double_array(vec_col), b * sub_len + 1, sub_len)
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block", "qsub"),
+    ).withColumn("block", F.col("block").cast("long"))
     fx = F.aggregate(
         F.zip_with(
             "qsub",
@@ -938,14 +954,18 @@ def ivf_adc_topk(
     )
     first = q.select("qe").first()
     sub_len = len(first["qe"]) // blocks
-    q_subs = None
-    for b in range(blocks):
-        part = q.select(
-            "query_id",
-            F.lit(b).cast("long").alias("block"),
-            F.slice("qe", b * sub_len + 1, sub_len).alias("qsub"),
-        )
-        q_subs = part if q_subs is None else q_subs.unionByName(part)
+    # single posexplode pass over the query frame (see pq_adc_topk)
+    q_subs = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("qe", b * sub_len + 1, sub_len)
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block", "qsub"),
+    ).withColumn("block", F.col("block").cast("long"))
     qfx = F.aggregate(
         F.zip_with(
             "qsub",

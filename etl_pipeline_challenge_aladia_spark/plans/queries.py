@@ -1034,9 +1034,12 @@ def q_doc_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.8)
+    # explode, not union-of-selects: a union would instantiate the whole
+    # LSH pipeline TWICE in one plan (no common-subtree reuse in Catalyst)
     involved = (
-        pairs.select(F.col("doc_id_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id")
+        )
         .distinct()
         .withColumn("_dup", F.lit(1))
     )
@@ -3943,13 +3946,23 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.sources.files import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    stats = with_text_stats(fan_out(docs)).select(
-        "doc_id",
-        "lang",
-        _r4(F.col("quality_score"), "q4"),
-        _r4(repetition_ratio_col(tokens_col("text"), 2), "rep2"),
-        token_count_col("text").alias("n_tokens"),
-        hash_split_col("doc_id").alias("split"),
+    stats = (
+        with_text_stats(fan_out(docs))
+        .select(
+            "doc_id",
+            "lang",
+            _r4(F.col("quality_score"), "q4"),
+            _r4(repetition_ratio_col(tokens_col("text"), 2), "rep2"),
+            token_count_col("text").alias("n_tokens"),
+            hash_split_col("doc_id").alias("split"),
+        )
+        # two consumers below (canonical scoring + the kept filter) would
+        # otherwise tokenize the corpus twice — Catalyst has no common-
+        # subtree reuse without an exchange. Materializing the SKINNY
+        # per-doc stats (6 columns, no text) once is the scale-safe shape:
+        # at 100 TB this is the "stats table" a curation pipeline persists
+        # anyway, a few bytes per doc.
+        .localCheckpoint(eager=False)
     )
     labels = dedup_clusters(minhash_near_dup_pairs(docs))
     canon = canonical_per_cluster(
