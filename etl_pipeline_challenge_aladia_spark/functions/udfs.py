@@ -51,3 +51,42 @@ def register_sql_functions(spark) -> None:
     the spark.sql surface is as complete as the DataFrame one."""
     spark.udf.register("watched_ratio_py", watched_ratio_pudf)
     spark.udf.register("token_count_py", token_count_pudf)
+
+
+def make_chunk_udtf():
+    """Python UDTF (Spark 4 table function): text -> one row per
+    overlapping chunk, the row-generating extension shape (U2) the
+    grouped-agg pandas_udf can't express.
+
+    Lazily constructed because the ``@udtf`` decorator needs a Spark-4
+    runtime; semantics mirror ``operators/text.py:chunk_plan`` (chunk =
+    ``size`` tokens, stride = ``size - overlap``) so the column-math
+    planner stays canonical and the UDTF is the per-row materializer for
+    SQL users: ``SELECT c.* FROM docs, LATERAL chunk_text(text, 8, 2) c``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: long, start_tok: long, n_tokens: long, chunk: string")
+    class ChunkText:
+        def eval(self, text: str, size: int = 8, overlap: int = 2):
+            toks = (text or "").split()
+            if not toks:
+                yield 0, 0, 0, ""
+                return
+            stride = max(1, size - overlap)
+            idx, start = 0, 0
+            while start < len(toks):
+                piece = toks[start : start + size]
+                yield idx, start, len(piece), " ".join(piece)
+                idx += 1
+                if start + size >= len(toks):  # tail fully covered
+                    break
+                start += stride
+
+    return ChunkText
+
+
+def register_sql_table_functions(spark) -> None:
+    """Register the UDTF surface: ``chunk_text`` becomes callable from SQL
+    (scalar args or LATERAL over a table column)."""
+    spark.udtf.register("chunk_text", make_chunk_udtf())

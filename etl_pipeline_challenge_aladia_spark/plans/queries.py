@@ -690,6 +690,46 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_variant_props",
+    f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          % 2 = 0
+                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_even_k
+FROM events
+GROUP BY event_type
+""",
+    doc="Semi-structured props via Spark 4's VARIANT type: parse_json once "
+    "into the binary variant encoding, then multiple typed "
+    "try_variant_get extractions ride the parsed value — the "
+    "open-schema pattern that at 100 TB avoids re-parsing JSON text per "
+    "accessed field (the oracle re-parses per access, which is exactly "
+    "the cost VARIANT removes). Results are engine-identical.",
+)
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "long")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") % 2 == 0, F.col("k")).otherwise(F.lit(0)))
+            .alias("sum_even_k"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline operators over documents/embeddings (north star:
 # dedup, text analysis, similarity search — BASELINE.json)

@@ -82,3 +82,55 @@ def test_rate_source_envelope_schema_and_mix(spark, tmp_path):
             assert r["data"] is None
         else:
             assert r["data"]["video_id"].startswith("video_")
+
+
+def test_chunk_udtf_matches_chunk_plan_counts(spark):
+    """U2 row-generating UDTF: chunk_text yields the same chunk boundaries
+    as the native chunk_plan column math, and works from SQL via LATERAL."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.functions.udfs import (
+        register_sql_table_functions,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import chunk_plan
+
+    register_sql_table_functions(spark)
+    rows = spark.sql(
+        "SELECT * FROM chunk_text('a b c d e f g h i j', 4, 1)"
+    ).collect()
+    # stride 3 over 10 tokens; stops once the tail is fully covered
+    assert [(r["chunk_idx"], r["start_tok"], r["n_tokens"]) for r in rows] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4),
+    ]
+    assert rows[1]["chunk"] == "d e f g"
+    # full coverage: every token index falls inside some chunk
+    covered = set()
+    for r in rows:
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(10))
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y z"), (3, "")],
+        ["doc_id", "text"],
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    lateral = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tokens "
+        "FROM udtf_docs d, LATERAL chunk_text(d.text, 4, 1) c"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["n_tokens"] for r in lateral.collect()
+    }
+    assert got[(1, 2)] == 4 and got[(2, 0)] == 3
+    assert got[(3, 0)] == 0  # empty docs still yield one row, like chunk_plan
+    # non-overlapping parity with the declarative planner (chunk_plan has
+    # no overlap knob; at overlap=0 both produce identical spans)
+    plan = chunk_plan(docs, chunk_tokens=4)
+    starts_native = sorted(
+        r["start_token"] for r in plan.filter(F.col("doc_id") == 1).collect()
+    )
+    udtf_rows = spark.sql(
+        "SELECT c.start_tok FROM udtf_docs d, LATERAL chunk_text(d.text, 4, 0) c "
+        "WHERE d.doc_id = 1"
+    ).collect()
+    assert starts_native == sorted(r["start_tok"] for r in udtf_rows)
