@@ -612,3 +612,98 @@ def table_changes(
         .filter(F.col("_change_type").isNotNull())
         .select(*out_cols, "_change_type")
     )
+
+
+def erase_warehouse_keys(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    path: str,
+    keys: Sequence[str] = tuple(DEDUP_KEY),
+    retain_snapshots: int = 1,
+) -> int:
+    """Hard row erasure (the GDPR/right-to-be-forgotten primitive every
+    training-data warehouse needs): physically remove all rows matching
+    ``keys_df``'s key tuples, with I/O proportional to the TOUCHED buckets
+    — never a full-table rewrite on bucketed MERGE tables.
+
+    Same commit protocol as the sinks: touched buckets are staged as new
+    version directories and published by one atomic manifest rename, so
+    readers see the pre- or post-erasure snapshot, never a mix. NOTE the
+    erased rows still exist in RETAINED past snapshots (time travel) —
+    complete physical purge requires ``vacuum_warehouse(path)`` after the
+    erase, which is the same two-step contract Delta documents for GDPR
+    (DELETE then VACUUM). ``table_changes`` across the erase commit
+    reports the rows as ``delete``.
+
+    Rewrite-sink (``table_dir``) tables fall back to a full single-version
+    rewrite — correct anywhere, O(table). Returns the number of bucket
+    directories (or 1 for rewrite tables) written.
+    """
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise ValueError(f"{path} has no snapshot manifest; nothing to erase from")
+    key_cols = list(keys)
+    erase = keys_df.select(*key_cols).distinct()
+
+    if "buckets" not in manifest:
+        # rewrite-sink table: one new version without the matching keys
+        current = spark.read.parquet(
+            os.path.join(path, manifest["table_dir"])
+        ).drop("_day")
+        kept = current.join(erase, key_cols, "left_anti")
+        version = int(manifest["version"]) + 1
+        out = kept.withColumn("_day", F.to_date("original_timestamp"))
+        out.write.mode("overwrite").partitionBy("_day").parquet(path + "._tmp")
+        new_dir = f"v{version:08d}"
+        os.rename(path + "._tmp", os.path.join(path, new_dir))
+        _commit_manifest(
+            path,
+            {"version": version, "table_dir": new_dir,
+             "garbage": [manifest["table_dir"]],
+             "history": _rotate_history(manifest, retain_snapshots)},
+        )
+        return 1
+
+    num_buckets = int(manifest["num_buckets"])
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(num_buckets)
+    ).cast("int")
+    tagged = erase.withColumn("_bucket", bucket)
+    touched = sorted(
+        r["_bucket"] for r in tagged.select("_bucket").distinct().collect()
+    )
+    touched = [bk for bk in touched if str(bk) in manifest["buckets"]]
+    if not touched:
+        return 0
+    current_dirs = [
+        os.path.join(path, manifest["buckets"][str(bk)]) for bk in touched
+    ]
+    current = spark.read.parquet(*current_dirs).withColumn("_bucket", bucket)
+    kept = current.join(erase, key_cols, "left_anti")
+    staged = path + "._erase_tmp"
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    kept.write.mode("overwrite").partitionBy("_bucket").parquet(staged)
+
+    version = int(manifest["version"]) + 1
+    buckets = dict(manifest["buckets"])
+    replaced = []
+    written = 0
+    for bk in touched:
+        src = os.path.join(staged, f"_bucket={bk}")
+        replaced.append(buckets[str(bk)])
+        if os.path.exists(src):
+            new_name = _bucket_dirname(bk, version)
+            os.rename(src, os.path.join(path, new_name))
+            buckets[str(bk)] = new_name
+        else:
+            del buckets[str(bk)]  # bucket fully erased
+        written += 1
+    _commit_manifest(
+        path,
+        {"version": version, "num_buckets": num_buckets, "buckets": buckets,
+         "garbage": replaced,
+         "history": _rotate_history(manifest, retain_snapshots)},
+    )
+    shutil.rmtree(staged, ignore_errors=True)
+    return written

@@ -782,3 +782,80 @@ def test_table_changes_between_snapshots(spark, tmp_path):
     assert back["doc_20"]["watched_seconds"] == 77  # old (v2) side emitted
     assert back["doc_4"]["_change_type"] == "update"
     assert back["doc_4"]["watched_seconds"] == 40
+
+
+def test_erase_warehouse_keys_gdpr(spark, tmp_path):
+    """Hard erasure on a bucketed MERGE table: the erased keys vanish from
+    the current snapshot but survive in the retained one (Delta's
+    DELETE-then-VACUUM contract); vacuum purges them physically; the
+    change feed across the erase commit reports them as deletes; only
+    touched buckets get new version directories."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        _read_manifest,
+        erase_warehouse_keys,
+        merge_warehouse_batch,
+        read_warehouse,
+        table_changes,
+        vacuum_warehouse,
+    )
+
+    path = str(tmp_path / "wh")
+    merge_warehouse_batch(
+        spark, _merge_base_frame(spark, n=50), path, num_buckets=8,
+        retain_snapshots=2,
+    )
+    m1 = _read_manifest(path)
+    doomed = spark.createDataFrame(
+        [("doc_3", "v", "s"), ("doc_17", "v", "s")],
+        ["original_id", "video_id", "session_id"],
+    )
+    written = erase_warehouse_keys(spark, doomed, path, retain_snapshots=2)
+    assert 1 <= written <= 2  # only the buckets those keys hash into
+
+    now = {r["original_id"] for r in read_warehouse(spark, path).collect()}
+    assert "doc_3" not in now and "doc_17" not in now and len(now) == 48
+    past = {
+        r["original_id"] for r in read_warehouse(spark, path, version=1).collect()
+    }
+    assert {"doc_3", "doc_17"} <= past  # still readable pre-vacuum
+
+    feed = {
+        r["original_id"]: r["_change_type"]
+        for r in table_changes(spark, path, from_version=1).collect()
+    }
+    assert feed == {"doc_3": "delete", "doc_17": "delete"}
+
+    # untouched buckets kept their directories (no full-table rewrite)
+    m2 = _read_manifest(path)
+    same = [
+        b for b, d in m1["buckets"].items() if m2["buckets"].get(b) == d
+    ]
+    assert len(same) == len(m1["buckets"]) - written
+
+    vacuum_warehouse(path)  # physical purge: history expired
+    with pytest.raises(KeyError):
+        read_warehouse(spark, path, version=1)
+    assert {
+        r["original_id"] for r in read_warehouse(spark, path).collect()
+    } == now
+
+
+def test_erase_warehouse_keys_rewrite_table(spark, tmp_path):
+    """Erasure falls back to a single-version full rewrite on upsert-sink
+    tables and stays snapshot-atomic."""
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        erase_warehouse_keys,
+        read_warehouse,
+        upsert_warehouse_batch,
+    )
+
+    path = str(tmp_path / "wh")
+    upsert_warehouse_batch(spark, _merge_base_frame(spark, n=20), path)
+    doomed = spark.createDataFrame(
+        [("doc_5", "v", "s")], ["original_id", "video_id", "session_id"]
+    )
+    assert erase_warehouse_keys(spark, doomed, path) == 1
+    rows = {r["original_id"] for r in read_warehouse(spark, path).collect()}
+    assert "doc_5" not in rows and len(rows) == 19
