@@ -23,10 +23,13 @@ from etl_pipeline_challenge_aladia_spark.session import get_spark  # noqa: E402
 from etl_pipeline_challenge_aladia_spark.sinks import (  # noqa: E402
     append_warehouse,
     compact_warehouse,
+    erase_warehouse_keys,
     merge_warehouse_batch,
     read_warehouse,
     read_warehouse_key,
     save_bucketed,
+    table_changes,
+    table_history,
     upsert_warehouse_batch,
     vacuum_warehouse,
 )
@@ -46,6 +49,9 @@ __all__ = [
     "merge_warehouse_batch",
     "compact_warehouse",
     "vacuum_warehouse",
+    "table_history",
+    "table_changes",
+    "erase_warehouse_keys",
     "save_bucketed",
     "run_cdc_file_stream",
     "run_cdc_kafka_stream",

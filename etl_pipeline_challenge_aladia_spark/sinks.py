@@ -55,7 +55,11 @@ def read_warehouse(
         raise KeyError(f"{path} has no snapshot manifest; cannot time-travel")
     if manifest is not None and manifest.get("buckets"):
         dirs = [os.path.join(path, d) for d in manifest["buckets"].values()]
-        return spark.read.parquet(*dirs)
+        # mergeSchema: buckets committed at different versions may carry
+        # evolved schemas (a later batch adding a column only rewrites its
+        # own buckets); the union schema with NULL back-fill is the
+        # correct read. Footer cost is bounded by the bucket count.
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
     if manifest is not None and manifest.get("table_dir"):
         df = spark.read.parquet(os.path.join(path, manifest["table_dir"]))
         return df.drop("_day") if "_day" in df.columns else df
@@ -389,8 +393,12 @@ def merge_warehouse_batch(
     if current_dirs:
         # bucket dirs store only data columns; the bucket id is recomputed
         # from the keys — the same deterministic expression that routed the
-        # rows at write time
-        current = spark.read.parquet(*current_dirs).withColumn("_bucket", bucket)
+        # rows at write time. mergeSchema: see read_warehouse.
+        current = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*current_dirs)
+            .withColumn("_bucket", bucket)
+        )
         merged = latest_per_key(
             current.unionByName(b, allowMissingColumns=True),
             keys=keys,
@@ -678,7 +686,11 @@ def erase_warehouse_keys(
     current_dirs = [
         os.path.join(path, manifest["buckets"][str(bk)]) for bk in touched
     ]
-    current = spark.read.parquet(*current_dirs).withColumn("_bucket", bucket)
+    current = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*current_dirs)
+        .withColumn("_bucket", bucket)
+    )
     kept = current.join(erase, key_cols, "left_anti")
     staged = path + "._erase_tmp"
     if os.path.exists(staged):

@@ -859,3 +859,43 @@ def test_erase_warehouse_keys_rewrite_table(spark, tmp_path):
     assert erase_warehouse_keys(spark, doomed, path) == 1
     rows = {r["original_id"] for r in read_warehouse(spark, path).collect()}
     assert "doc_5" not in rows and len(rows) == 19
+
+
+def test_merge_sink_schema_evolution(spark, tmp_path):
+    """A later batch adds a column: only its buckets are rewritten with the
+    wider schema, yet readers see the union schema with NULL back-fill for
+    untouched buckets (mergeSchema across the manifest's bucket dirs), and
+    a further merge into an un-evolved bucket keeps working."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        merge_warehouse_batch,
+        read_warehouse,
+    )
+
+    path = str(tmp_path / "wh")
+    merge_warehouse_batch(spark, _merge_base_frame(spark, n=40), path, num_buckets=8)
+
+    evolved = _merge_base_frame(spark, n=40, version=2, watched=77).filter(
+        F.col("original_id") == "doc_9"
+    ).withColumn("region_code", F.lit("eu").cast("string"))
+    merge_warehouse_batch(spark, evolved, path)
+
+    out = read_warehouse(spark, path)
+    assert "region_code" in out.columns
+    rows = {r["original_id"]: r for r in out.collect()}
+    assert len(rows) == 40
+    assert rows["doc_9"]["region_code"] == "eu"
+    assert rows["doc_9"]["watched_seconds"] == 77
+    assert rows["doc_0"]["region_code"] is None  # NULL back-fill
+
+    # merging into a NOT-yet-evolved bucket with the old schema still works
+    plain = _merge_base_frame(spark, n=40, version=3, watched=55).filter(
+        F.col("original_id") == "doc_2"
+    )
+    merge_warehouse_batch(spark, plain, path)
+    rows = {
+        r["original_id"]: r for r in read_warehouse(spark, path).collect()
+    }
+    assert rows["doc_2"]["watched_seconds"] == 55
+    assert rows["doc_9"]["region_code"] == "eu"  # evolution preserved
