@@ -436,3 +436,66 @@ def decode_media_audit(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         batches, schema=DECODE_AUDIT_SCHEMA
     )
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("luma_mean", T.DoubleType()),
+        T.StructField("luma_std", T.DoubleType()),
+    ]
+)
+
+
+def extract_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Materialize ``frame_sample_plan`` with REAL per-frame decode: each
+    (media_id, frame_ts) row decodes its Y4M payload and summarizes ONLY
+    the frame nearest that timestamp.
+
+    The plan explode happens BEFORE the Python stage, so frame tasks
+    spread across the cluster (one video's frames land on many executors)
+    — the shape that matters when a single video holds hours of footage.
+    The per-row decode re-parses the container; at 100 TB the payload
+    column would be a byte-range reference into object storage and the
+    kernel would seek, which this structure already mirrors (frame_ts ->
+    byte offset is container arithmetic for fixed-size Y4M frames).
+    Non-Y4M payloads yield NULL features rather than failing the batch.
+    """
+    plan = frame_sample_plan(media, every_ms=every_ms)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "frame_ts_ms": [], "frame_index": [],
+                "width": [], "height": [], "luma_mean": [], "luma_std": [],
+            }
+            for mid, ts, content in zip(
+                pdf["media_id"], pdf["frame_ts_ms"], pdf["content"]
+            ):
+                out["media_id"].append(int(mid))
+                out["frame_ts_ms"].append(int(ts))
+                data = bytes(content) if content is not None else b""
+                if sniff_format(data) != "y4m":
+                    out["frame_index"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["luma_mean"].append(None)
+                    out["luma_std"].append(None)
+                    continue
+                frames, fps = decode_y4m(data)
+                idx = min(
+                    len(frames) - 1, int(round(int(ts) * max(1, fps) / 1000.0))
+                )
+                f = frames[idx].astype(np.float64)
+                out["frame_index"].append(idx)
+                out["width"].append(frames.shape[2])
+                out["height"].append(frames.shape[1])
+                out["luma_mean"].append(float(f.mean()))
+                out["luma_std"].append(float(f.std()))
+            yield pd.DataFrame(out)
+
+    return plan.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)

@@ -158,3 +158,41 @@ def test_resize_images_with_real_kernel_decodable_output(spark):
         # aspect-fit within 8x8, geometry echoed in the typed columns
         assert img.shape[0] == r["out_height"] and img.shape[1] == r["out_width"]
         assert img.shape[0] <= 8 and img.shape[1] <= 8
+
+
+def test_extract_frame_features_decodes_planned_frames(spark):
+    """frame_sample_plan rows materialize into real per-frame decode: the
+    frame index tracks the sample timestamp, geometry matches the
+    container, and the luma mean equals the chosen frame's true mean;
+    non-Y4M payloads yield NULL features, not failures."""
+    import numpy as np
+
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import encode_y4m
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_frame_features,
+    )
+
+    frames = np.stack(
+        [np.full((4, 6), v, np.uint8) for v in (10, 20, 30, 40, 50)]
+    )
+    payload = encode_y4m(frames, 1)  # 1 fps -> 5000 ms duration
+    rows = [
+        (1, "video", "video/x-yuv4mpeg", payload, (6, 4, 5000)),
+        (2, "video", "video/mp4", b"\x00\x00\x01\xba...", (8, 8, 3000)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {
+        (r["media_id"], r["frame_ts_ms"]): r
+        for r in extract_frame_features(media, every_ms=1000).collect()
+    }
+    # video 1: frames at 0..4999 every 1000 ms -> 5 rows, frame i at i*1000
+    for i in range(5):
+        r = got[(1, i * 1000)]
+        assert r["frame_index"] == i
+        assert (r["width"], r["height"]) == (6, 4)
+        assert r["luma_mean"] == float(frames[i].mean())
+        assert r["luma_std"] == 0.0
+    # compressed container: planned rows exist, features are NULL
+    assert got[(2, 0)]["luma_mean"] is None
+    assert len([k for k in got if k[0] == 2]) == 3
