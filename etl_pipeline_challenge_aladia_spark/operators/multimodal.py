@@ -499,3 +499,76 @@ def extract_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(out)
 
     return plan.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_start_ms", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_windows(media: DataFrame, window_ms: int = 500) -> DataFrame:
+    """Audio -> fixed-window acoustic features via REAL WAV decode: one row
+    per (media_id, window) with RMS / peak / zero-crossing rate over that
+    window's PCM samples — the framing pass before any audio encoder
+    (speech VAD, loudness normalization, silence trimming).
+
+    Same plan-explode-then-decode shape as ``extract_frame_features``: the
+    window plan is pure column math over typed duration metadata, so the
+    Python stage receives pre-parallelized (media, window) rows and each
+    decode slices only its own sample range. Non-WAV payloads yield NULL
+    features rather than failing.
+    """
+    windows = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+        F.lit(window_ms),
+    )
+    plan = media.filter(F.col("modality") == "audio").select(
+        "media_id", F.explode(windows).alias("win_start_ms"), "content"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "win_start_ms": [], "n_samples": [],
+                "rms": [], "peak": [], "zcr": [],
+            }
+            for mid, start_ms, content in zip(
+                pdf["media_id"], pdf["win_start_ms"], pdf["content"]
+            ):
+                out["media_id"].append(int(mid))
+                out["win_start_ms"].append(int(start_ms))
+                data = bytes(content) if content is not None else b""
+                if sniff_format(data) != "wav":
+                    out["n_samples"].append(None)
+                    out["rms"].append(None)
+                    out["peak"].append(None)
+                    out["zcr"].append(None)
+                    continue
+                samples, rate = decode_wav(data)
+                lo = int(start_ms) * rate // 1000
+                hi = min(len(samples), (int(start_ms) + window_ms) * rate // 1000)
+                x = samples[lo:hi].astype(np.float64)
+                n = x.size
+                out["n_samples"].append(n)
+                if n == 0:
+                    out["rms"].append(0.0)
+                    out["peak"].append(0.0)
+                    out["zcr"].append(0.0)
+                    continue
+                out["rms"].append(float(np.sqrt((x * x).mean())))
+                out["peak"].append(float(np.abs(x).max()))
+                flips = np.count_nonzero(
+                    np.signbit(x[1:]) != np.signbit(x[:-1])
+                )
+                out["zcr"].append(float(flips) / n)
+            yield pd.DataFrame(out)
+
+    return plan.mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA)

@@ -196,3 +196,36 @@ def test_extract_frame_features_decodes_planned_frames(spark):
     # compressed container: planned rows exist, features are NULL
     assert got[(2, 0)]["luma_mean"] is None
     assert len([k for k in got if k[0] == 2]) == 3
+
+
+def test_extract_audio_windows_real_wav_decode(spark):
+    """Windowed acoustic features from real PCM decode: a half-loud,
+    half-quiet clip shows the level change exactly at the window
+    boundary; sample counts cover the clip with no overlap."""
+    import numpy as np
+
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import (
+        encode_wav_pcm16,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_windows,
+    )
+
+    rate = 1000  # 1 kHz -> 500 samples per 500 ms window
+    loud = np.array([1000, -1000] * 250, np.int16)  # 500 ms
+    quiet = np.array([10, -10] * 250, np.int16)  # 500 ms
+    payload = encode_wav_pcm16(np.concatenate([loud, quiet]), rate)
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", payload, (None, None, 1000))],
+        schema=MEDIA_SCHEMA,
+    )
+    got = {
+        r["win_start_ms"]: r
+        for r in extract_audio_windows(media, window_ms=500).collect()
+    }
+    assert set(got) == {0, 500}
+    assert got[0]["n_samples"] == 500 and got[500]["n_samples"] == 500
+    assert got[0]["rms"] == pytest.approx(1000.0)
+    assert got[500]["rms"] == pytest.approx(10.0)
+    assert got[0]["zcr"] == pytest.approx(499 / 500)
