@@ -34,6 +34,25 @@ def build_parser() -> argparse.ArgumentParser:
     cdcp.add_argument("--checkpoint", required=True)
     cdcp.add_argument("--quarantine", default=None)
     cdcp.add_argument("--sink", choices=["rewrite", "merge"], default="merge")
+
+    # table-format operations on a manifest warehouse
+    hist = sub.add_parser("history", help="list a table's readable snapshots")
+    hist.add_argument("path")
+
+    trav = sub.add_parser("show", help="print rows from a table (optionally a past version)")
+    trav.add_argument("path")
+    trav.add_argument("--version", type=int, default=None)
+    trav.add_argument("--limit", type=int, default=20)
+
+    chg = sub.add_parser("changes", help="change feed between two retained snapshots")
+    chg.add_argument("path")
+    chg.add_argument("--from-version", type=int, required=True, dest="from_version")
+    chg.add_argument("--to-version", type=int, default=None, dest="to_version")
+    chg.add_argument("--limit", type=int, default=50)
+
+    vac = sub.add_parser("vacuum", help="expire history and GC unreferenced versions")
+    vac.add_argument("path")
+    vac.add_argument("--keep-snapshots", type=int, default=0)
     return p
 
 
@@ -47,9 +66,43 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:45s} {kind}")
         return 0
 
+    if args.cmd == "history":
+        from etl_pipeline_challenge_aladia_spark.sinks import table_history
+
+        for snap in table_history(args.path):
+            layout = (
+                f"{len(snap['buckets'])} buckets"
+                if "buckets" in snap
+                else snap["table_dir"]
+            )
+            print(f"v{snap['version']:<6d} {layout}")
+        return 0
+
+    if args.cmd == "vacuum":
+        from etl_pipeline_challenge_aladia_spark.sinks import vacuum_warehouse
+
+        removed = vacuum_warehouse(args.path, keep_snapshots=args.keep_snapshots)
+        print(f"removed {removed} version dir(s)")
+        return 0
+
     from etl_pipeline_challenge_aladia_spark.session import get_spark
 
     spark = get_spark(app_name=f"cli-{args.cmd}")
+    if args.cmd == "show":
+        from etl_pipeline_challenge_aladia_spark.sinks import read_warehouse
+
+        read_warehouse(spark, args.path, version=args.version).show(
+            args.limit, truncate=False
+        )
+        return 0
+
+    if args.cmd == "changes":
+        from etl_pipeline_challenge_aladia_spark.sinks import table_changes
+
+        table_changes(
+            spark, args.path, args.from_version, args.to_version
+        ).show(args.limit, truncate=False)
+        return 0
     if args.cmd == "run":
         if args.query not in CATALOG:
             print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
