@@ -61,6 +61,16 @@ PICKS = {
     "orders_zorder_layout": "pure shift/mask integer projection (whole-stage "
     "codegen) + one bucket aggregation; the interleave key is what "
     "repartitionByRange would sort by on write",
+    "events_variant_props": "parse_json ONCE into the binary VARIANT column, "
+    "then typed variant_get extractions ride the parsed value inside "
+    "whole-stage codegen — no per-field JSON re-parse, no Python",
+    "doc_dup_rate_by_source": "the LSH pair pipeline appears ONCE: both pair "
+    "orientations come from one explode (no union-of-selects double "
+    "instantiation), and the verification joins carry text, shingling only "
+    "matched candidates",
+    "media_decode_audit": "ArrowEvalPython-free columns except the single "
+    "mapInPandas decode stage; scan -> one Arrow-batched Python pass -> "
+    "9 skinny columns, partition-parallel",
 }
 
 
