@@ -505,6 +505,8 @@ def compact_warehouse(
     path: str,
     target_rows_per_file: int = 1_000_000,
     max_workers: int = 4,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """Rewrite each day partition into ~target-sized files (the small-files
     compaction every streaming-append warehouse needs operationally).
@@ -514,7 +516,15 @@ def compact_warehouse(
     rewrites day-by-day — each rewrite is partition-local, so at 100 TB it
     runs incrementally on recent days, not the whole table. Day rewrites are
     submitted concurrently (Spark's scheduler interleaves the jobs) instead
-    of serially. NULL days — the soft-delete tombstones whose
+    of serially.
+
+    ``zorder_by=(col_a, col_b)`` additionally CLUSTERS each rewritten
+    partition by the Morton interleave of the two (numeric) columns —
+    Delta's ``OPTIMIZE ... ZORDER BY``: files are range-partitioned on the
+    z-key, so each file covers a bounded rectangle of (a, b) space and
+    min/max footer stats prune scans filtered on EITHER column. The
+    quantization min/max is per day partition (a 4-value driver-bounded
+    aggregate), which is what scoped OPTIMIZE does on a partitioned table. NULL days — the soft-delete tombstones whose
     original_timestamp is NULL by design — live in the
     ``__HIVE_DEFAULT_PARTITION__`` directory and are compacted too. Returns
     the number of partitions rewritten. On Delta/Iceberg this is OPTIMIZE /
@@ -552,7 +562,37 @@ def compact_warehouse(
         n = part.count()
         files = max(1, -(-n // target_rows_per_file))
         staged = f"{path}._compact_tmp_{dirname}"
-        part.repartition(files).write.mode("overwrite").parquet(staged)
+        out = part.repartition(files)
+        if zorder_by is not None and n > 0:
+            from etl_pipeline_challenge_aladia_spark.operators.layout import (
+                quantize_col,
+                zorder_key_col,
+            )
+
+            ca, cb = zorder_by
+            stats = part.agg(
+                F.min(ca).alias("mna"), F.max(ca).alias("mxa"),
+                F.min(cb).alias("mnb"), F.max(cb).alias("mxb"),
+            ).first()
+            if stats["mna"] is not None and stats["mnb"] is not None:
+                z = zorder_key_col(
+                    quantize_col(
+                        F.col(ca), F.lit(stats["mna"]), F.lit(stats["mxa"]),
+                        zorder_bits,
+                    ),
+                    quantize_col(
+                        F.col(cb), F.lit(stats["mnb"]), F.lit(stats["mxb"]),
+                        zorder_bits,
+                    ),
+                    zorder_bits,
+                )
+                out = (
+                    part.withColumn("_z", z)
+                    .repartitionByRange(files, "_z")
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
+        out.write.mode("overwrite").parquet(staged)
         _promote_dir(staged, dst, f"{path}._compact_old_{dirname}")
         return True
 

@@ -899,3 +899,60 @@ def test_merge_sink_schema_evolution(spark, tmp_path):
     }
     assert rows["doc_2"]["watched_seconds"] == 55
     assert rows["doc_9"]["region_code"] == "eu"  # evolution preserved
+
+
+def test_compact_warehouse_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE ZORDER: compacting with zorder_by range-partitions each day
+    partition on the Morton key, so every output file covers a bounded
+    rectangle of (a, b) space — per-file min/max spans shrink on BOTH
+    columns vs the global span, which is what footer-stats pruning needs.
+    Row content is unchanged."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        append_warehouse,
+        compact_warehouse,
+    )
+
+    # 32x32 grid of (watched, duration) shuffled into one day partition
+    grid = spark.range(1024).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("original_id"),
+        F.lit("v").alias("video_id"),
+        F.lit("s").alias("session_id"),
+        (F.col("id") % 32).cast("long").alias("watched_seconds"),
+        (F.col("id") / 32).cast("long").alias("video_duration_seconds"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("2024-01-01 10:00:00").cast("timestamp").alias("original_timestamp"),
+    ).orderBy(F.xxhash64("original_id"))  # scatter the layout
+    path = str(tmp_path / "wh")
+    append_warehouse(grid, path)
+
+    assert compact_warehouse(
+        spark, path, target_rows_per_file=64,
+        zorder_by=("watched_seconds", "video_duration_seconds"),
+    ) == 1
+
+    day_dir = glob.glob(os.path.join(path, "_day=*"))[0]
+    files = glob.glob(os.path.join(day_dir, "*.parquet"))
+    assert len(files) >= 8
+    spans_a, spans_b, total = [], [], 0
+    for f in files:
+        stats = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("watched_seconds"), F.max("watched_seconds"),
+                F.min("video_duration_seconds"), F.max("video_duration_seconds"),
+                F.count(F.lit(1)),
+            )
+            .first()
+        )
+        spans_a.append(stats[1] - stats[0])
+        spans_b.append(stats[3] - stats[2])
+        total += stats[4]
+    assert total == 1024  # content preserved
+    # z-clustered files cover rectangles: mean span well under the global
+    # span (31) on BOTH dimensions — an unclustered random split gives ~31
+    assert sum(spans_a) / len(spans_a) < 16
+    assert sum(spans_b) / len(spans_b) < 16
