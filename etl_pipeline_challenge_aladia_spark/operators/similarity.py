@@ -1216,3 +1216,152 @@ def centroid_outliers(
         .filter(F.col("rnk") <= k)
         .select(F.col("cell").alias(cell_col), "vec_id", "d2", "rnk")
     )
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    df_cap: int = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """ORDER-SENSITIVE substring-level duplicate detection: doc pairs that
+    share at least ``min_shared`` distinct spans of ``span_tokens``
+    consecutive tokens — the "exact substring dedup" modality (long copied
+    passages inside otherwise-different documents), which set-based
+    Jaccard under-weights because a long span is only ~1 shingle per
+    position out of the whole set.
+
+    Inverted index on the span text: explode distinct spans, drop spans
+    with document frequency above ``df_cap`` (boilerplate — posting lists
+    otherwise go quadratic, same mitigation as ngram_jaccard_pairs), then
+    count co-occurrences per pair. Cost is the sum of capped posting-list
+    squares, linear-ish in corpus size, never all-pairs.
+    """
+    spans = fan_out(
+        docs.select(
+            F.col(id_col).alias("id"),
+            shingles_col(tokens_col(text_col), span_tokens).alias("sp"),
+        )
+    ).select("id", F.explode(F.array_distinct("sp")).alias("span"))
+    rare = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("span")
+    )
+    indexed = spans.join(rare, "span")
+    a, b = indexed.alias("a"), indexed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.span") == F.col("b.span"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("doc_id_a"), F.col("b.id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= min_shared)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: k-means cells bound the
+    pairwise comparison, then within each cell a vector is a DUPLICATE if
+    a lower-id cell-mate's cosine similarity exceeds ``threshold``
+    (min-id survivorship — the SQL-able variant of SemDeDup's greedy
+    keep-first sweep; both keep exactly one representative per tight
+    semantic group).
+
+    Pairwise cost is sum of cell-size squares — the whole point of the
+    coarse quantizer: at corpus scale cells are capped by k's granularity
+    and the quadratic never touches the full corpus. Assignment reuses
+    the deterministic fixed-point ``kmeans_lite`` so the oracle can unroll
+    it. Output: one row per duplicate (vec_id, canonical_id = lowest
+    qualifying cell-mate, max_cos).
+    """
+    cells = kmeans_lite(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    v = embeddings.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    m = cells.select("id", "cluster").join(v, "id")
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("keep_id"),
+            F.col("b.id").alias("dup_id"),
+            round_half_up(
+                cosine_similarity_col(F.col("a.v"), F.col("b.v")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+    return pairs.groupBy(F.col("dup_id").alias("vec_id")).agg(
+        F.min("keep_id").alias("canonical_id"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    top-k most-similar candidates with a DIFFERENT label — the examples a
+    retrieval/embedding model most needs to push apart.
+
+    Same broadcast-queries shape as ``brute_force_topk`` with the label
+    inequality fused into the scoring join, so disqualified candidates
+    never reach the per-query top-k window.
+    """
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("cand_label"),
+        to_double_array(vec_col).alias("ce"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        to_double_array(vec_col).alias("qe"),
+    )
+    scored = (
+        cand.join(
+            F.broadcast(q), F.col("cand_label") != F.col("query_label")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cand_label",
+            round_half_up(
+                cosine_similarity_col(F.col("qe"), F.col("ce")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cand_label", "cos_sim",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -2413,18 +2413,20 @@ def q_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
-    """Unrolled-SQL twin of kmeans_lite: the fixed iteration count makes the
-    iterative algorithm expressible as ``iters`` chained CTE stages. Exactness
-    contract shared with the Spark side: per-dimension squared diffs are
-    fixed-pointed to 1e-8 int64 before summing (argmin is integer compare),
-    centroid components rounded half-up to 1e-6 each round."""
+def _kmeans_cte_prefix(k: int = 8, iters: int = 3, v_ctes: str | None = None) -> str:
+    """The unrolled kmeans_lite CTE chain, ending at assignment CTE
+    ``a{iters}``: (vec_id, cluster, fx). Shared by every oracle that needs
+    the deterministic cell assignment (emb_kmeans_clusters,
+    emb_semantic_dedup); callers append their own final select.
+    ``v_ctes`` overrides the corpus definition — it must define a CTE
+    named ``v`` with columns (vec_id, e DOUBLE[])."""
     fx = "sum(CAST(floor((ev.val - c.cv) * (ev.val - c.cv) * 100000000.0 + 0.5) AS BIGINT))"
-    parts = [
-        f"""WITH v AS (
+    v_default = """v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
-),
+)"""
+    parts = [
+        f"""WITH {v_ctes or v_default},
 ev AS (SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM v),
 init AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}),
 c0a AS (SELECT e, row_number() OVER (ORDER BY vec_id) AS cluster FROM init),
@@ -2452,14 +2454,173 @@ c{r} AS (
   FROM a{r} a JOIN ev ON ev.vec_id = a.vec_id GROUP BY a.cluster, ev.dim
 )"""
             )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled-SQL twin of kmeans_lite (see ``_kmeans_cte_prefix`` for the
+    exactness contract: fixed-point int64 distances, half-up centroid
+    rounding, lowest-id init, cluster-index tie-breaks)."""
+    return (
+        _kmeans_cte_prefix(k, iters)
+        + f"""
 SELECT CAST(cluster AS BIGINT) AS cluster,
        CAST(count(*) AS BIGINT) AS n_vecs,
        {_s4('CAST(sum(fx) AS DOUBLE) / 100000000.0 / count(*)')} AS avg_sq_dist
 FROM a{iters} GROUP BY cluster"""
     )
-    return "".join(parts)
+
+
+@query(
+    "doc_shared_span_pairs",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 7, 0)),
+           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8])) AS sp
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sp) AS span FROM tok),
+rare AS (SELECT span FROM ex GROUP BY span HAVING count(*) <= 50),
+idx AS (SELECT doc_id, span FROM ex JOIN rare USING (span))
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_spans
+FROM idx a JOIN idx b ON a.span = b.span AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 1
+""",
+    doc="ORDER-SENSITIVE substring-level dup detection "
+    "(operators/similarity.py:shared_span_pairs): doc pairs sharing "
+    "8-token consecutive spans via an inverted span index with a "
+    "doc-frequency cap — the 'exact substring dedup' modality that "
+    "set-based Jaccard under-weights (a long copied passage inside "
+    "otherwise-different docs). Posting lists capped at df<=50 keep the "
+    "join linear-ish; never all-pairs.",
+)
+def q_doc_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        shared_span_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shared_span_pairs(docs, span_tokens=8, df_cap=50, min_shared=1)
+
+
+def _semantic_dedup_oracle_sql(k: int = 8, iters: int = 3, threshold: float = 0.95) -> str:
+    """Replays the duplicate injection (10% deterministic sample, ids
+    shifted +100000, per-dimension 1±0.001 tilt — multiplication order
+    matches the Spark expression bit-for-bit), the unrolled k-means cell
+    assignment over the widened corpus, and the in-cell min-id
+    survivorship sweep."""
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        sql_md5_fold32 as _fold,
+    )
+
+    fold_vec = _fold("CAST(vec_id AS VARCHAR)")
+    v_ctes = f"""base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+v AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(len(e)), i -> e[i+1] * (1 + 0.001 * ((i % 3) - 1))) AS e
+  FROM base WHERE {fold_vec} % 1000 < 100
+)"""
+    return (
+        _kmeans_cte_prefix(k, iters, v_ctes=v_ctes)
+        + f""",
+m AS (SELECT a.vec_id, a.cluster, v.e FROM a{iters} a JOIN v USING (vec_id)),
+p AS (
+  SELECT x.vec_id AS keep_id, y.vec_id AS dup_id,
+         {_s4('list_cosine_similarity(x.e, y.e)')} AS cos_sim
+  FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+)
+SELECT dup_id AS vec_id,
+       CAST(min(keep_id) AS BIGINT) AS canonical_id,
+       max(cos_sim) AS max_cos
+FROM p WHERE cos_sim >= {threshold}
+GROUP BY dup_id"""
+    )
+
+
+@query(
+    "emb_semantic_dedup",
+    _semantic_dedup_oracle_sql(),
+    doc="SemDeDup-shaped semantic deduplication "
+    "(operators/similarity.py:semantic_dedup) as a duplicate-injection "
+    "audit: 10% of the corpus re-appears under new ids with a tiny "
+    "deterministic per-dimension tilt (the re-embedding scenario), then "
+    "deterministic k-means cells bound the pairwise cosine comparison "
+    "(sum of cell-size squares, never corpus^2) and min-id survivorship "
+    "keeps one representative per tight semantic group — recovering "
+    "exactly the injected twins (organic max cosine here is ~0.51). The "
+    "oracle replays injection + unrolled fixed-point k-means (shared "
+    "_kmeans_cte_prefix) + the in-cell sweep.",
+)
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.vectors import to_double_array
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        deterministic_sample,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    # the re-embedding scenario: 10% of the corpus re-appears under new ids
+    # with a tiny deterministic per-dimension tilt (cosine ~0.999997 to the
+    # original — semantically identical, not byte-identical)
+    injected = deterministic_sample(base, "vec_id", 0.1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "e",
+            lambda x, i: x
+            * (F.lit(1.0) + F.lit(0.001) * ((i % F.lit(3)) - F.lit(1)).cast("double")),
+        ).alias("e"),
+    )
+    return semantic_dedup(
+        base.unionByName(injected), threshold=0.95, vec_col="e"
+    )
+
+
+@query(
+    "emb_hard_negatives",
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label, emb AS qe FROM e WHERE vec_id < 5),
+p AS (
+  SELECT query_id, c.vec_id AS neighbor_id, c.label AS cand_label,
+         {_s4('list_cosine_similarity(qe, c.emb)')} AS cos_sim
+  FROM q JOIN e c ON c.label <> q.query_label
+)
+SELECT query_id, neighbor_id, CAST(cand_label AS INTEGER) AS cand_label, cos_sim, rnk
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM p) WHERE rnk <= 5
+""",
+    doc="Hard-negative mining for contrastive training "
+    "(operators/similarity.py:hard_negative_topk): per query vector, the "
+    "top-5 most-similar candidates with a DIFFERENT label — the examples "
+    "an embedding model most needs to push apart. Broadcast query side, "
+    "label inequality fused into the scoring join, per-query window "
+    "top-k.",
+)
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return hard_negative_topk(emb, queries_df, k=5)
 
 
 @query(

@@ -93,3 +93,74 @@ def test_pq_model_shapes_and_codes(spark, sf_dir):
     b = books.collect()
     assert len(b) == 16  # 4 blocks x k=4
     assert all(len(r["centroid"]) == 16 for r in b)  # 64 dims / 4 blocks
+
+
+def test_shared_span_pairs_order_sensitive(spark):
+    """Spans are ORDER-sensitive: a doc sharing an 8-token run is paired;
+    a doc with the same tokens shuffled (high Jaccard, no shared run) is
+    not. The df-cap drops boilerplate spans."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        shared_span_pairs,
+    )
+
+    run = " ".join(f"t{i}" for i in range(10))  # 10-token run -> 3 spans of 8
+    shuffled = " ".join(f"t{i}" for i in reversed(range(10)))
+    docs = spark.createDataFrame(
+        [
+            (1, run + " tail1 a b"),
+            (2, "head2 x " + run),
+            (3, shuffled + " other c d"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared_spans"]
+        for r in shared_span_pairs(docs, span_tokens=8).collect()
+    }
+    assert got == {(1, 2): 3}  # the run's 3 overlapping spans, nothing else
+
+    # boilerplate: a span present in EVERY doc dies at the df cap
+    many = [(i, "common " + run + f" uniq{i}") for i in range(10)]
+    boiler = spark.createDataFrame(many, ["doc_id", "text"])
+    assert shared_span_pairs(boiler, span_tokens=8, df_cap=5).count() == 0
+
+
+def test_semantic_dedup_min_id_survivorship(spark):
+    """Exact/near twins collapse to the lowest-id representative; distant
+    vectors in the same cell survive."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.001, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    rows = [(10, base), (11, near), (12, far), (13, base)]
+    emb = spark.createDataFrame(rows, ["vec_id", "e"])
+    got = {
+        r["vec_id"]: (r["canonical_id"], r["max_cos"])
+        for r in semantic_dedup(emb, k=2, threshold=0.95, vec_col="e").collect()
+    }
+    assert set(got) == {11, 13}  # dups of 10; 12 survives, 10 canonical
+    assert got[13] == (10, 1.0)
+    assert got[11][0] == 10 and got[11][1] >= 0.99
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.99, 0.14]),   # same label: must never appear
+        (2, 1, [0.95, 0.31]),   # hardest negative
+        (3, 1, [0.0, 1.0]),     # easy negative
+        (4, 2, [0.9, 0.44]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    q = spark.createDataFrame([(0, 0, [1.0, 0.0])], ["query_id", "label", "embedding"])
+    got = hard_negative_topk(emb, q, k=3).collect()
+    assert [r["neighbor_id"] for r in got] == [2, 4, 3]  # by cos desc
+    assert all(r["cand_label"] != 0 for r in got)
+    assert got[0]["rnk"] == 1
