@@ -156,6 +156,7 @@ def run_cdc_file_stream(
     checkpoint_dir: str,
     quarantine_path: str | None = None,
     sink: str = "rewrite",
+    view_path: str | None = None,
 ) -> None:
     """Run the CDC pipeline over all currently-available files and stop
     (Trigger.AvailableNow) — the batch-equivalent streaming execution used
@@ -165,11 +166,20 @@ def run_cdc_file_stream(
     ``sink`` picks the upsert strategy: ``"rewrite"`` (full-table rewrite,
     simplest) or ``"merge"`` (bucket-partitioned MERGE, I/O proportional to
     the batch — the scale path).
+
+    ``view_path`` additionally maintains the materialized per-video stats
+    view (views.py) INSIDE each micro-batch: after the upsert commits, the
+    view refreshes incrementally from the change feed, so downstream
+    dashboards read a pre-aggregated table that is never more than one
+    micro-batch behind — the streaming half of the reference's analytics
+    story (SURVEY §2-A1) without a per-query fact scan.
     """
     envelopes = streaming_envelopes_from_json(spark, input_dir)
     (
         envelopes.writeStream.foreachBatch(
-            make_cdc_batch_processor(warehouse_path, quarantine_path, sink)
+            make_cdc_batch_processor(
+                warehouse_path, quarantine_path, sink, view_path
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -182,6 +192,7 @@ def make_cdc_batch_processor(
     warehouse_path: str,
     quarantine_path: str | None = None,
     sink: str = "rewrite",
+    view_path: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body shared by every CDC ingress (file-stream,
     Kafka): quarantine corrupt envelopes, transform, idempotent upsert."""
@@ -206,6 +217,17 @@ def make_cdc_batch_processor(
             merge_warehouse_batch(batch.sparkSession, rows, warehouse_path)
         else:
             upsert_warehouse_batch(batch.sparkSession, rows, warehouse_path)
+        if view_path is not None:
+            from etl_pipeline_challenge_aladia_spark.views import (
+                refresh_video_stats_view,
+            )
+
+            # incremental: change feed since the view's source version ->
+            # dirty groups only; idempotent on redelivery (a replayed
+            # batch leaves the table version unchanged -> no-op refresh)
+            refresh_video_stats_view(
+                batch.sparkSession, warehouse_path, view_path
+            )
 
     return process_batch
 

@@ -114,3 +114,60 @@ def test_refresh_handles_erasure_and_vacuum_fallback(spark, tmp_path):
     assert _as_sorted(read_view(spark, view)) == _as_sorted(
         video_stats(read_warehouse(spark, table))
     )
+
+
+def test_streaming_pipeline_maintains_view(spark, tmp_path):
+    """view_path on the CDC stream keeps the materialized per-video stats
+    in lockstep with the warehouse across micro-batches, surviving
+    updates and staying equal to a full rebuild."""
+    import json
+    import os
+
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        run_cdc_file_stream,
+    )
+
+    def envelope(op, doc, version, watched, video):
+        return json.dumps(
+            {
+                "operation": op,
+                "document_id": doc,
+                "timestamp": "ct",
+                "version": version,
+                "data": {
+                    "video_id": video,
+                    "session_id": f"s_{doc}",
+                    "watched_seconds": watched,
+                    "video_duration_seconds": 100,
+                    "timestamp": "2024-01-01T10:20:30Z",
+                    "device_type": "mobile",
+                    "quality": "720p",
+                },
+            }
+        )
+
+    d = {k: str(tmp_path / k) for k in ("in", "wh", "ckpt", "view")}
+    os.makedirs(d["in"])
+    with open(os.path.join(d["in"], "b1.json"), "w") as f:
+        f.write("\n".join([
+            envelope("insert", "d1", 1, 50, "video_a"),
+            envelope("insert", "d2", 1, 30, "video_a"),
+            envelope("insert", "d3", 1, 80, "video_b"),
+        ]) + "\n")
+    run_cdc_file_stream(
+        spark, d["in"], d["wh"], d["ckpt"], sink="merge", view_path=d["view"]
+    )
+    v1 = {r["video_id"]: r for r in read_view(spark, d["view"]).collect()}
+    assert v1["video_a"]["n_sessions"] == 2
+    assert v1["video_b"]["max_watched_seconds"] == 80
+
+    with open(os.path.join(d["in"], "b2.json"), "w") as f:
+        f.write(envelope("update", "d1", 2, 99, "video_a") + "\n")
+    run_cdc_file_stream(
+        spark, d["in"], d["wh"], d["ckpt"], sink="merge", view_path=d["view"]
+    )
+    v2 = {r["video_id"]: r for r in read_view(spark, d["view"]).collect()}
+    assert v2["video_a"]["max_watched_seconds"] == 99
+    assert v2["video_b"] == v1["video_b"]  # untouched group identical
+    want = _as_sorted(video_stats(read_warehouse(spark, d["wh"])))
+    assert _as_sorted(read_view(spark, d["view"])) == want
