@@ -44,7 +44,10 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM IS the executor — size the heap for
+        # all worker threads (8g/32 threads = 250MB per task is spill
+        # territory on wide aggregations; the harness box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -71,6 +71,13 @@ PICKS = {
     "media_decode_audit": "ArrowEvalPython-free columns except the single "
     "mapInPandas decode stage; scan -> one Arrow-batched Python pass -> "
     "9 skinny columns, partition-parallel",
+    "emb_semantic_dedup": "pairwise cosine bounded to k-means cells (join "
+    "key = cluster id): the quadratic never sees the corpus, only "
+    "cell-mates; kmeans assignment itself is broadcast-centroid map "
+    "stages with per-round checkpoints",
+    "doc_shared_span_pairs": "inverted span index with df-cap semi-join "
+    "BEFORE the pair self-join — posting lists bounded, no all-pairs; "
+    "one hash aggregation per pair",
 }
 
 
