@@ -17,8 +17,28 @@ def to_double_array(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot_col(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two array<double> columns."""
+def _chain_sum(terms: list[Column]) -> Column:
+    """Left-associative ``t0 + t1 + ...`` — the SAME evaluation order as
+    ``F.aggregate``'s sequential fold (the fold's extra leading ``0.0 +``
+    is an IEEE identity), so unrolled and folded sums are bit-equal."""
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product of two array<double> columns.
+
+    Pass ``dim`` (when statically known) to UNROLL the sum into a flat
+    expression tree instead of the higher-order fold. Values are
+    bit-identical (same summation order). Measured locally the two forms
+    perform about the same at dim=64 (the unrolled codegen tree is large
+    enough to offset the fold's interpretation cost), so the fold stays
+    the default; the unrolled form exists for engines/dims where the
+    trade-off differs and as the bit-equality reference."""
+    if dim is not None:
+        return _chain_sum([a.getItem(i) * b.getItem(i) for i in range(dim)])
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -26,17 +46,22 @@ def dot_col(a: Column, b: Column) -> Column:
     )
 
 
-def norm_col(a: Column) -> Column:
-    """L2 norm of an array<double> column."""
+def norm_col(a: Column, dim: int | None = None) -> Column:
+    """L2 norm of an array<double> column (see ``dot_col`` on ``dim``)."""
+    if dim is not None:
+        return F.sqrt(
+            _chain_sum([a.getItem(i) * a.getItem(i) for i in range(dim)])
+        )
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
 
 
-def cosine_similarity_col(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 when either norm is zero."""
-    denom = norm_col(a) * norm_col(b)
-    return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
+def cosine_similarity_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity; 0.0 when either norm is zero. ``dim`` unrolls
+    all three folds into codegen (bit-identical values)."""
+    denom = norm_col(a, dim) * norm_col(b, dim)
+    return F.when(denom > 0, dot_col(a, b, dim) / denom).otherwise(F.lit(0.0))
 
 
 def l2_normalize_col(a: Column) -> Column:

@@ -653,8 +653,41 @@ def kmeans_lite(
     )
 
 
+def _fx_sq_dist(v, c, dim: int | None):
+    """EXACT int64 fixed-point squared distance between two array<double>
+    columns: sum of floor((v_d - c_d)^2 * 1e8 + 0.5). With ``dim`` known
+    the sum unrolls into a flat codegen'd chain — int64 addition is
+    associative, so unrolled and folded values are identical to the bit;
+    without it, the original zip_with/aggregate fold runs (interpreted)."""
+    if dim is not None:
+        from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+            _chain_sum,
+        )
+
+        return _chain_sum(
+            [
+                F.floor(
+                    (v.getItem(d) - c.getItem(d))
+                    * (v.getItem(d) - c.getItem(d))
+                    * F.lit(100000000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+                for d in range(dim)
+            ]
+        )
+    sq = F.zip_with(
+        v,
+        c,
+        lambda a, b: F.floor(
+            (a - b) * (a - b) * F.lit(100000000.0) + F.lit(0.5)
+        ).cast("long"),
+    )
+    return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def kmeans_lite_grouped(
-    vecs: DataFrame, k: int = 8, iters: int = 3, scale: int = 6
+    vecs: DataFrame, k: int = 8, iters: int = 3, scale: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over MANY groups at once: ``vecs`` is (grp, id, v)
     and every group trains its own independent k centroids, but all groups
@@ -684,14 +717,8 @@ def kmeans_lite_grouped(
         # fixed-point per-dimension squared diffs (1e-8 quanta, int64): the
         # distance sum is exact integer arithmetic, so argmin assignment is
         # engine-reproducible and an unrolled SQL twin matches bit-for-bit
-        sq = F.zip_with(
-            "v",
-            "c",
-            lambda a, b: F.floor(
-                (a - b) * (a - b) * F.lit(100000000.0) + F.lit(0.5)
-            ).cast("long"),
-        )
-        dist_fx = F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        # (dim=None -> fold; see _fx_sq_dist for the unrolled variant)
+        dist_fx = _fx_sq_dist(F.col("v"), F.col("c"), dim)
         assigned = (
             vecs.join(F.broadcast(centroids), "grp")
             .select("grp", "id", "v", "cluster", dist_fx.alias("dist_fx"))
@@ -1269,7 +1296,7 @@ def shared_span_pairs(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    k: int = 8,
+    k: int = 32,
     iters: int = 3,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -1284,22 +1311,39 @@ def semantic_dedup(
 
     Pairwise cost is sum of cell-size squares — the whole point of the
     coarse quantizer: at corpus scale cells are capped by k's granularity
-    and the quadratic never touches the full corpus. Assignment reuses
-    the deterministic fixed-point ``kmeans_lite`` so the oracle can unroll
-    it. Output: one row per duplicate (vec_id, canonical_id = lowest
-    qualifying cell-mate, max_cos).
+    and the quadratic never touches the full corpus (raise ``k`` with the
+    corpus so cell sizes stay bounded). Assignment reuses the
+    deterministic fixed-point ``kmeans_lite`` so the oracle can unroll
+    it. The hot pair stage runs a cheap prefilter — one dot product of
+    PRE-normalized vectors per pair (cosine re-derives both norms per
+    pair, 3x the flops) with a safety margin below the threshold — and
+    only surviving pairs get the exact canonical cosine that the oracle
+    compares, so output values are untouched. Output: one row per
+    duplicate (vec_id, canonical_id = lowest qualifying cell-mate,
+    max_cos).
     """
+    from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+        dot_col,
+        l2_normalize_col,
+    )
+
     cells = kmeans_lite(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     v = embeddings.select(
-        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+        F.col(id_col).alias("id"),
+        to_double_array(vec_col).alias("v"),
+        l2_normalize_col(to_double_array(vec_col)).alias("nv"),
     )
     m = cells.select("id", "cluster").join(v, "id")
     a, b = m.alias("a"), m.alias("b")
+    # margin covers normalized-dot vs exact-cosine float noise (~1e-15) by
+    # ten orders of magnitude; candidates below it cannot reach threshold
+    prefilter = dot_col(F.col("a.nv"), F.col("b.nv")) >= F.lit(threshold - 0.01)
     pairs = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & prefilter,
         )
         .select(
             F.col("a.id").alias("keep_id"),

@@ -2507,7 +2507,7 @@ def q_doc_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_pairs(docs, span_tokens=8, df_cap=50, min_shared=1)
 
 
-def _semantic_dedup_oracle_sql(k: int = 8, iters: int = 3, threshold: float = 0.95) -> str:
+def _semantic_dedup_oracle_sql(k: int = 32, iters: int = 3, threshold: float = 0.95) -> str:
     """Replays the duplicate injection (10% deterministic sample, ids
     shifted +100000, per-dimension 1±0.001 tilt — multiplication order
     matches the Spark expression bit-for-bit), the unrolled k-means cell

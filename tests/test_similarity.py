@@ -164,3 +164,39 @@ def test_hard_negative_topk_excludes_same_label(spark):
     assert [r["neighbor_id"] for r in got] == [2, 4, 3]  # by cos desc
     assert all(r["cand_label"] != 0 for r in got)
     assert got[0]["rnk"] == 1
+
+
+def test_unrolled_vector_ops_bit_equal_fold(spark):
+    """The dim-unrolled dot/norm/cosine/fx variants must be bit-identical
+    to the sequential folds (same summation order for floats; int64
+    associativity for the fixed-point distance)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+        cosine_similarity_col,
+        dot_col,
+        norm_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        _fx_sq_dist,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (
+            [rng.uniform(-2, 2) for _ in range(16)],
+            [rng.uniform(-2, 2) for _ in range(16)],
+        )
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    a, b = F.col("a"), F.col("b")
+    mism = df.select(
+        (dot_col(a, b) != dot_col(a, b, 16)).alias("d"),
+        (norm_col(a) != norm_col(a, 16)).alias("n"),
+        (cosine_similarity_col(a, b) != cosine_similarity_col(a, b, 16)).alias("c"),
+        (_fx_sq_dist(a, b, None) != _fx_sq_dist(a, b, 16)).alias("f"),
+    ).filter("d or n or c or f")
+    assert mism.count() == 0
