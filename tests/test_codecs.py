@@ -229,3 +229,78 @@ def test_extract_audio_windows_real_wav_decode(spark):
     assert got[0]["rms"] == pytest.approx(1000.0)
     assert got[500]["rms"] == pytest.approx(10.0)
     assert got[0]["zcr"] == pytest.approx(499 / 500)
+
+
+# ---- property tests (hypothesis): the codecs are total inverses ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        gray=st.booleans(),
+    )
+    def test_prop_pnm_round_trip(w, h, seed, gray):
+        rng = np.random.default_rng(seed)
+        if gray:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            data = encode_pgm(img)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            data = encode_ppm(img)
+        out = decode_pnm(data)
+        assert out.shape == img.shape and (out == img).all()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n=st.integers(0, 3000),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_prop_wav_round_trip(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-(2**15), 2**15, n, dtype=np.int64).astype(np.int16)
+        out, r = decode_wav(encode_wav_pcm16(s, rate))
+        assert r == rate and out.shape == s.shape and (out == s).all()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        nf=st.integers(0, 6),
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        fps=st.integers(1, 60),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_prop_y4m_round_trip(nf, w, h, fps, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+        out, f = decode_y4m(encode_y4m(frames, fps))
+        assert f == fps and out.shape == frames.shape and (out == frames).all()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 30),
+        h=st.integers(1, 30),
+        ow=st.integers(1, 30),
+        oh=st.integers(1, 30),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_prop_resize_shape_and_value_domain(w, h, ow, oh, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = resize_nearest(img, ow, oh)
+        assert out.shape == (oh, ow, 3)
+        # nearest-neighbor never invents values: every output pixel exists
+        # somewhere in the source
+        src = {tuple(p) for p in img.reshape(-1, 3)}
+        assert {tuple(p) for p in out.reshape(-1, 3)} <= src
