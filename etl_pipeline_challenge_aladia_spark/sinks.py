@@ -11,6 +11,15 @@ dedup (SURVEY.md §2.1-S5, §1.4). Spark-first equivalents:
   Paired with Structured Streaming checkpointing this gives effectively
   exactly-once (at-least-once redelivery collapses on the dedup key), the
   engine's answer to the reference's ack/requeue + ReplacingMergeTree.
+
+Both sinks commit through an atomic snapshot manifest, which grows into a
+small transactional table format: ``read_warehouse(version=)`` time
+travel over ``retain_snapshots`` retained versions, ``table_history``,
+``table_changes`` (change data feed between snapshots),
+``erase_warehouse_keys`` (bucket-proportional GDPR hard deletes),
+``vacuum_warehouse`` (snapshot expiry + GC), schema evolution via merged
+bucket schemas, and ``compact_warehouse`` (small-file OPTIMIZE, optionally
+z-order clustered).
 """
 
 from __future__ import annotations
