@@ -964,6 +964,91 @@ WHERE {jexpr} >= 0.8
 """
 
 
+def _minhash_recall_audit_oracle_sql() -> str:
+    """LSH-vs-exact audit: the minhash prefix (identical permutations and
+    band keys) supplies the verified LSH pair set; the exact set comes
+    from the same ``tok`` CTE via all-pairs Jaccard. One summary row."""
+    jexpr = _s4(
+        "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(ta.sh, tb.sh)))"
+    )
+    jexpr_ab = _s4(
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.sh, b.sh)))"
+    )
+    return _minhash_oracle_sql(prefix_only=True) + f""",
+lsh AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_id_a
+  JOIN tok tb ON tb.doc_id = c.doc_id_b
+  WHERE {jexpr} >= 0.8
+),
+exact AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+  WHERE {jexpr_ab} >= 0.8
+),
+u AS (
+  SELECT coalesce(e.doc_id_a, l.doc_id_a) AS doc_id_a,
+         CASE WHEN e.doc_id_a IS NOT NULL THEN 1 ELSE 0 END AS in_e,
+         CASE WHEN l.doc_id_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+  FROM exact e
+  FULL OUTER JOIN lsh l
+    ON e.doc_id_a = l.doc_id_a AND e.doc_id_b = l.doc_id_b
+)
+SELECT CAST(sum(in_e) AS BIGINT) AS n_exact,
+       CAST(sum(in_l) AS BIGINT) AS n_lsh,
+       CAST(sum(in_e * in_l) AS BIGINT) AS n_both,
+       {_s4('CAST(sum(in_e * in_l) AS DOUBLE) / sum(in_e)')} AS recall,
+       {_s4('CAST(sum(in_e * in_l) AS DOUBLE) / sum(in_l)')} AS precision
+FROM u"""
+
+
+@query(
+    "minhash_recall_audit",
+    _minhash_recall_audit_oracle_sql(),
+    doc="Dedup-quality evaluation IN-ENGINE: the scalable MinHash+LSH "
+    "pair set measured against the exact inverted-index Jaccard ground "
+    "truth at the same threshold — one summary row of recall/precision. "
+    "The metric every production dedup pipeline needs before trusting "
+    "the linear path at corpus scale (banding theory predicts ~0.99+ "
+    "recall at j=0.8 with 16x4 bands; this measures it). Both sides are "
+    "the already-oracled operators composed in one plan.",
+)
+def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keys = ["doc_id_a", "doc_id_b"]
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select(
+        *keys, F.lit(1).alias("in_e")
+    )
+    lsh = minhash_near_dup_pairs(
+        docs, n=3, num_perm=64, bands=16, threshold=0.8
+    ).select(*keys, F.lit(1).alias("in_l"))
+    u = exact.join(lsh, keys, "full_outer").select(
+        F.coalesce("in_e", F.lit(0)).alias("in_e"),
+        F.coalesce("in_l", F.lit(0)).alias("in_l"),
+    )
+    return u.agg(
+        F.sum("in_e").cast("long").alias("n_exact"),
+        F.sum("in_l").cast("long").alias("n_lsh"),
+        F.sum(F.col("in_e") * F.col("in_l")).cast("long").alias("n_both"),
+        _r4(
+            F.sum(F.col("in_e") * F.col("in_l")).cast("double") / F.sum("in_e"),
+            "recall",
+        ),
+        _r4(
+            F.sum(F.col("in_e") * F.col("in_l")).cast("double") / F.sum("in_l"),
+            "precision",
+        ),
+    )
+
+
 @query(
     "minhash_near_dup",
     _minhash_oracle_sql(),
