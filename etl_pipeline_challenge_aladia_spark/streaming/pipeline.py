@@ -254,3 +254,70 @@ def run_cdc_kafka_stream(
         .start()
         .awaitTermination()
     )
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    quarantine_path: str,
+    warehouse_path: str,
+    sink: str = "merge",
+) -> tuple[int, int]:
+    """Reprocess quarantined raw messages — the operational other half of
+    the quarantine contract (X5): after a producer or parser fix, replay
+    the dead letters through the SAME decode -> transform -> idempotent
+    upsert path as live traffic, then rewrite the quarantine to hold only
+    the still-undecodable residue.
+
+    Returns ``(n_recovered, n_still_bad)``. Idempotent like the live
+    path: recovered rows collapse on the dedup key, and a crash mid-way
+    at worst replays rows that upsert to the same state. The quarantine
+    rewrite is a staged-directory promote (crash-recoverable), never an
+    in-place truncate. The reference requeues corrupt messages forever
+    (consumer nack/requeue loop); this is the bounded alternative.
+    """
+    import os
+    import shutil
+
+    from etl_pipeline_challenge_aladia_spark.operators.structure import (
+        parse_envelope,
+    )
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        _promote_dir,
+        _recover_dir,
+        merge_warehouse_batch,
+        upsert_warehouse_batch,
+    )
+
+    if sink not in ("rewrite", "merge"):
+        raise ValueError(f"unknown sink {sink!r}: expected 'rewrite' or 'merge'")
+    _recover_dir(quarantine_path, quarantine_path + "._old")
+    if not os.path.exists(quarantine_path):
+        return 0, 0
+    raw = spark.read.json(quarantine_path)
+    if "raw" not in raw.columns:
+        return 0, 0
+    decoded = parse_envelope(raw.select(F.col("raw").alias("value")))
+    ok = decoded.filter(~F.col("_corrupt")).drop("_corrupt", "_raw")
+    rows = envelopes_to_warehouse(ok, with_ingestion_time=True)
+    n_recovered = rows.count()
+    if n_recovered:
+        if sink == "merge":
+            merge_warehouse_batch(spark, rows, warehouse_path)
+        else:
+            upsert_warehouse_batch(spark, rows, warehouse_path)
+    still_bad = raw.join(
+        decoded.filter(F.col("_corrupt")).select(F.col("_raw").alias("raw")),
+        "raw",
+        "left_semi",
+    )
+    n_still_bad = still_bad.count()
+    staged = quarantine_path + "._replay_tmp"
+    shutil.rmtree(staged, ignore_errors=True)
+    if n_still_bad:
+        still_bad.write.mode("overwrite").json(staged)
+    else:
+        # empty residue: stage an empty directory so the promote swaps the
+        # quarantine for "nothing left"
+        os.makedirs(staged)
+    _promote_dir(staged, quarantine_path, quarantine_path + "._old")
+    return n_recovered, n_still_bad

@@ -956,3 +956,33 @@ def test_compact_warehouse_zorder_clusters_files(spark, tmp_path):
     # span (31) on BOTH dimensions — an unclustered random split gives ~31
     assert sum(spans_a) / len(spans_a) < 16
     assert sum(spans_b) / len(spans_b) < 16
+
+
+def test_replay_quarantine_recovers_fixed_messages(spark, tmp_path):
+    """Dead-letter replay: after a parser/producer fix, valid raw messages
+    in the quarantine flow through the SAME decode -> upsert path and
+    land in the warehouse; the quarantine shrinks to the still-bad
+    residue; a second replay is a no-op."""
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        replay_quarantine,
+    )
+
+    wh = str(tmp_path / "wh")
+    quar = str(tmp_path / "quar")
+    os.makedirs(quar)
+    good = envelope("insert", "doc_q", 1, watched=42)
+    bad = "still {not json"
+    with open(os.path.join(quar, "part-0.json"), "w") as f:
+        f.write(json.dumps({"raw": good, "quarantined_at": "2024-01-01"}) + "\n")
+        f.write(json.dumps({"raw": bad, "quarantined_at": "2024-01-01"}) + "\n")
+
+    n_rec, n_bad = replay_quarantine(spark, quar, wh, sink="merge")
+    assert (n_rec, n_bad) == (1, 1)
+    rows = {r["original_id"]: r for r in read_warehouse(spark, wh).collect()}
+    assert rows["doc_q"]["watched_seconds"] == 42
+    residue = spark.read.json(quar)
+    assert residue.count() == 1 and residue.first()["raw"] == bad
+
+    # replaying the residue again recovers nothing and leaves it intact
+    assert replay_quarantine(spark, quar, wh, sink="merge") == (0, 1)
+    assert spark.read.json(quar).count() == 1
