@@ -71,37 +71,81 @@ def l2_normalize_col(a: Column) -> Column:
     return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
 
 
+def let_col(value: Column, body) -> Column:
+    """Bind a scalar subexpression ONCE per row: ``body`` receives a lambda
+    variable holding ``value``'s result, instead of the expression tree
+    itself.
+
+    Why this exists: Catalyst inlines outer expressions referenced inside
+    higher-order-function lambdas and performs no common-subexpression
+    reuse across them — an O(d) scalar like ``array_max(transform(a, abs))``
+    referenced in a per-element lambda is re-evaluated for EVERY element,
+    turning an O(d) kernel into O(d^2) per row. Binding it through a
+    single-element ``transform`` makes it a true lambda variable (evaluated
+    once, then read by reference), the expression-level LET Spark SQL
+    lacks. Still 100% JVM-side."""
+    return F.transform(F.array(value), body).getItem(0)
+
+
 def int8_quantize_col(a: Column) -> Column:
     """Symmetric int8 quantization of an array<double>: scale = amax/127,
     q_i = clamp(floor(v_i/scale + 0.5), -127, 127). The floor(x+0.5)
     rounding is the engine-portable half-up convention
-    (functions/rounding.py); all-zero vectors quantize to zeros."""
-    amax = F.array_max(F.transform(a, F.abs))
-    scale = amax / F.lit(127.0)
-    q = F.transform(
-        a,
-        lambda x: F.greatest(
-            F.lit(-127).cast("long"),
-            F.least(F.lit(127).cast("long"), F.floor(x / scale + F.lit(0.5))),
-        ),
+    (functions/rounding.py); all-zero vectors quantize to zeros.
+
+    ``amax`` is let-bound (see ``let_col``) so the O(d) max is computed
+    once per row, not once per element."""
+    return let_col(
+        F.array_max(F.transform(a, F.abs)),
+        lambda amax: F.when(
+            amax > 0,
+            F.transform(
+                a,
+                lambda x: F.greatest(
+                    F.lit(-127).cast("long"),
+                    F.least(
+                        F.lit(127).cast("long"),
+                        F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)),
+                    ),
+                ),
+            ),
+        ).otherwise(F.transform(a, lambda x: F.lit(0).cast("long"))),
     )
-    return F.when(amax > 0, q).otherwise(F.transform(a, lambda x: F.lit(0).cast("long")))
 
 
 def int8_quant_error_col(a: Column) -> Column:
     """Mean absolute reconstruction error of int8 round-trip quantization,
     as a double. The fidelity metric for deciding whether a stored corpus
     can ship int8 embeddings (4x smaller scans) instead of f32. Pure fold
-    arithmetic — deterministic order, engine-reproducible."""
-    amax = F.array_max(F.transform(a, F.abs))
-    scale = amax / F.lit(127.0)
-    err_sum = F.aggregate(
-        F.zip_with(
-            a,
-            int8_quantize_col(a),
-            lambda x, q: F.abs(x - q.cast("double") * scale),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    arithmetic — deterministic order, engine-reproducible.
+
+    Quantize + reconstruct + error run in ONE transform with ``amax``
+    let-bound (``let_col``): the previous shape re-derived
+    ``array_max(transform(a, abs))`` inside both the quantize lambda and
+    the error lambda — O(d) work per ELEMENT, O(d^2) per row, the exact
+    duplicated-subtree class commit 14237eb fixed for the PQ queries."""
+    return let_col(
+        F.array_max(F.transform(a, F.abs)),
+        lambda amax: F.when(
+            amax > 0,
+            F.aggregate(
+                F.transform(
+                    a,
+                    lambda x: F.abs(
+                        x
+                        - F.greatest(
+                            F.lit(-127).cast("long"),
+                            F.least(
+                                F.lit(127).cast("long"),
+                                F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)),
+                            ),
+                        ).cast("double")
+                        * (amax / F.lit(127.0))
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(a),
+        ).otherwise(F.lit(0.0)),
     )
-    return F.when(amax > 0, err_sum / F.size(a)).otherwise(F.lit(0.0))

@@ -487,6 +487,16 @@ def extract_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     out["luma_std"].append(None)
                     continue
                 frames, fps = decode_y4m(data)
+                if len(frames) == 0:
+                    # structurally valid header-only Y4M (0 frames): NULL
+                    # features like any other undecodable row — never
+                    # frames[-1], which would fail the whole Arrow batch
+                    out["frame_index"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["luma_mean"].append(None)
+                    out["luma_std"].append(None)
+                    continue
                 idx = min(
                     len(frames) - 1, int(round(int(ts) * max(1, fps) / 1000.0))
                 )

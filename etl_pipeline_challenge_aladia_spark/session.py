@@ -12,6 +12,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """min(20g, ~50% of physical RAM), floored at 2g — a tuning default
+    must never turn into a JVM-won't-launch failure on small hosts."""
+    try:
+        page = os.sysconf("SC_PAGE_SIZE")
+        pages = os.sysconf("SC_PHYS_PAGES")
+        total_gib = (page * pages) / (1024**3)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(2, min(20, int(total_gib * 0.5)))}g"
+
+
 def get_spark(
     app_name: str = "etl-aladia-spark",
     cpus: int | None = None,
@@ -46,8 +58,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM IS the executor — size the heap for
         # all worker threads (8g/32 threads = 250MB per task is spill
-        # territory on wide aggregations; the harness box has 128 GiB)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
+        # territory on wide aggregations), but cap at ~half of physical
+        # RAM so the default still launches on a 16 GiB dev host; the
+        # harness exports SPARK_DRIVER_MEMORY to override
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

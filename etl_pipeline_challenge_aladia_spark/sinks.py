@@ -308,10 +308,13 @@ def vacuum_warehouse(path: str, keep_snapshots: int = 0) -> int:
     history = list(manifest.get("history", []))
     kept = history[-keep_snapshots:] if keep_snapshots > 0 else []
     trimmed = {**manifest, "history": kept}
-    removed = _gc_unreferenced(path, trimmed)
+    # Commit the trimmed manifest BEFORE deleting directories: a crash
+    # between the two then leaves only harmless unreferenced dirs (which
+    # the next write's entry GC collects), never a manifest whose history
+    # advertises already-deleted snapshots.
     if manifest.get("garbage") or kept != history:
         _commit_manifest(path, {**trimmed, "garbage": []})
-    return removed
+    return _gc_unreferenced(path, trimmed)
 
 
 def merge_warehouse_batch(
@@ -643,8 +646,17 @@ def table_changes(
         spark, path, version=to_version
     )  # None -> current snapshot
     key_cols = list(keys)
-    o = latest_per_key(old, keys=keys, order_col=order_col).alias("o")
-    n = latest_per_key(new, keys=keys, order_col=order_col).alias("n")
+    o_df = latest_per_key(old, keys=keys, order_col=order_col)
+    n_df = latest_per_key(new, keys=keys, order_col=order_col)
+    # Schema evolution: the old snapshot may predate columns added by a
+    # later mergeSchema write — patch them in as typed NULLs (from the new
+    # side's schema) so the diff projection resolves on both sides.
+    o_cols = set(o_df.columns)
+    for field in n_df.schema.fields:
+        if field.name not in o_cols:
+            o_df = o_df.withColumn(field.name, F.lit(None).cast(field.dataType))
+    o = o_df.alias("o")
+    n = n_df.alias("n")
     cond = None
     for k in key_cols:
         c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
@@ -660,8 +672,15 @@ def table_changes(
         )
         .otherwise(F.lit(None))
     )
+    # Whole-side row selection, NOT per-column coalesce: an update that
+    # legitimately sets a column to NULL (e.g. a soft-delete tombstone
+    # writing NULL original_timestamp/watched_ratio) must emit the NEW
+    # NULL, not the stale old value. New side whenever the key exists on
+    # the new side; old side only for deletes.
     out_cols = [
-        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+        F.when(n_key.isNotNull(), F.col(f"n.{c}"))
+        .otherwise(F.col(f"o.{c}"))
+        .alias(c)
         for c in n.columns
     ]
     return (

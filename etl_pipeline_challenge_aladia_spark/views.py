@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -116,8 +117,10 @@ def refresh_video_stats_view(
             changes.select("video_id").distinct().localCheckpoint(eager=True)
         )
         n_dirty = dirty.count()
-    except KeyError:
-        # source version vacuumed out of retained history: full rebuild
+    except (KeyError, AnalysisException):
+        # source version vacuumed out of retained history, or the diff
+        # failed to analyze (e.g. incompatible schema drift between the
+        # snapshots): full rebuild instead of crashing the maintenance loop
         build_video_stats_view(spark, table_path, view_path)
         return -1
     if n_dirty == 0:

@@ -304,3 +304,33 @@ if _HAS_HYP:
         # somewhere in the source
         src = {tuple(p) for p in img.reshape(-1, 3)}
         assert {tuple(p) for p in out.reshape(-1, 3)} <= src
+
+
+def test_extract_frame_features_zero_frame_y4m_yields_nulls(spark):
+    """A structurally valid header-only Y4M (0 frames) must emit NULL
+    features like any other undecodable row — not IndexError the whole
+    Arrow batch via frames[-1]."""
+    import numpy as np
+
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import encode_y4m
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_frame_features,
+    )
+
+    empty = encode_y4m(np.zeros((0, 4, 6), np.uint8), 1)
+    frames = np.stack([np.full((4, 6), v, np.uint8) for v in (10, 20)])
+    good = encode_y4m(frames, 1)
+    media = spark.createDataFrame(
+        [
+            (1, "video", "video/x-yuv4mpeg", empty, (6, 4, 2000)),
+            (2, "video", "video/x-yuv4mpeg", good, (6, 4, 2000)),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    got = {
+        (r["media_id"], r["frame_ts_ms"]): r
+        for r in extract_frame_features(media, every_ms=1000).collect()
+    }
+    assert got[(1, 0)]["luma_mean"] is None and got[(1, 0)]["frame_index"] is None
+    assert got[(2, 0)]["luma_mean"] == 10.0  # healthy rows unaffected

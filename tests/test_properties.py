@@ -244,3 +244,89 @@ def test_snapshot_diff_matches_set_model(spark, v1, v2):
         else:
             want[k] = "unchanged"
     assert got == want
+
+
+vec_doubles = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 24).flatmap(
+        lambda d: st.lists(
+            st.tuples(
+                st.lists(vec_doubles, min_size=d, max_size=d),
+                st.lists(vec_doubles, min_size=d, max_size=d),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+)
+def test_unrolled_vector_ops_bit_equal_fold_property(spark, rows):
+    """dot/norm/cosine with static ``dim`` unrolling must be BIT-equal to
+    the higher-order-fold defaults for any dim and any finite vectors —
+    the equality the vectors.py docstring promises (same left-to-right
+    summation order; the fold's leading ``0.0 +`` is an IEEE identity)."""
+    from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+        cosine_similarity_col,
+        dot_col,
+        norm_col,
+    )
+
+    dim = len(rows[0][0])
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>").coalesce(1)
+    a, b = F.col("a"), F.col("b")
+    mism = df.select(
+        (dot_col(a, b) != dot_col(a, b, dim)).alias("d"),
+        (norm_col(a) != norm_col(a, dim)).alias("n"),
+        (cosine_similarity_col(a, b) != cosine_similarity_col(a, b, dim)).alias("c"),
+    ).filter("d or n or c")
+    assert mism.count() == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(vec_doubles, min_size=1, max_size=24),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_int8_quantize_let_bound_matches_model(spark, vectors):
+    """The let-bound int8 quantize/error kernels (functions/vectors.py
+    let_col — amax evaluated once per row, not once per element) must
+    match the plain float model exactly: q = clamp(floor(v/scale+0.5)),
+    err = mean |v - q*scale|; all-zero vectors -> zeros / 0.0."""
+    from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+        int8_quant_error_col,
+        int8_quantize_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vectors)], "id long, e array<double>"
+    ).coalesce(1)
+    got = {
+        r["id"]: (list(r["q"]), r["err"])
+        for r in df.select(
+            "id",
+            int8_quantize_col(F.col("e")).alias("q"),
+            int8_quant_error_col(F.col("e")).alias("err"),
+        ).collect()
+    }
+    for i, v in enumerate(vectors):
+        amax = max(abs(x) for x in v)
+        if amax == 0:
+            assert got[i] == ([0] * len(v), 0.0)
+            continue
+        scale = amax / 127.0
+        q = [int(max(-127, min(127, math.floor(x / scale + 0.5)))) for x in v]
+        err = math.fsum(abs(x - qi * scale) for x, qi in zip(v, q))
+        assert got[i][0] == q
+        # Spark's fold sums left-to-right; fsum is exact — allow 1 ulp-ish
+        assert abs(got[i][1] - err / len(v)) < 1e-9
+    # reconstruction-error sanity: always within half a quantization step
+    for i, v in enumerate(vectors):
+        amax = max(abs(x) for x in v)
+        assert got[i][1] <= amax / 127.0 * 0.5 + 1e-12

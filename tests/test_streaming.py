@@ -986,3 +986,157 @@ def test_replay_quarantine_recovers_fixed_messages(spark, tmp_path):
     # replaying the residue again recovers nothing and leaves it intact
     assert replay_quarantine(spark, quar, wh, sink="merge") == (0, 1)
     assert spark.read.json(quar).count() == 1
+
+
+def test_table_changes_null_update_emits_new_null(spark, tmp_path):
+    """An update that legitimately sets a column to NULL (the soft-delete
+    tombstone shape: NULL original_timestamp / watched fields) must emit
+    the NEW NULL in the change feed, not the stale old value — whole-side
+    row selection, never per-column coalesce."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        merge_warehouse_batch,
+        table_changes,
+    )
+
+    path = str(tmp_path / "wh")
+    merge_warehouse_batch(
+        spark, _merge_base_frame(spark, n=10), path, num_buckets=4,
+        retain_snapshots=3,
+    )
+    tomb = (
+        _merge_base_frame(spark, n=10, version=2)
+        .filter(F.col("original_id") == "doc_4")
+        .withColumn("watched_seconds", F.lit(None).cast("long"))
+        .withColumn("original_timestamp", F.lit(None).cast("timestamp"))
+    )
+    merge_warehouse_batch(spark, tomb, path, retain_snapshots=3)
+
+    changes = {
+        r["original_id"]: r
+        for r in table_changes(spark, path, from_version=1, to_version=2).collect()
+    }
+    assert set(changes) == {"doc_4"}
+    r = changes["doc_4"]
+    assert r["_change_type"] == "update"
+    assert r["watched_seconds"] is None  # NEW side, not coalesced old 40
+    assert r["original_timestamp"] is None
+
+
+def test_table_changes_survives_schema_evolution(spark, tmp_path):
+    """mergeSchema writes can add columns between snapshots; the change
+    feed must diff anyway — the old snapshot's missing columns read as
+    typed NULLs, and the incremental view refresh must not crash on the
+    evolving batch (full-rebuild fallback at worst)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import (
+        merge_warehouse_batch,
+        table_changes,
+    )
+
+    path = str(tmp_path / "wh")
+    merge_warehouse_batch(
+        spark, _merge_base_frame(spark, n=10), path, num_buckets=4,
+        retain_snapshots=3,
+    )
+    evolved = (
+        _merge_base_frame(spark, n=11, version=2, watched=77)
+        .filter(F.col("original_id").isin("doc_4", "doc_10"))
+        .withColumn("device", F.lit("tv"))
+    )
+    merge_warehouse_batch(spark, evolved, path, retain_snapshots=3)
+
+    fwd = {
+        r["original_id"]: r
+        for r in table_changes(spark, path, from_version=1, to_version=2).collect()
+    }
+    assert set(fwd) == {"doc_4", "doc_10"}
+    assert fwd["doc_4"]["_change_type"] == "update"
+    assert fwd["doc_4"]["device"] == "tv"  # new column, new side
+    assert fwd["doc_10"]["_change_type"] == "insert"
+    # backward diff: the NEW (=v1) side lacks 'device'; old extra columns
+    # simply don't project — no AnalysisException
+    back = {
+        r["original_id"]: r["_change_type"]
+        for r in table_changes(spark, path, from_version=2, to_version=1).collect()
+    }
+    assert back == {"doc_4": "update", "doc_10": "delete"}
+    assert "device" not in set(
+        table_changes(spark, path, from_version=2, to_version=1).columns
+    )
+
+
+def test_view_refresh_survives_schema_evolution(spark, tmp_path):
+    """The streaming view-maintenance loop must keep running across a
+    schema-evolving commit: refresh either diffs incrementally or falls
+    back to a full rebuild, but never raises."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.sinks import merge_warehouse_batch
+    from etl_pipeline_challenge_aladia_spark.views import (
+        build_video_stats_view,
+        read_view,
+        refresh_video_stats_view,
+    )
+
+    table = str(tmp_path / "wh")
+    view = str(tmp_path / "view")
+    merge_warehouse_batch(
+        spark,
+        _merge_base_frame(spark, n=10).withColumn("watched_ratio", F.lit(0.5)),
+        table, num_buckets=4, retain_snapshots=3,
+    )
+    build_video_stats_view(spark, table, view)
+    evolved = (
+        _merge_base_frame(spark, n=10, version=2, watched=500)
+        .filter(F.col("original_id") == "doc_1")
+        .withColumn("watched_ratio", F.lit(0.5))
+        .withColumn("device", F.lit("tv"))
+    )
+    merge_warehouse_batch(spark, evolved, table, retain_snapshots=3)
+    refresh_video_stats_view(spark, table, view)  # must not raise
+    got = read_view(spark, view).first()
+    assert got["max_watched_seconds"] == 500
+
+
+def test_vacuum_commits_manifest_before_gc(spark, tmp_path):
+    """Crash-ordering contract: vacuum publishes the trimmed manifest
+    BEFORE deleting version directories. A crash mid-GC must leave a
+    manifest that never references deleted snapshots — expired versions
+    raise the documented KeyError, current reads stay whole, and the
+    next vacuum collects the strays."""
+    import etl_pipeline_challenge_aladia_spark.sinks as sinks
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "wh")
+    sinks.merge_warehouse_batch(
+        spark, _merge_base_frame(spark, n=20), path, num_buckets=4,
+        retain_snapshots=2,
+    )
+    upd = _merge_base_frame(spark, n=20, version=2, watched=9).filter(
+        F.col("original_id") == "doc_3"
+    )
+    sinks.merge_warehouse_batch(spark, upd, path, retain_snapshots=2)
+
+    real_gc = sinks._gc_unreferenced
+    try:
+        def crash(*a, **k):
+            raise RuntimeError("simulated crash during GC")
+        sinks._gc_unreferenced = crash
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            sinks.vacuum_warehouse(path)
+    finally:
+        sinks._gc_unreferenced = real_gc
+
+    # manifest already trimmed: expired history is a KeyError, not a
+    # mid-scan path-not-found; current snapshot reads whole
+    m = sinks._read_manifest(path)
+    assert m["history"] == [] and m["garbage"] == []
+    with pytest.raises(KeyError):
+        sinks.read_warehouse(spark, path, version=1)
+    assert sinks.read_warehouse(spark, path).count() == 20
+    # the interrupted GC's strays are ordinary unreferenced dirs
+    assert sinks.vacuum_warehouse(path) > 0
+    assert sinks.read_warehouse(spark, path).count() == 20
