@@ -1294,9 +1294,20 @@ def shared_span_pairs(
     )
 
 
+def auto_semantic_k(n: int, iters: int = 3) -> int:
+    """The cost-optimal cell count for ``semantic_dedup``:
+    floor(sqrt(n/iters)), the argmin of d*(iters*n*k + n^2/k). Kept as a
+    standalone double-math expression so the SQL oracle can replicate it
+    term-for-term (``floor(sqrt(n / 3.0))`` — IEEE sqrt is correctly
+    rounded, so both engines agree for any n)."""
+    import math
+
+    return int(math.floor(math.sqrt(n / float(iters))))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
-    k: int = 32,
+    k: int | None = None,
     iters: int = 3,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -1311,10 +1322,18 @@ def semantic_dedup(
 
     Pairwise cost is sum of cell-size squares — the whole point of the
     coarse quantizer: at corpus scale cells are capped by k's granularity
-    and the quadratic never touches the full corpus (raise ``k`` with the
-    corpus so cell sizes stay bounded). Assignment reuses the
-    deterministic fixed-point ``kmeans_lite`` so the oracle can unroll
-    it. The hot pair stage runs a cheap prefilter — one dot product of
+    and the quadratic never touches the full corpus. ``k=None`` (the
+    default) scales k WITH the corpus instead of leaving that to the
+    caller: total cost ~ d*(iters*n*k + n^2/k) — assignment grows with k,
+    in-cell pairs shrink with it — is minimized at k* = sqrt(n/iters), so
+    auto-k picks ``max(32, floor(sqrt(n/iters)))`` (floored so tiny
+    corpora keep meaningful cells) from one cheap count. Overall work is
+    then Θ(n^1.5), never corpus-squared; a fixed k would be quadratic at
+    scale (the measured-decision pattern of operators/skew.auto_salted_
+    join — decide from the data, not a pinned constant). The same formula
+    is SQL-expressible, so the oracle stays exact under auto-k (dynamic
+    LIMIT on the init CTE). Assignment reuses the deterministic
+    fixed-point ``kmeans_lite`` so the oracle can unroll it. The hot pair stage runs a cheap prefilter — one dot product of
     PRE-normalized vectors per pair (cosine re-derives both norms per
     pair, 3x the flops) with a safety margin below the threshold — and
     only surviving pairs get the exact canonical cosine that the oracle
@@ -1327,6 +1346,11 @@ def semantic_dedup(
         l2_normalize_col,
     )
 
+    if k is None:
+        # one cheap count (parquet footer metadata when unfiltered) buys
+        # the right k for THIS corpus; formula mirrored by the SQL oracle
+        n = embeddings.count()
+        k = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
     cells = kmeans_lite(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     v = embeddings.select(
         F.col(id_col).alias("id"),

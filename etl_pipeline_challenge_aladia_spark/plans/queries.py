@@ -2498,13 +2498,18 @@ def q_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte_prefix(k: int = 8, iters: int = 3, v_ctes: str | None = None) -> str:
+def _kmeans_cte_prefix(
+    k: int | str = 8, iters: int = 3, v_ctes: str | None = None
+) -> str:
     """The unrolled kmeans_lite CTE chain, ending at assignment CTE
     ``a{iters}``: (vec_id, cluster, fx). Shared by every oracle that needs
     the deterministic cell assignment (emb_kmeans_clusters,
     emb_semantic_dedup); callers append their own final select.
     ``v_ctes`` overrides the corpus definition — it must define a CTE
-    named ``v`` with columns (vec_id, e DOUBLE[])."""
+    named ``v`` with columns (vec_id, e DOUBLE[]). ``k`` may be a SQL
+    expression string (e.g. a ``(SELECT ...)`` subquery for data-dependent
+    auto-k) — k only ever appears in the init CTE's LIMIT; every other
+    stage is relational over the centroid set and k-agnostic."""
     fx = "sum(CAST(floor((ev.val - c.cv) * (ev.val - c.cv) * 100000000.0 + 0.5) AS BIGINT))"
     v_default = """v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2592,12 +2597,18 @@ def q_doc_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_pairs(docs, span_tokens=8, df_cap=50, min_shared=1)
 
 
-def _semantic_dedup_oracle_sql(k: int = 32, iters: int = 3, threshold: float = 0.95) -> str:
+def _semantic_dedup_oracle_sql(
+    k: int | None = None, iters: int = 3, threshold: float = 0.95
+) -> str:
     """Replays the duplicate injection (10% deterministic sample, ids
     shifted +100000, per-dimension 1±0.001 tilt — multiplication order
     matches the Spark expression bit-for-bit), the unrolled k-means cell
     assignment over the widened corpus, and the in-cell min-id
-    survivorship sweep."""
+    survivorship sweep. ``k=None`` mirrors the engine's auto-k
+    (operators/similarity.py:auto_semantic_k): max(32, floor(sqrt(n/3)))
+    computed BY THE SQL from the widened corpus itself, so oracle and
+    engine agree at every scale factor, not just the one n the SQL was
+    generated for."""
     from etl_pipeline_challenge_aladia_spark.functions.hashing import (
         sql_md5_fold32 as _fold,
     )
@@ -2614,8 +2625,16 @@ v AS (
          list_transform(range(len(e)), i -> e[i+1] * (1 + 0.001 * ((i % 3) - 1))) AS e
   FROM base WHERE {fold_vec} % 1000 < 100
 )"""
+    k_expr: int | str
+    if k is None:
+        k_expr = (
+            "(SELECT greatest(32, least(count(*), CAST(floor(sqrt(count(*) "
+            f"/ {float(iters)})) AS BIGINT))) FROM v)"
+        )
+    else:
+        k_expr = k
     return (
-        _kmeans_cte_prefix(k, iters, v_ctes=v_ctes)
+        _kmeans_cte_prefix(k_expr, iters, v_ctes=v_ctes)
         + f""",
 m AS (SELECT a.vec_id, a.cluster, v.e FROM a{iters} a JOIN v USING (vec_id)),
 p AS (
@@ -2639,11 +2658,15 @@ GROUP BY dup_id"""
     "audit: 10% of the corpus re-appears under new ids with a tiny "
     "deterministic per-dimension tilt (the re-embedding scenario), then "
     "deterministic k-means cells bound the pairwise cosine comparison "
-    "(sum of cell-size squares, never corpus^2) and min-id survivorship "
-    "keeps one representative per tight semantic group — recovering "
-    "exactly the injected twins (organic max cosine here is ~0.51). The "
-    "oracle replays injection + unrolled fixed-point k-means (shared "
-    "_kmeans_cte_prefix) + the in-cell sweep.",
+    "and min-id survivorship keeps one representative per tight semantic "
+    "group — recovering exactly the injected twins (organic max cosine "
+    "here is ~0.51). k AUTO-SCALES with the corpus "
+    "(auto_semantic_k: max(32, floor(sqrt(n/iters))), the argmin of "
+    "iters*n*k + n^2/k), so total work is Θ(n^1.5) at every scale — "
+    "never corpus-squared, with no caller-tuned knob. The oracle replays "
+    "injection + unrolled fixed-point k-means (shared _kmeans_cte_prefix "
+    "with the SAME auto-k as a dynamic LIMIT subquery) + the in-cell "
+    "sweep.",
 )
 def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.functions.vectors import to_double_array

@@ -232,28 +232,126 @@ def make_cdc_batch_processor(
     return process_batch
 
 
+#: the exact column surface of Spark's Kafka source (kafka010's schema) —
+#: what ``decode_kafka_records`` consumes and ``kafka_shaped_file_stream``
+#: reproduces so the broker path is testable without a broker
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_shaped_file_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """A streaming source with the EXACT schema Spark's Kafka source
+    produces (``KAFKA_RECORD_SCHEMA``), backed by parquet files.
+
+    This is the broker-free contract seam: everything downstream of the
+    source — binary-value decode, quarantine, checkpointed offsets,
+    idempotent upsert — is byte-for-byte the production Kafka path
+    (``run_cdc_kafka_stream``); only ``format("kafka")`` itself needs a
+    live broker + the spark-sql-kafka connector. Tests write kafka-shaped
+    records here and run the full pipeline end-to-end."""
+    return spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(input_dir)
+
+
 def run_cdc_kafka_stream(
     spark: SparkSession,
-    bootstrap_servers: str,
-    topic: str,
+    bootstrap_servers: str | None,
+    topic: str | None,
     warehouse_path: str,
     checkpoint_dir: str,
     quarantine_path: str | None = None,
     sink: str = "rewrite",
+    records: DataFrame | None = None,
+    available_now: bool = False,
+    source_options: dict[str, str] | None = None,
 ) -> None:
     """Continuous CDC pipeline off a Kafka topic — the production twin of
     ``run_cdc_file_stream``: same decode (T1), same transform chain, same
-    idempotent sink; only the ingress differs. Blocks until the query is
-    stopped externally."""
-    envelopes = streaming_envelopes_from_kafka(spark, bootstrap_servers, topic)
-    (
-        envelopes.writeStream.foreachBatch(
+    idempotent sink; only the ingress differs. Blocks until the query
+    stops (externally, or after draining available input when
+    ``available_now``).
+
+    ``records`` injects a pre-built kafka-SHAPED streaming frame (see
+    ``kafka_shaped_file_stream``) instead of the real broker source —
+    the contract-test seam that lets every line of this function execute
+    in environments without a broker; with the default ``records=None``
+    the real Kafka reader is built from ``bootstrap_servers``/``topic``/
+    ``source_options`` (passed through to the connector: consumer-group
+    id, TLS, maxOffsetsPerTrigger rate limiting, ...)."""
+    if records is None:
+        envelopes = streaming_envelopes_from_kafka(
+            spark, bootstrap_servers, topic, options=source_options
+        )
+    else:
+        envelopes = decode_kafka_records(records)
+    writer = (
+        observe_decode_health(envelopes)
+        .writeStream.foreachBatch(
             make_cdc_batch_processor(warehouse_path, quarantine_path, sink)
         )
         .option("checkpointLocation", checkpoint_dir)
-        .start()
-        .awaitTermination()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    writer.start().awaitTermination()
+
+
+def make_jdbc_batch_processor(
+    jdbc_url: str,
+    table: str,
+    driver: str | None = None,
+    quarantine_path: str | None = None,
+    options: dict[str, str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The production WAREHOUSE-sink twin of ``make_cdc_batch_processor``:
+    per micro-batch, quarantine corrupt envelopes, transform, then INSERT
+    the typed rows over JDBC — the Spark-first mapping of the reference's
+    ClickHouse sink (consumer/DoFns/load_data.py:52-60 builds one INSERT
+    per message; here it is one bulk, partition-parallel INSERT per
+    micro-batch).
+
+    Delivery contract, mapped piece by piece onto S5:
+    - at-least-once redelivery (checkpoint replay) re-INSERTs the same
+      keyed rows; a ClickHouse ``ReplacingMergeTree(version)`` table —
+      exactly what the reference deploys (clickhouse/init.sql) — collapses
+      them on (document_id, version) at merge time, the same idempotence
+      ``merge_warehouse_batch`` provides natively for parquet tables;
+    - ``driver`` defaults to whatever the URL's scheme registers on the
+      classpath (e.g. the ClickHouse JDBC driver jar for
+      ``jdbc:clickhouse://``, Postgres for ``jdbc:postgresql://`` — any
+      warehouse with a ReplacingMergeTree-style upsert or ON CONFLICT
+      surface fits the same contract);
+    - ``options`` passes through JDBC writer tuning (``batchsize``,
+      ``numPartitions``, ``isolationLevel`` ...).
+
+    Kept driver-free and connection-free at CONSTRUCTION so it can be
+    unit-tested anywhere; the first micro-batch fails fast with the
+    standard Spark error if the driver jar is absent. The opt-in e2e test
+    (tests/test_streaming.py, CDC_JDBC_URL) exercises it against a real
+    database when one is available."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        ok = batch.filter(~batch["_corrupt"]).drop("_corrupt", "_raw")
+        if quarantine_path is not None:
+            bad = batch.filter(batch["_corrupt"]).select(
+                F.col("_raw").alias("raw"),
+                F.current_timestamp().alias("quarantined_at"),
+            )
+            bad.write.mode("append").json(quarantine_path)
+        rows = envelopes_to_warehouse(ok, with_ingestion_time=True)
+        writer = (
+            rows.write.format("jdbc")
+            .option("url", jdbc_url)
+            .option("dbtable", table)
+        )
+        if driver:
+            writer = writer.option("driver", driver)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.mode("append").save()
+
+    return process_batch
 
 
 def replay_quarantine(

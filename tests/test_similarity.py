@@ -200,3 +200,53 @@ def test_unrolled_vector_ops_bit_equal_fold(spark):
         (_fx_sq_dist(a, b, None) != _fx_sq_dist(a, b, 16)).alias("f"),
     ).filter("d or n or c or f")
     assert mism.count() == 0
+
+
+def test_semantic_dedup_auto_k_scales_with_corpus(spark):
+    """k=None (the default) derives k from the corpus: floor(sqrt(n/iters))
+    floored at 32 — and the result is EXACTLY what the same explicit k
+    yields, so auto-k changes performance, never semantics. The duplicate
+    pair planted in a 3500-vector corpus is found under both."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        auto_semantic_k,
+        semantic_dedup,
+    )
+
+    n = 3500
+    k_expected = max(32, auto_semantic_k(n))  # floor(sqrt(3500/3)) = 34
+    assert k_expected == 34 > 32  # the auto path actually engages here
+    # deterministic spread-out corpus + one planted near-twin of vec 7
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.sin(F.col("id") * 1.7),
+            F.cos(F.col("id") * 0.9),
+            F.sin(F.col("id") * 0.31 + 1.0),
+            F.cos(F.col("id") * 2.3 + 0.5),
+        ).alias("e"),
+    )
+    twin = base.filter("vec_id = 7").select(
+        F.lit(99999).cast("long").alias("vec_id"),
+        F.transform("e", lambda x: x * 1.0001).alias("e"),
+    )
+    corpus = base.unionByName(twin)
+    auto = {
+        r["vec_id"]: (r["canonical_id"], r["max_cos"])
+        for r in semantic_dedup(corpus, threshold=0.99, vec_col="e").collect()
+    }
+    explicit = {
+        r["vec_id"]: (r["canonical_id"], r["max_cos"])
+        for r in semantic_dedup(
+            corpus, k=k_expected, threshold=0.99, vec_col="e"
+        ).collect()
+    }
+    assert auto == explicit
+    assert auto[99999][0] == 7  # the planted twin collapses to its source
+
+    # the formula itself: argmin of iters*n*k + n^2/k, floored
+    for nn, it in ((550, 3), (22000, 3), (1_000_000, 3)):
+        assert auto_semantic_k(nn, it) == int(math.floor(math.sqrt(nn / it)))

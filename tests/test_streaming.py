@@ -1140,3 +1140,221 @@ def test_vacuum_commits_manifest_before_gc(spark, tmp_path):
     # the interrupted GC's strays are ordinary unreferenced dirs
     assert sinks.vacuum_warehouse(path) > 0
     assert sinks.read_warehouse(spark, path).count() == 20
+
+
+def _kafka_rows(msgs, offset0=0):
+    return [
+        (None, m.encode("utf-8"), "video_log", 0, offset0 + i, None, 0)
+        for i, m in enumerate(msgs)
+    ]
+
+
+def test_kafka_stream_contract_end_to_end(spark, tmp_path):
+    """run_cdc_kafka_stream's FULL surface — binary decode, quarantine,
+    checkpointed offsets, idempotent merge upsert — executed end-to-end
+    through the kafka-shaped file source (identical schema to Spark's
+    Kafka source; only format('kafka') itself needs a broker):
+    - corrupt messages land in the quarantine, good ones in the warehouse;
+    - a second run resumes from the checkpoint (old files not reprocessed)
+      and a REDELIVERED duplicate upserts to the same state;
+    - a drained run is a no-op."""
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        KAFKA_RECORD_SCHEMA,
+        kafka_shaped_file_stream,
+        run_cdc_kafka_stream,
+    )
+
+    in_dir = str(tmp_path / "topic")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quar")
+
+    def produce(name, msgs, offset0=0):
+        spark.createDataFrame(
+            _kafka_rows(msgs, offset0), KAFKA_RECORD_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        run_cdc_kafka_stream(
+            spark, None, None, wh, ckpt,
+            quarantine_path=quar, sink="merge",
+            records=kafka_shaped_file_stream(spark, in_dir),
+            available_now=True,
+        )
+
+    produce("b1", [
+        envelope("insert", "doc_1", 1),
+        envelope("insert", "doc_2", 1, watched=50),
+        "corrupt {not json",
+    ])
+    run()
+    rows = {r["original_id"]: r for r in read_warehouse(spark, wh).collect()}
+    assert set(rows) == {"doc_1", "doc_2"}
+    assert rows["doc_1"]["version"] == 1
+    assert spark.read.json(quar).count() == 1
+
+    # redelivery + progress: doc_2 v1 re-delivered verbatim, doc_1 updated
+    produce("b2", [
+        envelope("update", "doc_1", 2, watched=45),
+        envelope("insert", "doc_2", 1, watched=50),
+    ], offset0=10)
+    run()
+    rows2 = {r["original_id"]: r for r in read_warehouse(spark, wh).collect()}
+    assert rows2["doc_1"]["version"] == 2
+    assert rows2["doc_1"]["watched_seconds"] == 45
+    assert rows2["doc_2"]["version"] == 1  # duplicate collapsed, state same
+    assert spark.read.json(quar).count() == 1  # old files NOT reprocessed
+
+    # drained: no new input, nothing changes
+    run()
+    rows3 = {r["original_id"]: (r["version"], r["watched_seconds"])
+             for r in read_warehouse(spark, wh).collect()}
+    assert rows3 == {k: (r["version"], r["watched_seconds"])
+                     for k, r in rows2.items()}
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP"),
+    reason="opt-in: set KAFKA_BOOTSTRAP=host:port (and have the "
+    "spark-sql-kafka connector on the classpath) to run against a real broker",
+)
+def test_kafka_stream_against_real_broker(spark, tmp_path):
+    """Opt-in e2e against a LIVE broker: publish envelopes to a topic via
+    the S2 publish sink, consume them back through run_cdc_kafka_stream,
+    assert warehouse state. Skipped wherever no broker is reachable (the
+    sandbox); the broker-free contract twin above runs everywhere."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.structure import (
+        parse_envelope,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        encode_kafka_records,
+        run_cdc_kafka_stream,
+    )
+
+    bootstrap = os.environ["KAFKA_BOOTSTRAP"]
+    topic = f"cdc_e2e_{os.getpid()}"
+    env = parse_envelope(
+        spark.createDataFrame(
+            [(envelope("insert", "doc_k", 1),)], "value string"
+        )
+    )
+    (
+        encode_kafka_records(env)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    wh = str(tmp_path / "wh")
+    run_cdc_kafka_stream(
+        spark, bootstrap, topic, wh, str(tmp_path / "ckpt"),
+        sink="merge", available_now=True,
+    )
+    got = {r["original_id"] for r in read_warehouse(spark, wh).collect()}
+    assert got == {"doc_k"}
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CDC_JDBC_URL"),
+    reason="opt-in: set CDC_JDBC_URL (e.g. jdbc:clickhouse://host:8123/db, "
+    "with the driver jar on the classpath) and CDC_JDBC_TABLE to run the "
+    "S5 JDBC warehouse sink end-to-end",
+)
+def test_jdbc_sink_against_real_warehouse(spark):
+    """Opt-in e2e for the S5 JDBC mapping (make_jdbc_batch_processor):
+    one micro-batch of parsed envelopes INSERTed into a live warehouse
+    table. Skipped without a database; construction and the quarantine/
+    transform halves are covered broker-free elsewhere."""
+    from etl_pipeline_challenge_aladia_spark.operators.structure import (
+        parse_envelope,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        make_jdbc_batch_processor,
+    )
+
+    batch = parse_envelope(
+        spark.createDataFrame(
+            [(envelope("insert", "doc_j", 1),)], "value string"
+        )
+    )
+    proc = make_jdbc_batch_processor(
+        os.environ["CDC_JDBC_URL"], os.environ.get("CDC_JDBC_TABLE", "video_log")
+    )
+    proc(batch, 0)  # raises on connection/driver failure
+
+
+def test_replay_full_loop_never_regresses_live_state(spark, dirs):
+    """The complete dead-letter loop under a CONCURRENT live stream:
+    corrupt batch -> quarantine -> live stream moves the same key forward
+    -> the quarantined message is fixed and replayed -> the recovered row
+    upserts through latest_per_key, so a STALE replay (lower version than
+    live) never regresses the warehouse, while a replay for a key the
+    live stream never delivered appears with its own version; subsequent
+    live batches keep ordering intact."""
+    import glob
+
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        replay_quarantine,
+    )
+
+    # b1: doc_a v1 arrives CORRUPT (truncated json) + doc_b v1 good
+    good_a_v1 = envelope("insert", "doc_a", 1, watched=10)
+    write_lines(
+        os.path.join(dirs["in"], "b1.json"),
+        [good_a_v1[:-5], envelope("insert", "doc_b", 1, watched=11)],
+    )
+    run_cdc_file_stream(
+        spark, dirs["in"], dirs["wh"], dirs["ckpt"], dirs["quar"], sink="merge"
+    )
+    assert spark.read.json(dirs["quar"]).count() == 1
+    assert ("doc_a", "video_1", "session_1") not in state(spark, dirs["wh"])
+
+    # live stream moves doc_a forward past the stuck message
+    write_lines(
+        os.path.join(dirs["in"], "b2.json"),
+        [envelope("insert", "doc_a", 2, watched=22),
+         envelope("insert", "doc_c", 1, watched=33)],  # corrupt twin below
+    )
+    run_cdc_file_stream(
+        spark, dirs["in"], dirs["wh"], dirs["ckpt"], dirs["quar"], sink="merge"
+    )
+    s = state(spark, dirs["wh"])
+    assert s[("doc_a", "video_1", "session_1")] == (22, 2)
+
+    # "producer fix": rewrite the quarantine with the valid v1 message
+    # plus one brand-new key (doc_d v1) that has no live competitor
+    # (fresh dir: editing spark's own part file in place would trip its
+    # .crc checksum sidecar)
+    import shutil
+
+    assert glob.glob(os.path.join(dirs["quar"], "*.json"))
+    shutil.rmtree(dirs["quar"])
+    write_lines(
+        os.path.join(dirs["quar"], "fixed.json"),
+        [json.dumps({"raw": good_a_v1, "quarantined_at": "t"}),
+         json.dumps({"raw": envelope("insert", "doc_d", 1, watched=44),
+                     "quarantined_at": "t"})],
+    )
+    n_rec, n_bad = replay_quarantine(spark, dirs["quar"], dirs["wh"], sink="merge")
+    assert (n_rec, n_bad) == (2, 0)
+
+    s2 = state(spark, dirs["wh"])
+    # stale replay NEVER regresses: live v2 wins over replayed v1
+    assert s2[("doc_a", "video_1", "session_1")] == (22, 2)
+    # replay-only key appears
+    assert s2[("doc_d", "video_1", "session_1")] == (44, 1)
+
+    # live traffic after the replay: ordering still holds in both directions
+    write_lines(
+        os.path.join(dirs["in"], "b3.json"),
+        [envelope("update", "doc_d", 3, watched=55),
+         envelope("update", "doc_a", 1, watched=1)],  # stale live, loses too
+    )
+    run_cdc_file_stream(
+        spark, dirs["in"], dirs["wh"], dirs["ckpt"], dirs["quar"], sink="merge"
+    )
+    s3 = state(spark, dirs["wh"])
+    assert s3[("doc_a", "video_1", "session_1")] == (22, 2)
+    assert s3[("doc_d", "video_1", "session_1")] == (55, 3)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -70,8 +71,12 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
+        # scale-ladder tables (tools/make_scale_data.py) are DIRECTORIES
+        # of per-replica part files; the driver's are single files
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     q, o = e.queries(), e.oracle_sql()
     args = sys.argv[2:]
