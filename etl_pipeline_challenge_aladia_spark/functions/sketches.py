@@ -112,6 +112,61 @@ def semi_join_prune(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    support_permille: int = 5,
+    count_alias: str = "n_occurrences",
+) -> DataFrame:
+    """EXACT frequent items at sketch cost: every value of ``col`` whose
+    occurrence count is >= support_permille/1000 of the total row count,
+    with its exact count — the boilerplate/overrepresented-token detector
+    a training-data pipeline runs on corpus-scale token streams, where a
+    plain groupBy would shuffle every distinct value.
+
+    Two passes, both scale-safe:
+    1. CANDIDATES: ``df.stat.freqItems`` — Spark's single-pass Karp-style
+       frequent-items summary (JVM-side, map-combined, constant space per
+       partition). Its contract is "superset of everything above support,
+       possibly false positives"; called at HALF the target support so
+       boundary items can't be strict-inequality'd out. The driver holds
+       only the candidate list, bounded by 2000/support_permille items by
+       the algorithm's invariant — a count-bounded collect, same class as
+       the union-find guard in operators/dedup.py.
+    2. VERIFY: one aggregation over rows matching the candidate list (an
+       ``isin`` that inlines into codegen and pushes to the scan — rows
+       of non-candidate values never reach the shuffle), keeping
+       ``n * 1000 >= support_permille * total``. Because candidates are a
+       superset, the output is EXACTLY the >= threshold set with exact
+       counts — which is what makes this sketch-built operator fully
+       SQL-oracle-able (integer-arithmetic threshold, no float dispute).
+
+    Returns (col, n_occurrences, share_permille) where share_permille is
+    the exact integer floor(n*1000/total).
+    """
+    if not 1 <= support_permille <= 1000:
+        raise ValueError(f"support_permille must be in [1, 1000], got {support_permille}")
+    total = df.count()
+    if total == 0:
+        return (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias(count_alias))
+            .withColumn("share_permille", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    cands = df.stat.freqItems([col], max(1e-4, support_permille / 2000.0)).first()[0]
+    return (
+        df.filter(F.col(col).isin(list(cands)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .filter(F.col(count_alias) * 1000 >= F.lit(support_permille) * F.lit(total))
+        .withColumn(
+            "share_permille",
+            (F.col(count_alias) * 1000 / F.lit(total)).cast("long"),
+        )
+    )
+
+
 #: Per-JVM capability cache: None = unprobed, else bool.
 _NATIVE_BLOOM_OK: bool | None = None
 

@@ -213,12 +213,16 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
 # Format sniffing
 # --------------------------------------------------------------------------
 
-#: magic-byte prefix -> container name
+#: magic-byte prefix -> container name; jpeg/png are sniffed so the
+#: feature/resize kernels can route them to PIL when it is installed
+#: (operators/multimodal.py) — no pure-numpy decoder exists for them here
 _MAGICS = (
     (b"P6", "ppm"),
     (b"P5", "pgm"),
     (b"RIFF", "wav"),
     (b"YUV4MPEG2", "y4m"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
 )
 
 

@@ -245,13 +245,34 @@ def real_feature_kernel(content: bytes) -> list[float]:
     - video (Y4M):     [frames, width, height, fps, mean, std, first-frame
                         mean, last-frame mean]
 
-    Unknown containers (compressed formats needing native libs) fall back
-    to the deterministic stub, so a mixed corpus never errors — the
-    features of un-decodable rows are tagged by construction (stub values
-    live in [0, 1); real dims are >= 1).
+    Compressed images (JPEG/PNG) decode through PIL WHEN INSTALLED (see
+    ``_pil_image`` — an import guard, not a hard dependency) and yield
+    the same image summary features as PPM/PGM. Unknown or
+    PIL-unavailable containers fall back to the deterministic stub, so a
+    mixed corpus never errors — the features of un-decodable rows are
+    tagged by construction (stub values live in [0, 1); real dims
+    are >= 1).
     """
     data = content or b""
     fmt = sniff_format(data)
+    if fmt in ("jpeg", "png"):
+        Image = _pil_image()
+        if Image is None:
+            return _stub_kernel(data)
+        import io
+
+        with Image.open(io.BytesIO(data)) as im:
+            px = np.asarray(im.convert("RGB"), dtype=np.float64)
+        return [
+            float(px.shape[1]),
+            float(px.shape[0]),
+            float(px.shape[2]),
+            float(px.mean()),
+            float(px.std()),
+            float(px.min()),
+            float(px.max()),
+            0.0,
+        ]
     if fmt in ("ppm", "pgm"):
         img = decode_pnm(data)
         px = img.astype(np.float64)
@@ -298,17 +319,46 @@ def real_feature_kernel(content: bytes) -> list[float]:
     return _stub_kernel(data)
 
 
+def _pil_image():
+    """Import guard for compressed-image decode (VERDICT r3 #8): returns
+    PIL's ``Image`` module when Pillow is installed, else None — callers
+    fall back to the deterministic stub. Kept a function (not a module-
+    level import) so a PIL installed AFTER engine import is still found
+    by fresh executors/batches."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def real_resize_kernel(
     content: bytes, w: int, h: int, out_w: int, out_h: int
 ) -> bytes:
-    """Real image resample: decode PPM/PGM, nearest-neighbor resize, and
-    re-encode in the same container. Non-image / unknown payloads fall
+    """Real image resample: decode PPM/PGM (pure numpy) or JPEG/PNG (via
+    the PIL import guard), nearest-neighbor resize, and re-encode —
+    PPM/PGM in the same container, compressed inputs as PNG (lossless,
+    so the resample is reproducible; JPEG re-encode would re-introduce
+    codec noise). Non-image / unknown / PIL-unavailable payloads fall
     back to the stub tag so ``resize_images`` stays total."""
     data = content or b""
     fmt = sniff_format(data)
     if fmt in ("ppm", "pgm"):
         img = resize_nearest(decode_pnm(data), out_w, out_h)
         return encode_ppm(img) if img.ndim == 3 else encode_pgm(img)
+    if fmt in ("jpeg", "png"):
+        Image = _pil_image()
+        if Image is not None:
+            import io
+
+            with Image.open(io.BytesIO(data)) as im:
+                small = im.convert("RGB").resize(
+                    (out_w, out_h), Image.Resampling.NEAREST
+                )
+            buf = io.BytesIO()
+            small.save(buf, format="PNG")
+            return buf.getvalue()
     return _stub_resize_kernel(data, w, h, out_w, out_h)
 
 

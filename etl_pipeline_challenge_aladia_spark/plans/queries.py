@@ -4479,6 +4479,37 @@ def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_heavy_hitter_tokens",
+    """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT count(*) AS total FROM tok)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(floor(count(*) * 1000.0 / total) AS BIGINT) AS share_permille
+FROM tok, tot
+GROUP BY token, total
+HAVING count(*) * 1000 >= 5 * total
+""",
+    doc="EXACT heavy-hitter tokens at sketch cost "
+    "(functions/sketches.py:heavy_hitters): every token holding >= 5 "
+    "permille of all token occurrences, found by freqItems candidates "
+    "(single-pass Karp summary, JVM map-combined, superset guarantee) + "
+    "one exact verification aggregate over candidate rows only — the "
+    "boilerplate-vocabulary detector that at 100 TB avoids shuffling the "
+    "full distinct-token space (|V| can be billions of n-gram-ish "
+    "tokens; candidates are bounded by 2000/support). Integer-arithmetic "
+    "threshold makes the sketch-built answer exactly SQL-reproducible.",
+)
+def q_doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.sketches import heavy_hitters
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    return heavy_hitters(toks, "token", support_permille=5)
+
+
+@query(
     "doc_inverted_index_rare",
     """
 WITH tok AS (

@@ -334,3 +334,57 @@ def test_extract_frame_features_zero_frame_y4m_yields_nulls(spark):
     }
     assert got[(1, 0)]["luma_mean"] is None and got[(1, 0)]["frame_index"] is None
     assert got[(2, 0)]["luma_mean"] == 10.0  # healthy rows unaffected
+
+
+def test_compressed_image_sniff_and_guarded_fallback():
+    """JPEG/PNG are sniffed by magic bytes; without PIL the feature kernel
+    falls back to the deterministic stub (tagged: all values in [0,1)),
+    and the resize kernel to the stub tag — a mixed corpus never errors."""
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import sniff_format
+    from etl_pipeline_challenge_aladia_spark.operators import multimodal as mm
+
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    assert sniff_format(jpeg) == "jpeg"
+    assert sniff_format(png) == "png"
+    assert sniff_format(b"garbage") is None
+
+    if mm._pil_image() is None:
+        for payload in (jpeg, png):
+            feats = mm.real_feature_kernel(payload)
+            assert feats == mm._stub_kernel(payload)
+            assert all(0.0 <= v < 1.0 for v in feats)
+            out = mm.real_resize_kernel(payload, 10, 10, 4, 4)
+            assert out == mm._stub_resize_kernel(payload, 10, 10, 4, 4)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="opt-in: Pillow not installed — the compressed-image decode "
+    "path runs wherever PIL is available (the import-guard contract)",
+)
+def test_compressed_image_real_decode_with_pil():
+    """With Pillow present the SAME kernels decode PNG for real: feature
+    dims echo the image geometry (>= 1, distinguishing them from stub
+    values in [0,1)) and resize emits a decodable PNG of the target
+    geometry."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from etl_pipeline_challenge_aladia_spark.operators import multimodal as mm
+
+    img = np.zeros((12, 16, 3), np.uint8)
+    img[:, :, 0] = 200
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    feats = mm.real_feature_kernel(payload)
+    assert feats[:3] == [16.0, 12.0, 3.0]
+    assert abs(feats[3] - 200.0 / 3.0) < 1e-9  # mean over RGB
+
+    out = mm.real_resize_kernel(payload, 16, 12, 8, 8)
+    with Image.open(io.BytesIO(out)) as back:
+        assert back.size == (8, 8)

@@ -83,3 +83,30 @@ def test_bloom_prune_fallback_semi_join(spark, sf_dir, monkeypatch):
         sk.F, "lit", lambda *_a, **_k: (_ for _ in ()).throw(RuntimeError("gone"))
     )
     assert sk._native_bloom_available(spark) is False
+
+
+def test_heavy_hitters_exact_verified(spark):
+    """heavy_hitters = freqItems candidates (superset) + exact verify:
+    output is EXACTLY the >= threshold set, including an item sitting
+    right ON the boundary; sub-threshold and long-tail values never
+    appear; counts and integer shares are exact; empty input -> empty."""
+    import pytest
+
+    from etl_pipeline_challenge_aladia_spark.functions.sketches import (
+        heavy_hitters,
+    )
+
+    # 1000 rows: 'a' x 300, 'b' x 100 (exactly 100 permille), 'c' x 99
+    # (just below), 501-value long tail
+    rows = (["a"] * 300 + ["b"] * 100 + ["c"] * 99
+            + [f"tail{i}" for i in range(501)])
+    df = spark.createDataFrame([(v,) for v in rows], "token string")
+    got = {
+        r["token"]: (r["n_occurrences"], r["share_permille"])
+        for r in heavy_hitters(df, "token", support_permille=100).collect()
+    }
+    assert got == {"a": (300, 300), "b": (100, 100)}
+
+    assert heavy_hitters(df.limit(0), "token").count() == 0
+    with pytest.raises(ValueError, match="support_permille"):
+        heavy_hitters(df, "token", support_permille=0)
