@@ -251,3 +251,44 @@ def keep_above_group_median(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test split by NEAR-DUP CLUSTER, not by document — the
+    contamination fix ``hash_split_col`` alone cannot give: when two
+    near-identical documents hash into different splits, the model is
+    evaluated on paraphrases of its own training data and the benchmark
+    silently inflates. Here every document's split is decided by the
+    min-id representative of its connected near-dup component (``pairs``
+    from any detector: MinHash, SimHash, embedding cosine), so near-dups
+    land in the SAME split by construction; documents in no pair fall
+    back to their own id — bitwise identical to ``hash_split_col`` for
+    the clean majority, preserving split stability when the pair set
+    evolves.
+
+    Scale: clusters exist only for documents that appear in a pair — a
+    vanishing fraction of a deduplicated corpus — so the left join is a
+    broadcast of the small cluster table against the corpus scan; the
+    assignment itself stays the pure zero-shuffle hash function. Output:
+    ``docs`` columns + (rep_id, split).
+    """
+    from etl_pipeline_challenge_aladia_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs).select(
+        F.col("id").alias(id_col), "cluster_id"
+    )
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        docs.join(F.broadcast(clusters), id_col, "left")
+        .withColumn("rep_id", rep.cast("long"))
+        .withColumn(
+            "split", hash_split_col(F.col("rep_id"), train_pct, val_pct)
+        )
+        .drop("cluster_id")
+    )

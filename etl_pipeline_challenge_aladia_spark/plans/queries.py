@@ -25,6 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_challenge_aladia_spark.functions.hashing import sql_md5_fold32
 from etl_pipeline_challenge_aladia_spark.functions.rounding import (
     avg_fixed_point,
     round_half_up,
@@ -2425,10 +2426,16 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_dedup_clusters",
-    _minhash_oracle_sql(prefix_only=True).replace("WITH tok", "WITH RECURSIVE tok", 1)
-    + """,
+def _cluster_walk_sql() -> str:
+    """Shared oracle CTE chain: MinHash+LSH verified pairs -> undirected
+    edges -> recursive min-label walk. Ends at ``walk (id, label)``;
+    callers append their own final select (doc_dedup_clusters,
+    doc_leakage_safe_split)."""
+    return (
+        _minhash_oracle_sql(prefix_only=True).replace(
+            "WITH tok", "WITH RECURSIVE tok", 1
+        )
+        + """,
 pairs AS (
   SELECT c.doc_id_a, c.doc_id_b
   FROM cand c
@@ -2446,7 +2453,14 @@ walk (id, label) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
-)
+)"""
+    )
+
+
+@query(
+    "doc_dedup_clusters",
+    _cluster_walk_sql()
+    + """
 SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
 """,
     doc="Near-dup cluster formation: MinHash+LSH pairs -> connected "
@@ -2465,6 +2479,47 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+
+
+_REP_ID_SQL = "CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT)"
+
+
+@query(
+    "doc_leakage_safe_split",
+    _cluster_walk_sql()
+    + f""",
+cl AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+SELECT d.doc_id,
+       {_REP_ID_SQL} AS rep_id,
+       CASE WHEN {sql_md5_fold32(f"CAST({_REP_ID_SQL} AS VARCHAR)")} % 100 < 80
+              THEN 'train'
+            WHEN {sql_md5_fold32(f"CAST({_REP_ID_SQL} AS VARCHAR)")} % 100 < 90
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+""",
+    doc="Leakage-safe train/val/test split "
+    "(operators/sampling.py:leakage_safe_split): split membership is "
+    "decided by the min-id representative of each near-dup CLUSTER "
+    "(MinHash pairs -> connected components), so near-duplicates can "
+    "never straddle train and eval — the contamination mode a plain "
+    "per-doc hash split silently allows (evaluating on paraphrases of "
+    "training data). Docs in no pair fall back to their own id, bitwise "
+    "matching doc_hash_split for the clean majority. The cluster table "
+    "is pair-bounded and broadcast; assignment stays the zero-shuffle "
+    "hash function.",
+)
+def q_doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs)
+    return leakage_safe_split(docs, pairs).select("doc_id", "rep_id", "split")
 
 
 @query(
@@ -3618,7 +3673,6 @@ def q_doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selection, embedding quantization (north-star scope, round 2)
 # --------------------------------------------------------------------------
 
-from etl_pipeline_challenge_aladia_spark.functions.hashing import sql_md5_fold32  # noqa: E402
 
 
 _STRAT_RATES = {"en": 0.3, "zh": 1.0, "fr": 0.6}  # default 1.0 for the rest

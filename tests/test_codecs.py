@@ -85,7 +85,9 @@ def test_sniff_format():
     assert sniff_format(encode_wav_pcm16(np.zeros(4, np.int16))) == "wav"
     assert sniff_format(b"YUV4MPEG2 W1 H1 F25:1\n") == "y4m"
     assert sniff_format(b"RIFFxxxxAVI ") is None  # RIFF but not WAVE
-    assert sniff_format(b"\xff\xd8\xff") is None  # JPEG: needs native lib
+    # compressed images are sniffed (decode is PIL-import-guarded)
+    assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert sniff_format(b"\x89PNG\r\n\x1a\n") == "png"
 
 
 def test_real_feature_kernel_per_modality():

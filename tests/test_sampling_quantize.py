@@ -162,3 +162,43 @@ def test_stratified_sample_nested_and_deterministic(spark, sf_dir):
         ).select("doc_id").collect()
     }
     assert re_ids == lo_ids
+
+
+def test_leakage_safe_split_respects_clusters(spark):
+    """Near-dup pair members ALWAYS share a split (decided by the min-id
+    representative); documents in no pair keep exactly their plain
+    hash_split assignment; every doc appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        hash_split_col,
+        leakage_safe_split,
+    )
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    # pairs: (0,1), (1,2) chain -> one cluster {0,1,2}; (50,51) another
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (50, 51)], ["doc_id_a", "doc_id_b"]
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    assert len(out) == 200
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[0]["rep_id"] == rows[1]["rep_id"] == rows[2]["rep_id"] == 0
+    assert rows[0]["split"] == rows[1]["split"] == rows[2]["split"]
+    assert rows[50]["split"] == rows[51]["split"]
+    assert rows[50]["rep_id"] == 50
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id", hash_split_col(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    clustered = {0, 1, 2, 50, 51}
+    for d, r in rows.items():
+        if d not in clustered:
+            assert r["rep_id"] == d
+            assert r["split"] == plain[d]  # bitwise fallback to plain split
+    # the split of a cluster equals the plain split of its representative
+    assert rows[1]["split"] == plain[0]
+    assert rows[51]["split"] == plain[50]
