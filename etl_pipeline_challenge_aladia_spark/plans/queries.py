@@ -197,6 +197,62 @@ def q_cdc_avg_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdcgen_oracle_sql(n: int) -> str:
+    from etl_pipeline_challenge_aladia_spark.sources.pysource import (
+        CDCGEN_ORACLE_CTE,
+    )
+
+    return (
+        "WITH "
+        + CDCGEN_ORACLE_CTE.replace("__N__", str(n))
+        + f""",
+warehouse AS (
+  SELECT
+    document_id AS original_id,
+    data_ts AS original_timestamp,
+    video_id,
+    session_id,
+    watched_seconds,
+    video_duration_seconds,
+    {_WAREHOUSE_RATIO_SQL} AS watched_ratio,
+    device_type,
+    quality,
+    FALSE AS is_deleted,
+    version
+  FROM gen
+  WHERE operation IN ('insert', 'update')
+)
+SELECT * FROM warehouse"""
+    )
+
+
+@query(
+    "cdc_pysource_warehouse",
+    _cdcgen_oracle_sql(2000),
+    doc="The workload generator as a FIRST-CLASS Spark data source "
+    "(sources/pysource.py, Spark 4 Python DataSource API): "
+    "spark.read.format('cdcgen') synthesizes the reference producer's "
+    "weighted envelope stream inside the engine's source surface "
+    "(bounded batch here; a streaming twin with checkpointed "
+    "sequence-number offsets is pytest-proven), then the STANDARD "
+    "decode -> transform chain produces the warehouse. Pure-integer "
+    "synthesis means the DuckDB oracle rebuilds the identical stream "
+    "from range(n) — the custom source is hash-checked end to end.",
+)
+def q_cdc_pysource_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.structure import (
+        parse_envelope,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.pysource import (
+        register_cdcgen,
+    )
+
+    register_cdcgen(spark)
+    raw = spark.read.format("cdcgen").option("n", 2000).load()
+    env = parse_envelope(raw).filter(~F.col("_corrupt")).drop("_corrupt", "_raw")
+    return envelopes_to_warehouse(env, with_ingestion_time=False)
+
+
 @query(
     "cdc_device_quality_rollup",
     CDC_WAREHOUSE_PREFIX
