@@ -704,6 +704,30 @@ def kmeans_lite_grouped(
     compare, ties to the lower cluster index), centroid components from
     the order-independent fixed-point mean, rounded half-up.
     """
+    assigned, _ = _kmeans_rounds(vecs, k, iters, scale, dim)
+    # dist_fx is the EXACT int64 fixed-point squared distance (1e-8 quanta)
+    # — consumers needing exact integer aggregation use it directly instead
+    # of round-tripping the double `dist` back through floor(x*1e8+0.5),
+    # which silently breaks past ~2^52; `dist` is the human-scale view.
+    return assigned.select(
+        "grp",
+        "id",
+        "cluster",
+        "dist_fx",
+        (F.col("dist_fx").cast("double") / F.lit(100000000.0)).alias("dist"),
+    )
+
+
+def _kmeans_rounds(
+    vecs: DataFrame, k: int, iters: int, scale: int, dim: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """The shared Lloyd's loop: returns (final assignment, the CENTROID
+    table that final assignment was computed against). Centroids are NOT
+    recomputed after the last assignment — that recompute was a dead
+    aggregation + eager checkpoint job per call (the SQL oracle never had
+    a c{iters} CTE), and skipping it keeps the returned centroids exactly
+    the ones every ``dist_fx`` refers to — the frozen coarse quantizer a
+    streaming ingest assigns new vectors against (``assign_to_centroids``)."""
     w = Window.partitionBy("grp", "id").orderBy("dist_fx", "cluster")
     w_init = Window.partitionBy("grp").orderBy("id")
     centroids = (
@@ -713,7 +737,7 @@ def kmeans_lite_grouped(
         .localCheckpoint(eager=True)
     )
     assigned = None
-    for _ in range(iters):
+    for r in range(iters):
         # fixed-point per-dimension squared diffs (1e-8 quanta, int64): the
         # distance sum is exact integer arithmetic, so argmin assignment is
         # engine-reproducible and an unrolled SQL twin matches bit-for-bit
@@ -726,29 +750,158 @@ def kmeans_lite_grouped(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        centroids = (
-            assigned.select("grp", "cluster", F.posexplode("v").alias("dim", "val"))
-            .groupBy("grp", "cluster", "dim")
-            .agg(round_half_up(avg_fixed_point(F.col("val")), scale).alias("cv"))
-            .groupBy("grp", "cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda x: x["cv"],
-                ).alias("c")
+        if r < iters - 1:
+            centroids = (
+                assigned.select(
+                    "grp", "cluster", F.posexplode("v").alias("dim", "val")
+                )
+                .groupBy("grp", "cluster", "dim")
+                .agg(round_half_up(avg_fixed_point(F.col("val")), scale).alias("cv"))
+                .groupBy("grp", "cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                        lambda x: x["cv"],
+                    ).alias("c")
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
+    return assigned, centroids
+
+
+def kmeans_with_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """``kmeans_lite`` that ALSO returns its frozen coarse quantizer:
+    (assignments (id, cluster, dist_fx, dist), centroids (cluster, c)).
+    The centroid table is what a streaming/incremental ingest holds on to
+    — new vectors are routed with ``assign_to_centroids`` (one broadcast
+    argmin, no re-training) until drift (``cell_drift``) says re-train."""
+    vecs = embeddings.select(
+        F.lit(0).alias("grp"),
+        F.col(id_col).alias("id"),
+        to_double_array(vec_col).alias("v"),
+    )
+    assigned, centroids = _kmeans_rounds(vecs, k, iters, scale, None)
+    return (
+        assigned.select(
+            "id",
+            "cluster",
+            "dist_fx",
+            (F.col("dist_fx").cast("double") / F.lit(100000000.0)).alias("dist"),
+        ),
+        centroids.select("cluster", "c"),
+    )
+
+
+def assign_to_centroids(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Route vectors to their nearest FROZEN centroid: one broadcast join
+    + argmin window — the per-micro-batch ingest primitive of an IVF/
+    SemDeDup layout (k x dim is tiny at any corpus scale, so this is a
+    map-only stage; no shuffle of the vectors beyond the window's
+    per-id partition). Same exact fixed-point distance + tie-break
+    contract as training-time assignment, so an unrolled SQL oracle
+    reproduces it bit-for-bit."""
+    v = vecs.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    w = Window.partitionBy("id").orderBy("dist_fx", "cluster")
+    dist_fx = _fx_sq_dist(F.col("v"), F.col("c"), dim)
+    return (
+        v.crossJoin(F.broadcast(centroids.select("cluster", "c")))
+        .select("id", "cluster", dist_fx.alias("dist_fx"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn(
+            "dist", F.col("dist_fx").cast("double") / F.lit(100000000.0)
         )
-    # dist_fx is the EXACT int64 fixed-point squared distance (1e-8 quanta)
-    # — consumers needing exact integer aggregation use it directly instead
-    # of round-tripping the double `dist` back through floor(x*1e8+0.5),
-    # which silently breaks past ~2^52; `dist` is the human-scale view.
-    return assigned.select(
-        "grp",
-        "id",
-        "cluster",
-        "dist_fx",
-        (F.col("dist_fx").cast("double") / F.lit(100000000.0)).alias("dist"),
+    )
+
+
+def cell_drift(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_buckets: int = 800,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Embedding-distribution drift monitor: train the coarse quantizer on
+    the corpus' deterministic 'already ingested' slice (id-hash buckets
+    < ``train_buckets``), route the remaining 'newly arrived' slice onto
+    the FROZEN centroids (``assign_to_centroids`` — exactly what a
+    streaming ingest does between re-trains), and compare the two
+    populations per cell: occupancy shares and mean quantization error.
+    A cell whose delta share diverges (``drift_permille``) or whose
+    delta-side error inflates is the re-train / re-index trigger every
+    production ANN or SemDeDup deployment needs — without it the frozen
+    index silently degrades as the corpus distribution moves.
+
+    All outputs are exact-integer or shared-half-up-rounded, so the SQL
+    oracle reproduces them bit-for-bit (train = unrolled kmeans, delta =
+    one more argmin against c{iters-1}). Output per cluster:
+    (cluster, n_train, n_delta, avg_sq_dist_train, avg_sq_dist_delta,
+    drift_permille = floor(n_delta*1000/total_delta) -
+    floor(n_train*1000/total_train))."""
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        hash_bucket_col,
+    )
+
+    b = hash_bucket_col(F.col(id_col), buckets)
+    train = embeddings.filter(b < train_buckets)
+    delta = embeddings.filter(b >= train_buckets)
+    assigned_t, cents = kmeans_with_centroids(
+        train, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned_d = assign_to_centroids(delta, cents, id_col=id_col, vec_col=vec_col)
+
+    t_stats = assigned_t.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_train"), F.sum("dist_fx").alias("sfx_t")
+    )
+    d_stats = assigned_d.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_delta"), F.sum("dist_fx").alias("sfx_d")
+    )
+    tot_t = assigned_t.agg(F.count(F.lit(1)).alias("tt"))
+    tot_d = assigned_d.agg(F.count(F.lit(1)).alias("td"))
+    n_t = F.coalesce(F.col("n_train"), F.lit(0)).cast("long")
+    n_d = F.coalesce(F.col("n_delta"), F.lit(0)).cast("long")
+
+    def _avg(sfx, n):
+        return F.when(
+            n > 0,
+            round_half_up(
+                F.col(sfx).cast("double") / F.lit(100000000.0) / n, 4
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return (
+        t_stats.join(d_stats, "cluster", "full_outer")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_d))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            n_t.alias("n_train"),
+            n_d.alias("n_delta"),
+            _avg("sfx_t", n_t).alias("avg_sq_dist_train"),
+            _avg("sfx_d", n_d).alias("avg_sq_dist_delta"),
+            (
+                F.floor(n_d * 1000 / F.col("td")).cast("long")
+                - F.floor(n_t * 1000 / F.col("tt")).cast("long")
+            ).alias("drift_permille"),
+        )
     )
 
 

@@ -2878,6 +2878,78 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cell_drift_oracle_sql(k: int = 8, iters: int = 3, train_buckets: int = 800) -> str:
+    """Train = unrolled kmeans over the id-hash 'ingested' slice; delta =
+    one more argmin against the final training centroids (c{iters-1});
+    per-cell occupancy + exact fixed-point error comparison."""
+    fold = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
+    v_ctes = f"""all_v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {fold} % 1000 AS bucket
+  FROM embeddings
+),
+v AS (SELECT vec_id, e FROM all_v WHERE bucket < {train_buckets}),
+vd AS (SELECT vec_id, e FROM all_v WHERE bucket >= {train_buckets})"""
+    fxd = (
+        "sum(CAST(floor((evd.val - c.cv) * (evd.val - c.cv) * 100000000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    return (
+        _kmeans_cte_prefix(k, iters, v_ctes=v_ctes)
+        + f""",
+evd AS (SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM vd),
+dd AS (
+  SELECT evd.vec_id, c.cluster, {fxd} AS fx
+  FROM evd JOIN c{iters - 1} c USING (dim) GROUP BY evd.vec_id, c.cluster
+),
+ad AS (
+  SELECT vec_id, cluster, fx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fx, cluster) AS rn
+    FROM dd) WHERE rn = 1
+),
+ts AS (SELECT cluster, count(*) AS n_train, sum(fx) AS sfx_t
+       FROM a{iters} GROUP BY cluster),
+ds AS (SELECT cluster, count(*) AS n_delta, sum(fx) AS sfx_d
+       FROM ad GROUP BY cluster),
+tt AS (SELECT count(*) AS t FROM a{iters}),
+td AS (SELECT count(*) AS t FROM ad)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COALESCE(n_train, 0) AS BIGINT) AS n_train,
+       CAST(COALESCE(n_delta, 0) AS BIGINT) AS n_delta,
+       CASE WHEN COALESCE(n_train, 0) > 0
+            THEN {_s4('CAST(sfx_t AS DOUBLE) / 100000000.0 / n_train')}
+            ELSE 0.0 END AS avg_sq_dist_train,
+       CASE WHEN COALESCE(n_delta, 0) > 0
+            THEN {_s4('CAST(sfx_d AS DOUBLE) / 100000000.0 / n_delta')}
+            ELSE 0.0 END AS avg_sq_dist_delta,
+       CAST(floor(COALESCE(n_delta, 0) * 1000.0 / td.t) AS BIGINT)
+         - CAST(floor(COALESCE(n_train, 0) * 1000.0 / tt.t) AS BIGINT)
+         AS drift_permille
+FROM ts FULL JOIN ds USING (cluster) CROSS JOIN tt CROSS JOIN td
+"""
+    )
+
+
+@query(
+    "emb_cell_drift",
+    _cell_drift_oracle_sql(),
+    doc="Embedding-distribution drift monitor "
+    "(operators/similarity.py:cell_drift): the coarse quantizer trains on "
+    "the deterministic 'already ingested' 80% slice, the remaining 20% "
+    "routes onto the FROZEN centroids exactly as a streaming ingest does "
+    "between re-trains (assign_to_centroids: broadcast argmin, no "
+    "re-training), and each cell compares occupancy share + mean exact "
+    "fixed-point quantization error across the two populations — the "
+    "re-train/re-index trigger a frozen production ANN/SemDeDup index "
+    "needs as the corpus moves. Oracle: unrolled-kmeans train + one more "
+    "argmin against c{iters-1} for the delta.",
+)
+def q_emb_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import cell_drift
+
+    return cell_drift(load_table(spark, sf_dir, "embeddings"))
+
+
 def _pq_chain_sql(b: int, lo: int, hi: int, k: int, iters: int, src: str) -> str:
     """One PQ block's unrolled kmeans CTE chain (prefixed ``b{b}``), over
     ``src``'s ``full_e[lo:hi]`` slice — the ``_kmeans_oracle_sql`` pattern

@@ -250,3 +250,56 @@ def test_semantic_dedup_auto_k_scales_with_corpus(spark):
     # the formula itself: argmin of iters*n*k + n^2/k, floored
     for nn, it in ((550, 3), (22000, 3), (1_000_000, 3)):
         assert auto_semantic_k(nn, it) == int(math.floor(math.sqrt(nn / it)))
+
+
+def test_cell_drift_flags_shifted_population(spark):
+    """assign_to_centroids routes vectors to the frozen quantizer exactly
+    like training-time assignment, and cell_drift's occupancy comparison
+    flags a delta population concentrated in one region: the favored
+    cell's drift_permille is strongly positive, shares sum to ~0, and
+    (n_train, n_delta) account for every vector exactly once."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        hash_bucket_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        assign_to_centroids,
+        cell_drift,
+        kmeans_with_centroids,
+    )
+
+    # two well-separated blobs around (0,0) and (10,10); ids 0..999
+    base = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 2) * 10 + F.sin(F.col("id") * 0.7) * 0.1,
+            (F.col("id") % 2) * 10 + F.cos(F.col("id") * 1.3) * 0.1,
+        ).alias("e"),
+    )
+    # the id-hash delta slice (buckets >= 800) is forced into blob 1:
+    # shift every delta row's vector to the (10,10) region
+    b = hash_bucket_col(F.col("vec_id"), 1000)
+    shifted = base.withColumn(
+        "e",
+        F.when(
+            b >= 800,
+            F.transform("e", lambda x: x % 10 + F.lit(10.0)),
+        ).otherwise(F.col("e")),
+    )
+    out = {r["cluster"]: r for r in cell_drift(shifted, k=2, vec_col="e").collect()}
+    n_train = sum(r["n_train"] for r in out.values())
+    n_delta = sum(r["n_delta"] for r in out.values())
+    assert n_train + n_delta == 1000 and n_delta > 0
+    drifts = [r["drift_permille"] for r in out.values()]
+    assert max(drifts) > 300  # the favored cell gained a large share
+    assert abs(sum(drifts)) <= len(drifts)  # floors cancel to ~0
+
+    # routing parity: assigning the TRAIN slice to its own frozen
+    # centroids reproduces the training assignment bit-for-bit
+    train = shifted.filter(hash_bucket_col(F.col("vec_id"), 1000) < 800)
+    assigned, cents = kmeans_with_centroids(train, k=2, vec_col="e")
+    rerouted = assign_to_centroids(train, cents, vec_col="e")
+    a = {(r["id"], r["cluster"], r["dist_fx"]) for r in assigned.collect()}
+    b2 = {(r["id"], r["cluster"], r["dist_fx"]) for r in rerouted.collect()}
+    assert a == b2
