@@ -1407,3 +1407,69 @@ def test_decode_health_listener_records_per_batch_metrics(spark, dirs, tmp_path)
     assert abs(corrupt_ratio(r) - 1 / 3) < 1e-9
     assert corrupt_ratio({"n_messages": 0, "n_corrupt": 0}) == 0.0
     assert listener.dropped == 0
+
+
+def test_embedding_ingest_stream_routes_onto_frozen_index(spark, tmp_path):
+    """Streaming ANN ingest: vectors stream onto a FROZEN quantizer —
+    per-batch routing equals the batch operator bit-for-bit, the index
+    accumulates cell-partitioned (probes prune to cell directories),
+    per-batch stats land for drift monitoring, and a checkpointed rerun
+    ingests nothing twice."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_with_centroids,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        read_index,
+        read_ingest_stats,
+        run_embedding_ingest_stream,
+    )
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 2) * 10 + F.sin(F.col("id")) * 0.1,
+                (F.col("id") % 2) * 10 + F.cos(F.col("id")) * 0.1,
+            ).alias("embedding"),
+        )
+
+    train = vecs(0, 200)
+    _, cents = kmeans_with_centroids(train, k=2, vec_col="embedding")
+
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "index")
+    stats = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    vecs(1000, 1150).coalesce(1).write.mode("append").parquet(in_dir)
+    run_embedding_ingest_stream(spark, in_dir, cents, idx, stats, ckpt)
+    vecs(1150, 1250).coalesce(1).write.mode("append").parquet(in_dir)
+    run_embedding_ingest_stream(spark, in_dir, cents, idx, stats, ckpt)
+
+    index = read_index(spark, idx)
+    assert index.count() == 250
+    # routing parity with the batch operator, for every streamed vector
+    want = {
+        (r["id"], r["cluster"])
+        for r in assign_to_centroids(
+            vecs(1000, 1250), cents, vec_col="embedding"
+        ).collect()
+    }
+    got = {(r["vec_id"], r["cell"]) for r in index.collect()}
+    assert got == want
+    # stats: per-batch per-cell counts cover everything exactly once
+    st = read_ingest_stats(spark, stats)
+    assert st.agg(F.sum("n_vecs")).first()[0] == 250
+    assert st.select("batch_id").distinct().count() == 2
+
+    # a probe for one cell prunes the scan to that cell's directories
+    one_cell = index.filter(F.col("cell") == 1)
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan
+
+    # drained rerun: nothing reprocesses
+    run_embedding_ingest_stream(spark, in_dir, cents, idx, stats, ckpt)
+    assert read_index(spark, idx).count() == 250
