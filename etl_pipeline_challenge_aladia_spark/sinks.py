@@ -13,8 +13,9 @@ dedup (SURVEY.md §2.1-S5, §1.4). Spark-first equivalents:
   engine's answer to the reference's ack/requeue + ReplacingMergeTree.
 
 Both sinks commit through an atomic snapshot manifest, which grows into a
-small transactional table format: ``read_warehouse(version=)`` time
-travel over ``retain_snapshots`` retained versions, ``table_history``,
+small transactional table format: ``read_warehouse(version=)`` /
+``read_warehouse(as_of=)`` time travel (VERSION AS OF and TIMESTAMP AS
+OF) over ``retain_snapshots`` retained versions, ``table_history``,
 ``table_changes`` (change data feed between snapshots),
 ``erase_warehouse_keys`` (bucket-proportional GDPR hard deletes),
 ``vacuum_warehouse`` (snapshot expiry + GC), schema evolution via merged
@@ -26,6 +27,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +35,9 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.operators.dedup import latest_per_key
 from etl_pipeline_challenge_aladia_spark.schemas import DEDUP_KEY
+
+#: injectable clock for the manifest's commit timestamps (tests pin it)
+_now = time.time
 
 
 def append_warehouse(df: DataFrame, path: str, partition_by_day: bool = True) -> None:
@@ -44,7 +49,10 @@ def append_warehouse(df: DataFrame, path: str, partition_by_day: bool = True) ->
 
 
 def read_warehouse(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: float | str | None = None,
 ) -> DataFrame:
     """Read a warehouse table, resolving through the snapshot manifest when
     one exists (manifest-sink tables): the manifest names one directory per
@@ -55,12 +63,20 @@ def read_warehouse(
     ``version=`` time-travels to a RETAINED earlier snapshot (the
     manifest's ``history`` list, rotation depth set by the sinks'
     ``retain_snapshots``) — the plain-parquet analog of Delta's
-    ``VERSION AS OF``. Raises ``KeyError`` listing the readable versions
-    when the requested one was never committed or has been vacuumed."""
+    ``VERSION AS OF``. ``as_of=`` is the ``TIMESTAMP AS OF`` twin: the
+    NEWEST retained snapshot committed at or before the given time
+    (epoch seconds, or an ISO-8601 string — naive strings are read as
+    UTC, matching the engine's session timezone). Raises ``KeyError``
+    listing what IS readable when the request was never committed, has
+    been vacuumed, or predates the earliest retained commit."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass either version= or as_of=, not both")
     manifest = _read_manifest(path)
     if manifest is not None and version is not None:
         manifest = _resolve_snapshot(manifest, version)
-    elif version is not None:
+    elif manifest is not None and as_of is not None:
+        manifest = _resolve_as_of(manifest, as_of)
+    elif version is not None or as_of is not None:
         raise KeyError(f"{path} has no snapshot manifest; cannot time-travel")
     if manifest is not None and manifest.get("buckets"):
         dirs = [os.path.join(path, d) for d in manifest["buckets"].values()]
@@ -81,11 +97,16 @@ def read_warehouse(
 
 def _snapshot_entry(manifest: dict) -> dict:
     """The frozen, re-readable core of a manifest: version + directory
-    refs. What history retains per commit — nothing else in the manifest
-    is needed to resolve a past snapshot."""
+    refs + commit time. What history retains per commit — nothing else in
+    the manifest is needed to resolve a past snapshot."""
+    entry: dict = {"version": manifest["version"]}
+    if manifest.get("committed_at") is not None:
+        entry["committed_at"] = manifest["committed_at"]
     if "buckets" in manifest:
-        return {"version": manifest["version"], "buckets": dict(manifest["buckets"])}
-    return {"version": manifest["version"], "table_dir": manifest["table_dir"]}
+        entry["buckets"] = dict(manifest["buckets"])
+    else:
+        entry["table_dir"] = manifest["table_dir"]
+    return entry
 
 
 def _rotate_history(manifest: dict, retain_snapshots: int) -> list[dict]:
@@ -111,6 +132,39 @@ def _resolve_snapshot(manifest: dict, version: int) -> dict:
     raise KeyError(
         f"snapshot version {version} not retained; readable versions: {have}"
     )
+
+
+def _as_epoch(as_of: float | str) -> float:
+    if isinstance(as_of, str):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(as_of.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+    return float(as_of)
+
+
+def _resolve_as_of(manifest: dict, as_of: float | str) -> dict:
+    """TIMESTAMP AS OF: the newest retained snapshot committed at or
+    before ``as_of``. Snapshots predating the committed_at stamp (legacy
+    manifests) are not time-addressable and are skipped."""
+    ts = _as_epoch(as_of)
+    snaps = list(manifest.get("history", [])) + [manifest]
+    stamped = [s for s in snaps if s.get("committed_at") is not None]
+    eligible = [s for s in stamped if float(s["committed_at"]) <= ts]
+    if not eligible:
+        have = [
+            (int(s["version"]), float(s["committed_at"])) for s in stamped
+        ]
+        raise KeyError(
+            f"no retained snapshot committed at or before {as_of!r}; "
+            f"readable (version, committed_at): {have}"
+        )
+    best = max(eligible, key=lambda s: (float(s["committed_at"]), int(s["version"])))
+    if int(best["version"]) == int(manifest.get("version", -1)):
+        return manifest
+    return best
 
 
 def table_history(path: str) -> list[dict]:
@@ -255,8 +309,21 @@ def _commit_manifest(path: str, manifest: dict) -> None:
     the manifest, so every bucket written this commit becomes visible at
     once or not at all — the plain-parquet analog of the reference's
     atomic ClickHouse part swap (reference clickhouse/init.sql:22-24) and
-    of a Delta/Iceberg metadata commit."""
+    of a Delta/Iceberg metadata commit.
+
+    Each NEW version is stamped ``committed_at`` (the ``TIMESTAMP AS OF``
+    anchor); a re-commit of the SAME version (vacuum trimming history,
+    entry-GC bookkeeping) preserves the original stamp — metadata
+    maintenance must not move a snapshot in time."""
     import json
+
+    prev = _read_manifest(path)
+    if prev is not None and int(prev.get("version", -1)) == int(
+        manifest.get("version", -2)
+    ):
+        manifest = {**manifest, "committed_at": prev.get("committed_at")}
+    else:
+        manifest = {**manifest, "committed_at": _now()}
 
     tmp = os.path.join(path, "._manifest_tmp")
     with open(tmp, "w") as fh:

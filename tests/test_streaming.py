@@ -1473,3 +1473,49 @@ def test_embedding_ingest_stream_routes_onto_frozen_index(spark, tmp_path):
     # drained rerun: nothing reprocesses
     run_embedding_ingest_stream(spark, in_dir, cents, idx, stats, ckpt)
     assert read_index(spark, idx).count() == 250
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path, monkeypatch):
+    """TIMESTAMP AS OF: read_warehouse(as_of=) resolves the newest
+    retained snapshot committed at or before the asked time (epoch or
+    ISO string); maintenance re-commits (vacuum) never move a snapshot
+    in time; asking before the first commit raises with the readable
+    list; version= and as_of= are mutually exclusive."""
+    import etl_pipeline_challenge_aladia_spark.sinks as sinks
+    from pyspark.sql import functions as F
+
+    clock = iter([1000.0, 2000.0, 3000.0, 4000.0, 5000.0, 6000.0])
+    monkeypatch.setattr(sinks, "_now", lambda: next(clock))
+
+    path = str(tmp_path / "wh")
+    sinks.merge_warehouse_batch(
+        spark, _merge_base_frame(spark, n=10), path, num_buckets=4,
+        retain_snapshots=3,
+    )
+    for v, w in ((2, 111), (3, 222)):
+        upd = _merge_base_frame(spark, n=10, version=v, watched=w).filter(
+            F.col("original_id") == "doc_3"
+        )
+        sinks.merge_warehouse_batch(spark, upd, path, retain_snapshots=3)
+
+    def doc3(**kw):
+        return sinks.read_warehouse(spark, path, **kw).filter(
+            F.col("original_id") == "doc_3"
+        ).first()["watched_seconds"]
+
+    # creation commit consumed TWO stamps (fresh-table manifest at 1000,
+    # merge commit at 2000); updates at 3000 and 4000
+    assert doc3(as_of=2500.0) == 30        # v1 (committed 2000)
+    assert doc3(as_of=3000.0) == 111       # v2, boundary inclusive
+    assert doc3(as_of=9999.0) == 222       # newest
+    assert doc3(as_of="1970-01-01T00:41:40Z") == 30   # 2500s epoch -> v1
+    with pytest.raises(KeyError, match="at or before"):
+        doc3(as_of=500.0)
+    with pytest.raises(ValueError, match="not both"):
+        sinks.read_warehouse(spark, path, version=1, as_of=1.0)
+
+    # vacuum re-commits the same version: its commit time must not move
+    before = sinks._read_manifest(path)["committed_at"]
+    sinks.vacuum_warehouse(path, keep_snapshots=1)
+    assert sinks._read_manifest(path)["committed_at"] == before
+    assert doc3(as_of=9999.0) == 222
