@@ -1426,6 +1426,41 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_next_event_examples",
+    """
+SELECT user_id, event_id,
+       string_agg(event_type, ' ') OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+       event_type AS target
+FROM events QUALIFY context IS NOT NULL
+""",
+    doc="Sequence-dataset construction for next-event prediction: per "
+    "user, each event becomes a training example (context = up to the 3 "
+    "preceding event types oldest-first, target = the event itself), "
+    "built with ONE ordered-frame window — no self-joins, no per-user "
+    "collect; at 100 TB this is a single hash-partitioned shuffle on "
+    "user_id followed by a sorted within-partition sweep, the canonical "
+    "behavioral-sequence featurization shape. Ties broken by event_id "
+    "for a total per-user order.",
+)
+def q_events_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, -1)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.array_join(F.collect_list("event_type").over(w), " ").alias(
+                "context"
+            ),
+            F.col("event_type").alias("target"),
+        )
+        .filter(F.col("context") != "")
+    )
+
+
+@query(
     "orders_monthly_cumulative_revenue",
     f"""
 WITH monthly AS (
