@@ -115,7 +115,14 @@ class CdcGenBatchReader(DataSourceReader):
 class CdcGenStreamReader(DataSourceStreamReader):
     """Micro-batched generator: the offset IS the sequence number, so
     checkpoint recovery replays exactly the uncommitted suffix — the same
-    at-least-once-collapsed-by-keyed-upsert contract as the Kafka path."""
+    at-least-once-collapsed-by-keyed-upsert contract as the Kafka path.
+
+    Restart note: a fresh reader instance starts its in-memory counter at
+    0 while the checkpoint hands ``partitions`` the COMMITTED start — the
+    counter re-syncs to the larger of the two there, so after a restart
+    the stream resumes past everything already ingested (at most one
+    empty catch-up micro-batch) instead of idling until the counter
+    catches up."""
 
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rowsPerBatch", 100))
@@ -130,7 +137,9 @@ class CdcGenStreamReader(DataSourceStreamReader):
         return {"i": self._latest}
 
     def partitions(self, start: dict, end: dict):
-        return _slices(int(start["i"]), int(end["i"]), self.num_partitions)
+        s, e = int(start["i"]), int(end["i"])
+        self._latest = max(self._latest, s, e)
+        return _slices(s, e, self.num_partitions)
 
     def read(self, partition: _Slice):
         for i in range(partition.start, partition.end):

@@ -98,3 +98,61 @@ def test_cdcgen_stream_feeds_cdc_pipeline(spark, tmp_path):
         for r in rows.collect()
     }
     assert got == expect
+
+
+def test_cdcgen_stream_restart_resumes_past_checkpoint(spark, tmp_path):
+    """Restart contract: a FRESH reader instance (in-memory counter back
+    at 0) combined with the checkpointed committed offset must resume
+    producing NEW sequence numbers past everything already ingested —
+    never re-emitting or stalling on the stale counter."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.structure import (
+        parse_envelope,
+    )
+    from etl_pipeline_challenge_aladia_spark.sinks import read_warehouse
+    from etl_pipeline_challenge_aladia_spark.sources.pysource import (
+        register_cdcgen,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        make_cdc_batch_processor,
+    )
+
+    register_cdcgen(spark)
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_for(min_version):
+        raw = (
+            spark.readStream.format("cdcgen")
+            .option("rowsPerBatch", 80)
+            .load()
+        )
+        q = (
+            parse_envelope(raw)
+            .writeStream.foreachBatch(make_cdc_batch_processor(wh, sink="merge"))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    if read_warehouse(spark, wh).agg(
+                        F.max("version")
+                    ).first()[0] >= min_version:
+                        break
+                except Exception:
+                    pass
+                time.sleep(1)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return read_warehouse(spark, wh).agg(F.max("version")).first()[0]
+
+    first_max = run_for(150)
+    assert first_max >= 150
+    # fresh query + fresh reader, same checkpoint: must move PAST first_max
+    second_max = run_for(first_max + 80)
+    assert second_max > first_max
