@@ -112,6 +112,45 @@ def semi_join_prune(
     )
 
 
+def hll_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    lg_config_k: int = 12,
+    sketch_alias: str = "uniques_sketch",
+) -> DataFrame:
+    """Pre-aggregate distinct counts as PERSISTED, MERGEABLE HLL sketches
+    (Apache DataSketches via Spark's ``hll_sketch_agg``): one binary
+    sketch per group, storable in parquet next to the rollup's other
+    measures. This is the 100 TB distinct-count serving pattern — daily
+    sketches are built once from the raw scan, and any coarser rollup
+    (weekly, monthly, all-time, cross-region) comes from
+    ``hll_merge_estimate`` over the STORED sketches, never another pass
+    over raw data; exact distinct cannot do this because distinct sets
+    don't merge without the original values."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_config_k)).alias(sketch_alias)
+    )
+
+
+def hll_merge_estimate(
+    rollup: DataFrame,
+    group_cols: Sequence[str],
+    sketch_col: str = "uniques_sketch",
+    estimate_alias: str = "approx_uniques",
+) -> DataFrame:
+    """Merge stored HLL sketches up to a coarser grouping and estimate:
+    ``hll_union_agg`` is associative and order-independent, so the
+    estimate from merged daily sketches equals the estimate of a direct
+    sketch over the union of the raw data — the invariant the tests
+    bound against exact counts."""
+    return rollup.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(
+            estimate_alias
+        )
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

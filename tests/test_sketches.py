@@ -110,3 +110,57 @@ def test_heavy_hitters_exact_verified(spark):
     assert heavy_hitters(df.limit(0), "token").count() == 0
     with pytest.raises(ValueError, match="support_permille"):
         heavy_hitters(df, "token", support_permille=0)
+
+
+def test_hll_rollup_persists_and_merges(spark, sf_dir, tmp_path):
+    """Stored-sketch rollup contract: daily HLL sketches written to
+    parquet re-load and MERGE to coarser rollups whose estimates track
+    the exact distinct counts (within HLL error), and merging is
+    partitioning/order-invariant; the merged weekly estimate equals the
+    direct weekly sketch's estimate exactly (same sketch algebra)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.functions.sketches import (
+        hll_merge_estimate,
+        hll_rollup,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        "user_id",
+    )
+    daily = hll_rollup(ev, ["week", "day"], "user_id")
+    path = str(tmp_path / "daily_rollup")
+    daily.write.parquet(path)  # binary sketch column survives parquet
+    stored = spark.read.parquet(path)
+
+    weekly = {
+        r["week"]: r["approx_uniques"]
+        for r in hll_merge_estimate(stored, ["week"]).collect()
+    }
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy("week")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(weekly) == set(exact)
+    for wk, est in weekly.items():
+        assert abs(est - exact[wk]) / max(1, exact[wk]) < 0.05
+
+    # merge algebra: merged-daily == direct-weekly, bit-equal estimates
+    direct = {
+        r["week"]: r["approx_uniques"]
+        for r in hll_merge_estimate(
+            hll_rollup(ev, ["week"], "user_id"), ["week"]
+        ).collect()
+    }
+    assert weekly == direct
+    # partitioning invariance
+    re_part = {
+        r["week"]: r["approx_uniques"]
+        for r in hll_merge_estimate(stored.repartition(7), ["week"]).collect()
+    }
+    assert re_part == weekly
