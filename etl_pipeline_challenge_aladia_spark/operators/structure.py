@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 from etl_pipeline_challenge_aladia_spark.schemas import ENVELOPE_SCHEMA
 
 
-def parse_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
+def parse_envelope(
+    raw: DataFrame,
+    json_col: str = "value",
+    required: tuple[str, ...] = ("operation", "document_id", "version"),
+) -> DataFrame:
     """Decode JSON envelope text -> typed columns (reference T1).
 
     PERMISSIVE mode + a ``_corrupt`` flag replaces the reference's
@@ -26,6 +30,15 @@ def parse_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
     carries the original message text for corrupt rows (NULL otherwise) so
     the quarantine retains something inspectable/replayable, not just a
     row of NULLs.
+
+    ``required`` extends the contract to SCHEMA-VALID-BUT-UNUSABLE
+    messages: valid JSON missing (or failing to type-coerce) any of the
+    required envelope fields also quarantines, with the original text
+    preserved. The reference crashes on these (``message['document_id']``
+    KeyError -> nack/requeue forever, consumer/consumer.py:30-38);
+    silently ingesting them instead would produce NULL-keyed warehouse
+    rows that all collapse onto one dedup group — neither is acceptable.
+    Pass ``required=()`` for raw pass-through parsing.
     """
     import pyspark.sql.types as T
 
@@ -40,10 +53,16 @@ def parse_envelope(raw: DataFrame, json_col: str = "value") -> DataFrame:
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ),
     )
+    bad = F.col("_parsed._corrupt_record").isNotNull()
+    for c in required:
+        bad = bad | F.col(f"_parsed.{c}").isNull()
     return parsed.select(
         *[F.col(f"_parsed.{f.name}") for f in ENVELOPE_SCHEMA.fields],
-        F.col("_parsed._corrupt_record").isNotNull().alias("_corrupt"),
-        F.col("_parsed._corrupt_record").alias("_raw"),
+        bad.alias("_corrupt"),
+        F.when(
+            bad,
+            F.coalesce(F.col("_parsed._corrupt_record"), F.col(json_col)),
+        ).alias("_raw"),
     )
 
 

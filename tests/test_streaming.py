@@ -1519,3 +1519,52 @@ def test_timestamp_as_of_time_travel(spark, tmp_path, monkeypatch):
     sinks.vacuum_warehouse(path, keep_snapshots=1)
     assert sinks._read_manifest(path)["committed_at"] == before
     assert doc3(as_of=9999.0) == 222
+
+
+def test_required_field_envelopes_quarantine_not_ingest(spark, dirs):
+    """Schema-valid-but-unusable messages (valid JSON missing
+    document_id / version, or a version that fails type coercion) must
+    QUARANTINE with the original text preserved — the reference crashes
+    and requeues these forever; silently ingesting them would collapse
+    all NULL-keyed rows onto one dedup group. After a producer fix the
+    standard replay recovers them."""
+    import glob as _glob
+
+    from etl_pipeline_challenge_aladia_spark.streaming.pipeline import (
+        replay_quarantine,
+    )
+
+    no_id = json.loads(envelope("insert", "doc_x", 1))
+    del no_id["document_id"]
+    bad_ver = json.loads(envelope("insert", "doc_y", 1))
+    bad_ver["version"] = "not-a-number"
+    write_lines(
+        os.path.join(dirs["in"], "b1.json"),
+        [json.dumps(no_id), json.dumps(bad_ver),
+         envelope("insert", "doc_ok", 1, watched=5)],
+    )
+    run_cdc_file_stream(
+        spark, dirs["in"], dirs["wh"], dirs["ckpt"], dirs["quar"], sink="merge"
+    )
+    assert set(state(spark, dirs["wh"])) == {("doc_ok", "video_1", "session_1")}
+    quar = spark.read.json(dirs["quar"])
+    assert quar.count() == 2
+    raws = {r["raw"] for r in quar.collect()}
+    assert json.dumps(no_id) in raws  # original text retained, replayable
+
+    # producer fix: re-point the quarantine at corrected messages; the
+    # standard replay path ingests them
+    import shutil
+
+    shutil.rmtree(dirs["quar"])
+    write_lines(
+        os.path.join(dirs["quar"], "fixed.json"),
+        [json.dumps({"raw": envelope("insert", "doc_x", 1, watched=7),
+                     "quarantined_at": "t"}),
+         json.dumps({"raw": envelope("insert", "doc_y", 1, watched=8),
+                     "quarantined_at": "t"})],
+    )
+    assert replay_quarantine(spark, dirs["quar"], dirs["wh"], sink="merge") == (2, 0)
+    s = state(spark, dirs["wh"])
+    assert s[("doc_x", "video_1", "session_1")] == (7, 1)
+    assert s[("doc_y", "video_1", "session_1")] == (8, 1)
