@@ -156,6 +156,7 @@ def heavy_hitters(
     col: str,
     support_permille: int = 5,
     count_alias: str = "n_occurrences",
+    total: int | None = None,
 ) -> DataFrame:
     """EXACT frequent items at sketch cost: every value of ``col`` whose
     occurrence count is >= support_permille/1000 of the total row count,
@@ -163,7 +164,8 @@ def heavy_hitters(
     a training-data pipeline runs on corpus-scale token streams, where a
     plain groupBy would shuffle every distinct value.
 
-    Two passes, both scale-safe:
+    Two data passes (plus one ``count()`` unless ``total`` is supplied),
+    all scale-safe:
     1. CANDIDATES: ``df.stat.freqItems`` — Spark's single-pass Karp-style
        frequent-items summary (JVM-side, map-combined, constant space per
        partition). Its contract is "superset of everything above support,
@@ -182,10 +184,18 @@ def heavy_hitters(
 
     Returns (col, n_occurrences, share_permille) where share_permille is
     the exact integer floor(n*1000/total).
+
+    Pass ``total`` (the exact row count) when the caller can derive it
+    more cheaply than scanning ``df`` — e.g. a token stream's total is
+    one separator-count aggregate over the UN-exploded documents — which
+    drops this operator from three actions over ``df`` to two (the
+    candidate sweep and the verify aggregate; without it a third
+    ``count()`` pass re-executes ``df``'s full upstream plan).
     """
     if not 1 <= support_permille <= 1000:
         raise ValueError(f"support_permille must be in [1, 1000], got {support_permille}")
-    total = df.count()
+    if total is None:
+        total = df.count()
     if total == 0:
         return (
             df.groupBy(col)

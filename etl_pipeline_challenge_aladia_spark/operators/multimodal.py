@@ -261,8 +261,13 @@ def real_feature_kernel(content: bytes) -> list[float]:
             return _stub_kernel(data)
         import io
 
-        with Image.open(io.BytesIO(data)) as im:
-            px = np.asarray(im.convert("RGB"), dtype=np.float64)
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                px = np.asarray(im.convert("RGB"), dtype=np.float64)
+        except Exception:
+            # truncated/corrupt payload behind a valid magic: stub, never
+            # fail the Arrow batch — the totality contract
+            return _stub_kernel(data)
         return [
             float(px.shape[1]),
             float(px.shape[0]),
@@ -352,13 +357,19 @@ def real_resize_kernel(
         if Image is not None:
             import io
 
-            with Image.open(io.BytesIO(data)) as im:
-                small = im.convert("RGB").resize(
-                    (out_w, out_h), Image.Resampling.NEAREST
+            try:
+                # Resampling enum is Pillow >= 9.1; older builds use the
+                # module-level constant
+                nearest = getattr(
+                    getattr(Image, "Resampling", Image), "NEAREST"
                 )
-            buf = io.BytesIO()
-            small.save(buf, format="PNG")
-            return buf.getvalue()
+                with Image.open(io.BytesIO(data)) as im:
+                    small = im.convert("RGB").resize((out_w, out_h), nearest)
+                buf = io.BytesIO()
+                small.save(buf, format="PNG")
+                return buf.getvalue()
+            except Exception:
+                pass  # corrupt payload behind a valid magic -> stub tag
     return _stub_resize_kernel(data, w, h, out_w, out_h)
 
 

@@ -283,10 +283,13 @@ def leakage_safe_split(
     clusters = dedup_clusters(pairs).select(
         F.col("id").alias(id_col), "cluster_id"
     )
+    # rep keeps the id column's NATIVE type (cluster_id inherits it from
+    # dedup_clusters): casting to long would silently NULL string ids and
+    # collapse every document's split to the .otherwise() branch
     rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
     return (
         docs.join(F.broadcast(clusters), id_col, "left")
-        .withColumn("rep_id", rep.cast("long"))
+        .withColumn("rep_id", rep)
         .withColumn(
             "split", hash_split_col(F.col("rep_id"), train_pct, val_pct)
         )

@@ -926,9 +926,18 @@ def cell_drift(
             n_d.alias("n_delta"),
             _avg("sfx_t", n_t).alias("avg_sq_dist_train"),
             _avg("sfx_d", n_d).alias("avg_sq_dist_delta"),
+            # share terms guard their own totals: an empty slice (possible
+            # on tiny corpora where every id hashes to one side) reads as
+            # share 0, never a NULL-poisoning division by zero
             (
-                F.floor(n_d * 1000 / F.col("td")).cast("long")
-                - F.floor(n_t * 1000 / F.col("tt")).cast("long")
+                F.when(
+                    F.col("td") > 0,
+                    F.floor(n_d * 1000 / F.col("td")).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                - F.when(
+                    F.col("tt") > 0,
+                    F.floor(n_t * 1000 / F.col("tt")).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
             ).alias("drift_permille"),
         )
     )

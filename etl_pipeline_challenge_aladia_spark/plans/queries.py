@@ -1447,16 +1447,24 @@ FROM events QUALIFY context IS NOT NULL
 def q_events_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, -1)
+    # emptiness is decided by the FRAME (size 0), matching the oracle's
+    # string_agg NULL-over-empty-frame semantics — filtering on
+    # context != '' would wrongly drop a row whose single predecessor has
+    # an empty-string event_type
     return (
         ev.select(
             "user_id",
             "event_id",
-            F.array_join(F.collect_list("event_type").over(w), " ").alias(
-                "context"
-            ),
+            F.collect_list("event_type").over(w).alias("_ctx"),
             F.col("event_type").alias("target"),
         )
-        .filter(F.col("context") != "")
+        .filter(F.size("_ctx") > 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.array_join("_ctx", " ").alias("context"),
+            "target",
+        )
     )
 
 
@@ -2957,8 +2965,12 @@ SELECT CAST(cluster AS BIGINT) AS cluster,
        CASE WHEN COALESCE(n_delta, 0) > 0
             THEN {_s4('CAST(sfx_d AS DOUBLE) / 100000000.0 / n_delta')}
             ELSE 0.0 END AS avg_sq_dist_delta,
-       CAST(floor(COALESCE(n_delta, 0) * 1000.0 / td.t) AS BIGINT)
-         - CAST(floor(COALESCE(n_train, 0) * 1000.0 / tt.t) AS BIGINT)
+       CASE WHEN td.t > 0
+            THEN CAST(floor(COALESCE(n_delta, 0) * 1000.0 / td.t) AS BIGINT)
+            ELSE 0 END
+         - CASE WHEN tt.t > 0
+                THEN CAST(floor(COALESCE(n_train, 0) * 1000.0 / tt.t) AS BIGINT)
+                ELSE 0 END
          AS drift_permille
 FROM ts FULL JOIN ds USING (cluster) CROSS JOIN tt CROSS JOIN td
 """
@@ -4719,11 +4731,18 @@ HAVING count(*) * 1000 >= 5 * total
 )
 def q_doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.functions.sketches import heavy_hitters
-    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        token_count_col,
+        tokens_col,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens_col("text")).alias("token"))
-    return heavy_hitters(toks, "token", support_permille=5)
+    # exact token total from ONE separator-count aggregate over the
+    # un-exploded documents — spares heavy_hitters a third full pass
+    # over the exploded stream
+    total = docs.agg(F.sum(token_count_col("text"))).first()[0]
+    return heavy_hitters(toks, "token", support_permille=5, total=int(total))
 
 
 @query(

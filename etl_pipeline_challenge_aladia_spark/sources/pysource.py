@@ -34,8 +34,8 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 #: keys repeat across messages so last-write-wins dedup has real work
@@ -112,43 +112,35 @@ class CdcGenBatchReader(DataSourceReader):
             yield (synth_envelope_json(i),)
 
 
-class CdcGenStreamReader(DataSourceStreamReader):
-    """Micro-batched generator: the offset IS the sequence number, so
-    checkpoint recovery replays exactly the uncommitted suffix — the same
-    at-least-once-collapsed-by-keyed-upsert contract as the Kafka path.
+class CdcGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched generator: the offset IS the sequence number.
 
-    Restart note: a fresh reader instance starts its in-memory counter at
-    0 while the checkpoint hands ``partitions`` the COMMITTED start — the
-    counter re-syncs to the larger of the two there, so after a restart
-    the stream resumes past everything already ingested (at most one
-    empty catch-up micro-batch) instead of idling until the counter
-    catches up."""
+    Uses the SIMPLE stream-reader contract (``read(start) -> (rows,
+    nextOffset)``): Spark hands every call the COMMITTED start offset, so
+    a restarted query resumes exactly past what it already ingested by
+    construction — no in-memory counter that could regress the offset and
+    re-emit the committed prefix (the failure mode of a stateful
+    ``latestOffset`` counter on a fresh reader instance).
+    ``readBetweenOffsets`` replays any (start, end) range for recovery —
+    trivially exact here because the stream is a pure function of the
+    sequence number."""
 
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rowsPerBatch", 100))
-        self.num_partitions = int(options.get("numPartitions", 8))
-        self._latest = 0
 
     def initialOffset(self):
         return {"i": 0}
 
-    def latestOffset(self):
-        self._latest += self.rows_per_batch
-        return {"i": self._latest}
+    def read(self, start: dict):
+        s = int(start["i"])
+        e = s + self.rows_per_batch
+        return iter([(synth_envelope_json(i),) for i in range(s, e)]), {"i": e}
 
-    def partitions(self, start: dict, end: dict):
-        s, e = int(start["i"]), int(end["i"])
-        self._latest = max(self._latest, s, e)
-        return _slices(s, e, self.num_partitions)
-
-    def read(self, partition: _Slice):
-        for i in range(partition.start, partition.end):
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for i in range(int(start["i"]), int(end["i"])):
             yield (synth_envelope_json(i),)
 
     def commit(self, end: dict) -> None:
-        pass
-
-    def stop(self) -> None:
         pass
 
 
@@ -169,7 +161,7 @@ class CdcGenDataSource(DataSource):
     def reader(self, schema) -> CdcGenBatchReader:
         return CdcGenBatchReader(self.options)
 
-    def streamReader(self, schema) -> CdcGenStreamReader:
+    def simpleStreamReader(self, schema) -> CdcGenStreamReader:
         return CdcGenStreamReader(self.options)
 
 

@@ -188,6 +188,25 @@ def run_cdc_file_stream(
     )
 
 
+def _split_off_quarantine(
+    batch: DataFrame, quarantine_path: str | None
+) -> DataFrame:
+    """The shared dead-letter split of every CDC sink's foreachBatch body:
+    append corrupt rows' ORIGINAL message text to the quarantine (its
+    purpose is inspection/replay, not a row of NULL envelope fields) and
+    return the clean envelopes. The append is unconditional: an empty
+    append is one cheap no-row task, while probing emptiness first
+    (limit(1).count()) costs a full extra job on EVERY micro-batch of
+    the hot path."""
+    if quarantine_path is not None:
+        bad = batch.filter(batch["_corrupt"]).select(
+            F.col("_raw").alias("raw"),
+            F.current_timestamp().alias("quarantined_at"),
+        )
+        bad.write.mode("append").json(quarantine_path)
+    return batch.filter(~batch["_corrupt"]).drop("_corrupt", "_raw")
+
+
 def make_cdc_batch_processor(
     warehouse_path: str,
     quarantine_path: str | None = None,
@@ -200,18 +219,7 @@ def make_cdc_batch_processor(
         raise ValueError(f"unknown sink {sink!r}: expected 'rewrite' or 'merge'")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        ok = batch.filter(~batch["_corrupt"]).drop("_corrupt", "_raw")
-        if quarantine_path is not None:
-            # persist the original message text — the quarantine's purpose
-            # is inspection/replay, not a row of NULL envelope fields
-            # written unconditionally: an empty append is one cheap no-row
-            # task, while probing emptiness first (limit(1).count()) costs a
-            # full extra job on EVERY micro-batch of the hot path
-            bad = batch.filter(batch["_corrupt"]).select(
-                F.col("_raw").alias("raw"),
-                F.current_timestamp().alias("quarantined_at"),
-            )
-            bad.write.mode("append").json(quarantine_path)
+        ok = _split_off_quarantine(batch, quarantine_path)
         rows = envelopes_to_warehouse(ok, with_ingestion_time=True)
         if sink == "merge":
             merge_warehouse_batch(batch.sparkSession, rows, warehouse_path)
@@ -332,13 +340,7 @@ def make_jdbc_batch_processor(
     database when one is available."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        ok = batch.filter(~batch["_corrupt"]).drop("_corrupt", "_raw")
-        if quarantine_path is not None:
-            bad = batch.filter(batch["_corrupt"]).select(
-                F.col("_raw").alias("raw"),
-                F.current_timestamp().alias("quarantined_at"),
-            )
-            bad.write.mode("append").json(quarantine_path)
+        ok = _split_off_quarantine(batch, quarantine_path)
         rows = envelopes_to_warehouse(ok, with_ingestion_time=True)
         writer = (
             rows.write.format("jdbc")

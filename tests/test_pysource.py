@@ -101,10 +101,12 @@ def test_cdcgen_stream_feeds_cdc_pipeline(spark, tmp_path):
 
 
 def test_cdcgen_stream_restart_resumes_past_checkpoint(spark, tmp_path):
-    """Restart contract: a FRESH reader instance (in-memory counter back
-    at 0) combined with the checkpointed committed offset must resume
-    producing NEW sequence numbers past everything already ingested —
-    never re-emitting or stalling on the stale counter."""
+    """Restart contract (simple-reader offsets): a fresh query over the
+    same checkpoint resumes EXACTLY past the committed prefix — new
+    sequence numbers only, and no micro-batch in either run overlaps any
+    other (no re-emission, no offset regression)."""
+    import json as _json
+
     from pyspark.sql import functions as F
 
     from etl_pipeline_challenge_aladia_spark.operators.structure import (
@@ -121,6 +123,16 @@ def test_cdcgen_stream_restart_resumes_past_checkpoint(spark, tmp_path):
     register_cdcgen(spark)
     wh = str(tmp_path / "wh")
     ckpt = str(tmp_path / "ckpt")
+    ranges_log = str(tmp_path / "ranges.jsonl")
+    base_proc = make_cdc_batch_processor(wh, sink="merge")
+
+    def proc(batch, bid):
+        batch = batch.localCheckpoint(eager=True)
+        rng = batch.agg(F.min("version"), F.max("version")).first()
+        if rng[0] is not None:
+            with open(ranges_log, "a") as fh:
+                fh.write(_json.dumps([rng[0], rng[1]]) + "\n")
+        base_proc(batch, bid)
 
     def run_for(min_version):
         raw = (
@@ -130,7 +142,7 @@ def test_cdcgen_stream_restart_resumes_past_checkpoint(spark, tmp_path):
         )
         q = (
             parse_envelope(raw)
-            .writeStream.foreachBatch(make_cdc_batch_processor(wh, sink="merge"))
+            .writeStream.foreachBatch(proc)
             .option("checkpointLocation", ckpt)
             .trigger(processingTime="1 seconds")
             .start()
@@ -156,3 +168,13 @@ def test_cdcgen_stream_restart_resumes_past_checkpoint(spark, tmp_path):
     # fresh query + fresh reader, same checkpoint: must move PAST first_max
     second_max = run_for(first_max + 80)
     assert second_max > first_max
+
+    # no silent re-emission: batch version ranges are pairwise disjoint,
+    # EXCEPT an exact identical range — the legitimate at-least-once
+    # replay of the last uncommitted batch after a stop (absorbed by the
+    # idempotent merge). A PARTIAL overlap would mean offset regression.
+    ranges = sorted(
+        {tuple(_json.loads(line)) for line in open(ranges_log) if line.strip()}
+    )
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, f"overlapping batches {[a_lo, a_hi]} {[b_lo, b_hi]}"
