@@ -2351,15 +2351,104 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_features_oracle_sql(n: int = 48) -> str:
+    """Golden-row oracle for the REAL feature kernel's aggregate.
+
+    Expected per-modality rows are computed here, driver-side, from the
+    fixture's closed-form formulas with the SAME numeric library and
+    array layouts the kernel sees after decode (numpy float64 over
+    HxWx3 / N / NFxHxW contiguous arrays — summation order matters for
+    float stats, so the oracle reproduces the exact layouts), then
+    fixed-pointed per value to int64 exactly as the Spark aggregate
+    does, making the group sums exact integers. A hash match certifies
+    encode -> Arrow -> mapInPandas decode -> featurize -> fixed-point
+    aggregation end-to-end (the ``media_metadata`` golden-row technique
+    extended to the float kernel — closing the catalog's last rows-only
+    entry)."""
+    import math as _math
+
+    import numpy as _np
+
+    per_mod: dict[str, list[int]] = {}
+    for i in range(n):
+        if i % 3 == 0:
+            w, h = 16 + i % 5, 12 + i % 7
+            yy, xx, cc = _np.meshgrid(
+                _np.arange(h), _np.arange(w), _np.arange(3), indexing="ij"
+            )
+            px = ((3 * xx + 7 * yy + 11 * cc + i) % 256).astype(
+                _np.uint8
+            ).astype(_np.float64)
+            feats = [
+                float(w), float(h), 3.0, float(px.mean()), float(px.std()),
+                float(px.min()), float(px.max()), 0.0,
+            ]
+            nbytes = len(b"P6\n%d %d\n255\n" % (w, h)) + 3 * w * h
+            mod = "image"
+        elif i % 3 == 1:
+            ns = 200 + 3 * i
+            j = _np.arange(ns)
+            x = ((31 * j + 17 * i) % 4001 - 2000).astype(_np.int16).astype(
+                _np.float64
+            )
+            zcr = float(
+                _np.count_nonzero(_np.signbit(x[1:]) != _np.signbit(x[:-1]))
+            ) / ns
+            feats = [
+                float(ns), 8000.0, float(ns) / 8000,
+                float(_np.sqrt((x * x).mean())), float(_np.abs(x).max()),
+                zcr, float(x.mean()), float(x.std()),
+            ]
+            nbytes = 44 + 2 * ns
+            mod = "audio"
+        else:
+            nf, w, h = 2 + i % 3, 8 + i % 4, 6 + i % 5
+            tt, yy, xx = _np.meshgrid(
+                _np.arange(nf), _np.arange(h), _np.arange(w), indexing="ij"
+            )
+            luma = ((xx + 3 * yy + 5 * tt + i) % 256).astype(_np.uint8).astype(
+                _np.float64
+            )
+            feats = [
+                float(nf), float(w), float(h), 25.0, float(luma.mean()),
+                float(luma.std()), float(luma[0].mean()),
+                float(luma[-1].mean()),
+            ]
+            nbytes = (
+                len(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (w, h))
+                + nf * (6 + w * h)
+            )
+            mod = "video"
+        agg = per_mod.setdefault(mod, [0, 0, 0])
+        agg[0] += len(feats)
+        agg[1] += len(feats) * nbytes  # n_bytes rides on every exploded row
+        agg[2] += sum(int(_math.floor(v * 1e6 + 0.5)) for v in feats)
+
+    rows = []
+    for mod in sorted(per_mod):
+        n_values, total_bytes, sum_fx = per_mod[mod]
+        avg = _math.floor(sum_fx / 1e6 / n_values * 1e4 + 0.5) / 1e4
+        rows.append(f"('{mod}', {n_values}, {total_bytes}, {avg!r})")
+    return (
+        "SELECT modality, CAST(n_values AS BIGINT) AS n_values,"
+        " CAST(total_bytes AS BIGINT) AS total_bytes,"
+        " CAST(avg_feature AS DOUBLE) AS avg_feature"
+        " FROM (VALUES " + ", ".join(rows) + ")"
+        " AS t(modality, n_values, total_bytes, avg_feature)"
+    )
+
+
 @query(
     "media_feature_extract",
-    None,  # the Python feature kernel has no SQL equivalent; rows-only check
-    doc="Multimodal REAL decode end-to-end: genuine PPM/WAV/Y4M payloads "
-    "(operators/codecs.py, pure numpy — no PIL/ffmpeg needed) -> "
-    "mapInPandas real_feature_kernel (decode + per-modality summary "
-    "features) -> per-modality stats. Deterministic output; no DuckDB "
-    "oracle because the float kernel is Python-side by design — the "
-    "integer-exact decode facts are oracled by media_decode_audit.",
+    _media_features_oracle_sql(),
+    doc="Multimodal REAL decode end-to-end, now fully SQL-oracled: "
+    "genuine PPM/WAV/Y4M payloads (operators/codecs.py, pure numpy — no "
+    "PIL/ffmpeg needed) -> mapInPandas real_feature_kernel (decode + "
+    "per-modality summary features) -> per-value int64 fixed-pointing -> "
+    "exact per-modality integer sums. The oracle recomputes the golden "
+    "rows from the fixture's closed-form spec with the same numeric "
+    "library and array layouts, so the hash check covers the whole "
+    "Python-kernel leg — closing the catalog's last rows-only entry.",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
@@ -2370,13 +2459,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthetic_media_real(spark, n=48)
     feats = extract_features(media, kernel=real_feature_kernel)
+    # per-value fixed-pointing (1e-6 quanta) BEFORE the group sum: the
+    # aggregate is an exact integer sum, immune to FP summation order
+    # across partitions — what makes the float kernel oracle-pairable
+    fx = F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (
         feats.select("modality", "n_bytes", F.posexplode("feature").alias("pos", "v"))
         .groupBy("modality")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_values"),
             F.sum("n_bytes").cast("long").alias("total_bytes"),
-            _r4(F.avg("v"), "avg_feature"),
+            round_half_up(
+                F.sum(fx).cast("double") / F.lit(1000000.0) / F.count(F.lit(1)),
+                4,
+            ).alias("avg_feature"),
         )
     )
 
