@@ -91,14 +91,17 @@ def int8_quantize_col(a: Column) -> Column:
     """Symmetric int8 quantization of an array<double>: scale = amax/127,
     q_i = clamp(floor(v_i/scale + 0.5), -127, 127). The floor(x+0.5)
     rounding is the engine-portable half-up convention
-    (functions/rounding.py); all-zero vectors quantize to zeros.
+    (functions/rounding.py); vectors whose scale underflows to zero
+    (all-zero, or amax below ~6.3e-322 — beneath int8 resolution)
+    quantize to zeros rather than dividing by an underflowed scale
+    (ANSI division-by-zero; found by the hypothesis property test).
 
     ``amax`` is let-bound (see ``let_col``) so the O(d) max is computed
     once per row, not once per element."""
     return let_col(
         F.array_max(F.transform(a, F.abs)),
         lambda amax: F.when(
-            amax > 0,
+            amax / F.lit(127.0) > 0,
             F.transform(
                 a,
                 lambda x: F.greatest(
@@ -127,7 +130,7 @@ def int8_quant_error_col(a: Column) -> Column:
     return let_col(
         F.array_max(F.transform(a, F.abs)),
         lambda amax: F.when(
-            amax > 0,
+            amax / F.lit(127.0) > 0,
             F.aggregate(
                 F.transform(
                     a,

@@ -4266,7 +4266,7 @@ m AS (
 ),
 err AS (
   SELECT label,
-         CASE WHEN amax > 0 THEN
+         CASE WHEN amax / 127.0 > 0 THEN
            list_sum(list_transform(e,
              x -> abs(x - greatest(-127, least(127, floor(x / (amax / 127.0) + 0.5)))
                         * (amax / 127.0)))) / len(e)

@@ -317,10 +317,12 @@ def test_int8_quantize_let_bound_matches_model(spark, vectors):
     }
     for i, v in enumerate(vectors):
         amax = max(abs(x) for x in v)
-        if amax == 0:
+        scale = amax / 127.0
+        if scale == 0:
+            # all-zero OR amax below int8 resolution (scale underflows):
+            # the kernel quantizes to zeros instead of dividing by zero
             assert got[i] == ([0] * len(v), 0.0)
             continue
-        scale = amax / 127.0
         q = [int(max(-127, min(127, math.floor(x / scale + 0.5)))) for x in v]
         err = math.fsum(abs(x - qi * scale) for x, qi in zip(v, q))
         assert got[i][0] == q
