@@ -176,7 +176,9 @@ def heavy_hitters(
        the union-find guard in operators/dedup.py.
     2. VERIFY: one aggregation over rows matching the candidate list (an
        ``isin`` that inlines into codegen and pushes to the scan — rows
-       of non-candidate values never reach the shuffle), keeping
+       of non-candidate values never reach the shuffle; a frequent NULL
+       surfaces as a None candidate and is re-admitted via ``isNull()``
+       because SQL ``IN`` never matches NULL), keeping
        ``n * 1000 >= support_permille * total``. Because candidates are a
        superset, the output is EXACTLY the >= threshold set with exact
        counts — which is what makes this sketch-built operator fully
@@ -204,8 +206,17 @@ def heavy_hitters(
             .limit(0)
         )
     cands = df.stat.freqItems([col], max(1e-4, support_permille / 2000.0)).first()[0]
+    # isin() never matches NULL (three-valued logic), so a NULL share
+    # above threshold must be re-admitted explicitly; freqItems reports
+    # NULL as a None candidate when it is frequent. An empty candidate
+    # list means nothing can be above half-support — short-circuit to an
+    # empty result instead of shipping an always-false filter.
+    non_null = [c for c in cands if c is not None]
+    keep = F.col(col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) < len(cands):  # None was among the candidates
+        keep = keep | F.col(col).isNull()
     return (
-        df.filter(F.col(col).isin(list(cands)))
+        df.filter(keep)
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias(count_alias))
         .filter(F.col(count_alias) * 1000 >= F.lit(support_permille) * F.lit(total))

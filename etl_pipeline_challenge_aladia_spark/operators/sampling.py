@@ -280,18 +280,27 @@ def leakage_safe_split(
     """
     from etl_pipeline_challenge_aladia_spark.operators.dedup import dedup_clusters
 
+    # rep_id/split are this operator's output contract; _lss_cluster_id
+    # is internal and uniquified so a caller-side cluster_id column is
+    # neither shadowed in the join nor dropped on the way out
+    clash = {"rep_id", "split", "_lss_cluster_id"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"leakage_safe_split output/internal columns already present "
+            f"in docs: {sorted(clash)}"
+        )
     clusters = dedup_clusters(pairs).select(
-        F.col("id").alias(id_col), "cluster_id"
+        F.col("id").alias(id_col), F.col("cluster_id").alias("_lss_cluster_id")
     )
     # rep keeps the id column's NATIVE type (cluster_id inherits it from
     # dedup_clusters): casting to long would silently NULL string ids and
     # collapse every document's split to the .otherwise() branch
-    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    rep = F.coalesce(F.col("_lss_cluster_id"), F.col(id_col))
     return (
         docs.join(F.broadcast(clusters), id_col, "left")
         .withColumn("rep_id", rep)
         .withColumn(
             "split", hash_split_col(F.col("rep_id"), train_pct, val_pct)
         )
-        .drop("cluster_id")
+        .drop("_lss_cluster_id")
     )

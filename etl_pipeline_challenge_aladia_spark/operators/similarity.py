@@ -648,9 +648,9 @@ def kmeans_lite(
         F.col(id_col).alias("id"),
         to_double_array(vec_col).alias("v"),
     )
-    return kmeans_lite_grouped(vecs, k=k, iters=iters, scale=scale).select(
-        "id", "cluster", "dist_fx", "dist"
-    )
+    return kmeans_lite_grouped(
+        vecs, k=k, iters=iters, scale=scale, single_group=True
+    ).select("id", "cluster", "dist_fx", "dist")
 
 
 def _fx_sq_dist(v, c, dim: int | None):
@@ -687,7 +687,7 @@ def _fx_sq_dist(v, c, dim: int | None):
 
 def kmeans_lite_grouped(
     vecs: DataFrame, k: int = 8, iters: int = 3, scale: int = 6,
-    dim: int | None = None,
+    dim: int | None = None, single_group: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over MANY groups at once: ``vecs`` is (grp, id, v)
     and every group trains its own independent k centroids, but all groups
@@ -704,7 +704,9 @@ def kmeans_lite_grouped(
     compare, ties to the lower cluster index), centroid components from
     the order-independent fixed-point mean, rounded half-up.
     """
-    assigned, _ = _kmeans_rounds(vecs, k, iters, scale, dim)
+    assigned, _ = _kmeans_rounds(
+        vecs, k, iters, scale, dim, single_group=single_group
+    )
     # dist_fx is the EXACT int64 fixed-point squared distance (1e-8 quanta)
     # — consumers needing exact integer aggregation use it directly instead
     # of round-tripping the double `dist` back through floor(x*1e8+0.5),
@@ -754,7 +756,8 @@ def _argmin_assign(
 
 
 def _kmeans_rounds(
-    vecs: DataFrame, k: int, iters: int, scale: int, dim: int | None
+    vecs: DataFrame, k: int, iters: int, scale: int, dim: int | None,
+    single_group: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared Lloyd's loop: returns (final assignment, the CENTROID
     table that final assignment was computed against). Centroids are NOT
@@ -767,13 +770,35 @@ def _kmeans_rounds(
     Assignment is a broadcast join + hash-aggregate argmin
     (``_argmin_assign``): map-side combine keeps the exchange linear in
     the corpus regardless of k."""
-    w_init = Window.partitionBy("grp").orderBy("id")
-    centroids = (
-        vecs.withColumn("_rn", F.row_number().over(w_init))
-        .filter(F.col("_rn") <= k)
-        .select("grp", F.col("_rn").alias("cluster"), F.col("v").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    if single_group:
+        # init = the k lowest-id vectors, cluster = rank by id — same
+        # contract as the window path below, but TakeOrderedAndProject +
+        # a k-row bounded collect_list instead of a WindowExec: with grp
+        # a folded constant the window's partition spec is empty and
+        # WindowExec logs a false "serious performance degradation"
+        # scale alarm (the plan was already rewritten to a k-row limit;
+        # this path just removes the operator that prints it)
+        centroids = (
+            vecs.orderBy("id")
+            .limit(k)
+            .groupBy("grp")
+            .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("_top"))
+            .select("grp", F.posexplode("_top").alias("_i", "_s"))
+            .select(
+                "grp",
+                (F.col("_i") + 1).cast("int").alias("cluster"),
+                F.col("_s.v").alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        w_init = Window.partitionBy("grp").orderBy("id")
+        centroids = (
+            vecs.withColumn("_rn", F.row_number().over(w_init))
+            .filter(F.col("_rn") <= k)
+            .select("grp", F.col("_rn").alias("cluster"), F.col("v").alias("c"))
+            .localCheckpoint(eager=True)
+        )
     assigned = None
     for r in range(iters):
         # fixed-point per-dimension squared diffs (1e-8 quanta, int64): the
@@ -818,7 +843,9 @@ def kmeans_with_centroids(
         F.col(id_col).alias("id"),
         to_double_array(vec_col).alias("v"),
     )
-    assigned, centroids = _kmeans_rounds(vecs, k, iters, scale, None)
+    assigned, centroids = _kmeans_rounds(
+        vecs, k, iters, scale, None, single_group=True
+    )
     return (
         assigned.select(
             "id",

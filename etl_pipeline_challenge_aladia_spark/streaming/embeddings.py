@@ -103,14 +103,39 @@ def run_embedding_ingest_stream(
     )
 
 
+#: schema of the cell-partitioned index (what read_index returns even
+#: before any batch has been ingested)
+INDEX_SCHEMA = (
+    "vec_id long, embedding array<double>, dist_fx long, cell int"
+)
+
+#: schema of the per-batch ingest stats log
+INGEST_STATS_SCHEMA = (
+    "cell int, n_vecs long, sum_dist_fx long, batch_id long"
+)
+
+
+def _has_batches(path: str) -> bool:
+    try:
+        return any(e.startswith("batch=") for e in os.listdir(path))
+    except OSError:
+        return False
+
+
 def read_index(spark: SparkSession, index_path: str) -> DataFrame:
     """The accumulated cell-partitioned index across all ingested
     batches; a probe for cells [c1, c2] prunes the scan to those
-    ``cell=`` directories (partition pruning on the read path)."""
+    ``cell=`` directories (partition pruning on the read path).
+    Before any batch has been ingested, returns an empty frame with the
+    index schema instead of a path-not-found AnalysisException."""
+    if not _has_batches(index_path):
+        return spark.createDataFrame([], INDEX_SCHEMA)
     return spark.read.option("basePath", index_path).parquet(
         os.path.join(index_path, "batch=*")
     )
 
 
 def read_ingest_stats(spark: SparkSession, stats_path: str) -> DataFrame:
+    if not _has_batches(stats_path):
+        return spark.createDataFrame([], INGEST_STATS_SCHEMA)
     return spark.read.parquet(os.path.join(stats_path, "batch=*"))

@@ -288,6 +288,11 @@ def run_cdc_kafka_stream(
     ``source_options`` (passed through to the connector: consumer-group
     id, TLS, maxOffsetsPerTrigger rate limiting, ...)."""
     if records is None:
+        if bootstrap_servers is None or topic is None:
+            raise ValueError(
+                "run_cdc_kafka_stream needs bootstrap_servers and topic "
+                "when no pre-built records stream is injected"
+            )
         envelopes = streaming_envelopes_from_kafka(
             spark, bootstrap_servers, topic, options=source_options
         )
