@@ -631,6 +631,7 @@ def kmeans_lite(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    route: str = "flat",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means (fixed iterations) -> (id, cluster).
 
@@ -649,7 +650,7 @@ def kmeans_lite(
         to_double_array(vec_col).alias("v"),
     )
     return kmeans_lite_grouped(
-        vecs, k=k, iters=iters, scale=scale, single_group=True
+        vecs, k=k, iters=iters, scale=scale, single_group=True, route=route
     ).select("id", "cluster", "dist_fx", "dist")
 
 
@@ -688,6 +689,7 @@ def _fx_sq_dist(v, c, dim: int | None):
 def kmeans_lite_grouped(
     vecs: DataFrame, k: int = 8, iters: int = 3, scale: int = 6,
     dim: int | None = None, single_group: bool = False,
+    route: str = "flat",
 ) -> DataFrame:
     """Lloyd's k-means over MANY groups at once: ``vecs`` is (grp, id, v)
     and every group trains its own independent k centroids, but all groups
@@ -705,7 +707,7 @@ def kmeans_lite_grouped(
     the order-independent fixed-point mean, rounded half-up.
     """
     assigned, _ = _kmeans_rounds(
-        vecs, k, iters, scale, dim, single_group=single_group
+        vecs, k, iters, scale, dim, single_group=single_group, route=route
     )
     # dist_fx is the EXACT int64 fixed-point squared distance (1e-8 quanta)
     # — consumers needing exact integer aggregation use it directly instead
@@ -755,9 +757,88 @@ def _argmin_assign(
     )
 
 
+def _argmin_assign_hier(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    dim: int | None,
+    k2: int,
+    inner_iters: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """Two-level routed argmin — the IVF-of-IVF assignment layout for
+    large k. Flat ``_argmin_assign`` evaluates n x k distances; at
+    auto-k (k ~ sqrt n) that is Θ(n^1.5) compute. Here the centroid
+    table itself is clustered into ``k2`` super-cells by a tiny inner
+    k-means (k rows — negligible at any corpus scale), each vector
+    routes to its nearest NON-EMPTY super-cell (n x k2 distances), and
+    the exact argmin runs only against that super-cell's member
+    centroids (~n x k/k2): with k2 = ceil(sqrt(k)) total distance work
+    is ~2*n*sqrt(k) per round instead of n*k — at 10^9+ vectors the
+    difference between a pass and a day.
+
+    Deterministic end to end — the inner k-means reuses the exact
+    fixed-point ``_kmeans_rounds`` contract (lowest-id init, int64
+    distances, half-up centroid rounding, index tie-breaks), routing
+    and member argmin reuse ``min(struct(dist_fx, idx))`` — so a SQL
+    oracle unrolls BOTH levels and matches bit-for-bit. Assignment is
+    approximate by design (the nearest centroid can live outside the
+    routed super-cell — the standard IVF trade); the flat path remains
+    the exact twin.
+
+    Empty super-cells (an inner Lloyd cluster that lost all member
+    centroids) are excluded from routing, so every routed vector finds
+    at least one member candidate."""
+    cvecs = centroids.select(
+        "grp", F.col("cluster").alias("id"), F.col("c").alias("v")
+    )
+    member, supercents = _kmeans_rounds(
+        cvecs, k2, inner_iters, scale, dim, single_group=True
+    )
+    # member: (id = centroid's cluster index, cluster = its super-cell)
+    member_map = member.select(
+        F.col("id").alias("cluster"), F.col("cluster").alias("supercell")
+    ).localCheckpoint(eager=True)
+    nonempty = (
+        supercents.select(
+            "grp", F.col("cluster").alias("supercell"), F.col("c").alias("sc")
+        )
+        .join(member_map.select("supercell").distinct(), "supercell")
+        .select(
+            "grp", F.col("supercell").alias("cluster"), F.col("sc").alias("c")
+        )
+    )
+    routed = _argmin_assign(vecs, nonempty, dim).select(
+        "grp", "id", "v", F.col("cluster").alias("supercell")
+    )
+    cmem = centroids.join(member_map, "cluster").select(
+        "grp", "supercell", "cluster", "c"
+    )
+    dist_fx = _fx_sq_dist(F.col("v"), F.col("c"), dim)
+    return (
+        # broadcast hash join keyed on (grp, supercell): each vector row
+        # probes only its super-cell's member centroids, so the distance
+        # expression runs ~k/k2 times per vector, not k
+        routed.join(F.broadcast(cmem), ["grp", "supercell"])
+        .select("grp", "id", "v", "cluster", dist_fx.alias("dist_fx"))
+        .groupBy("grp", "id")
+        .agg(
+            F.min(F.struct("dist_fx", "cluster")).alias("_m"),
+            F.any_value("v").alias("v"),
+        )
+        .select(
+            "grp",
+            "id",
+            "v",
+            F.col("_m.cluster").alias("cluster"),
+            F.col("_m.dist_fx").alias("dist_fx"),
+        )
+    )
+
+
 def _kmeans_rounds(
     vecs: DataFrame, k: int, iters: int, scale: int, dim: int | None,
     single_group: bool = False,
+    route: str = "flat",
 ) -> tuple[DataFrame, DataFrame]:
     """The shared Lloyd's loop: returns (final assignment, the CENTROID
     table that final assignment was computed against). Centroids are NOT
@@ -769,7 +850,13 @@ def _kmeans_rounds(
 
     Assignment is a broadcast join + hash-aggregate argmin
     (``_argmin_assign``): map-side combine keeps the exchange linear in
-    the corpus regardless of k."""
+    the corpus regardless of k. ``route="hier"`` (single-group only)
+    swaps every round's assignment for the two-level routed
+    ``_argmin_assign_hier`` with k2 = ceil(sqrt(k)) super-cells —
+    ~2*n*sqrt(k) distance evaluations per round instead of n*k, the
+    right shape once auto-k makes k ~ sqrt(n)."""
+    if route == "hier" and not single_group:
+        raise ValueError("hier routing is single-group only")
     if single_group:
         # init = the k lowest-id vectors, cluster = rank by id — same
         # contract as the window path below, but TakeOrderedAndProject +
@@ -799,13 +886,19 @@ def _kmeans_rounds(
             .select("grp", F.col("_rn").alias("cluster"), F.col("v").alias("c"))
             .localCheckpoint(eager=True)
         )
+    import math
+
+    k2 = int(math.ceil(math.sqrt(k)))  # fixed across rounds (oracle mirrors)
     assigned = None
     for r in range(iters):
         # fixed-point per-dimension squared diffs (1e-8 quanta, int64): the
         # distance sum is exact integer arithmetic, so argmin assignment is
         # engine-reproducible and an unrolled SQL twin matches bit-for-bit
         # (dim=None -> fold; see _fx_sq_dist for the unrolled variant)
-        assigned = _argmin_assign(vecs, centroids, dim)
+        if route == "hier":
+            assigned = _argmin_assign_hier(vecs, centroids, dim, k2, scale=scale)
+        else:
+            assigned = _argmin_assign(vecs, centroids, dim)
         if r < iters - 1:
             centroids = (
                 assigned.select(
@@ -832,6 +925,7 @@ def kmeans_with_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    route: str = "flat",
 ) -> tuple[DataFrame, DataFrame]:
     """``kmeans_lite`` that ALSO returns its frozen coarse quantizer:
     (assignments (id, cluster, dist_fx, dist), centroids (cluster, c)).
@@ -844,7 +938,7 @@ def kmeans_with_centroids(
         to_double_array(vec_col).alias("v"),
     )
     assigned, centroids = _kmeans_rounds(
-        vecs, k, iters, scale, None, single_group=True
+        vecs, k, iters, scale, None, single_group=True, route=route
     )
     return (
         assigned.select(
@@ -1530,6 +1624,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    route: str = "flat",
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: k-means cells bound the
     pairwise comparison, then within each cell a vector is a DUPLICATE if
@@ -1569,7 +1664,10 @@ def semantic_dedup(
         # the right k for THIS corpus; formula mirrored by the SQL oracle
         n = embeddings.count()
         k = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
-    cells = kmeans_lite(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cells = kmeans_lite(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        route=route,
+    )
     v = embeddings.select(
         F.col(id_col).alias("id"),
         to_double_array(vec_col).alias("v"),
@@ -1599,6 +1697,120 @@ def semantic_dedup(
     return pairs.groupBy(F.col("dup_id").alias("vec_id")).agg(
         F.min("keep_id").alias("canonical_id"),
         F.max("cos_sim").alias("max_cos"),
+    )
+
+
+def semantic_dedup_screen(
+    corpus_cells: DataFrame,
+    delta: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """The pure per-batch screening half of incremental semantic dedup:
+    route ``delta`` onto a FROZEN coarse quantizer (``centroids`` —
+    (cluster, c), one broadcast argmin, linear in the batch), then
+    compare each delta vector ONLY against the stored corpus members of
+    its routed cell. Cost per batch is |delta| x (k + avg cell size) —
+    independent of corpus size, which is the whole point of the
+    ingest-time shape: the batch dedup re-clusters the world, this
+    tests the new arrivals against in-cell survivors and nothing else.
+
+    ``corpus_cells`` is the stored index: (id_col, vec_col, cell_col) —
+    cells were assigned by the SAME quantizer at ingest time, so no
+    corpus-side recompute happens here. Same pair contract as
+    ``semantic_dedup``: pre-normalized dot prefilter with a safety
+    margin, exact canonical cosine (half-up to 4) for surviving pairs.
+    Output: (vec_id [delta ids], canonical_id = min matching corpus id,
+    max_cos). Within-batch twins are NOT screened against each other —
+    they surface when the next batch screens against the appended
+    corpus (the ``streaming/docs.py`` accumulation contract).
+    """
+    from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+        dot_col,
+        l2_normalize_col,
+    )
+
+    routed = assign_to_centroids(
+        delta, centroids, id_col=id_col, vec_col=vec_col
+    ).select("id", F.col("cluster").alias(cell_col))
+    d = routed.join(
+        delta.select(
+            F.col(id_col).alias("id"),
+            to_double_array(vec_col).alias("v"),
+            l2_normalize_col(to_double_array(vec_col)).alias("nv"),
+        ),
+        "id",
+    )
+    m = corpus_cells.select(
+        F.col(id_col).alias("cid"),
+        F.col(cell_col).alias(cell_col),
+        to_double_array(vec_col).alias("cv"),
+        l2_normalize_col(to_double_array(vec_col)).alias("cnv"),
+    )
+    prefilter = dot_col(F.col("nv"), F.col("cnv")) >= F.lit(threshold - 0.01)
+    pairs = (
+        d.join(m, [cell_col])
+        .filter(prefilter)
+        .select(
+            F.col("id").alias("dup_id"),
+            F.col("cid").alias("keep_id"),
+            round_half_up(
+                cosine_similarity_col(F.col("v"), F.col("cv")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+    return pairs.groupBy(F.col("dup_id").alias(id_col)).agg(
+        F.min("keep_id").alias("canonical_id"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+
+
+def semantic_dedup_incremental(
+    corpus: DataFrame,
+    delta: DataFrame,
+    k: int | None = None,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    route: str = "flat",
+) -> DataFrame:
+    """Incremental semantic dedup — the delta-vs-corpus form 100-TB
+    pipelines actually run at ingest time: train the coarse quantizer
+    on the CORPUS only (auto-k from the corpus count, same formula as
+    ``semantic_dedup``), then screen ``delta`` against the corpus'
+    in-cell members with ``semantic_dedup_screen``. The corpus is
+    clustered once; the delta is routed, never re-trained — so a daily
+    ingest pays |delta|-proportional cost while the batch twin would
+    re-cluster corpus+delta from scratch.
+
+    Fully deterministic (fixed-point k-means + frozen-quantizer
+    routing, the ``cell_drift`` oracle shape), so a SQL oracle unrolls
+    training on the corpus, one extra argmin for the delta, and the
+    in-cell sweep. Output: (vec_id [delta ids], canonical_id, max_cos).
+    """
+    if k is None:
+        n = corpus.count()
+        k = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
+    assigned, centroids = kmeans_with_centroids(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, route=route
+    )
+    corpus_cells = assigned.select(
+        F.col("id").alias(id_col), F.col("cluster").alias("cell")
+    ).join(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col
+    )
+    return semantic_dedup_screen(
+        corpus_cells,
+        delta,
+        centroids,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 

@@ -2797,6 +2797,118 @@ c{r} AS (
     return "".join(parts)
 
 
+def _kmeans_cte_prefix_hier(
+    k: int | str = 8, iters: int = 3, v_ctes: str | None = None,
+    inner_iters: int = 2,
+) -> str:
+    """Unrolled TWO-LEVEL-routed kmeans CTE chain — the SQL twin of
+    ``kmeans_lite(route="hier")`` (operators/similarity.py:
+    _argmin_assign_hier), ending at assignment CTE ``a{iters}``
+    (vec_id, cluster, fx) exactly like ``_kmeans_cte_prefix`` so the
+    same final selects compose.
+
+    Per outer round r, mirrors the engine bit-for-bit: an inner
+    fixed-point k-means clusters the CURRENT centroid table c{r-1} into
+    k2 = ceil(sqrt(k)) super-cells (lowest-id init, half-up recompute,
+    (fx, supercell) tie-breaks — the single-group _kmeans_rounds
+    contract), vectors route to the nearest NON-EMPTY super-cell
+    against the table the members' final assignment used
+    (h{r}s{inner-1}), and the member argmin runs only within the routed
+    super-cell, ties to the lower cluster index."""
+
+    def fx(a: str, b: str) -> str:
+        return (
+            f"sum(CAST(floor(({a} - {b}) * ({a} - {b}) * 100000000.0 + 0.5)"
+            " AS BIGINT))"
+        )
+
+    v_default = """v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)"""
+    parts = [
+        f"""WITH {v_ctes or v_default},
+ev AS MATERIALIZED (SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM v),
+k2v AS (SELECT CAST(ceil(sqrt(CAST({k} AS DOUBLE))) AS BIGINT) AS k2),
+init AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}),
+c0a AS (SELECT e, row_number() OVER (ORDER BY vec_id) AS cluster FROM init),
+c0 AS MATERIALIZED (SELECT cluster, generate_subscripts(e, 1) AS dim, unnest(e) AS cv FROM c0a)"""
+    ]
+    for r in range(1, iters + 1):
+        c = f"c{r - 1}"
+        parts.append(
+            f""",
+h{r}i AS (SELECT DISTINCT cluster FROM {c} ORDER BY cluster LIMIT (SELECT k2 FROM k2v)),
+h{r}n AS (SELECT cluster, row_number() OVER (ORDER BY cluster) AS supercell FROM h{r}i),
+h{r}s0 AS MATERIALIZED (SELECT n.supercell, cc.dim, cc.cv AS scv
+           FROM h{r}n n JOIN {c} cc USING (cluster))"""
+        )
+        for j in range(1, inner_iters + 1):
+            parts.append(
+                f""",
+h{r}d{j} AS (
+  SELECT cc.cluster, s.supercell, {fx('cc.cv', 's.scv')} AS fx
+  FROM {c} cc JOIN h{r}s{j - 1} s USING (dim)
+  GROUP BY cc.cluster, s.supercell
+),
+h{r}m{j} AS MATERIALIZED (
+  SELECT cluster, supercell FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY fx, supercell) AS rn
+    FROM h{r}d{j}) WHERE rn = 1
+)"""
+            )
+            if j < inner_iters:
+                parts.append(
+                    f""",
+h{r}s{j} AS MATERIALIZED (
+  SELECT m.supercell, cc.dim,
+         {sql_round_half_up(sql_avg_fixed_point('cc.cv'), 6)} AS scv
+  FROM h{r}m{j} m JOIN {c} cc USING (cluster)
+  GROUP BY m.supercell, cc.dim
+)"""
+                )
+        parts.append(
+            f""",
+h{r}rc AS MATERIALIZED (
+  SELECT s.supercell, s.dim, s.scv FROM h{r}s{inner_iters - 1} s
+  WHERE s.supercell IN (SELECT DISTINCT supercell FROM h{r}m{inner_iters})
+),
+h{r}rd AS (
+  SELECT ev.vec_id, s.supercell, {fx('ev.val', 's.scv')} AS fx
+  FROM ev JOIN h{r}rc s USING (dim)
+  GROUP BY ev.vec_id, s.supercell
+),
+h{r}ra AS MATERIALIZED (
+  SELECT vec_id, supercell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fx, supercell) AS rn
+    FROM h{r}rd) WHERE rn = 1
+),
+d{r} AS (
+  SELECT ev.vec_id, m.cluster, {fx('ev.val', 'cc.cv')} AS fx
+  FROM ev
+  JOIN h{r}ra rt ON rt.vec_id = ev.vec_id
+  JOIN h{r}m{inner_iters} m ON m.supercell = rt.supercell
+  JOIN {c} cc ON cc.cluster = m.cluster AND cc.dim = ev.dim
+  GROUP BY ev.vec_id, m.cluster
+),
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cluster, fx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fx, cluster) AS rn
+    FROM d{r}) WHERE rn = 1
+)"""
+        )
+        if r < iters:
+            parts.append(
+                f""",
+c{r} AS MATERIALIZED (
+  SELECT a.cluster, ev.dim,
+         {sql_round_half_up(sql_avg_fixed_point('ev.val'), 6)} AS cv
+  FROM a{r} a JOIN ev ON ev.vec_id = a.vec_id GROUP BY a.cluster, ev.dim
+)"""
+            )
+    return "".join(parts)
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     """Unrolled-SQL twin of kmeans_lite (see ``_kmeans_cte_prefix`` for the
     exactness contract: fixed-point int64 distances, half-up centroid
@@ -2848,7 +2960,8 @@ def q_doc_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle_sql(
-    k: int | None = None, iters: int = 3, threshold: float = 0.95
+    k: int | None = None, iters: int = 3, threshold: float = 0.95,
+    route: str = "flat",
 ) -> str:
     """Replays the duplicate injection (10% deterministic sample, ids
     shifted +100000, per-dimension 1±0.001 tilt — multiplication order
@@ -2883,8 +2996,11 @@ v AS (
         )
     else:
         k_expr = k
+    prefix = (
+        _kmeans_cte_prefix_hier if route == "hier" else _kmeans_cte_prefix
+    )
     return (
-        _kmeans_cte_prefix(k_expr, iters, v_ctes=v_ctes)
+        prefix(k_expr, iters, v_ctes=v_ctes)
         + f""",
 m AS (SELECT a.vec_id, a.cluster, v.e FROM a{iters} a JOIN v USING (vec_id)),
 p AS (
@@ -2919,20 +3035,28 @@ GROUP BY dup_id"""
     "sweep.",
 )
 def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the re-embedding scenario: 10% of the corpus re-appears under new ids
+    # with a tiny deterministic per-dimension tilt (cosine ~0.999997 to the
+    # original — semantically identical, not byte-identical)
+    return _semantic_dedup_injected(spark, sf_dir, route="flat")
+
+
+def _injection_scenario(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared duplicate-injection fixture of the semantic-dedup
+    catalog family: (base corpus, injected twins) where the twins are a
+    10% deterministic sample re-appearing under ids +100000 with a
+    1±0.001 per-dimension tilt (cosine ~0.999997 to the original —
+    semantically identical, not byte-identical)."""
     from etl_pipeline_challenge_aladia_spark.functions.vectors import to_double_array
     from etl_pipeline_challenge_aladia_spark.operators.sampling import (
         deterministic_sample,
-    )
-    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
-        semantic_dedup,
     )
 
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("e")
     )
-    # the re-embedding scenario: 10% of the corpus re-appears under new ids
-    # with a tiny deterministic per-dimension tilt (cosine ~0.999997 to the
-    # original — semantically identical, not byte-identical)
     injected = deterministic_sample(base, "vec_id", 0.1).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
@@ -2941,9 +3065,158 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0) + F.lit(0.001) * ((i % F.lit(3)) - F.lit(1)).cast("double")),
         ).alias("e"),
     )
-    return semantic_dedup(
-        base.unionByName(injected), threshold=0.95, vec_col="e"
+    return base, injected
+
+
+def _semantic_dedup_injected(spark: SparkSession, sf_dir: str, route: str) -> DataFrame:
+    """Shared body of the flat/hier semantic-dedup catalog twins:
+    ``semantic_dedup`` at auto-k over base ∪ injected with the
+    requested routing."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        semantic_dedup,
     )
+
+    base, injected = _injection_scenario(spark, sf_dir)
+    return semantic_dedup(
+        base.unionByName(injected), threshold=0.95, vec_col="e", route=route
+    )
+
+
+@query(
+    "emb_semantic_dedup_hier",
+    _semantic_dedup_oracle_sql(route="hier"),
+    doc="The 100-TB-scale routing twin of emb_semantic_dedup "
+    "(operators/similarity.py:_argmin_assign_hier): every Lloyd round "
+    "routes vectors TWO-LEVEL — a tiny inner k-means clusters the "
+    "centroid table itself into k2=ceil(sqrt(k)) super-cells, each "
+    "vector picks its nearest non-empty super-cell (n x k2 distances) "
+    "and runs the exact argmin only against that super-cell's member "
+    "centroids (~n x k/k2) — so per-round distance work is ~2*n*sqrt(k) "
+    "instead of n*k; with auto-k ~ sqrt(n) that cuts assignment from "
+    "Θ(n^1.5) to ~Θ(n^1.25), the IVF-of-IVF layout ANN systems run at "
+    "10^9+ vectors. Deterministic end to end (fixed-point distances, "
+    "lowest-id init, half-up rounding, index tie-breaks at BOTH "
+    "levels), so the oracle unrolls the inner k-means, the super-cell "
+    "routing, and the member argmin per round and matches bit-for-bit. "
+    "The flat emb_semantic_dedup stays as the exact twin.",
+)
+def q_emb_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semantic_dedup_injected(spark, sf_dir, route="hier")
+
+
+@query(
+    "emb_kmeans_clusters_hier",
+    _kmeans_cte_prefix_hier(8, 3)
+    + f"""
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {_s4('CAST(sum(fx) AS DOUBLE) / 100000000.0 / count(*)')} AS avg_sq_dist
+FROM a3 GROUP BY cluster""",
+    doc="kmeans_lite with two-level centroid routing "
+    "(operators/similarity.py:_argmin_assign_hier) at fixed k=8 "
+    "(k2=3 super-cells) — the structural oracle pair for the hier "
+    "assignment path itself, independent of the semantic-dedup sweep: "
+    "cluster sizes + mean within-cluster squared distance, SQL-unrolled "
+    "at both levels.",
+)
+def q_emb_kmeans_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import kmeans_lite
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_lite(emb, route="hier")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("dist_fx").alias("fx"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            round_half_up(
+                F.sum("fx").cast("double") / F.lit(100000000.0) / F.count(F.lit(1)), 4
+            ).alias("avg_sq_dist"),
+        )
+    )
+
+
+def _semantic_dedup_incremental_oracle_sql(
+    iters: int = 3, threshold: float = 0.95
+) -> str:
+    """Training on the CORPUS only (auto-k from the corpus count), one
+    extra delta argmin against the frozen routing table c{iters-1} (the
+    cell_drift oracle shape), then the delta-vs-corpus in-cell sweep —
+    mirroring operators/similarity.py:semantic_dedup_incremental."""
+    fold_vec = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
+    v_ctes = f"""base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+v AS (SELECT vec_id, e FROM base),
+vd AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(len(e)), i -> e[i+1] * (1 + 0.001 * ((i % 3) - 1))) AS e
+  FROM base WHERE {fold_vec} % 1000 < 100
+)"""
+    k_expr = (
+        "(SELECT greatest(32, least(count(*), CAST(floor(sqrt(count(*) "
+        f"/ {float(iters)})) AS BIGINT))) FROM v)"
+    )
+    fxd = (
+        "sum(CAST(floor((evd.val - c.cv) * (evd.val - c.cv) * 100000000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    return (
+        _kmeans_cte_prefix(k_expr, iters, v_ctes=v_ctes)
+        + f""",
+evd AS (SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM vd),
+dd AS (
+  SELECT evd.vec_id, c.cluster, {fxd} AS fx
+  FROM evd JOIN c{iters - 1} c USING (dim) GROUP BY evd.vec_id, c.cluster
+),
+ad AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fx, cluster) AS rn
+    FROM dd) WHERE rn = 1
+),
+mc AS (SELECT a.vec_id, a.cluster, v.e FROM a{iters} a JOIN v USING (vec_id)),
+md AS (SELECT ad.vec_id, ad.cluster, vd.e FROM ad JOIN vd USING (vec_id)),
+p AS (
+  SELECT d.vec_id AS dup_id, c.vec_id AS keep_id,
+         {_s4('list_cosine_similarity(d.e, c.e)')} AS cos_sim
+  FROM md d JOIN mc c ON d.cluster = c.cluster
+)
+SELECT dup_id AS vec_id,
+       CAST(min(keep_id) AS BIGINT) AS canonical_id,
+       max(cos_sim) AS max_cos
+FROM p WHERE cos_sim >= {threshold}
+GROUP BY dup_id"""
+    )
+
+
+@query(
+    "emb_semantic_dedup_incremental",
+    _semantic_dedup_incremental_oracle_sql(),
+    doc="Incremental (delta-vs-corpus) semantic dedup "
+    "(operators/similarity.py:semantic_dedup_incremental) — the "
+    "ingest-time shape a 100-TB pipeline actually runs: the coarse "
+    "quantizer trains on the CORPUS only (auto-k from the corpus "
+    "count), the injected-twin delta is ROUTED onto the frozen "
+    "centroids (one broadcast argmin, linear in the delta), and each "
+    "delta vector is screened only against the stored members of its "
+    "routed cell — |delta|-proportional cost vs the batch twin's "
+    "full re-cluster of corpus+delta. The oracle unrolls corpus "
+    "training, one extra delta argmin against the frozen routing "
+    "table, and the in-cell sweep. The streaming twin "
+    "(streaming/embeddings.py) runs the identical screen per "
+    "micro-batch against the accumulating index.",
+)
+def q_emb_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    base, injected = _injection_scenario(spark, sf_dir)
+    return semantic_dedup_incremental(base, injected, vec_col="e")
 
 
 @query(

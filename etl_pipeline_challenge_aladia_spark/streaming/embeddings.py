@@ -115,27 +115,368 @@ INGEST_STATS_SCHEMA = (
 )
 
 
-def _has_batches(path: str) -> bool:
+def _batch_dirs(path: str, exclude: int | None = None) -> list[str]:
     try:
-        return any(e.startswith("batch=") for e in os.listdir(path))
+        entries = sorted(
+            e for e in os.listdir(path) if e.startswith("batch=")
+        )
     except OSError:
-        return False
+        return []
+    if exclude is not None:
+        entries = [e for e in entries if e != f"batch={exclude}"]
+    return [os.path.join(path, e) for e in entries]
 
 
-def read_index(spark: SparkSession, index_path: str) -> DataFrame:
+def read_index(
+    spark: SparkSession, index_path: str, exclude_batch: int | None = None
+) -> DataFrame:
     """The accumulated cell-partitioned index across all ingested
     batches; a probe for cells [c1, c2] prunes the scan to those
     ``cell=`` directories (partition pruning on the read path).
     Before any batch has been ingested, returns an empty frame with the
-    index schema instead of a path-not-found AnalysisException."""
-    if not _has_batches(index_path):
+    index schema instead of a path-not-found AnalysisException.
+    ``exclude_batch`` skips one ``batch=`` directory — what a replayed
+    micro-batch passes so it never screens against its own half-written
+    output (checkpoint-replay idempotence)."""
+    dirs = _batch_dirs(index_path, exclude_batch)
+    if not dirs:
         return spark.createDataFrame([], INDEX_SCHEMA)
-    return spark.read.option("basePath", index_path).parquet(
-        os.path.join(index_path, "batch=*")
-    )
+    return spark.read.option("basePath", index_path).parquet(*dirs)
 
 
 def read_ingest_stats(spark: SparkSession, stats_path: str) -> DataFrame:
-    if not _has_batches(stats_path):
+    dirs = _batch_dirs(stats_path)
+    if not dirs:
         return spark.createDataFrame([], INGEST_STATS_SCHEMA)
-    return spark.read.parquet(os.path.join(stats_path, "batch=*"))
+    return spark.read.parquet(*dirs)
+
+
+#: schema of the per-batch duplicate report (what read_dedup_report
+#: returns before any batch has been screened)
+DEDUP_REPORT_SCHEMA = "vec_id long, canonical_id long, max_cos double"
+
+
+def make_semantic_dedup_ingest_processor(
+    centroids: DataFrame,
+    index_path: str,
+    report_path: str,
+    threshold: float = 0.95,
+):
+    """Screening ingest — the streaming twin of
+    ``operators/similarity.py:semantic_dedup_incremental``: per
+    micro-batch, screen the delta against the ACCUMULATED
+    cell-partitioned index with ``semantic_dedup_screen`` (route onto
+    the frozen quantizer, compare only against stored in-cell members),
+    write the duplicate report, then append the routed delta into the
+    index — so the next batch screens against it (the
+    ``streaming/docs.py`` accumulation contract; within-batch twins
+    surface one batch later).
+
+    Replay-idempotent: both writes are ``batch=<id>``-keyed overwrites,
+    and the screen reads the index EXCLUDING its own batch directory,
+    so a checkpoint-replayed batch sees exactly the corpus the original
+    run saw."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        semantic_dedup_screen,
+    )
+
+    cents = centroids.localCheckpoint(eager=True)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        corpus = read_index(spark, index_path, exclude_batch=batch_id).select(
+            "vec_id", "embedding", "cell"
+        )
+        report = semantic_dedup_screen(
+            corpus, batch, cents, threshold=threshold
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(report_path, f"batch={batch_id}")
+        )
+        routed = (
+            assign_to_centroids(batch, cents)
+            .join(batch.select(F.col("vec_id").alias("id"), "embedding"), "id")
+            .select(
+                F.col("id").alias("vec_id"),
+                "embedding",
+                F.col("cluster").alias("cell"),
+                "dist_fx",
+            )
+        )
+        routed.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(index_path, f"batch={batch_id}")
+        )
+
+    return process_batch
+
+
+def read_dedup_report(spark: SparkSession, report_path: str) -> DataFrame:
+    dirs = _batch_dirs(report_path)
+    if not dirs:
+        return spark.createDataFrame([], DEDUP_REPORT_SCHEMA)
+    return spark.read.parquet(*dirs)
+
+
+def run_semantic_dedup_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    centroids: DataFrame,
+    index_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain currently-available embedding files through the screening
+    ingest (Trigger.AvailableNow); ``max_files_per_trigger`` splits the
+    drain into multiple micro-batches (1 file = 1 batch) so tests can
+    exercise the batch-over-batch accumulation exactly."""
+    reader = spark.readStream.schema(EMB_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    (
+        stream.writeStream.foreachBatch(
+            make_semantic_dedup_ingest_processor(
+                centroids, index_path, report_path, threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drift-monitored ingest: versioned quantizer store + retrain loop
+# ---------------------------------------------------------------------------
+
+#: stats written by the monitored processor carry the quantizer version
+#: they were routed with, so drift is always measured against the
+#: baseline of the SAME quantizer generation
+MONITOR_STATS_SCHEMA = (
+    "cell int, n_vecs long, sum_dist_fx long, batch_id long, "
+    "quantizer_version int"
+)
+
+#: per-cell training occupancy stored next to each centroid version
+BASELINE_SCHEMA = "cell int, n_train long"
+
+
+def _flip_current(store_path: str, version: int) -> None:
+    """Atomically advance the CURRENT pointer (write-temp + rename — the
+    POSIX-atomic publish; object stores use their conditional-put
+    equivalent). Never moves backwards: a checkpoint-replayed batch that
+    re-runs an old retrain cannot roll an already-published newer
+    quantizer back."""
+    cur = current_quantizer_version(store_path)
+    if cur is not None and cur >= version:
+        return
+    os.makedirs(store_path, exist_ok=True)
+    tmp = os.path.join(store_path, ".CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(store_path, "CURRENT"))
+
+
+def current_quantizer_version(store_path: str) -> int | None:
+    try:
+        with open(os.path.join(store_path, "CURRENT")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def save_quantizer(
+    centroids: DataFrame, baseline: DataFrame, store_path: str, version: int
+) -> None:
+    """Publish one quantizer generation: centroids (cluster, c) + its
+    per-cell training-occupancy baseline under ``version=<v>``, then
+    atomically flip the CURRENT pointer. Readers only ever follow the
+    pointer, so a half-written version directory is invisible until the
+    flip — the swap is atomic from every consumer's view."""
+    vdir = os.path.join(store_path, f"version={version}")
+    centroids.write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
+    baseline.write.mode("overwrite").parquet(os.path.join(vdir, "baseline"))
+    _flip_current(store_path, version)
+
+
+def load_quantizer(
+    spark: SparkSession, store_path: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """(centroids, baseline, version) of the CURRENT generation."""
+    version = current_quantizer_version(store_path)
+    if version is None:
+        raise ValueError(f"no quantizer published under {store_path}")
+    vdir = os.path.join(store_path, f"version={version}")
+    return (
+        spark.read.parquet(os.path.join(vdir, "centroids")),
+        spark.read.parquet(os.path.join(vdir, "baseline")),
+        version,
+    )
+
+
+def train_and_save_quantizer(
+    embeddings: DataFrame,
+    k: int,
+    store_path: str,
+    version: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the deterministic coarse quantizer and publish it with its
+    occupancy baseline — the bootstrap step of the monitored ingest."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        kmeans_with_centroids,
+    )
+
+    assigned, cents = kmeans_with_centroids(
+        embeddings, k=k, id_col=id_col, vec_col=vec_col
+    )
+    baseline = assigned.groupBy(
+        F.col("cluster").cast("int").alias("cell")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    save_quantizer(cents, baseline, store_path, version)
+
+
+def drift_report(baseline: DataFrame, stats: DataFrame) -> DataFrame:
+    """Per-cell drift of the ingested population vs the training
+    baseline — the ``cell_drift`` formula over stored stats instead of
+    raw vectors: drift_permille = floor(n_ingest*1000/total_ingest) -
+    floor(n_train*1000/total_train). Aggregates k-bounded stats rows,
+    never rescans vectors."""
+    t = baseline.agg(F.sum("n_train")).first()[0] or 0
+    ing = stats.groupBy("cell").agg(F.sum("n_vecs").alias("n_ingest"))
+    d = ing.agg(F.sum("n_ingest")).first()[0] or 0
+    joined = baseline.join(ing, "cell", "full_outer").select(
+        "cell",
+        F.coalesce(F.col("n_train"), F.lit(0)).cast("long").alias("n_train"),
+        F.coalesce(F.col("n_ingest"), F.lit(0)).cast("long").alias("n_ingest"),
+    )
+    share_t = F.when(
+        F.lit(t) > 0, F.floor(F.col("n_train") * 1000 / F.lit(t))
+    ).otherwise(F.lit(0))
+    share_d = F.when(
+        F.lit(d) > 0, F.floor(F.col("n_ingest") * 1000 / F.lit(d))
+    ).otherwise(F.lit(0))
+    return joined.withColumn(
+        "drift_permille", (share_d - share_t).cast("long")
+    )
+
+
+def read_monitor_stats(spark: SparkSession, stats_path: str) -> DataFrame:
+    dirs = _batch_dirs(stats_path)
+    if not dirs:
+        return spark.createDataFrame([], MONITOR_STATS_SCHEMA)
+    return spark.read.parquet(*dirs)
+
+
+def make_monitored_ingest_processor(
+    store_path: str,
+    index_path: str,
+    stats_path: str,
+    drift_threshold_permille: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The closed drift→retrain loop: per micro-batch, route onto the
+    CURRENT quantizer generation, append to the cell-partitioned index,
+    record version-tagged stats, then evaluate accumulated drift for
+    this generation against its training baseline — and when any cell's
+    |drift_permille| crosses the threshold, RETRAIN on the accumulated
+    index (same deterministic k-means, same k) and atomically publish
+    the next generation. Later batches route against the new centroids;
+    the index keeps per-batch cell layouts (a background re-index can
+    rewrite old batches cell-by-cell without blocking ingest).
+
+    Scale: routing is the linear broadcast argmin; drift works on
+    k-bounded stats rows; only an actual retrain rescans the index —
+    exactly as often as the threshold fires."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cents, baseline, version = load_quantizer(spark, store_path)
+        batch = batch.localCheckpoint(eager=True)
+        from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+            assign_to_centroids,
+            kmeans_with_centroids,
+        )
+
+        routed = (
+            assign_to_centroids(batch, cents, id_col=id_col, vec_col=vec_col)
+            .join(batch.select(F.col(id_col).alias("id"), vec_col), "id")
+            .select(
+                F.col("id").alias(id_col),
+                F.col(vec_col),
+                F.col("cluster").alias("cell"),
+                "dist_fx",
+            )
+            .localCheckpoint(eager=True)
+        )
+        routed.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(index_path, f"batch={batch_id}")
+        )
+        (
+            routed.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("dist_fx").alias("sum_dist_fx"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("quantizer_version", F.lit(version).cast("int"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(stats_path, f"batch={batch_id}"))
+        )
+        gen_stats = read_monitor_stats(spark, stats_path).filter(
+            F.col("quantizer_version") == version
+        )
+        worst = (
+            drift_report(baseline, gen_stats)
+            .agg(F.max(F.abs(F.col("drift_permille"))))
+            .first()[0]
+            or 0
+        )
+        if worst >= drift_threshold_permille:
+            data = read_index(spark, index_path).select(id_col, vec_col)
+            k = cents.count()
+            assigned, new_cents = kmeans_with_centroids(
+                data, k=int(k), id_col=id_col, vec_col=vec_col
+            )
+            new_baseline = assigned.groupBy(
+                F.col("cluster").cast("int").alias("cell")
+            ).agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+            save_quantizer(new_cents, new_baseline, store_path, version + 1)
+
+    return process_batch
+
+
+def run_monitored_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    index_path: str,
+    stats_path: str,
+    checkpoint_dir: str,
+    drift_threshold_permille: int = 100,
+) -> None:
+    """Drain available embedding files through the drift-monitored
+    ingest (Trigger.AvailableNow, 1 file = 1 micro-batch so drift is
+    re-evaluated per arriving file)."""
+    stream = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            make_monitored_ingest_processor(
+                store_path, index_path, stats_path, drift_threshold_permille
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

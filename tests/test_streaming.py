@@ -1475,6 +1475,251 @@ def test_embedding_ingest_stream_routes_onto_frozen_index(spark, tmp_path):
     assert read_index(spark, idx).count() == 250
 
 
+def test_cell_partitioned_index_probe_scans_only_probed_cells(spark, tmp_path):
+    """The point of the cell-partitioned layout, proven physically (the
+    Z-order rectangle-proof pattern): a probe for cells {1} reads
+    EXACTLY the parquet files under cell=1 directories — the scan's
+    numFiles metric equals the on-disk count for the probed cell, not
+    the whole index."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        kmeans_with_centroids,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        read_index,
+        run_embedding_ingest_stream,
+    )
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 2) * 10 + F.sin(F.col("id")) * 0.1,
+                (F.col("id") % 2) * 10 + F.cos(F.col("id")) * 0.1,
+            ).alias("embedding"),
+        )
+
+    _, cents = kmeans_with_centroids(vecs(0, 100), k=2)
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "index")
+    stats = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    # two ingest batches -> cell=<id> directories under two batch dirs
+    vecs(1000, 1100).coalesce(1).write.mode("append").parquet(in_dir)
+    run_embedding_ingest_stream(spark, in_dir, cents, idx, stats, ckpt)
+    vecs(1100, 1200).coalesce(1).write.mode("append").parquet(in_dir)
+    run_embedding_ingest_stream(spark, in_dir, cents, idx, stats, ckpt)
+
+    def disk_files(cell=None):
+        out = []
+        for root, _dirs, files in os.walk(idx):
+            if cell is not None and f"cell={cell}" not in root:
+                continue
+            out += [f for f in files if f.endswith(".parquet")]
+        return len(out)
+
+    assert disk_files() > disk_files(1) > 0
+
+    def scanned_files(df):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+        leaves = plan.collectLeaves()
+        for i in range(leaves.length()):
+            node = leaves.apply(i)
+            if "Scan" in node.nodeName():
+                return int(node.metrics().apply("numFiles").value())
+        raise AssertionError("no scan node found")
+
+    probe = read_index(spark, idx).filter(F.col("cell") == 1)
+    full = read_index(spark, idx)
+    assert scanned_files(probe) == disk_files(1)
+    assert scanned_files(full) == disk_files()
+
+
+def test_semantic_dedup_ingest_stream_matches_batch_operator(spark, tmp_path):
+    """Streaming incremental semantic dedup: each micro-batch is screened
+    against the ACCUMULATED index, per-batch reports equal the batch
+    operator bit-for-bit (including one-shot semantic_dedup_incremental
+    when the quantizer matches), within-batch twins surface one batch
+    later via accumulation, and a drained rerun changes nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        kmeans_with_centroids,
+        semantic_dedup_incremental,
+        semantic_dedup_screen,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        read_dedup_report,
+        read_index,
+        run_semantic_dedup_ingest_stream,
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            [(i, [float(x), float(y)]) for i, x, y in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    import math
+
+    def at(i, ang):
+        return (i, math.cos(ang), math.sin(ang))
+
+    # corpus: 10 directions spread over ~3 rad
+    corpus_rows = [at(i, i * 0.3) for i in range(10)]
+    # delta1: 5 near-copies of corpus 0..4 (+0.01 rad) and 5 NEW
+    # directions (>=4.0 rad — far from every corpus vector)
+    delta1_rows = [at(100 + i, i * 0.3 + 0.01) for i in range(5)] + [
+        at(105 + i, 4.0 + i * 0.2) for i in range(5)
+    ]
+    # delta2: near-copies of delta1's NEW directions only — dups that
+    # exist solely because the index accumulated delta1
+    delta2_rows = [at(200 + i, 4.0 + i * 0.2 + 0.01) for i in range(5)]
+
+    corpus, delta1, delta2 = vecs(corpus_rows), vecs(delta1_rows), vecs(delta2_rows)
+    K = 3
+    _, cents = kmeans_with_centroids(corpus, k=K)
+
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "index")
+    rep = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def drain():
+        run_semantic_dedup_ingest_stream(spark, in_dir, cents, idx, rep, ckpt)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    # batch 0: the corpus itself seeds the index (empty report)
+    corpus.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    assert read_dedup_report(spark, rep).count() == 0
+    idx0 = read_index(spark, idx).select("vec_id", "embedding", "cell")
+    idx0_rows = rows(idx0.select("vec_id", "cell"))
+
+    # batch 1: delta1 — report equals the batch screen AND the one-shot
+    # incremental operator trained on the same corpus with the same k
+    delta1.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    got1 = rows(read_dedup_report(spark, rep).filter(F.col("vec_id") < 200))
+    want1 = rows(semantic_dedup_screen(idx0, delta1, cents))
+    assert got1 == want1 and len(got1) == 5
+    assert got1 == rows(semantic_dedup_incremental(corpus, delta1, k=K))
+    # the 5 near-copies matched their corpus twins; the 5 new directions
+    # did not
+    assert {r[0] for r in got1} == {100 + i for i in range(5)}
+    assert all(r[1] < 10 for r in got1)
+
+    # batch 2: delta2 matches ONLY vectors delta1 added — the
+    # accumulation contract
+    delta2.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    got2 = rows(read_dedup_report(spark, rep).filter(F.col("vec_id") >= 200))
+    accumulated = read_index(spark, idx).select("vec_id", "embedding", "cell")
+    # the screen the stream ran saw corpus+delta1 (not delta2 itself)
+    want2 = rows(
+        semantic_dedup_screen(
+            accumulated.filter(F.col("vec_id") < 200), delta2, cents
+        )
+    )
+    assert got2 == want2 and len(got2) == 5
+    assert all(105 <= r[1] <= 109 for r in got2)
+
+    # drained rerun: reports and index unchanged
+    before = rows(read_dedup_report(spark, rep))
+    drain()
+    assert rows(read_dedup_report(spark, rep)) == before
+    assert rows(read_index(spark, idx).select("vec_id", "cell")) >= idx0_rows
+    assert read_index(spark, idx).count() == 25
+
+
+def test_drift_monitored_ingest_retrains_and_swaps_atomically(spark, tmp_path):
+    """The closed drift→retrain loop: a synthetic drifting stream flips
+    the cell_drift trigger, the processor retrains on the accumulated
+    index and atomically publishes generation 2, post-retrain centroids
+    match a from-scratch train on the same data bit-for-bit, and later
+    batches route against the new generation."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_with_centroids,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        current_quantizer_version,
+        load_quantizer,
+        read_index,
+        read_monitor_stats,
+        run_monitored_ingest_stream,
+        train_and_save_quantizer,
+    )
+
+    def vecs(lo, hi, cx, cy):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.lit(float(cx)) + F.sin(F.col("id")) * 0.1,
+                F.lit(float(cy)) + F.cos(F.col("id")) * 0.1,
+            ).alias("embedding"),
+        )
+
+    corpus = vecs(0, 100, 10, 0).unionByName(vecs(100, 200, 0, 10))
+    store = str(tmp_path / "quantizer")
+    idx = str(tmp_path / "index")
+    stats = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    train_and_save_quantizer(corpus, k=2, store_path=store)
+    assert current_quantizer_version(store) == 1
+
+    def drain():
+        run_monitored_ingest_stream(
+            spark, in_dir, store, idx, stats, ckpt,
+            drift_threshold_permille=100,
+        )
+
+    # seed: the training corpus itself streams in — occupancy matches
+    # the baseline, no spurious retrain
+    corpus.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    assert current_quantizer_version(store) == 1
+
+    # drift: a lopsided batch (all near cell A) pushes the accumulated
+    # share to ~667/333 vs the 500/500 baseline → trigger fires
+    vecs(1000, 1100, 10, 0).coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    assert current_quantizer_version(store) == 2
+
+    # the published generation 2 equals a from-scratch deterministic
+    # train on exactly the accumulated index
+    new_cents, new_baseline, ver = load_quantizer(spark, store)
+    assert ver == 2
+    data = read_index(spark, idx).select("vec_id", "embedding")
+    _, want_cents = kmeans_with_centroids(data, k=2)
+    got = {(r["cluster"], tuple(r["c"])) for r in new_cents.collect()}
+    want = {(r["cluster"], tuple(r["c"])) for r in want_cents.collect()}
+    assert got == want
+
+    # post-retrain batches route against generation 2
+    vecs(2000, 2020, 0, 10).coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    st = read_monitor_stats(spark, stats)
+    assert st.filter(F.col("quantizer_version") == 2).count() > 0
+    probe_index = read_index(spark, idx).filter(F.col("vec_id") >= 2000)
+    want_route = {
+        (r["id"], r["cluster"])
+        for r in assign_to_centroids(vecs(2000, 2020, 0, 10), new_cents).collect()
+    }
+    assert {(r["vec_id"], r["cell"]) for r in probe_index.collect()} == want_route
+
+
 def test_timestamp_as_of_time_travel(spark, tmp_path, monkeypatch):
     """TIMESTAMP AS OF: read_warehouse(as_of=) resolves the newest
     retained snapshot committed at or before the asked time (epoch or
