@@ -223,14 +223,33 @@ _MAGICS = (
     (b"YUV4MPEG2", "y4m"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"ID3", "mp3"),
 )
 
 
 def sniff_format(data: bytes) -> str | None:
-    """Identify a payload's container from magic bytes, or None."""
+    """Identify a payload's container from magic bytes, or None.
+
+    Compressed A/V containers are sniffed too — mp3 by ID3 tag or a
+    VALID frame-sync header (11 sync bits set, non-reserved version,
+    non-zero layer — the standard check, so arbitrary 0xFF-leading
+    bytes don't misfire), mp4 by the ISO-BMFF ``ftyp`` box at offset 4.
+    No pure-numpy decoder exists for them; the feature kernels route
+    them to librosa/soundfile/PyAV when installed
+    (operators/multimodal.py) and to the deterministic stub otherwise."""
     for magic, name in _MAGICS:
         if data[: len(magic)] == magic:
             if name == "wav" and data[8:12] != b"WAVE":
                 continue
             return name
+    if len(data) >= 8 and data[4:8] == b"ftyp":
+        return "mp4"
+    if (
+        len(data) >= 4
+        and data[0] == 0xFF
+        and (data[1] & 0xE0) == 0xE0
+        and (data[1] >> 3) & 0x3 != 0x1  # MPEG version: reserved
+        and (data[1] >> 1) & 0x3 != 0x0  # layer: reserved
+    ):
+        return "mp3"
     return None

@@ -6,14 +6,16 @@ the Spark-idiomatic shape for per-item Python work: data moves in columnar
 Arrow batches, never row-at-a-time, and each task streams batches so a
 partition never has to fit in pandas memory at once.
 
-Decoder availability is format-, not modality-, shaped: PIL/ffmpeg/librosa
-are NOT available here, so *compressed* containers (JPEG, MP3, H.264) keep
-an injectable stub kernel — but the uncompressed members of each family
-(PPM/PGM images, PCM WAV audio, Y4M video) are decoded FOR REAL by the
-pure-numpy codecs in operators/codecs.py. ``real_feature_kernel`` and
-``real_resize_kernel`` sniff magic bytes and decode what they recognize,
-falling back to the deterministic stub for everything else; the same
-``kernel=`` injection point remains for wiring native decoders later.
+Decoder availability is format-, not modality-, shaped: the uncompressed
+members of each family (PPM/PGM images, PCM WAV audio, Y4M video) are
+decoded FOR REAL by the pure-numpy codecs in operators/codecs.py, and
+*compressed* containers route through IMPORT-GUARDED codec libraries —
+JPEG/PNG via PIL, MP3 via soundfile/librosa, MP4 via PyAV — decoding for
+real when the library is installed and falling back to the deterministic
+stub when it is not (this sandbox has none of them; a production cluster
+image does). ``real_feature_kernel`` and ``real_resize_kernel`` sniff
+magic bytes and decode what they recognize; the same ``kernel=``
+injection point remains for wiring custom native decoders.
 """
 
 from __future__ import annotations
@@ -245,12 +247,16 @@ def real_feature_kernel(content: bytes) -> list[float]:
     - video (Y4M):     [frames, width, height, fps, mean, std, first-frame
                         mean, last-frame mean]
 
-    Compressed images (JPEG/PNG) decode through PIL WHEN INSTALLED (see
-    ``_pil_image`` — an import guard, not a hard dependency) and yield
-    the same image summary features as PPM/PGM. Unknown or
-    PIL-unavailable containers fall back to the deterministic stub, so a
-    mixed corpus never errors — the features of un-decodable rows are
-    tagged by construction (stub values live in [0, 1); real dims
+    Compressed containers decode through guarded libraries WHEN
+    INSTALLED (import guards, not hard dependencies): JPEG/PNG via PIL
+    (``_pil_image``), MP3 via soundfile/librosa
+    (``_compressed_audio_features``), MP4 via PyAV
+    (``_compressed_video_features``) — each yielding the same summary
+    features as its uncompressed sibling, so the kernel is drop-in on a
+    real cluster with the codec libs. Unknown, corrupt, or
+    library-unavailable containers fall back to the deterministic stub,
+    so a mixed corpus never errors — the features of un-decodable rows
+    are tagged by construction (stub values live in [0, 1); real dims
     are >= 1).
     """
     data = content or b""
@@ -321,6 +327,12 @@ def real_feature_kernel(content: bytes) -> list[float]:
             float(luma[0].mean()) if nf else 0.0,
             float(luma[-1].mean()) if nf else 0.0,
         ]
+    if fmt == "mp3":
+        feats = _compressed_audio_features(data)
+        return feats if feats is not None else _stub_kernel(data)
+    if fmt == "mp4":
+        feats = _compressed_video_features(data)
+        return feats if feats is not None else _stub_kernel(data)
     return _stub_kernel(data)
 
 
@@ -336,6 +348,132 @@ def _pil_image():
         return Image
     except ImportError:
         return None
+
+
+def _soundfile():
+    """Import guard for compressed-audio decode (same pattern as
+    ``_pil_image``): libsndfile-backed ``soundfile`` decodes MP3 (and
+    FLAC/OGG) when installed; None flips callers to the stub."""
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _librosa():
+    """Second-choice compressed-audio guard: ``librosa.load`` routes
+    through audioread/ffmpeg backends soundfile may lack."""
+    try:
+        import librosa  # noqa: PLC0415
+
+        return librosa
+    except ImportError:
+        return None
+
+
+def _pyav():
+    """Import guard for compressed-video decode: PyAV (ffmpeg bindings)
+    when installed, else None — callers fall back to the stub."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
+
+
+def _compressed_audio_features(data: bytes) -> list[float] | None:
+    """Decode an MP3 payload through whichever guarded backend is
+    installed (soundfile, then librosa) and emit the SAME 8 audio
+    summary features as the WAV branch of ``real_feature_kernel`` —
+    drop-in on clusters with the codec libs, None (-> deterministic
+    stub) in environments without them or on corrupt payloads."""
+    import io
+
+    x = rate = None
+    sf = _soundfile()
+    if sf is not None:
+        try:
+            samples, rate = sf.read(io.BytesIO(data), dtype="float64")
+            x = np.asarray(samples, dtype=np.float64)
+            if x.ndim > 1:  # downmix like the mono WAV fixture
+                x = x.mean(axis=1)
+        except Exception:
+            x = rate = None
+    if x is None:
+        lr = _librosa()
+        if lr is None:
+            return None
+        try:
+            samples, rate = lr.load(io.BytesIO(data), sr=None, mono=True)
+            x = np.asarray(samples, dtype=np.float64)
+        except Exception:
+            return None
+    n = max(1, x.size)
+    zcr = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / n
+    return [
+        float(x.size),
+        float(rate),
+        float(x.size) / float(rate) if rate else 0.0,
+        float(np.sqrt((x * x).mean())) if x.size else 0.0,
+        float(np.abs(x).max()) if x.size else 0.0,
+        zcr,
+        float(x.mean()) if x.size else 0.0,
+        float(x.std()) if x.size else 0.0,
+    ]
+
+
+def _compressed_video_features(data: bytes) -> list[float] | None:
+    """Decode an MP4 payload through guarded PyAV and emit the SAME 8
+    video summary features as the Y4M branch of ``real_feature_kernel``
+    (frame count, geometry, fps, luma stats). Per-frame accumulation —
+    never materializes the full clip — so the kernel's memory is one
+    frame regardless of duration."""
+    import io
+
+    av = _pyav()
+    if av is None:
+        return None
+    try:
+        with av.open(io.BytesIO(data)) as container:
+            stream = container.streams.video[0]
+            fps = float(stream.average_rate) if stream.average_rate else 0.0
+            nf = 0
+            w = h = 0
+            total = total_sq = 0.0
+            n_px = 0
+            first_mean = last_mean = 0.0
+            for frame in container.decode(stream):
+                luma = np.asarray(
+                    frame.reformat(format="gray").planes[0], dtype=np.float64
+                )
+                h, w = luma.shape[0], luma.shape[1]
+                m = float(luma.mean())
+                if nf == 0:
+                    first_mean = m
+                last_mean = m
+                total += float(luma.sum())
+                total_sq += float((luma * luma).sum())
+                n_px += luma.size
+                nf += 1
+    except Exception:
+        return None
+    if nf == 0 or n_px == 0:
+        return None
+    mean = total / n_px
+    var = max(0.0, total_sq / n_px - mean * mean)
+    return [
+        float(nf),
+        float(w),
+        float(h),
+        fps,
+        mean,
+        float(np.sqrt(var)),
+        first_mean,
+        last_mean,
+    ]
 
 
 def real_resize_kernel(

@@ -72,3 +72,121 @@ def test_resize_images_aspect_fit_and_determinism(spark):
     # deterministic: same inputs -> same payloads
     again = {r["media_id"]: r["content"] for r in resize_images(media).collect()}
     assert {r["media_id"]: r["content"] for r in out} == again
+
+
+def test_sniff_compressed_av_containers():
+    """mp3 (ID3 tag or valid frame sync) and mp4 (ftyp box) are sniffed;
+    near-miss headers (reserved MPEG version/layer, missing sync bits)
+    and the stub corpus' hash payloads are not."""
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import sniff_format
+
+    assert sniff_format(b"ID3\x04\x00" + b"\x00" * 16) == "mp3"
+    assert sniff_format(b"\xff\xfb\x90\x00" + b"\x00" * 16) == "mp3"
+    assert sniff_format(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8) == "mp4"
+    # invalid frame syncs: reserved version (bits 11..12 == 01), reserved
+    # layer (00), missing sync bits
+    assert sniff_format(b"\xff\xeb\x90\x00") is None
+    assert sniff_format(b"\xff\xf9\x90\x00") is None
+    assert sniff_format(b"\xff\x7b\x90\x00") is None
+    # existing formats still win
+    assert sniff_format(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "wav"
+    assert sniff_format(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) == "png"
+
+
+def test_compressed_av_kernels_stub_fallback_is_byte_stable():
+    """Without the codec libs (this sandbox) — or on corrupt payloads
+    behind a valid magic anywhere — the mp3/mp4 branches return exactly
+    the deterministic stub: repeated calls agree, and agree with the
+    stub itself."""
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        _stub_kernel,
+        real_feature_kernel,
+    )
+
+    fake_mp3 = b"ID3\x04\x00" + b"not really audio" * 5
+    fake_mp4 = b"\x00\x00\x00\x20ftypisom" + b"not really video" * 5
+    for payload in (fake_mp3, fake_mp4):
+        a = real_feature_kernel(payload)
+        b = real_feature_kernel(payload)
+        assert a == b == _stub_kernel(payload)
+        assert all(0.0 <= v < 1.0 for v in a)  # stub-tagged by range
+
+
+def test_stub_corpus_payloads_never_sniff_as_av():
+    """The deterministic stub fixture's hash payloads must keep routing
+    to the stub kernel — the conservative mp3 sync check exists so
+    arbitrary high bytes don't get claimed by the audio branch."""
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import sniff_format
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        synthetic_media,
+    )
+    import hashlib
+
+    for i in range(64):
+        payload = bytes(hashlib.sha256(str(i).encode()).digest() * (1 + i % 4))
+        assert sniff_format(payload) is None
+
+
+def test_real_mp3_decode_when_soundfile_installed():
+    """Real MP3 decode parity (runs only where libsndfile>=1.1 with MP3
+    support is installed — the production-cluster image)."""
+    import io
+
+    import pytest
+
+    sf = pytest.importorskip("soundfile")
+    import numpy as np
+
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        real_feature_kernel,
+    )
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+    buf = io.BytesIO()
+    try:
+        sf.write(buf, x, rate, format="MP3")
+    except Exception:
+        pytest.skip("libsndfile lacks MP3 encode support")
+    feats = real_feature_kernel(buf.getvalue())
+    # real decode: sample count ~1s at 16kHz (encoder padding allowed),
+    # rate exact, rms in the ballpark of the 0.5-amplitude sine
+    assert feats[1] == rate
+    assert rate * 0.9 <= feats[0] <= rate * 1.5
+    assert 0.2 <= feats[3] <= 0.5
+
+
+def test_real_mp4_decode_when_pyav_installed():
+    """Real MP4 decode parity (runs only where PyAV/ffmpeg is installed
+    — the production-cluster image)."""
+    import io
+
+    import pytest
+
+    av = pytest.importorskip("av")
+    import numpy as np
+
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        real_feature_kernel,
+    )
+
+    buf = io.BytesIO()
+    try:
+        with av.open(buf, mode="w", format="mp4") as container:
+            stream = container.add_stream("h264", rate=10)
+            stream.width, stream.height = 64, 48
+            stream.pix_fmt = "yuv420p"
+            for i in range(12):
+                frame = av.VideoFrame.from_ndarray(
+                    np.full((48, 64, 3), 20 * i, dtype=np.uint8), format="rgb24"
+                )
+                for packet in stream.encode(frame):
+                    container.mux(packet)
+            for packet in stream.encode():
+                container.mux(packet)
+    except Exception:
+        pytest.skip("PyAV lacks an h264 encoder")
+    feats = real_feature_kernel(buf.getvalue())
+    assert feats[0] == 12 and feats[1] == 64 and feats[2] == 48
+    assert feats[6] < feats[7]  # brightness ramp: first frame darker
