@@ -41,6 +41,11 @@ PICKS = {
     "with _salt so each hot key spans salt_factor tasks",
     "emb_ivf_topk": "centroids broadcast twice (probe + rerank); candidate scan "
     "joins on the probed cells only",
+    "emb_semantic_dedup_hier": "two-level routed assignment: the inner kmeans "
+    "runs on the k-row centroid table (the corpus never touches it), vector "
+    "routing broadcasts the ~sqrt(k) super-centroids, and the member argmin "
+    "is a broadcast hash join keyed on the super-cell so each row evaluates "
+    "distances only against its super-cell's member centroids",
     "events_sessionization": "one Exchange on user_id reused by both window "
     "functions and the final aggregation",
     "doc_bm25_search": "token stream filtered to the query's terms BEFORE any "
