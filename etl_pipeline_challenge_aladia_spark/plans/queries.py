@@ -3140,12 +3140,16 @@ def q_emb_kmeans_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_incremental_oracle_sql(
-    iters: int = 3, threshold: float = 0.95
+    iters: int = 3, threshold: float = 0.95, route: str = "flat",
 ) -> str:
     """Training on the CORPUS only (auto-k from the corpus count), one
     extra delta argmin against the frozen routing table c{iters-1} (the
     cell_drift oracle shape), then the delta-vs-corpus in-cell sweep —
-    mirroring operators/similarity.py:semantic_dedup_incremental."""
+    mirroring operators/similarity.py:semantic_dedup_incremental.
+    ``route="hier"`` swaps the training prefix for the two-level-routed
+    unroll; the delta argmin stays FLAT against c{iters-1} in both
+    (``assign_to_centroids`` routes small deltas flat — k x |delta| is
+    the cheap side)."""
     fold_vec = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
     v_ctes = f"""base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -3165,8 +3169,11 @@ vd AS (
         "sum(CAST(floor((evd.val - c.cv) * (evd.val - c.cv) * 100000000.0 + 0.5)"
         " AS BIGINT))"
     )
+    prefix = (
+        _kmeans_cte_prefix_hier if route == "hier" else _kmeans_cte_prefix
+    )
     return (
-        _kmeans_cte_prefix(k_expr, iters, v_ctes=v_ctes)
+        prefix(k_expr, iters, v_ctes=v_ctes)
         + f""",
 evd AS (SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM vd),
 dd AS (
@@ -3195,17 +3202,18 @@ GROUP BY dup_id"""
 
 @query(
     "emb_semantic_dedup_incremental",
-    _semantic_dedup_incremental_oracle_sql(),
+    _semantic_dedup_incremental_oracle_sql(route="hier"),
     doc="Incremental (delta-vs-corpus) semantic dedup "
     "(operators/similarity.py:semantic_dedup_incremental) — the "
     "ingest-time shape a 100-TB pipeline actually runs: the coarse "
     "quantizer trains on the CORPUS only (auto-k from the corpus "
-    "count), the injected-twin delta is ROUTED onto the frozen "
-    "centroids (one broadcast argmin, linear in the delta), and each "
-    "delta vector is screened only against the stored members of its "
+    "count, TWO-LEVEL-routed training — the scale-optimal config), "
+    "the injected-twin delta is ROUTED onto the frozen centroids "
+    "(one broadcast argmin, linear in the delta), and each delta "
+    "vector is screened only against the stored members of its "
     "routed cell — |delta|-proportional cost vs the batch twin's "
-    "full re-cluster of corpus+delta. The oracle unrolls corpus "
-    "training, one extra delta argmin against the frozen routing "
+    "full re-cluster of corpus+delta. The oracle unrolls hier corpus "
+    "training, one extra flat delta argmin against the frozen routing "
     "table, and the in-cell sweep. The streaming twin "
     "(streaming/embeddings.py) runs the identical screen per "
     "micro-batch against the accumulating index.",
@@ -3216,7 +3224,7 @@ def q_emb_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     base, injected = _injection_scenario(spark, sf_dir)
-    return semantic_dedup_incremental(base, injected, vec_col="e")
+    return semantic_dedup_incremental(base, injected, vec_col="e", route="hier")
 
 
 @query(

@@ -480,3 +480,46 @@ def run_monitored_ingest_stream(
         .start()
         .awaitTermination()
     )
+
+
+def rebuild_index(
+    spark: SparkSession,
+    index_path: str,
+    store_path: str,
+    out_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Background re-index after a quantizer retrain: route EVERY stored
+    vector onto the CURRENT generation and write ONE consolidated
+    ``batch=0`` cell-partitioned layout at ``out_path`` — the offline
+    half of the drift loop (the monitored ingest keeps appending
+    per-batch layouts routed by whatever generation was current; this
+    consolidates them so probes prune against generation-consistent
+    cells and one directory per cell instead of one per batch).
+
+    The rewrite never blocks ingest — it reads a snapshot of the batch
+    directories and writes to a fresh path; serving flips to
+    ``out_path`` when done (same publish-then-point pattern as the
+    quantizer store). Returns the number of vectors re-indexed."""
+    cents, _baseline, _ver = load_quantizer(spark, store_path)
+    data = read_index(spark, index_path).select(id_col, vec_col)
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    routed = (
+        assign_to_centroids(data, cents, id_col=id_col, vec_col=vec_col)
+        .join(data.select(F.col(id_col).alias("id"), vec_col), "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col(vec_col),
+            F.col("cluster").alias("cell"),
+            "dist_fx",
+        )
+        .localCheckpoint(eager=True)
+    )
+    routed.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_path, "batch=0")
+    )
+    return routed.count()

@@ -1720,6 +1720,72 @@ def test_drift_monitored_ingest_retrains_and_swaps_atomically(spark, tmp_path):
     assert {(r["vec_id"], r["cell"]) for r in probe_index.collect()} == want_route
 
 
+def test_rebuild_index_consolidates_onto_current_generation(spark, tmp_path):
+    """The offline half of the drift loop: after a retrain, rebuild_index
+    routes every stored vector onto the CURRENT generation into one
+    consolidated batch, assignments equal the batch operator against the
+    new centroids, and the layout is one directory per cell."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        load_quantizer,
+        read_index,
+        rebuild_index,
+        run_monitored_ingest_stream,
+        train_and_save_quantizer,
+    )
+
+    def vecs(lo, hi, cx, cy):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.lit(float(cx)) + F.sin(F.col("id")) * 0.1,
+                F.lit(float(cy)) + F.cos(F.col("id")) * 0.1,
+            ).alias("embedding"),
+        )
+
+    corpus = vecs(0, 100, 10, 0).unionByName(vecs(100, 200, 0, 10))
+    store = str(tmp_path / "quantizer")
+    idx = str(tmp_path / "index")
+    stats = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    train_and_save_quantizer(corpus, k=2, store_path=store)
+
+    corpus.coalesce(1).write.mode("append").parquet(in_dir)
+    run_monitored_ingest_stream(
+        spark, in_dir, store, idx, stats, ckpt, drift_threshold_permille=100
+    )
+    # lopsided drift batch -> retrain publishes generation 2
+    vecs(1000, 1100, 10, 0).coalesce(1).write.mode("append").parquet(in_dir)
+    run_monitored_ingest_stream(
+        spark, in_dir, store, idx, stats, ckpt, drift_threshold_permille=100
+    )
+    new_cents, _, ver = load_quantizer(spark, store)
+    assert ver == 2
+
+    out = str(tmp_path / "index_v2")
+    n = rebuild_index(spark, idx, store, out)
+    assert n == 300
+    rebuilt = read_index(spark, out)
+    assert rebuilt.count() == 300
+    # one consolidated batch directory, one subdirectory per cell
+    assert sorted(
+        e for e in os.listdir(out) if e.startswith("batch=")
+    ) == ["batch=0"]
+    # assignments equal the batch operator against generation 2
+    all_vecs = read_index(spark, idx).select("vec_id", "embedding")
+    want = {
+        (r["id"], r["cluster"])
+        for r in assign_to_centroids(all_vecs, new_cents).collect()
+    }
+    assert {(r["vec_id"], r["cell"]) for r in rebuilt.collect()} == want
+
+
 def test_timestamp_as_of_time_travel(spark, tmp_path, monkeypatch):
     """TIMESTAMP AS OF: read_warehouse(as_of=) resolves the newest
     retained snapshot committed at or before the asked time (epoch or
