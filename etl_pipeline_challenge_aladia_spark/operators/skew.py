@@ -94,3 +94,69 @@ def top_key_skew(df: DataFrame, keys: Sequence[str], n: int = 5) -> DataFrame:
         .orderBy(F.desc("n_rows"), *keys)
         .limit(n)
     )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lo: int,
+    hi: int,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Bounded range join with a coarse bucket equi-key — the 100-TB
+    shape for "right_ts BETWEEN left_ts+lo AND left_ts+hi" (inclusive,
+    integer units): a plain equi-join on ``on`` with a residual range
+    filter degrades to a per-key cross product when keys are hot (one
+    busy user's clicks x purchases all meet in one task); widening the
+    join key with floor(ts / bucket_width) bounds each task's work to
+    ADJACENT time buckets regardless of per-key volume.
+
+    The right side is bucketed ONCE by its own timestamp; the left side
+    explodes to the (at most ceil((hi-lo)/w)+1, = 2 at the default
+    width) buckets its window can touch, so every qualifying pair meets
+    on exactly one (key, bucket) — no dedup stage — and the exact
+    BETWEEN filter runs as the join residual: results are IDENTICAL to
+    the naive range join (the oracle of a bucketed query is the plain
+    range-join SQL), only the meeting granularity changes.
+
+    ``bucket_width`` defaults to the window width hi-lo — the coarsest
+    width that still guarantees a 2-bucket left fan-out (wider buckets
+    re-grow per-task volume; much narrower ones inflate the left
+    explode)."""
+    w = int(bucket_width) if bucket_width is not None else max(1, hi - lo)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {w}")
+    if hi < lo:
+        raise ValueError(f"empty range: lo={lo} > hi={hi}")
+    clash = {"_brj_bucket"} & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"internal column already present: {sorted(clash)}")
+    # exact integer division, never floor(double/double): at microsecond
+    # epoch magnitudes a one-ulp quotient error could bucket an endpoint
+    # off by one and silently DROP a qualifying pair; `div` is a pure
+    # int64 op, and its monotonicity guarantees every qualifying right
+    # bucket lies inside the left side's exploded [lo..hi] bucket span
+    b_right = right.withColumn(
+        "_brj_bucket", F.expr(f"`{right_ts}` div {w}")
+    )
+    b_left = left.withColumn(
+        "_brj_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"(`{left_ts}` + {lo}) div {w}"),
+                F.expr(f"(`{left_ts}` + {hi}) div {w}"),
+            )
+        ),
+    )
+    return (
+        b_left.join(b_right, [*on, "_brj_bucket"])
+        .filter(
+            F.col(right_ts).between(
+                F.col(left_ts) + F.lit(lo), F.col(left_ts) + F.lit(hi)
+            )
+        )
+        .drop("_brj_bucket")
+    )

@@ -2255,6 +2255,59 @@ def q_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_clicks_near_purchase_bucketed",
+    """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id, c.click_id,
+       CAST((p.pus - c.cus) // 1000000 AS BIGINT) AS gap_s
+FROM purchases p
+JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.cus BETWEEN p.pus - 600000000 AND p.pus
+""",
+    doc="The 100-TB twin of events_clicks_near_purchase "
+    "(operators/skew.py:bucketed_range_join): the range join's equi-key "
+    "is widened with a coarse time bucket (floor(ts/window), exact int64 "
+    "div) — clicks bucket once, each purchase explodes to the 2 buckets "
+    "its window can touch, qualifying pairs meet on exactly one "
+    "(user, bucket), and the BETWEEN runs as the join residual. A hot "
+    "user's events now spread across time buckets instead of meeting in "
+    "one per-user cross-product task. Results are IDENTICAL to the "
+    "plain range join by construction, so the oracle IS the plain "
+    "range-join SQL.",
+)
+def q_clicks_near_purchase_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.skew import (
+        bucketed_range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.unix_micros("ts").alias("pus")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    return bucketed_range_join(
+        p, c, ["user_id"], "pus", "cus", lo=-600_000_000, hi=0
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.floor((F.col("pus") - F.col("cus")) / 1_000_000).cast("long").alias("gap_s"),
+    )
+
+
+@query(
     "events_session_windows",
     f"""
 WITH e AS (

@@ -381,3 +381,66 @@ def test_auto_salted_join_decides_from_measured_skew(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "explode" in salted_plan.lower()
     assert "explode" not in plain_plan.lower()
+
+
+def test_bucketed_range_join_equals_naive_range_join(spark):
+    """bucketed_range_join is a pure meeting-granularity change: its
+    output equals the naive equi-join + BETWEEN on every edge case —
+    window endpoints inclusive, pairs straddling bucket boundaries,
+    exact bucket-multiple timestamps, and custom (narrower) widths."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.skew import (
+        bucketed_range_join,
+    )
+
+    left = spark.createDataFrame(
+        [("u1", 1, 1000), ("u1", 2, 1600), ("u2", 3, 600), ("u1", 4, 599)],
+        "k string, lid int, lt long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 10, 400),   # == lt 1000 + lo: inclusive lower edge
+            ("u1", 11, 1000),  # == lt 1000 + hi: inclusive upper edge
+            ("u1", 12, 999),   # inside, straddles bucket boundary vs 1600
+            ("u1", 13, 1601),  # just outside for lt=1000
+            ("u2", 14, 500),   # other key
+            ("u1", 15, 0),     # far outside
+        ],
+        "k string, rid int, rt long",
+    )
+
+    def naive(lo, hi):
+        return {
+            tuple(r)
+            for r in left.join(right, "k")
+            .filter(F.col("rt").between(F.col("lt") + lo, F.col("lt") + hi))
+            .select("k", "lid", "rid")
+            .collect()
+        }
+
+    for lo, hi, w in [(-600, 0, None), (-600, 0, 100), (0, 600, None),
+                      (-250, 250, None), (-600, 0, 600)]:
+        got = {
+            tuple(r)
+            for r in bucketed_range_join(
+                left, right, ["k"], "lt", "rt", lo=lo, hi=hi, bucket_width=w
+            ).select("k", "lid", "rid").collect()
+        }
+        assert got == naive(lo, hi), (lo, hi, w)
+
+    # no duplicate pairs even when a window spans multiple buckets
+    multi = bucketed_range_join(
+        left, right, ["k"], "lt", "rt", lo=-600, hi=0, bucket_width=100
+    ).select("k", "lid", "rid")
+    assert multi.count() == multi.distinct().count()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bucketed_range_join(left, right, ["k"], "lt", "rt", lo=0, hi=-1)
+    with pytest.raises(ValueError):
+        bucketed_range_join(
+            left.withColumn("_brj_bucket", F.lit(1)), right, ["k"],
+            "lt", "rt", lo=-600, hi=0,
+        )
