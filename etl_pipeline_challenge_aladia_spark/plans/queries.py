@@ -1827,6 +1827,96 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(cands, queries_df, dim=64, k=5, nprobe=2)
 
 
+@query(
+    "emb_ivf_recall_audit",
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent0 AS (
+  SELECT label, dim, {_IVF_CENT6} AS cv
+  FROM (
+    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings WHERE vec_id >= 5)
+  GROUP BY label, dim
+),
+cent AS (SELECT label, list(cv ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, label FROM (
+    SELECT q.query_id, c.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_s4('list_cosine_similarity(q.qe, c.centroid)')} DESC, c.label) AS pr
+    FROM q, cent c) WHERE pr <= 2
+),
+cand AS (SELECT label, vec_id AS neighbor_id, emb AS ce FROM e WHERE vec_id >= 5),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, cand.neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {_s4('list_cosine_similarity(q.qe, cand.ce)')} DESC,
+                      cand.neighbor_id) AS rnk
+    FROM probes p
+    JOIN cand ON cand.label = p.label
+    JOIN q ON q.query_id = p.query_id) WHERE rnk <= 5
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_s4('list_cosine_similarity(q.qe, c.ce)')} DESC,
+                      c.neighbor_id) AS rnk
+    FROM q, cand c) WHERE rnk <= 5
+)
+SELECT x.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(i.neighbor_id) * 200 AS BIGINT) AS recall_permille
+FROM exact x LEFT JOIN ivf i USING (query_id, neighbor_id)
+GROUP BY x.query_id
+""",
+    doc="In-engine recall@5 audit of the IVF ANN path against the exact "
+    "brute-force baseline (the minhash_recall_audit pattern for vector "
+    "search): per query, how many of the true top-5 the 2-probe IVF "
+    "retrieval recovered — the quality dial every ANN deployment "
+    "monitors when tuning nprobe. Both sides share deterministic "
+    "tie-breaks (rounded cosine desc, neighbor id), so the audit is "
+    "exact-integer and fully SQL-oracled. At scale the exact baseline "
+    "runs over a deterministic query SAMPLE (here: all 5 fixture "
+    "queries) — recall estimation never needs the full query stream.",
+)
+def q_emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    approx = ivf_topk(cands, queries_df, dim=64, k=5, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    exact = brute_force_topk(cands, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(
+            approx.withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").cast("long").alias("n_hits"),
+            (F.count("_hit") * 200).cast("long").alias("recall_permille"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H-style decision-support queries (adapted to the reduced schema:
 # no partsupp table, no commit/receipt dates -> date predicates use
@@ -2308,6 +2398,75 @@ def q_clicks_near_purchase_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "events_gap_filled_daily_value",
+    """
+WITH daily AS (
+  SELECT user_id, day, value AS day_value FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+j AS (SELECT g.user_id, g.day, d.day_value
+      FROM grid g LEFT JOIN daily d USING (user_id, day))
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       last_value(day_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CAST(CASE WHEN day_value IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS was_observed
+FROM j
+""",
+    doc="Calendar resample with forward fill — the timeseries gap-fill "
+    "every metrics/feature pipeline needs: each user's latest value per "
+    "day (deterministic: max(struct(ts, event_id, value)) — latest "
+    "event wins, unique ids break ties), a dense daily grid from their "
+    "first to last day (sequence + explode — the grid never exceeds "
+    "users x calendar days, bounded at any corpus scale), and "
+    "last-observation-carried-forward via last(ignorenulls) over one "
+    "per-user window. Values pass through untouched (no float "
+    "arithmetic), so the oracle compares exactly. One Exchange on "
+    "user_id shared by the span aggregate and the fill window.",
+)
+def q_events_gap_filled_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        .select("user_id", "day", F.col("m.value").alias("day_value"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.when(F.col("day_value").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("was_observed"),
+        )
+    )
+
+
+@query(
     "events_session_windows",
     f"""
 WITH e AS (
@@ -2768,6 +2927,51 @@ def q_doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(docs)
     return leakage_safe_split(docs, pairs).select("doc_id", "rep_id", "split")
+
+
+@query(
+    "doc_bpe_pair_counts",
+    """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(len(t) - 1), i -> substring(t, i + 1, 2)))
+         AS pair
+  FROM tok WHERE len(t) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT 20
+""",
+    doc="The first BPE merge step, corpus-wide: adjacent character-pair "
+    "frequencies over whitespace tokens, top-20 by exact count "
+    "(deterministic ties by pair) — the statistic a tokenizer-training "
+    "pipeline computes before every merge round. Pure JVM expressions "
+    "(transform(sequence) + substring, exploded), and although the "
+    "explode is character-sized, map-side partial aggregation collapses "
+    "it to the tiny char-pair vocabulary before the shuffle — the "
+    "exchange is vocabulary-sized at any corpus scale, and the final "
+    "top-k is TakeOrderedAndProject, not a global sort.",
+)
+def q_doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1),"
+                    " i -> substring(t, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
 
 
 @query(
