@@ -240,6 +240,98 @@ def minhash_incremental_pairs(
     )
 
 
+def doc_signature_store(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Precompute the STORED form of a corpus for incremental near-dup
+    screening: (band index (id, band, band_hash), shingle sets
+    (id, shingles)). This is what a 100-TB deployment persists instead
+    of raw text — band rows for candidate generation, shingle sets for
+    exact-Jaccard verification — so each ingest batch pays only its own
+    text processing plus bucket matches (``minhash_pairs_from_store``);
+    the corpus' shingling never re-runs."""
+    band_rows = _band_rows(
+        minhash_signatures(docs, id_col, text_col, n, num_perm, seed),
+        num_perm,
+        bands,
+    )
+    shingle_sets = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(tokens_col(text_col), n)).alias(
+            "shingles"
+        ),
+    )
+    return band_rows, shingle_sets
+
+
+def minhash_pairs_from_store(
+    store_bands: DataFrame,
+    store_shingles: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup against a PRECOMPUTED signature store
+    (``doc_signature_store``): signatures + band rows are built for the
+    DELTA only, candidates come from delta-band vs stored-band bucket
+    joins, and exact-Jaccard verification compares the delta's shingles
+    against the STORED shingle sets — the corpus' text is never touched
+    (it need not even exist anymore). Output is identical to
+    ``minhash_incremental_pairs(corpus, delta)`` when the store holds
+    that corpus' precomputation: storage is a pure precompute, not an
+    approximation (jaccard_cols is distinct-semantics, so stored
+    deduped shingle arrays verify bit-identically).
+
+    Output: (delta_id, corpus_id, jaccard >= threshold)."""
+    delta_bands = _band_rows(
+        minhash_signatures(delta, id_col, text_col, n, num_perm, seed),
+        num_perm,
+        bands,
+    ).alias("y")
+    cb = store_bands.alias("x")
+    candidates = (
+        delta_bands.join(
+            cb,
+            (F.col("y.band") == F.col("x.band"))
+            & (F.col("y.band_hash") == F.col("x.band_hash")),
+        )
+        .select(F.col("y.id").alias("delta_id"), F.col("x.id").alias("corpus_id"))
+        .distinct()
+    )
+    t_d = delta.select(
+        F.col(id_col).alias("delta_id"), F.col(text_col).alias("t_d")
+    )
+    sh_c = store_shingles.select(
+        F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_c")
+    )
+    return (
+        candidates.join(t_d, "delta_id")
+        .join(sh_c, "corpus_id")
+        .select(
+            "delta_id",
+            "corpus_id",
+            round_half_up(
+                jaccard_cols(
+                    shingles_col(tokens_col("t_d"), n), F.col("sh_c")
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

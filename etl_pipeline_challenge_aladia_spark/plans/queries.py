@@ -1175,6 +1175,36 @@ def q_doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_incremental_pairs(corpus, delta, threshold=0.8)
 
 
+@query(
+    "doc_incremental_near_dup_stored",
+    _minhash_incremental_oracle_sql(),
+    doc="The stored-index form of doc_incremental_near_dup "
+    "(operators/similarity.py:minhash_pairs_from_store): the corpus is "
+    "PRECOMPUTED into a band index + shingle sets "
+    "(doc_signature_store — what a 100-TB deployment persists instead "
+    "of raw text), the delta's bands join against the STORED bands, and "
+    "exact-Jaccard verification runs against the STORED shingle sets — "
+    "corpus text is never re-read. Storage is pure precompute "
+    "(distinct-semantics Jaccard), so output — and therefore the "
+    "oracle — is IDENTICAL to the recompute form. The streaming twin "
+    "(streaming/docs.py:run_sigstore_ingest_stream) appends each "
+    "batch's precomputation and screens the next batch against it.",
+)
+def q_doc_incremental_near_dup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        doc_signature_store,
+        minhash_pairs_from_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    store_bands, store_shingles = doc_signature_store(corpus)
+    return minhash_pairs_from_store(
+        store_bands, store_shingles, delta, threshold=0.8
+    )
+
+
 _DUP_RATE_JEXPR = _s4(
     "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)"
     " / len(list_distinct(list_concat(ta.sh, tb.sh)))"

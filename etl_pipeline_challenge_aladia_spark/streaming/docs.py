@@ -88,3 +88,108 @@ def run_incremental_dedup_stream(
         .start()
         .awaitTermination()
     )
+
+
+#: stored-index schemas (what the readers return before any ingest)
+BAND_STORE_SCHEMA = "id long, band int, band_hash string"
+SHINGLE_STORE_SCHEMA = "id long, shingles array<string>"
+NEAR_DUP_REPORT_SCHEMA = "delta_id long, corpus_id long, jaccard double"
+
+
+def _read_store(spark, path: str, schema: str, exclude_batch: int | None = None):
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        _batch_dirs,
+    )
+
+    dirs = _batch_dirs(path, exclude_batch)
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*dirs)
+
+
+def make_sigstore_ingest_processor(
+    store_path: str,
+    report_path: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+):
+    """Signature-STORE ingest — the 100-TB form of
+    ``make_incremental_dedup_processor``: instead of re-shingling the
+    accumulated raw-text corpus every batch, the store persists each
+    batch's band index + shingle sets (``doc_signature_store``), and
+    screening joins the delta's bands against the STORED bands then
+    verifies against the STORED shingle sets
+    (``minhash_pairs_from_store``). Per-batch cost is the delta's own
+    text processing plus bucket matches — corpus text is never re-read.
+
+    Replay-idempotent like the embedding ingest: batch-keyed overwrites
+    everywhere, and the screen reads the store EXCLUDING its own batch
+    directory."""
+    import os
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        doc_signature_store,
+        minhash_pairs_from_store,
+    )
+
+    def process_batch(delta: DataFrame, batch_id: int) -> None:
+        spark = delta.sparkSession
+        delta = delta.localCheckpoint(eager=True)
+        stored_bands = _read_store(
+            spark, os.path.join(store_path, "bands"), BAND_STORE_SCHEMA,
+            exclude_batch=batch_id,
+        )
+        stored_shingles = _read_store(
+            spark, os.path.join(store_path, "shingles"), SHINGLE_STORE_SCHEMA,
+            exclude_batch=batch_id,
+        )
+        report = minhash_pairs_from_store(
+            stored_bands, stored_shingles, delta,
+            n=n, num_perm=num_perm, bands=bands, threshold=threshold,
+            seed=seed,
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(report_path, f"batch={batch_id}")
+        )
+        band_rows, shingle_sets = doc_signature_store(
+            delta, n=n, num_perm=num_perm, bands=bands, seed=seed
+        )
+        band_rows.write.mode("overwrite").parquet(
+            os.path.join(store_path, "bands", f"batch={batch_id}")
+        )
+        shingle_sets.write.mode("overwrite").parquet(
+            os.path.join(store_path, "shingles", f"batch={batch_id}")
+        )
+
+    return process_batch
+
+
+def read_near_dup_report(spark, report_path: str) -> DataFrame:
+    return _read_store(spark, report_path, NEAR_DUP_REPORT_SCHEMA)
+
+
+def run_sigstore_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+) -> None:
+    """Drain currently-available document files through the
+    signature-store ingest (Trigger.AvailableNow)."""
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(input_dir)
+    (
+        stream.writeStream.foreachBatch(
+            make_sigstore_ingest_processor(
+                store_path, report_path, threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

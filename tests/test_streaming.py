@@ -641,6 +641,74 @@ def test_incremental_dedup_stream_screens_against_growing_corpus(spark, tmp_path
     assert spark.read.parquet(corpus).count() == 4
 
 
+def test_sigstore_ingest_stream_matches_recompute_and_accumulates(spark, tmp_path):
+    """The signature-STORE ingest (bands + shingle sets persisted per
+    batch, corpus text never re-read): reports equal the raw-text
+    recompute operator bit-for-bit per batch, batch 2 is screened
+    against batch 1's STORED precomputation, and a drained rerun
+    changes nothing."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_incremental_pairs,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        read_near_dup_report,
+        run_sigstore_ingest_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    base_text = " ".join(f"tok{i}" for i in range(40))
+    near_dup = base_text + " extra"
+    clean = " ".join(f"other{i}" for i in range(40))
+    b2_dup_of_b1 = near_dup + " more"  # near-dups base AND near_dup
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b1 = [(1, base_text), (2, clean)]
+    b2 = [(10, b2_dup_of_b1), (11, "completely unrelated words here")]
+
+    write_batch("b1.jsonl", [{"doc_id": i, "text": t} for i, t in b1])
+    run_sigstore_ingest_stream(spark, in_dir, store, report, ckpt)
+    assert read_near_dup_report(spark, report).count() == 0  # empty store
+
+    write_batch("b2.jsonl", [{"doc_id": i, "text": t} for i, t in b2])
+    run_sigstore_ingest_stream(spark, in_dir, store, report, ckpt)
+
+    got = {
+        tuple(r)
+        for r in read_near_dup_report(spark, report).collect()
+    }
+    # bit-for-bit the raw-text recompute operator screening b2 vs b1
+    want = {
+        tuple(r)
+        for r in minhash_incremental_pairs(
+            frame(b1), frame(b2), threshold=0.8
+        ).collect()
+    }
+    assert got == want and len(got) >= 1
+    assert all(d == 10 for d, _c, _j in got)  # only the planted dup
+
+    # store accumulated both batches' precomputation
+    assert spark.read.parquet(
+        os.path.join(store, "shingles")
+    ).count() == 4
+
+    # drained rerun: nothing reprocesses
+    run_sigstore_ingest_stream(spark, in_dir, store, report, ckpt)
+    assert {
+        tuple(r) for r in read_near_dup_report(spark, report).collect()
+    } == got
+
+
 def test_time_travel_merge_table(spark, tmp_path):
     """read_warehouse(version=) returns the exact row-set each retained
     commit published; table_history lists readable snapshots oldest-first;
