@@ -446,9 +446,10 @@ def _compressed_video_features(data: bytes) -> list[float] | None:
             n_px = 0
             first_mean = last_mean = 0.0
             for frame in container.decode(stream):
-                luma = np.asarray(
-                    frame.reformat(format="gray").planes[0], dtype=np.float64
-                )
+                # to_ndarray handles the plane stride (a raw plane buffer
+                # is 1-D and linesize-padded — means would include the
+                # padding and shape[1] doesn't even exist)
+                luma = frame.to_ndarray(format="gray").astype(np.float64)
                 h, w = luma.shape[0], luma.shape[1]
                 m = float(luma.mean())
                 if nf == 0:

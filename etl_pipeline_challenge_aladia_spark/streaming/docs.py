@@ -98,13 +98,10 @@ NEAR_DUP_REPORT_SCHEMA = "delta_id long, corpus_id long, jaccard double"
 
 def _read_store(spark, path: str, schema: str, exclude_batch: int | None = None):
     from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
-        _batch_dirs,
+        read_batch_store,
     )
 
-    dirs = _batch_dirs(path, exclude_batch)
-    if not dirs:
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(*dirs)
+    return read_batch_store(spark, path, schema, exclude_batch)
 
 
 def make_sigstore_ingest_processor(

@@ -104,9 +104,12 @@ def run_embedding_ingest_stream(
 
 
 #: schema of the cell-partitioned index (what read_index returns even
-#: before any batch has been ingested)
+#: before any batch has been ingested) — includes the discovered
+#: partition columns (batch, cell) in discovery order, so empty and
+#: non-empty reads union cleanly and batch-windowed consumers never see
+#: a schema that depends on whether anything was ingested yet
 INDEX_SCHEMA = (
-    "vec_id long, embedding array<double>, dist_fx long, cell int"
+    "vec_id long, embedding array<double>, dist_fx long, batch int, cell int"
 )
 
 #: schema of the per-batch ingest stats log
@@ -127,28 +130,43 @@ def _batch_dirs(path: str, exclude: int | None = None) -> list[str]:
     return [os.path.join(path, e) for e in entries]
 
 
+def read_batch_store(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    exclude_batch: int | None = None,
+    base_path: str | None = None,
+) -> DataFrame:
+    """The shared reader for every ``batch=<id>``-keyed store in the
+    streaming layer (index, stats, reports, signature stores): read all
+    batch directories, or an EMPTY frame with the declared schema when
+    nothing has been ingested yet (never a path-not-found
+    AnalysisException). ``exclude_batch`` skips one directory — what a
+    replayed micro-batch passes so it never reads its own half-written
+    output (checkpoint-replay idempotence). ``base_path`` turns on
+    partition-column discovery (batch/cell directory columns)."""
+    dirs = _batch_dirs(path, exclude_batch)
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    return reader.parquet(*dirs)
+
+
 def read_index(
     spark: SparkSession, index_path: str, exclude_batch: int | None = None
 ) -> DataFrame:
     """The accumulated cell-partitioned index across all ingested
     batches; a probe for cells [c1, c2] prunes the scan to those
-    ``cell=`` directories (partition pruning on the read path).
-    Before any batch has been ingested, returns an empty frame with the
-    index schema instead of a path-not-found AnalysisException.
-    ``exclude_batch`` skips one ``batch=`` directory — what a replayed
-    micro-batch passes so it never screens against its own half-written
-    output (checkpoint-replay idempotence)."""
-    dirs = _batch_dirs(index_path, exclude_batch)
-    if not dirs:
-        return spark.createDataFrame([], INDEX_SCHEMA)
-    return spark.read.option("basePath", index_path).parquet(*dirs)
+    ``cell=`` directories (partition pruning on the read path)."""
+    return read_batch_store(
+        spark, index_path, INDEX_SCHEMA, exclude_batch, base_path=index_path
+    )
 
 
 def read_ingest_stats(spark: SparkSession, stats_path: str) -> DataFrame:
-    dirs = _batch_dirs(stats_path)
-    if not dirs:
-        return spark.createDataFrame([], INGEST_STATS_SCHEMA)
-    return spark.read.parquet(*dirs)
+    return read_batch_store(spark, stats_path, INGEST_STATS_SCHEMA)
 
 
 #: schema of the per-batch duplicate report (what read_dedup_report
@@ -212,10 +230,7 @@ def make_semantic_dedup_ingest_processor(
 
 
 def read_dedup_report(spark: SparkSession, report_path: str) -> DataFrame:
-    dirs = _batch_dirs(report_path)
-    if not dirs:
-        return spark.createDataFrame([], DEDUP_REPORT_SCHEMA)
-    return spark.read.parquet(*dirs)
+    return read_batch_store(spark, report_path, DEDUP_REPORT_SCHEMA)
 
 
 def run_semantic_dedup_ingest_stream(
@@ -304,10 +319,14 @@ def save_quantizer(
 
 
 def load_quantizer(
-    spark: SparkSession, store_path: str
+    spark: SparkSession, store_path: str, version: int | None = None
 ) -> tuple[DataFrame, DataFrame, int]:
-    """(centroids, baseline, version) of the CURRENT generation."""
-    version = current_quantizer_version(store_path)
+    """(centroids, baseline, version) of the CURRENT generation — or of
+    a PINNED ``version`` (what a replayed micro-batch passes so it
+    re-routes with the same generation it originally used, even if a
+    retrain it triggered was already published)."""
+    if version is None:
+        version = current_quantizer_version(store_path)
     if version is None:
         raise ValueError(f"no quantizer published under {store_path}")
     vdir = os.path.join(store_path, f"version={version}")
@@ -367,10 +386,29 @@ def drift_report(baseline: DataFrame, stats: DataFrame) -> DataFrame:
 
 
 def read_monitor_stats(spark: SparkSession, stats_path: str) -> DataFrame:
-    dirs = _batch_dirs(stats_path)
-    if not dirs:
-        return spark.createDataFrame([], MONITOR_STATS_SCHEMA)
-    return spark.read.parquet(*dirs)
+    return read_batch_store(spark, stats_path, MONITOR_STATS_SCHEMA)
+
+
+def _routed_version(spark: SparkSession, stats_path: str, batch_id: int) -> int | None:
+    """The quantizer generation a batch was ALREADY routed with, read
+    from its own previously-written stats directory — present only on a
+    checkpoint replay. Pinning it makes replays byte-identical: the
+    batch re-routes with the original generation instead of one its own
+    retrain published, so index/stats rewrites match the first run and
+    the drift evaluation cannot fire a spurious extra retrain."""
+    d = os.path.join(stats_path, f"batch={batch_id}")
+    if not os.path.isdir(d):
+        return None
+    try:
+        rows = (
+            spark.read.parquet(d)
+            .select("quantizer_version")
+            .limit(1)
+            .collect()
+        )
+    except Exception:
+        return None  # half-written stats: original run never retrained
+    return int(rows[0][0]) if rows else None
 
 
 def make_monitored_ingest_processor(
@@ -378,6 +416,7 @@ def make_monitored_ingest_processor(
     index_path: str,
     stats_path: str,
     drift_threshold_permille: int = 100,
+    min_evidence_permille: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
@@ -397,7 +436,10 @@ def make_monitored_ingest_processor(
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        cents, baseline, version = load_quantizer(spark, store_path)
+        pinned = _routed_version(spark, stats_path, batch_id)
+        cents, baseline, version = load_quantizer(
+            spark, store_path, version=pinned
+        )
         batch = batch.localCheckpoint(eager=True)
         from etl_pipeline_challenge_aladia_spark.operators.similarity import (
             assign_to_centroids,
@@ -432,6 +474,16 @@ def make_monitored_ingest_processor(
         gen_stats = read_monitor_stats(spark, stats_path).filter(
             F.col("quantizer_version") == version
         )
+        # minimum-evidence gate: drift compares POPULATIONS, and right
+        # after a retrain the new generation has seen only one small
+        # batch — its occupancy share is sampling noise, not drift, and
+        # without the gate every retrain immediately triggers the next
+        # (generation churn). Evaluate only once this generation has
+        # ingested >= min_evidence_permille/1000 of its baseline count.
+        ingested = gen_stats.agg(F.sum("n_vecs")).first()[0] or 0
+        trained = baseline.agg(F.sum("n_train")).first()[0] or 0
+        if ingested * 1000 < min_evidence_permille * trained:
+            return
         worst = (
             drift_report(baseline, gen_stats)
             .agg(F.max(F.abs(F.col("drift_permille"))))
@@ -460,6 +512,7 @@ def run_monitored_ingest_stream(
     stats_path: str,
     checkpoint_dir: str,
     drift_threshold_permille: int = 100,
+    min_evidence_permille: int = 200,
 ) -> None:
     """Drain available embedding files through the drift-monitored
     ingest (Trigger.AvailableNow, 1 file = 1 micro-batch so drift is
@@ -472,7 +525,8 @@ def run_monitored_ingest_stream(
     (
         stream.writeStream.foreachBatch(
             make_monitored_ingest_processor(
-                store_path, index_path, stats_path, drift_threshold_permille
+                store_path, index_path, stats_path, drift_threshold_permille,
+                min_evidence_permille,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -117,9 +117,6 @@ def test_stub_corpus_payloads_never_sniff_as_av():
     to the stub kernel — the conservative mp3 sync check exists so
     arbitrary high bytes don't get claimed by the audio branch."""
     from etl_pipeline_challenge_aladia_spark.operators.codecs import sniff_format
-    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
-        synthetic_media,
-    )
     import hashlib
 
     for i in range(64):
