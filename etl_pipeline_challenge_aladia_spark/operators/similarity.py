@@ -1913,6 +1913,56 @@ def semantic_dedup_incremental(
     )
 
 
+def tune_nprobe(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    target_recall_permille: int = 900,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> tuple[int, int]:
+    """Recall-driven nprobe selection — the measured-decision pattern
+    (``auto_salted_join``, ``auto_semantic_k``) applied to ANN serving:
+    audit recall@k of ``ivf_topk`` against the exact brute-force
+    baseline ON A QUERY SAMPLE, increasing nprobe until the target is
+    met, and return (nprobe, achieved recall_permille). This is how a
+    deployment picks its latency/recall point from data instead of a
+    guessed constant; recall estimation needs only the sample, never
+    the production query stream.
+
+    Cost: the exact baseline once (|sample| x corpus, broadcast-query
+    shape) plus one probed search per candidate nprobe — the loop is
+    bounded by the cell count, and each decision is a tiny count
+    aggregate (queries x k rows), not a data collect."""
+    exact = (
+        brute_force_topk(
+            embeddings, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # one scan, reused per candidate nprobe
+    )
+    total = exact.count()
+    n_cells = embeddings.select(cell_col).distinct().count()
+    if total == 0:
+        return 1, 1000
+    best = 0
+    for nprobe in range(1, max(1, n_cells) + 1):
+        approx = ivf_topk(
+            embeddings, queries, dim=dim, k=k, nprobe=nprobe,
+            cell_col=cell_col, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+        best = hits * 1000 // total
+        if best >= target_recall_permille:
+            return nprobe, int(best)
+    return max(1, n_cells), int(best)
+
+
 def hard_negative_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -303,3 +303,59 @@ def test_cell_drift_flags_shifted_population(spark):
     a = {(r["id"], r["cluster"], r["dist_fx"]) for r in assigned.collect()}
     b2 = {(r["id"], r["cluster"], r["dist_fx"]) for r in rerouted.collect()}
     assert a == b2
+
+
+def test_tune_nprobe_picks_smallest_sufficient_probe_count(spark):
+    """Recall-driven nprobe selection: a query sitting between two cells
+    needs nprobe=2 to recover its exact top-k (nprobe=1 misses the
+    second cell's neighbors); tune_nprobe returns exactly that, with
+    the achieved recall, and returns the cell count when the target is
+    unreachable... which full probing makes impossible (recall@k is
+    1000 at nprobe=n_cells by construction)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        tune_nprobe,
+    )
+
+    def vec(ang):
+        return [math.cos(ang), math.sin(ang)]
+
+    # three cells around 0.07, 0.52 and 2.57 rad; the query at 0.3 rad
+    # has its true top-4 split 2/2 across cells 0 and 1 (angular gaps
+    # 0.15/0.16/0.17/0.18 alternate between the cells, no cosine ties)
+    rows = []
+    for i in range(8):
+        rows.append((i, 0, vec(0.0 + i * 0.02)))
+        rows.append((100 + i, 1, vec(0.45 + i * 0.02)))
+        rows.append((200 + i, 2, vec(2.5 + i * 0.02)))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, vec(0.3))], "query_id long, embedding array<double>"
+    )
+
+    # sanity: nprobe=1 really is insufficient for k=4
+    exact = {
+        r["neighbor_id"]
+        for r in brute_force_topk(emb, q, k=4).collect()
+    }
+    one = {
+        r["neighbor_id"]
+        for r in ivf_topk(emb, q, dim=2, k=4, nprobe=1).collect()
+    }
+    assert exact != one and len(exact) == 4
+
+    nprobe, recall = tune_nprobe(emb, q, dim=2, k=4,
+                                 target_recall_permille=1000)
+    assert nprobe == 2 and recall == 1000
+    # a lax target is satisfied by the first probe level that meets it
+    nprobe_lax, recall_lax = tune_nprobe(
+        emb, q, dim=2, k=4, target_recall_permille=500
+    )
+    assert nprobe_lax == 1 and 500 <= recall_lax < 1000
