@@ -304,3 +304,40 @@ def leakage_safe_split(
         )
         .drop("_lss_cluster_id")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Select documents per group until a TOKEN budget is exhausted — the
+    mixture-building step when the target is 'this many training tokens
+    per source/language', not 'this fraction of documents' (rate-based
+    sampling over-serves slices with long documents).
+
+    Candidates are ordered by the deterministic id-hash priority (ties by
+    id), then kept while the running token total stays within ``budget``
+    — pure integer arithmetic end to end, so selection is stable across
+    runs, engines, and partitionings, and (like the rate samplers) NESTED:
+    a smaller budget selects a prefix of a larger budget's picks.
+
+    Scale: one hash-partition shuffle on the group key, then a per-group
+    ordered sweep for the running sum — groups process in parallel and
+    nothing global sorts. Output: the selected rows of ``df`` plus
+    ``n_tokens`` and the running ``cum_tokens`` that admitted each row.
+    """
+    from etl_pipeline_challenge_aladia_spark.operators.text import token_count_col
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_order_col(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", token_count_col(text_col))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -305,3 +305,164 @@ def token_diversity(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def bits_col(c: Column) -> Column:
+    """Exact floor-log2 + 1 of a positive integer column: the length of
+    its binary representation. Integer-exact in any engine (DuckDB:
+    ``length(bin(x))``) — the transcendental-free building block for
+    information-content scores."""
+    return F.length(F.bin(c)).cast("long")
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most 'surprising' documents under a corpus unigram model —
+    the CCNet/perplexity-style quality signal, with the log replaced by
+    exact integer bit-lengths so the score is engine-reproducible.
+
+    Per token, surprisal ~= log2(T / c) where T is the corpus token count
+    and c the token's occurrence count; here it is computed as
+    ``bits(T) - bits(c)`` (floor-log2 within +-1 of the real value — the
+    ranking signal survives, the transcendental does not). A document's
+    score is its mean per-token surprisal: high = rare-token-dense
+    (misspellings, codes, noise, or genuinely novel text), low =
+    boilerplate built from corpus heavy-hitters. Pre-training pipelines
+    cut both tails.
+
+    Shape: one explode -> vocabulary hash-aggregate (map-side partials,
+    |V| rows) -> broadcast vocab join back onto the token stream -> one
+    per-document aggregate -> global top-k (TakeOrderedAndProject, k rows
+    to the driver stage). The corpus shuffles once, keyed by document;
+    the vocabulary and the single-row total are broadcast — at 100 TB
+    nothing wide moves except the per-doc partial sums.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+    total = vocab.agg(F.sum("n_occ").cast("long").alias("total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "grp",
+            (bits_col(F.col("total")) - bits_col(F.col("n_occ"))).alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.any_value("grp").alias(group_col),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("bits").cast("long").alias("total_bits"),
+    )
+    ranked = per_doc.select(
+        "doc_id",
+        group_col,
+        "n_tokens",
+        "total_bits",
+        round_half_up(
+            F.col("total_bits").cast("double") / F.col("n_tokens").cast("double"), 4
+        ).alias("avg_bits"),
+    )
+    return ranked.orderBy(F.col("avg_bits").desc(), F.col("doc_id")).limit(k)
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice n-gram novelty: of each document's distinct word
+    n-grams, the fraction whose FIRST corpus occurrence (minimum doc id)
+    is that document. Sources full of re-hashed/templated text score
+    low; sources contributing genuinely new phrasing score high — the
+    incremental-value signal dedup rates alone miss (a doc can be 0%
+    exact-duplicate yet 0% novel).
+
+    Shape: distinct-shingle explode -> min(doc_id) per shingle (map-side
+    combinable, shingle-vocabulary-sized result) -> join back -> two
+    slice-sized aggregates. The min-per-shingle frame is the same scale
+    class as the inverted index; novelty attribution by minimum id is
+    deterministic in any engine (no randomness, no floats until the
+    final ratio).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle"),
+    )
+    first = grams.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "shingle")
+        .groupBy("grp")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+            round_half_up(
+                F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("novelty_rate"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary token rate per corpus slice against the corpus'
+    own top-``vocab_size`` tokens (by occurrence count, ties broken by
+    token text) — the tokenizer-coverage audit run before committing to
+    a vocabulary: a slice with a high OOV share will fragment into
+    byte-fallback tokens and train poorly.
+
+    Shape: one vocabulary aggregate, a ``vocab_size``-row top-k, then a
+    broadcast LEFT join of the token stream against the vocab and one
+    slice-sized aggregate. The corpus is never shuffled — the only wide
+    exchange is the map-side-combined vocabulary count.
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("long"))
+            .cast("long")
+            .alias("oov_tokens"),
+            round_half_up(
+                F.sum(F.col("_in_vocab").isNull().cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("oov_share"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

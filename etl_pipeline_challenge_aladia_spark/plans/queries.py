@@ -6491,3 +6491,191 @@ def q_events_hourly_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("purchases_per_click"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 curation additions: information-content scoring, budgeted
+# sampling, novelty, vocabulary coverage, and sequence-pattern routing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_unigram_surprisal",
+    f"""
+WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+v AS (SELECT term, CAST(count(*) AS BIGINT) AS n_occ FROM t GROUP BY term),
+tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total FROM v),
+s AS (SELECT t.doc_id, t.source,
+             length(bin(tot.total)) - length(bin(v.n_occ)) AS bits
+      FROM t JOIN v USING (term) CROSS JOIN tot),
+d AS (SELECT doc_id, any_value(source) AS source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(bits) AS BIGINT) AS total_bits
+      FROM s GROUP BY doc_id),
+r AS (SELECT doc_id, source, n_tokens, total_bits,
+             {_s4('CAST(total_bits AS DOUBLE) / n_tokens')} AS avg_bits
+      FROM d)
+SELECT doc_id, source, n_tokens, total_bits, avg_bits
+FROM (SELECT r.*, row_number() OVER (ORDER BY avg_bits DESC, doc_id) AS _rn
+      FROM r)
+WHERE _rn <= 20
+""",
+    doc="Top-20 most surprising documents under a corpus unigram model — "
+    "the CCNet/perplexity-style quality cut with the logarithm replaced "
+    "by exact integer bit-lengths (bits(T) - bits(c), floor-log2 within "
+    "+-1), keeping the engine's no-transcendental determinism contract "
+    "(operators/terms.py:unigram_surprisal). Vocabulary agg is map-side "
+    "combined and broadcast back; the corpus shuffles once, keyed by "
+    "document; top-k is TakeOrderedAndProject over the rounded score.",
+)
+def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import unigram_surprisal
+
+    return unigram_surprisal(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    "doc_token_budget_sample",
+    f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens,
+         {sql_md5_fold32("CAST(doc_id AS VARCHAR)")} AS _pri
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY _pri, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM d)
+SELECT source, doc_id, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 5000
+""",
+    doc="Token-budget mixture sampling: per source, documents are "
+    "admitted in deterministic id-hash priority order until a 5000-token "
+    "budget is exhausted (operators/sampling.py:token_budget_sample) — "
+    "the 'N training tokens per slice' selection rate-based sampling "
+    "cannot express when document lengths vary. Pure integer running "
+    "sum inside a per-group window: one hash-partition shuffle on the "
+    "group key, groups sweep in parallel, selection is engine-stable and "
+    "nested across budgets.",
+)
+def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, group_col="source", budget=5000, id_col="doc_id"
+    ).select("source", "doc_id", "n_tokens", "cum_tokens")
+
+
+@query(
+    "doc_ngram_novelty",
+    f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+           AS sh
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+g AS (SELECT doc_id, source, unnest(sh) AS shingle FROM tok),
+f AS (SELECT shingle, min(doc_id) AS first_doc FROM g GROUP BY shingle)
+SELECT g.source,
+       CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       {_s4('CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE) / count(*)')}
+         AS novelty_rate
+FROM g JOIN f USING (shingle)
+GROUP BY g.source
+""",
+    doc="Per-source n-gram novelty: the fraction of each slice's distinct "
+    "3-gram occurrences whose FIRST corpus occurrence (minimum doc id) "
+    "falls in that slice's document (operators/terms.py:ngram_novelty) — "
+    "the incremental-value signal dedup rates miss: a document can be 0% "
+    "duplicate yet 0% novel. min-per-shingle is map-side combinable and "
+    "shingle-vocabulary-sized; attribution is pure integer comparison.",
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "doc_oov_rate",
+    f"""
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+v AS (SELECT term FROM (
+        SELECT term, count(*) AS n_occ,
+               row_number() OVER (ORDER BY count(*) DESC, term) AS rnk
+        FROM t GROUP BY term)
+      WHERE rnk <= 100)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       {_s4('CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)')}
+         AS oov_share
+FROM t LEFT JOIN v ON t.term = v.term
+GROUP BY t.source
+""",
+    doc="Tokenizer-coverage audit: per-source out-of-vocabulary token "
+    "share against the corpus' own top-100 tokens "
+    "(operators/terms.py:oov_rate) — a slice with high OOV fragments "
+    "into byte-fallback tokens and trains poorly. The vocabulary is a "
+    "100-row top-k broadcast LEFT-joined onto the token stream; the "
+    "corpus itself never shuffles.",
+)
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import oov_rate
+
+    return oov_rate(load_table(spark, sf_dir, "documents"), vocab_size=100)
+
+
+@query(
+    "events_purchase_prev_type",
+    f"""
+WITH o AS (
+  SELECT user_id, event_type, value,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)
+SELECT COALESCE(prev_type, '(first)') AS prev_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       {_s2(sql_avg_fixed_point('value'))} AS avg_value
+FROM o WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    doc="Sequence-pattern routing with negation: purchases bucketed by "
+    "the event that IMMEDIATELY precedes them in the user's timeline "
+    "(view-then-purchase vs click-then-purchase vs error-then-purchase, "
+    "'(first)' for session-opening purchases) — the MATCH_RECOGNIZE-"
+    "style adjacency question funnels and as-of joins don't answer. One "
+    "lag window per user partition (single hash shuffle on user_id, "
+    "total order by ts + event_id tie-break), then a tiny aggregate; "
+    "the mean uses the order-independent fixed-point contract.",
+)
+def q_events_purchase_prev_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("prev_type", F.lit("(first)")).alias("prev_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            _r2(avg_fixed_point(F.col("value")), "avg_value"),
+        )
+    )
