@@ -358,8 +358,10 @@ def unigram_surprisal(
             (bits_col(F.col("total")) - bits_col(F.col("n_occ"))).alias("bits"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.any_value("grp").alias(group_col),
+    # group on (doc_id, grp) rather than any_value(grp): grp is per-doc
+    # constant, and a string-buffered any_value would demote the aggregate
+    # from HashAggregate to SortAggregate (per-partition sort at scale)
+    per_doc = scored.groupBy("doc_id", F.col("grp").alias(group_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum("bits").cast("long").alias("total_bits"),
     )

@@ -6679,3 +6679,135 @@ def q_events_purchase_prev_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(avg_fixed_point(F.col("value")), "avg_value"),
         )
     )
+
+
+@query(
+    "doc_token_drift",
+    f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+t AS (SELECT CASE WHEN doc_id * 2 < n.n_docs THEN 0 ELSE 1 END AS half,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents CROSS JOIN n),
+c AS (SELECT term,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM t GROUP BY term),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+               CAST(sum(n_b) AS BIGINT) AS tot_b FROM c),
+s AS (SELECT term, n_a, n_b,
+             {_s4('abs(CAST(n_a AS DOUBLE) / tot_a - CAST(n_b AS DOUBLE) / tot_b)')}
+               AS share_shift
+      FROM c CROSS JOIN tot)
+SELECT term, n_a, n_b, share_shift
+FROM (SELECT s.*, row_number() OVER (ORDER BY share_shift DESC, term) AS _rn
+      FROM s)
+WHERE _rn <= 20
+""",
+    doc="Corpus drift monitor: top-20 tokens by absolute share shift "
+    "between the first and second half of the corpus (by doc id — the "
+    "ingest-order snapshot boundary). The retrain/alert trigger for "
+    "text the way emb_cell_drift is for embeddings: a crawl whose token "
+    "distribution moves under the tokenizer silently degrades it. ONE "
+    "pass over the token stream (conditional sums per term, map-side "
+    "combined), totals broadcast back; ordering is over the rounded "
+    "shift with a term tie-break.",
+)
+def q_doc_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    c = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.when(F.col("doc_id") * 2 < F.col("n_docs"), 0)
+            .otherwise(1)
+            .alias("half"),
+            F.explode(tokens_col("text")).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    tot = c.agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+    )
+    s = c.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "n_a",
+        "n_b",
+        round_half_up(
+            F.abs(
+                F.col("n_a").cast("double") / F.col("tot_a")
+                - F.col("n_b").cast("double") / F.col("tot_b")
+            ),
+            4,
+        ).alias("share_shift"),
+    )
+    return s.orderBy(F.col("share_shift").desc(), "term").limit(20)
+
+
+@query(
+    "doc_dup_graph_degree",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM t
+),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         {_s4('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))')} AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+),
+e AS (SELECT ia AS doc_id FROM p WHERE jaccard >= 0.8
+      UNION ALL SELECT ib FROM p WHERE jaccard >= 0.8),
+d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY doc_id),
+h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY degree),
+z AS (SELECT CAST(0 AS BIGINT) AS degree,
+             CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM d)
+               AS BIGINT) AS n_docs)
+SELECT degree, n_docs FROM h
+UNION ALL SELECT degree, n_docs FROM z WHERE n_docs > 0
+""",
+    doc="Near-dup graph topology audit: histogram of per-document degree "
+    "in the exact-Jaccard pair graph (threshold 0.8), including the "
+    "degree-0 mass. High-degree hubs are boilerplate/template families "
+    "that explode pair counts and LSH buckets — the signal that sets "
+    "posting-list caps and hub quarantine before the 100-TB dedup run. "
+    "Pairs come from the inverted-index join "
+    "(operators/similarity.py:ngram_jaccard_pairs — never all-pairs); "
+    "the degree and histogram aggregates are pair-set-sized.",
+)
+def q_doc_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    deg = (
+        pairs.select(F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total")).crossJoin(
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_in_pairs"))
+    )
+    zero = totals.select(
+        F.lit(0).cast("long").alias("degree"),
+        (F.col("n_total") - F.col("n_in_pairs")).cast("long").alias("n_docs"),
+    ).filter(F.col("n_docs") > 0)
+    return hist.unionByName(zero)

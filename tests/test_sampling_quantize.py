@@ -202,3 +202,41 @@ def test_leakage_safe_split_respects_clusters(spark):
     # the split of a cluster equals the plain split of its representative
     assert rows[1]["split"] == plain[0]
     assert rows[51]["split"] == plain[50]
+
+
+def test_token_budget_sample_boundary_and_nesting(spark):
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * 10)) for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    # every doc is 10 tokens; a 35-token budget admits exactly 3 docs
+    picked = token_budget_sample(docs, "source", 35, "doc_id")
+    rows = picked.orderBy("cum_tokens").collect()
+    assert [r["cum_tokens"] for r in rows] == [10, 20, 30]
+    # nesting: a smaller budget selects a prefix of a larger budget's picks
+    small = {r["doc_id"] for r in token_budget_sample(docs, "source", 25, "doc_id").collect()}
+    large = {r["doc_id"] for r in token_budget_sample(docs, "source", 95, "doc_id").collect()}
+    assert small < large
+    # budget below the first candidate's cost selects nothing
+    assert token_budget_sample(docs, "source", 5, "doc_id").count() == 0
+
+
+def test_token_budget_sample_is_partitioning_invariant(spark):
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", " ".join(["tok"] * (3 + i % 7))) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    a = {r["doc_id"] for r in token_budget_sample(docs, "source", 40, "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in token_budget_sample(docs.repartition(13), "source", 40, "doc_id").collect()
+    }
+    assert a == b and a

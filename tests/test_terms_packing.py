@@ -104,3 +104,46 @@ def test_knn_classify_majority_and_tie_break(spark):
     row2 = knn_classify(labeled, queries, k=2).collect()[0]
     assert row2["n_votes"] == 1
     assert row2["predicted_label"] == 1
+
+
+def test_unigram_surprisal_ranks_rare_token_docs_highest(spark):
+    from etl_pipeline_challenge_aladia_spark.operators.terms import unigram_surprisal
+
+    # 9 docs of pure heavy-hitters, 1 doc full of singletons
+    rows = [(i, "s", "the the the the") for i in range(9)]
+    rows.append((9, "s", "zq1 zq2 zq3 zq4"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    top = unigram_surprisal(docs, k=1).collect()
+    assert top[0]["doc_id"] == 9
+    # bits are exact: T=40 tokens -> bits(40)=6; singleton c=1 -> bits=1
+    assert top[0]["total_bits"] == 4 * (6 - 1)
+
+
+def test_ngram_novelty_attributes_first_occurrence_only(spark):
+    from etl_pipeline_challenge_aladia_spark.operators.terms import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "x y z w"),       # grams: "x y z", "y z w" -> both novel
+            (1, "b", "x y z w"),       # exact re-post -> 0 novel
+            (2, "b", "p q r s"),       # fresh -> 2 novel
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out["a"]["n_novel"] == 2 and out["a"]["novelty_rate"] == 1.0
+    assert out["b"]["n_grams"] == 4 and out["b"]["n_novel"] == 2
+    assert out["b"]["novelty_rate"] == 0.5
+
+
+def test_oov_rate_counts_tokens_outside_topk(spark):
+    from etl_pipeline_challenge_aladia_spark.operators.terms import oov_rate
+
+    docs = spark.createDataFrame(
+        [(0, "s", "a a a b b c")],
+        "doc_id long, source string, text string",
+    )
+    # vocab_size=2 keeps {a, b}; c is OOV -> 1/6
+    row = oov_rate(docs, vocab_size=2).collect()[0]
+    assert row["total_tokens"] == 6 and row["oov_tokens"] == 1
+    assert abs(row["oov_share"] - round(1 / 6, 4)) < 1e-12
