@@ -190,3 +190,111 @@ def run_sigstore_ingest_stream(
         .start()
         .awaitTermination()
     )
+
+
+#: per-batch admission-state rows (what the budget reader returns pre-ingest)
+BUDGET_STATE_SCHEMA = "source string, tokens_admitted long"
+BUDGET_DOC_STREAM_SCHEMA = "doc_id long, source string, text string"
+
+
+def make_budget_admission_processor(
+    admitted_path: str,
+    state_path: str,
+    budget: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Streaming twin of ``operators/sampling.py:token_budget_sample``:
+    admit arriving documents per source until a persistent TOKEN budget
+    is exhausted — the ingest-time mixture gate ('stop taking crawl
+    tokens once the slice is full') that a batch job can only apply
+    after the fact.
+
+    Semantics: the budget state is the running per-source sum of
+    admitted tokens across ALL prior micro-batches; within a batch,
+    candidates are ordered by the same deterministic id-hash priority as
+    the batch operator, so a single-batch stream reproduces the batch
+    operator exactly, and multi-batch admission is arrival-order between
+    batches, hash-priority within. Documents that arrive after their
+    source's budget is spent are dropped (the stream's report is the
+    admitted set itself).
+
+    Replay-idempotent by the layer's standard contract: the admitted
+    rows and the batch's token-count state both land in ``batch=<id>``
+    overwrite directories, and the state read EXCLUDES the current
+    batch id, so a checkpoint-replayed batch recomputes against exactly
+    the pre-batch state. Scale: the state store is (sources x batches)
+    rows — broadcast-joined; the only wide operation is the per-group
+    window over the DELTA (one micro-batch), never the history.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        hash_order_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import token_count_col
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        read_batch_store,
+    )
+
+    def process_batch(delta: DataFrame, batch_id: int) -> None:
+        spark = delta.sparkSession
+        delta = delta.localCheckpoint(eager=True)
+        consumed = (
+            read_batch_store(
+                spark, state_path, BUDGET_STATE_SCHEMA, exclude_batch=batch_id
+            )
+            .groupBy(F.col("source").alias(group_col))
+            .agg(F.sum("tokens_admitted").alias("_consumed"))
+        )
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(hash_order_col(id_col), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        admitted = (
+            delta.withColumn("n_tokens", token_count_col(text_col))
+            .withColumn("_cum", F.sum("n_tokens").over(w))
+            .join(F.broadcast(consumed), group_col, "left")
+            .withColumn("_consumed", F.coalesce(F.col("_consumed"), F.lit(0)))
+            .filter(F.col("_consumed") + F.col("_cum") <= budget)
+            .drop("_consumed", "_cum")
+            .localCheckpoint(eager=True)  # one computation for both writes
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(admitted_path, f"batch={batch_id}")
+        )
+        (
+            admitted.groupBy(F.col(group_col).alias("source"))
+            .agg(F.sum("n_tokens").cast("long").alias("tokens_admitted"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_path, f"batch={batch_id}"))
+        )
+
+    return process_batch
+
+
+def run_budget_admission_stream(
+    spark: SparkSession,
+    input_dir: str,
+    admitted_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    budget: int,
+) -> None:
+    """Drain currently-available document files through the token-budget
+    admission gate (Trigger.AvailableNow)."""
+    stream = spark.readStream.schema(BUDGET_DOC_STREAM_SCHEMA).json(input_dir)
+    (
+        stream.writeStream.foreachBatch(
+            make_budget_admission_processor(admitted_path, state_path, budget)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

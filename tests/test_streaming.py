@@ -1981,3 +1981,79 @@ def test_required_field_envelopes_quarantine_not_ingest(spark, dirs):
     s = state(spark, dirs["wh"])
     assert s[("doc_x", "video_1", "session_1")] == (7, 1)
     assert s[("doc_y", "video_1", "session_1")] == (8, 1)
+
+
+def test_budget_admission_stream_single_batch_equals_batch_operator(spark, tmp_path):
+    """A one-batch stream through the token-budget gate admits EXACTLY
+    the rows the batch operator selects (same hash-priority order, same
+    integer budget arithmetic)."""
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        token_budget_sample,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        run_budget_admission_stream,
+    )
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 2}", "text": " ".join(["w"] * (5 + i % 4))}
+        for i in range(30)
+    ]
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+    admitted = str(tmp_path / "admitted")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    run_budget_admission_stream(spark, in_dir, admitted, state, ckpt, budget=40)
+
+    got = {r["doc_id"] for r in spark.read.parquet(admitted).collect()}
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in rows],
+        "doc_id long, source string, text string",
+    )
+    want = {
+        r["doc_id"]
+        for r in token_budget_sample(docs, "source", 40, "doc_id").collect()
+    }
+    assert got == want and got
+
+
+def test_budget_admission_stream_budget_persists_across_batches(spark, tmp_path):
+    """The budget is a PERSISTENT per-source state: tokens admitted in
+    batch 1 reduce what batch 2 may admit, later arrivals past the limit
+    are dropped, and per-source admitted totals never exceed the budget.
+    A drained rerun (replay with no new input) changes nothing."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        run_budget_admission_stream,
+    )
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    admitted = str(tmp_path / "admitted")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, ids):
+        rows = [
+            {"doc_id": i, "source": "s", "text": " ".join(["w"] * 10)}
+            for i in ids
+        ]
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    # budget 45 tokens; each doc is 10 -> 4 docs max, ever
+    write_batch("b1.jsonl", range(3))       # admits all 3 (30 <= 45)
+    run_budget_admission_stream(spark, in_dir, admitted, state, ckpt, budget=45)
+    assert spark.read.parquet(admitted).count() == 3
+
+    write_batch("b2.jsonl", range(10, 16))  # only 1 more fits (40 <= 45)
+    run_budget_admission_stream(spark, in_dir, admitted, state, ckpt, budget=45)
+    out = spark.read.parquet(admitted)
+    assert out.count() == 4
+    assert sum(r["n_tokens"] for r in out.collect()) == 40
+
+    write_batch("b3.jsonl", range(20, 25))  # budget spent: nothing admitted
+    run_budget_admission_stream(spark, in_dir, admitted, state, ckpt, budget=45)
+    assert spark.read.parquet(admitted).count() == 4
+    # drained replay: no new input, outputs unchanged
+    run_budget_admission_stream(spark, in_dir, admitted, state, ckpt, budget=45)
+    assert spark.read.parquet(admitted).count() == 4
