@@ -6811,3 +6811,103 @@ def q_doc_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_total") - F.col("n_in_pairs")).cast("long").alias("n_docs"),
     ).filter(F.col("n_docs") > 0)
     return hist.unionByName(zero)
+
+
+@query(
+    "events_cumulative_unique_users",
+    """
+WITH first_seen AS (
+  SELECT user_id, min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day
+  FROM events GROUP BY user_id),
+daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY day)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily
+""",
+    doc="Running DISTINCT user count per day — the growth metric that "
+    "naively needs per-day distinct state over all history. Rewritten as "
+    "min(day) per user (one hash aggregate) -> daily new-user counts -> "
+    "cumulative sum over the DAY-GRAIN aggregate: linear in events, and "
+    "the only window runs over days, not rows. The standard trick for "
+    "turning running-distinct into an incremental, 100-TB-safe shape "
+    "(and the same frame a streaming ingest maintains as first-seen "
+    "state).",
+)
+def q_events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@query(
+    "doc_dup_threshold_sensitivity",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM t
+),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         {_s4('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))')} AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+),
+th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+SELECT threshold,
+       CAST(count(CASE WHEN jaccard >= threshold THEN 1 END) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN jaccard >= threshold THEN ia END)
+            + count(DISTINCT CASE WHEN jaccard >= threshold THEN ib END) AS BIGINT)
+         AS n_doc_slots
+FROM p CROSS JOIN th
+GROUP BY threshold
+""",
+    doc="Dedup-threshold sensitivity sweep: near-dup pair counts and "
+    "involved-document slots at five Jaccard thresholds from ONE pass "
+    "over the candidate pairs (inverted-index join, never all-pairs; "
+    "pairs computed once and cross-joined with the 5-row threshold "
+    "frame). The tuning table that picks the production threshold "
+    "before a 100-TB dedup run — a steep pair-count cliff between two "
+    "thresholds flags an unstable cut.",
+)
+def q_doc_dup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # threshold=0.5 computes the candidate superset ONCE; every sweep row
+    # filters the same cached pair set
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    th = docs.sparkSession.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    hit = F.col("jaccard") >= F.col("threshold")
+    return (
+        pairs.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(hit, 1)).cast("long").alias("n_pairs"),
+            (
+                F.count_distinct(F.when(hit, F.col("doc_id_a")))
+                + F.count_distinct(F.when(hit, F.col("doc_id_b")))
+            )
+            .cast("long")
+            .alias("n_doc_slots"),
+        )
+    )
