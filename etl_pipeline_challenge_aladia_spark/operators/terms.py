@@ -336,11 +336,13 @@ def unigram_surprisal(
     cut both tails.
 
     Shape: one explode -> vocabulary hash-aggregate (map-side partials,
-    |V| rows) -> broadcast vocab join back onto the token stream -> one
+    |V| rows) -> vocab joined back onto the token stream -> one
     per-document aggregate -> global top-k (TakeOrderedAndProject, k rows
-    to the driver stage). The corpus shuffles once, keyed by document;
-    the vocabulary and the single-row total are broadcast — at 100 TB
-    nothing wide moves except the per-doc partial sums.
+    to the driver stage). The corpus shuffles once, keyed by document.
+    The vocab join carries no forced broadcast hint: like
+    ``tfidf_top_terms`` above, real corpora can push |V| past broadcast
+    limits, so AQE picks BHJ when the vocabulary is small and SMJ when
+    it is not; only the single-row total is hint-broadcast.
     """
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -350,7 +352,7 @@ def unigram_surprisal(
     vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
     total = vocab.agg(F.sum("n_occ").cast("long").alias("total"))
     scored = (
-        tok.join(F.broadcast(vocab), "term")
+        tok.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",

@@ -931,21 +931,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_col(tokens_col("text")).alias("fingerprint"))
 
 
-@query(
-    "doc_ngram_jaccard_dups",
-    f"""
-WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+def _jaccard_pairs_cte(a: str = "doc_id_a", b: str = "doc_id_b") -> str:
+    """Shared oracle WITH-fragment: distinct 3-gram shingles per document
+    and the exact-Jaccard candidate pairs ``p(a, b, jaccard)`` — the
+    single source of truth for every oracle built on the shingle pair
+    set (doc_ngram_jaccard_dups, doc_dup_graph_degree,
+    doc_dup_threshold_sensitivity), so shingle semantics can never
+    silently diverge between them."""
+    return f"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 g AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
          list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
                                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
   FROM t
 ),
 p AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         {_s4('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))')} AS jaccard
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
-)
+  SELECT x.doc_id AS {a}, y.doc_id AS {b},
+         {_s4('CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh)))')} AS jaccard
+  FROM g x JOIN g y ON x.doc_id < y.doc_id
+)"""
+
+
+@query(
+    "doc_ngram_jaccard_dups",
+    f"""
+WITH {_jaccard_pairs_cte()}
 SELECT doc_id_a, doc_id_b, jaccard FROM p WHERE jaccard >= 0.8
 """,
     doc="Exact n-gram-Jaccard near-duplicate pairs, all-pairs baseline "
@@ -6757,18 +6767,7 @@ def q_doc_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_dup_graph_degree",
     f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-g AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
-                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
-  FROM t
-),
-p AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib,
-         {_s4('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))')} AS jaccard
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
-),
+WITH {_jaccard_pairs_cte("ia", "ib")},
 e AS (SELECT ia AS doc_id FROM p WHERE jaccard >= 0.8
       UNION ALL SELECT ib FROM p WHERE jaccard >= 0.8),
 d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY doc_id),
@@ -6800,15 +6799,23 @@ def q_doc_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    hist = deg.groupBy("degree").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    # checkpoint the histogram (degree-cardinality-sized) so the expensive
+    # pair-join subtree runs ONCE: both the union branch and the
+    # zero-degree row (n_in_pairs = sum of histogram counts) read the
+    # materialized result instead of re-deriving deg through lineage
+    hist = (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint(eager=True)
     )
     totals = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total")).crossJoin(
-        deg.agg(F.count(F.lit(1)).cast("long").alias("n_in_pairs"))
+        hist.agg(F.sum("n_docs").cast("long").alias("n_in_pairs"))
     )
     zero = totals.select(
         F.lit(0).cast("long").alias("degree"),
-        (F.col("n_total") - F.col("n_in_pairs")).cast("long").alias("n_docs"),
+        (F.col("n_total") - F.coalesce("n_in_pairs", F.lit(0)))
+        .cast("long")
+        .alias("n_docs"),
     ).filter(F.col("n_docs") > 0)
     return hist.unionByName(zero)
 
@@ -6856,18 +6863,7 @@ def q_events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFr
 @query(
     "doc_dup_threshold_sensitivity",
     f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-g AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
-                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
-  FROM t
-),
-p AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib,
-         {_s4('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))')} AS jaccard
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
-),
+WITH {_jaccard_pairs_cte("ia", "ib")},
 th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
 SELECT threshold,
        CAST(count(CASE WHEN jaccard >= threshold THEN 1 END) AS BIGINT) AS n_pairs,

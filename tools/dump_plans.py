@@ -84,10 +84,12 @@ PICKS = {
     "BEFORE the pair self-join — posting lists bounded, no all-pairs; "
     "one hash aggregation per pair",
     "doc_unigram_surprisal": "vocabulary aggregate (map-side partials) "
-    "broadcast back onto the token stream with the single-row total; the "
-    "per-doc aggregate is the only corpus shuffle and the top-k is "
-    "TakeOrderedAndProject over the rounded score — no global sort, no "
-    "transcendental (bit-length surprisal)",
+    "joined back onto the token stream (no forced hint — AQE picks BHJ "
+    "for small vocabularies, SMJ past broadcast limits) with the "
+    "single-row total broadcast; the per-doc aggregate is the only "
+    "corpus shuffle and the top-k is TakeOrderedAndProject over the "
+    "rounded score — no global sort, no transcendental (bit-length "
+    "surprisal)",
     "doc_token_budget_sample": "one Exchange on the group key, then a "
     "per-group ordered running sum — the budget filter is a pure integer "
     "comparison inside the window stage; groups sweep in parallel",
