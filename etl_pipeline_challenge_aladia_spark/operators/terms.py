@@ -85,10 +85,13 @@ def vocab_topk(
     document frequency, occurrence count, rank, and corpus share — the
     Zipf-curve head every tokenizer/mixture audit starts from.
 
-    One explode + one hash aggregation over the corpus; the final ranking
-    window runs over the VOCABULARY aggregate (|V| rows, not |corpus|),
-    which at 100 TB is millions of rows, not billions — and only after
-    map-side partial aggregation has collapsed the token stream.
+    One explode + one hash aggregation over the corpus; the top-k is
+    ``orderBy().limit(k)`` — TakeOrderedAndProject over the VOCABULARY
+    aggregate (per-partition top-k heaps, k rows cross the exchange),
+    never a single-partition row_number over all |V| rows. Rank is then
+    recovered positionally from the k-row result (the same
+    sort-key-struct + posexplode pattern as the kmeans init), so no
+    unpartitioned WindowExec appears anywhere in the plan.
     """
     tok = _term_rows(docs, id_col, text_col)
     counts = tok.groupBy(F.col("term").alias("token")).agg(
@@ -96,20 +99,32 @@ def vocab_topk(
         F.count(F.lit(1)).alias("n_occ"),
     )
     total = counts.agg(F.sum("n_occ").cast("double").alias("total"))
-    w = Window.orderBy(F.col("n_occ").desc(), F.col("token"))
-    return (
+    top = (
         counts.crossJoin(F.broadcast(total))  # single-row frame
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "rank",
-            "token",
-            "df",
-            "n_occ",
-            round_half_up(F.col("n_occ").cast("double") / F.col("total"), 4).alias(
-                "share"
-            ),
-        )
+        .orderBy(F.col("n_occ").desc(), F.col("token"))
+        .limit(k)
+    )
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_occ")).alias("_neg"),
+                    F.col("token").alias("token"),
+                    F.col("df").alias("df"),
+                    F.col("n_occ").alias("n_occ"),
+                    F.col("total").alias("total"),
+                )
+            )
+        ).alias("_top")
+    )
+    return packed.select(F.posexplode("_top").alias("_i", "_s")).select(
+        (F.col("_i") + 1).cast("long").alias("rank"),
+        F.col("_s.token").alias("token"),
+        F.col("_s.df").alias("df"),
+        F.col("_s.n_occ").alias("n_occ"),
+        round_half_up(
+            F.col("_s.n_occ").cast("double") / F.col("_s.total"), 4
+        ).alias("share"),
     )
 
 
@@ -165,8 +180,10 @@ def bigram_lift(
 
     Two explodes (bigrams, unigrams) + three hash aggregations; the
     unigram count table is vocabulary-sized, so the two count joins are
-    AQE-broadcastable. The ranking window runs over the filtered
-    collocation table (<= distinct-bigram rows), never the corpus.
+    AQE-broadcastable. The top-k is ``orderBy().limit(k)`` over the
+    filtered collocation table (TakeOrderedAndProject — per-partition
+    heaps, k rows to one task) with rank recovered positionally, never
+    a single-partition row_number over all collocations.
     """
     words = docs.select(tokens_col(text_col).alias("w"))
     bg = words.select(F.explode(ngrams_col(F.col("w"), 2)).alias("bigram"))
@@ -189,13 +206,24 @@ def bigram_lift(
             / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
         )
     )
-    w = Window.orderBy(F.col("lift").desc(), F.col("bigram"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "rnk", "bigram", "c_ab", round_half_up(F.col("lift"), 4).alias("lift")
-        )
+    top = scored.orderBy(F.col("lift").desc(), F.col("bigram")).limit(k)
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("lift")).alias("_neg"),
+                    F.col("bigram").alias("bigram"),
+                    F.col("c_ab").alias("c_ab"),
+                    F.col("lift").alias("lift"),
+                )
+            )
+        ).alias("_top")
+    )
+    return packed.select(F.posexplode("_top").alias("_i", "_s")).select(
+        (F.col("_i") + 1).cast("long").alias("rnk"),
+        F.col("_s.bigram").alias("bigram"),
+        F.col("_s.c_ab").alias("c_ab"),
+        round_half_up(F.col("_s.lift"), 4).alias("lift"),
     )
 
 def bm25_topk(
