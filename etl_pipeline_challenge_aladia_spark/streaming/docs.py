@@ -298,3 +298,277 @@ def run_budget_admission_stream(
         .start()
         .awaitTermination()
     )
+
+
+# --------------------------------------------------------------------------
+# Drift-monitored TEXT ingest: the token-distribution twin of the
+# embedding drift->retrain loop (streaming/embeddings.py:
+# make_monitored_ingest_processor). The 'model' here is a versioned
+# top-V token-share baseline; drift is per-token permille share shift
+# of the ingested population vs the baseline (the streaming form of the
+# doc_token_drift batch monitor); 'retrain' re-derives the baseline
+# from the accumulated ingest and atomically publishes the next
+# generation — the signal that a tokenizer/vocabulary (doc_oov_rate's
+# contract) has gone stale under a moving crawl.
+# --------------------------------------------------------------------------
+
+#: reserved stats/baseline row carrying a population's TOTAL token count
+#: (corpus tokens are whitespace-split words, so '<TOTAL>' cannot collide)
+TOTAL_SENTINEL = "<TOTAL>"
+TEXT_BASELINE_SCHEMA = "term string, n_occ long"
+TEXT_STATS_SCHEMA = "term string, n_occ long, batch_id long, baseline_version int"
+
+
+def _text_vocab_counts(docs: DataFrame, vocab_size: int, text_col: str = "text"):
+    """(term, n_occ) for the top-``vocab_size`` tokens plus the
+    '<TOTAL>' sentinel row counting ALL tokens — the baseline payload.
+    Top-k is orderBy+limit (TakeOrderedAndProject), ties by term."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    tok = docs.select(F.explode(tokens_col(text_col)).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    top = counts.orderBy(F.col("n_occ").desc(), F.col("term")).limit(vocab_size)
+    total = counts.agg(
+        F.lit(TOTAL_SENTINEL).alias("term"),
+        F.sum("n_occ").cast("long").alias("n_occ"),
+    )
+    return top.unionByName(total)
+
+
+def save_text_baseline(counts: DataFrame, store_path: str, version: int) -> None:
+    """Publish one baseline generation under ``version=<v>`` and flip the
+    CURRENT pointer atomically (same write-temp + rename publish as the
+    embedding quantizer store — readers never see a half-written
+    generation)."""
+    import os
+
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        _flip_current,
+    )
+
+    counts.write.mode("overwrite").parquet(
+        os.path.join(store_path, f"version={version}", "baseline")
+    )
+    _flip_current(store_path, version)
+
+
+def load_text_baseline(
+    spark: SparkSession, store_path: str, version: int | None = None
+):
+    """(baseline counts, version) of the CURRENT generation, or a PINNED
+    one (checkpoint replays pin the generation they originally used)."""
+    import os
+
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        current_quantizer_version,
+    )
+
+    if version is None:
+        version = current_quantizer_version(store_path)
+    if version is None:
+        raise ValueError(f"no text baseline published under {store_path}")
+    return (
+        spark.read.parquet(
+            os.path.join(store_path, f"version={version}", "baseline")
+        ),
+        version,
+    )
+
+
+def train_and_save_text_baseline(
+    docs: DataFrame,
+    store_path: str,
+    vocab_size: int = 50,
+    version: int = 1,
+    text_col: str = "text",
+) -> None:
+    """Bootstrap step: derive the top-V token baseline from a corpus and
+    publish it as generation ``version``."""
+    save_text_baseline(
+        _text_vocab_counts(docs, vocab_size, text_col), store_path, version
+    )
+
+
+def text_drift_report(baseline: DataFrame, ingest_counts: DataFrame) -> DataFrame:
+    """Per tracked token, permille share shift of the ingested population
+    vs the baseline: drift_permille = floor(n_ingest*1000/total_ingest)
+    - floor(n_train*1000/total_train) — the stored-stats form of the
+    doc_token_drift formula; aggregates vocab-bounded rows, never
+    rescans text. Tokens the ingest never produced still report (their
+    baseline share is the negative drift)."""
+    from pyspark.sql import functions as F
+
+    def split(df, n_col):
+        tot = (
+            df.filter(F.col("term") == TOTAL_SENTINEL)
+            .agg(F.sum("n_occ"))
+            .first()[0]
+            or 0
+        )
+        return (
+            df.filter(F.col("term") != TOTAL_SENTINEL)
+            .groupBy("term")
+            .agg(F.sum("n_occ").cast("long").alias(n_col)),
+            tot,
+        )
+
+    base, t = split(baseline, "n_train")
+    ing, d = split(ingest_counts, "n_ingest")
+    joined = base.join(ing, "term", "left").select(
+        "term",
+        F.col("n_train"),
+        F.coalesce(F.col("n_ingest"), F.lit(0)).cast("long").alias("n_ingest"),
+    )
+    share_t = F.when(
+        F.lit(t) > 0, F.floor(F.col("n_train") * 1000 / F.lit(t))
+    ).otherwise(F.lit(0))
+    share_d = F.when(
+        F.lit(d) > 0, F.floor(F.col("n_ingest") * 1000 / F.lit(d))
+    ).otherwise(F.lit(0))
+    return joined.withColumn("drift_permille", (share_d - share_t).cast("long"))
+
+
+def _baselined_version(spark, stats_path: str, batch_id: int) -> int | None:
+    """The baseline generation a batch ALREADY used, read from its own
+    previously-written stats directory — present only on a checkpoint
+    replay; pinning it keeps replays byte-identical even when the
+    original run's rebaseline has since published a newer generation."""
+    import os
+
+    d = os.path.join(stats_path, f"batch={batch_id}")
+    if not os.path.isdir(d):
+        return None
+    try:
+        rows = (
+            spark.read.parquet(d).select("baseline_version").limit(1).collect()
+        )
+    except Exception:
+        return None  # half-written stats: original run never rebaselined
+    return int(rows[0][0]) if rows else None
+
+
+def make_text_drift_ingest_processor(
+    store_path: str,
+    ingest_path: str,
+    stats_path: str,
+    drift_threshold_permille: int = 100,
+    min_evidence_permille: int = 200,
+    vocab_size: int = 50,
+    text_col: str = "text",
+):
+    """The closed text drift->rebaseline loop: per micro-batch, count the
+    CURRENT generation's tracked tokens in the delta (one vocab-bounded
+    join — the corpus-side text is never rescanned), persist the delta
+    and its version-tagged stats batch-keyed, then evaluate accumulated
+    drift for this generation — and when any tracked token's permille
+    share shifts past the threshold, re-derive the top-V baseline from
+    the accumulated ingest and atomically publish the next generation.
+
+    Same evidence gate as the embedding loop (drift compares
+    POPULATIONS; a fresh generation's first small batch is sampling
+    noise), same replay pinning, same batch-keyed idempotence."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    def process_batch(delta: DataFrame, batch_id: int) -> None:
+        spark = delta.sparkSession
+        pinned = _baselined_version(spark, stats_path, batch_id)
+        baseline, version = load_text_baseline(spark, store_path, version=pinned)
+        delta = delta.localCheckpoint(eager=True)
+        delta.write.mode("overwrite").parquet(
+            os.path.join(ingest_path, f"batch={batch_id}")
+        )
+        tracked = baseline.filter(F.col("term") != TOTAL_SENTINEL).select("term")
+        tok = delta.select(F.explode(tokens_col(text_col)).alias("term"))
+        hits = (
+            tok.join(F.broadcast(tracked), "term")  # vocab-bounded
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        )
+        total = tok.agg(
+            F.lit(TOTAL_SENTINEL).alias("term"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        (
+            hits.unionByName(total)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("baseline_version", F.lit(version).cast("int"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(stats_path, f"batch={batch_id}"))
+        )
+        from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+            read_batch_store,
+        )
+
+        gen_stats = read_batch_store(spark, stats_path, TEXT_STATS_SCHEMA).filter(
+            F.col("baseline_version") == version
+        )
+        ingested = (
+            gen_stats.filter(F.col("term") == TOTAL_SENTINEL)
+            .agg(F.sum("n_occ"))
+            .first()[0]
+            or 0
+        )
+        trained = (
+            baseline.filter(F.col("term") == TOTAL_SENTINEL)
+            .agg(F.sum("n_occ"))
+            .first()[0]
+            or 0
+        )
+        if ingested * 1000 < min_evidence_permille * trained:
+            return
+        worst = (
+            text_drift_report(baseline, gen_stats.select("term", "n_occ"))
+            .agg(F.max(F.abs(F.col("drift_permille"))))
+            .first()[0]
+            or 0
+        )
+        if worst >= drift_threshold_permille:
+            docs = read_batch_store(
+                spark, ingest_path, f"doc_id long, source string, {text_col} string"
+            )
+            save_text_baseline(
+                _text_vocab_counts(docs, vocab_size, text_col),
+                store_path,
+                version + 1,
+            )
+
+    return process_batch
+
+
+def run_text_drift_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    ingest_path: str,
+    stats_path: str,
+    checkpoint_dir: str,
+    drift_threshold_permille: int = 100,
+    min_evidence_permille: int = 200,
+    vocab_size: int = 50,
+) -> None:
+    """Drain available document files through the drift-monitored text
+    ingest (Trigger.AvailableNow, 1 file = 1 micro-batch so drift is
+    re-evaluated per arriving file)."""
+    stream = (
+        spark.readStream.schema(BUDGET_DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(input_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            make_text_drift_ingest_processor(
+                store_path, ingest_path, stats_path,
+                drift_threshold_permille, min_evidence_permille, vocab_size,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -2057,3 +2057,76 @@ def test_budget_admission_stream_budget_persists_across_batches(spark, tmp_path)
     # drained replay: no new input, outputs unchanged
     run_budget_admission_stream(spark, in_dir, admitted, state, ckpt, budget=45)
     assert spark.read.parquet(admitted).count() == 4
+
+
+def test_text_drift_loop_rebaselines_on_distribution_shift(spark, tmp_path):
+    """The text drift->rebaseline loop: same-distribution batches leave
+    the baseline generation alone; a shifted token distribution (past
+    the evidence gate) flips the trigger and publishes generation 2,
+    whose baseline equals a from-scratch derivation over the accumulated
+    ingest. A drained replay changes nothing."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        _text_vocab_counts,
+        load_text_baseline,
+        run_text_drift_ingest_stream,
+        train_and_save_text_baseline,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        read_batch_store,
+    )
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    store = str(tmp_path / "store")
+    ingest = str(tmp_path / "ingest")
+    stats = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+
+    base_text = "alpha beta gamma alpha beta alpha"       # alpha-heavy
+    drift_text = "omega omega omega omega zeta zeta"      # disjoint vocab
+    corpus = spark.createDataFrame(
+        [(i, "s", base_text) for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    train_and_save_text_baseline(corpus, store, vocab_size=5)
+    assert load_text_baseline(spark, store)[1] == 1
+
+    def write_batch(name, ids, text):
+        rows = [{"doc_id": i, "source": "s", "text": text} for i in ids]
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    def run():
+        run_text_drift_ingest_stream(
+            spark, in_dir, store, ingest, stats, ckpt,
+            drift_threshold_permille=100, min_evidence_permille=200,
+            vocab_size=5,
+        )
+
+    # same distribution, well past the evidence gate: no rebaseline
+    write_batch("b1.jsonl", range(100, 108), base_text)
+    run()
+    assert load_text_baseline(spark, store)[1] == 1
+
+    # shifted distribution: alpha's share collapses -> generation 2
+    write_batch("b2.jsonl", range(200, 216), drift_text)
+    run()
+    assert load_text_baseline(spark, store)[1] == 2
+
+    # the published generation equals a from-scratch derivation over the
+    # accumulated ingest store
+    docs = read_batch_store(
+        spark, ingest, "doc_id long, source string, text string"
+    )
+    want = {
+        (r["term"], r["n_occ"])
+        for r in _text_vocab_counts(docs, 5).collect()
+    }
+    got = {
+        (r["term"], r["n_occ"])
+        for r in load_text_baseline(spark, store)[0].collect()
+    }
+    assert got == want
+
+    # drained replay: no new input, generation unchanged
+    run()
+    assert load_text_baseline(spark, store)[1] == 2
