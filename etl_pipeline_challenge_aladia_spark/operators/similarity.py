@@ -2012,3 +2012,54 @@ def hard_negative_topk(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def lsh_band_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH bucket-size histogram: how many (band, key) buckets exist at
+    each occupancy, and how many candidate pairs each occupancy class
+    contributes (size*(size-1)/2 per bucket) — the fan-out audit run
+    BEFORE a corpus-scale near-dup pass. Candidate-join cost is the sum
+    of per-bucket pair counts, so a hub bucket (boilerplate band key
+    shared by thousands of documents) shows up here as a single row with
+    an enormous pair mass — the signal to cap or quarantine hub keys,
+    and the band/rows tuning table (more rows per band -> smaller
+    buckets -> fewer candidates, lower recall).
+
+    Shape: the standard signature aggregate (one explode + one groupBy),
+    band explode, then two hash aggregations over BUCKET-sized frames —
+    the corpus pair join itself is never executed. Integer-exact
+    throughout (the pair formula uses integer division; the product of
+    two consecutive integers is even, so nothing truncates).
+    """
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm, seed=seed
+    )
+    bucket = (
+        _band_rows(sigs, num_perm, bands)
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
+    )
+    return (
+        bucket.groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+        .select(
+            "bucket_size",
+            "n_buckets",
+            (
+                F.col("n_buckets")
+                * ((F.col("bucket_size") * (F.col("bucket_size") - 1)) / F.lit(2)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
+    )

@@ -6907,3 +6907,32 @@ def q_doc_dup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("n_doc_slots"),
         )
     )
+
+
+@query(
+    "minhash_band_stats",
+    _minhash_oracle_sql(prefix_only=True)
+    + """,
+bsz AS (SELECT band, key, CAST(count(*) AS BIGINT) AS bucket_size
+        FROM bands GROUP BY band, key)
+SELECT bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(count(*) * ((bucket_size * (bucket_size - 1)) // 2) AS BIGINT)
+         AS n_candidate_pairs
+FROM bsz GROUP BY bucket_size
+""",
+    doc="LSH bucket-occupancy histogram with per-occupancy candidate-pair "
+    "mass (operators/similarity.py:lsh_band_stats) — the fan-out audit "
+    "that predicts the near-dup candidate-join cost WITHOUT running it, "
+    "exposes hub buckets (boilerplate band keys) before they explode a "
+    "100-TB pass, and tunes the bands/rows trade. Signature aggregate + "
+    "two bucket-sized hash aggregations; the oracle rebuilds the exact "
+    "seeded permutations and band keys, so even bucket membership is "
+    "hash-checked.",
+)
+def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        lsh_band_stats,
+    )
+
+    return lsh_band_stats(load_table(spark, sf_dir, "documents"))

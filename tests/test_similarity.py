@@ -359,3 +359,24 @@ def test_tune_nprobe_picks_smallest_sufficient_probe_count(spark):
         emb, q, dim=2, k=4, target_recall_permille=500
     )
     assert nprobe_lax == 1 and 500 <= recall_lax < 1000
+
+
+def test_lsh_band_stats_mass_identities_and_hub_detection(spark):
+    """Occupancy histogram invariants: every (doc, band) row lands in
+    exactly one bucket (sum of size*count == n_docs * bands), and a
+    family of identical documents forms hub buckets of exactly the
+    family size in every band."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        lsh_band_stats,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, dup) for i in range(6)]
+    rows += [(100 + i, f"unique text block number {i} with tokens t{i} u{i} v{i} w{i}")
+             for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["bucket_size"]: r for r in lsh_band_stats(docs, bands=16).collect()}
+    assert sum(s * r["n_buckets"] for s, r in stats.items()) == 10 * 16
+    # the 6 identical docs share every band key: 16 hub buckets of size 6
+    assert stats[6]["n_buckets"] == 16
+    assert stats[6]["n_candidate_pairs"] == 16 * (6 * 5 // 2)
