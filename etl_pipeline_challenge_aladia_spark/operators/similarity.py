@@ -2063,3 +2063,72 @@ def lsh_band_stats(
             .alias("n_candidate_pairs"),
         )
     )
+
+
+def tune_lsh_bands(
+    docs: DataFrame,
+    candidates: list[int] | None = None,
+    target_recall_permille: int = 900,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> tuple[int, int, int]:
+    """Recall-driven band-count selection — the measured-decision pattern
+    (``tune_nprobe``, ``auto_salted_join``, ``auto_semantic_k``) applied
+    to MinHash LSH: for each candidate band count (fewer bands = more
+    rows per band = tighter buckets = fewer candidates but lower
+    recall), audit the verified LSH pair set against the exact
+    inverted-index Jaccard ground truth ON A SAMPLE, and return the
+    CHEAPEST configuration meeting the recall target as
+    (bands, recall_permille, candidate_mass). This is how a deployment
+    picks its cost/recall point from data instead of the 16-band
+    default; the exact baseline runs once and is reused per candidate.
+
+    Candidates are evaluated cheapest-first (ascending bands), so the
+    first configuration to meet the target is returned; if none does,
+    the best-recall one is. ``candidate_mass`` (sum of per-bucket
+    pair counts, from the same aggregate as ``lsh_band_stats``) is the
+    predicted join cost at corpus scale — the number a capacity plan
+    multiplies out before committing to a 100-TB run.
+    """
+    if candidates is None:
+        candidates = [b for b in (4, 8, 16, 32) if num_perm % b == 0]
+    exact = (
+        ngram_jaccard_pairs(
+            docs, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+        )
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)  # ground truth built once
+    )
+    total = exact.count()
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm, seed=seed
+    ).localCheckpoint(eager=True)  # signatures shared by every candidate
+    best: tuple[int, int, int] | None = None
+    for bands in sorted(candidates):
+        found = minhash_near_dup_pairs(
+            docs, id_col=id_col, text_col=text_col, n=n,
+            num_perm=num_perm, bands=bands, threshold=threshold, seed=seed,
+        ).select("doc_id_a", "doc_id_b")
+        recall = (
+            1000
+            if total == 0
+            else exact.join(found, ["doc_id_a", "doc_id_b"]).count() * 1000 // total
+        )
+        mass = (
+            _band_rows(sigs, num_perm, bands)
+            .groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(F.sum(F.col("sz") * (F.col("sz") - 1) / F.lit(2)).cast("long"))
+            .first()[0]
+            or 0
+        )
+        if best is None or recall > best[1]:
+            best = (bands, recall, int(mass))
+        if recall >= target_recall_permille:
+            return bands, recall, int(mass)
+    assert best is not None
+    return best

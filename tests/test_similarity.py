@@ -380,3 +380,27 @@ def test_lsh_band_stats_mass_identities_and_hub_detection(spark):
     # the 6 identical docs share every band key: 16 hub buckets of size 6
     assert stats[6]["n_buckets"] == 16
     assert stats[6]["n_candidate_pairs"] == 16 * (6 * 5 // 2)
+
+
+def test_tune_lsh_bands_picks_cheapest_config_meeting_target(spark, sf_dir):
+    """Band tuning returns the cheapest (fewest-candidate) configuration
+    whose verified pair set hits the recall target against the exact
+    ground truth; candidate mass grows with band count (more bands =
+    looser buckets = more candidates)."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        lsh_band_stats,
+        tune_lsh_bands,
+    )
+    from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands, recall, mass = tune_lsh_bands(
+        docs, candidates=[8, 16], target_recall_permille=900
+    )
+    assert bands in (8, 16) and 0 <= recall <= 1000 and mass >= 0
+    # the returned mass equals the lsh_band_stats aggregate for that config
+    stats = lsh_band_stats(docs, bands=bands).collect()
+    assert mass == sum(r["n_candidate_pairs"] for r in stats)
+    # verified LSH pairs at the chosen config really reach the target
+    # (the synthetic corpus has near-dup planted pairs at sf >= 0.001)
+    assert recall >= 900
