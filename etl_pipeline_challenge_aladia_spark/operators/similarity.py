@@ -2053,12 +2053,10 @@ def lsh_band_stats(
         .select(
             "bucket_size",
             "n_buckets",
-            (
-                F.col("n_buckets")
-                * ((F.col("bucket_size") * (F.col("bucket_size") - 1)) / F.lit(2)).cast(
-                    "long"
-                )
-            )
+            # integer `div` throughout: `/` would promote to double and go
+            # inexact past 2^53 — exactly the hub-bucket magnitudes this
+            # audit exists to expose (the oracle uses DuckDB's exact `//`)
+            F.expr("n_buckets * ((bucket_size * (bucket_size - 1)) div 2)")
             .cast("long")
             .alias("n_candidate_pairs"),
         )
@@ -2093,6 +2091,13 @@ def tune_lsh_bands(
     pair counts, from the same aggregate as ``lsh_band_stats``) is the
     predicted join cost at corpus scale — the number a capacity plan
     multiplies out before committing to a 100-TB run.
+
+    The corpus-wide signature aggregate (the expensive stage) and the
+    exact ground truth are each built ONCE and checkpointed; every
+    candidate band count only re-derives band rows from the stored
+    signatures and verifies its (vanishing-fraction) candidate pairs —
+    the same candidate+verify semantics as ``minhash_near_dup_pairs``,
+    without re-shingling the corpus per configuration.
     """
     if candidates is None:
         candidates = [b for b in (4, 8, 16, 32) if num_perm % b == 0]
@@ -2107,22 +2112,55 @@ def tune_lsh_bands(
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm, seed=seed
     ).localCheckpoint(eager=True)  # signatures shared by every candidate
+    txt = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     best: tuple[int, int, int] | None = None
     for bands in sorted(candidates):
-        found = minhash_near_dup_pairs(
-            docs, id_col=id_col, text_col=text_col, n=n,
-            num_perm=num_perm, bands=bands, threshold=threshold, seed=seed,
-        ).select("doc_id_a", "doc_id_b")
+        band_rows = _band_rows(sigs, num_perm, bands)
+        left, right = band_rows.alias("x"), band_rows.alias("y")
+        cand = (
+            left.join(
+                right,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("doc_id_a"), F.col("y.id").alias("doc_id_b")
+            )
+            .distinct()
+        )
+        found = (
+            cand.join(
+                txt.withColumnsRenamed({"id": "doc_id_a", "t": "t_a"}), "doc_id_a"
+            )
+            .join(
+                txt.withColumnsRenamed({"id": "doc_id_b", "t": "t_b"}), "doc_id_b"
+            )
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                round_half_up(
+                    jaccard_cols(
+                        shingles_col(tokens_col("t_a"), n),
+                        shingles_col(tokens_col("t_b"), n),
+                    ),
+                    4,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_id_a", "doc_id_b")
+        )
         recall = (
             1000
             if total == 0
             else exact.join(found, ["doc_id_a", "doc_id_b"]).count() * 1000 // total
         )
+        # integer `div` + long sum: `/` would go double-inexact past 2^53,
+        # the hub-bucket magnitudes this number exists to predict
         mass = (
-            _band_rows(sigs, num_perm, bands)
-            .groupBy("band", "band_hash")
+            band_rows.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("sz"))
-            .agg(F.sum(F.col("sz") * (F.col("sz") - 1) / F.lit(2)).cast("long"))
+            .agg(F.sum(F.expr("(sz * (sz - 1)) div 2")).cast("long"))
             .first()[0]
             or 0
         )

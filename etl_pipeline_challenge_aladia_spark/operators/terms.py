@@ -75,6 +75,37 @@ def tfidf_top_terms(
     )
 
 
+def _ranked_topk(
+    df: DataFrame,
+    order_cols: Sequence,
+    struct_fields: Sequence[tuple],
+    k: int,
+    rank_name: str,
+) -> DataFrame:
+    """Global top-k with a positional rank column, WITHOUT an
+    unpartitioned row_number window: ``orderBy(*order_cols).limit(k)``
+    (TakeOrderedAndProject — per-partition heaps, k rows across the
+    final exchange), then the k-row result is packed into a sorted
+    struct array and posexploded, so rank = array position. The struct
+    sorted ASCENDING must reproduce ``order_cols``' ordering including
+    tie-breaks (callers negate descending keys); fields whose alias
+    starts with '_' are sort-only and excluded from the output."""
+    top = df.orderBy(*order_cols).limit(k)
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct(*[c.alias(a) for c, a in struct_fields]))
+        ).alias("_top")
+    )
+    return packed.select(F.posexplode("_top").alias("_i", "_s")).select(
+        (F.col("_i") + 1).cast("long").alias(rank_name),
+        *[
+            F.col(f"_s.{a}").alias(a)
+            for _, a in struct_fields
+            if not a.startswith("_")
+        ],
+    )
+
+
 def vocab_topk(
     docs: DataFrame,
     k: int = 50,
@@ -99,32 +130,21 @@ def vocab_topk(
         F.count(F.lit(1)).alias("n_occ"),
     )
     total = counts.agg(F.sum("n_occ").cast("double").alias("total"))
-    top = (
-        counts.crossJoin(F.broadcast(total))  # single-row frame
-        .orderBy(F.col("n_occ").desc(), F.col("token"))
-        .limit(k)
+    scored = counts.crossJoin(F.broadcast(total)).withColumn(  # single-row frame
+        "share", round_half_up(F.col("n_occ").cast("double") / F.col("total"), 4)
     )
-    packed = top.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    (-F.col("n_occ")).alias("_neg"),
-                    F.col("token").alias("token"),
-                    F.col("df").alias("df"),
-                    F.col("n_occ").alias("n_occ"),
-                    F.col("total").alias("total"),
-                )
-            )
-        ).alias("_top")
-    )
-    return packed.select(F.posexplode("_top").alias("_i", "_s")).select(
-        (F.col("_i") + 1).cast("long").alias("rank"),
-        F.col("_s.token").alias("token"),
-        F.col("_s.df").alias("df"),
-        F.col("_s.n_occ").alias("n_occ"),
-        round_half_up(
-            F.col("_s.n_occ").cast("double") / F.col("_s.total"), 4
-        ).alias("share"),
+    return _ranked_topk(
+        scored,
+        order_cols=[F.col("n_occ").desc(), F.col("token")],
+        struct_fields=[
+            (-F.col("n_occ"), "_neg"),
+            (F.col("token"), "token"),
+            (F.col("df"), "df"),
+            (F.col("n_occ"), "n_occ"),
+            (F.col("share"), "share"),
+        ],
+        k=k,
+        rank_name="rank",
     )
 
 
@@ -206,24 +226,19 @@ def bigram_lift(
             / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
         )
     )
-    top = scored.orderBy(F.col("lift").desc(), F.col("bigram")).limit(k)
-    packed = top.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    (-F.col("lift")).alias("_neg"),
-                    F.col("bigram").alias("bigram"),
-                    F.col("c_ab").alias("c_ab"),
-                    F.col("lift").alias("lift"),
-                )
-            )
-        ).alias("_top")
-    )
-    return packed.select(F.posexplode("_top").alias("_i", "_s")).select(
-        (F.col("_i") + 1).cast("long").alias("rnk"),
-        F.col("_s.bigram").alias("bigram"),
-        F.col("_s.c_ab").alias("c_ab"),
-        round_half_up(F.col("_s.lift"), 4).alias("lift"),
+    return _ranked_topk(
+        scored,
+        # sort by the UNROUNDED lift (the original window's ordering);
+        # the emitted value is the rounded one
+        order_cols=[F.col("lift").desc(), F.col("bigram")],
+        struct_fields=[
+            (-F.col("lift"), "_neg"),
+            (F.col("bigram"), "bigram"),
+            (F.col("c_ab"), "c_ab"),
+            (round_half_up(F.col("lift"), 4), "lift"),
+        ],
+        k=k,
+        rank_name="rnk",
     )
 
 def bm25_topk(

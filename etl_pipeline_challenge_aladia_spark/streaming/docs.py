@@ -312,8 +312,11 @@ def run_budget_admission_stream(
 # contract) has gone stale under a moving crawl.
 # --------------------------------------------------------------------------
 
-#: reserved stats/baseline row carrying a population's TOTAL token count
-#: (corpus tokens are whitespace-split words, so '<TOTAL>' cannot collide)
+#: reserved stats/baseline row carrying a population's TOTAL token count.
+#: A real token equal to the sentinel CAN occur (tokens are raw
+#: whitespace splits), so the vocabulary builder excludes it from the
+#: tracked top-V — it still counts toward totals like any token, it just
+#: can never be tracked, keeping the baseline's sentinel row unique.
 TOTAL_SENTINEL = "<TOTAL>"
 TEXT_BASELINE_SCHEMA = "term string, n_occ long"
 TEXT_STATS_SCHEMA = "term string, n_occ long, batch_id long, baseline_version int"
@@ -329,7 +332,11 @@ def _text_vocab_counts(docs: DataFrame, vocab_size: int, text_col: str = "text")
 
     tok = docs.select(F.explode(tokens_col(text_col)).alias("term"))
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
-    top = counts.orderBy(F.col("n_occ").desc(), F.col("term")).limit(vocab_size)
+    top = (
+        counts.filter(F.col("term") != TOTAL_SENTINEL)  # sentinel stays unique
+        .orderBy(F.col("n_occ").desc(), F.col("term"))
+        .limit(vocab_size)
+    )
     total = counts.agg(
         F.lit(TOTAL_SENTINEL).alias("term"),
         F.sum("n_occ").cast("long").alias("n_occ"),
@@ -431,22 +438,14 @@ def text_drift_report(baseline: DataFrame, ingest_counts: DataFrame) -> DataFram
 
 
 def _baselined_version(spark, stats_path: str, batch_id: int) -> int | None:
-    """The baseline generation a batch ALREADY used, read from its own
-    previously-written stats directory — present only on a checkpoint
-    replay; pinning it keeps replays byte-identical even when the
-    original run's rebaseline has since published a newer generation."""
-    import os
+    """The baseline generation a batch ALREADY used — the shared
+    pin-from-own-stats replay protocol (streaming/embeddings.py:
+    _routed_version) read against this loop's version column."""
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        _routed_version,
+    )
 
-    d = os.path.join(stats_path, f"batch={batch_id}")
-    if not os.path.isdir(d):
-        return None
-    try:
-        rows = (
-            spark.read.parquet(d).select("baseline_version").limit(1).collect()
-        )
-    except Exception:
-        return None  # half-written stats: original run never rebaselined
-    return int(rows[0][0]) if rows else None
+    return _routed_version(spark, stats_path, batch_id, column="baseline_version")
 
 
 def make_text_drift_ingest_processor(

@@ -389,23 +389,25 @@ def read_monitor_stats(spark: SparkSession, stats_path: str) -> DataFrame:
     return read_batch_store(spark, stats_path, MONITOR_STATS_SCHEMA)
 
 
-def _routed_version(spark: SparkSession, stats_path: str, batch_id: int) -> int | None:
-    """The quantizer generation a batch was ALREADY routed with, read
-    from its own previously-written stats directory — present only on a
+def _routed_version(
+    spark: SparkSession,
+    stats_path: str,
+    batch_id: int,
+    column: str = "quantizer_version",
+) -> int | None:
+    """The model generation a batch was ALREADY routed with, read from
+    its own previously-written stats directory — present only on a
     checkpoint replay. Pinning it makes replays byte-identical: the
     batch re-routes with the original generation instead of one its own
     retrain published, so index/stats rewrites match the first run and
-    the drift evaluation cannot fire a spurious extra retrain."""
+    the drift evaluation cannot fire a spurious extra retrain.
+    ``column`` names the version column (the text drift loop shares this
+    protocol with its own stats schema — streaming/docs.py)."""
     d = os.path.join(stats_path, f"batch={batch_id}")
     if not os.path.isdir(d):
         return None
     try:
-        rows = (
-            spark.read.parquet(d)
-            .select("quantizer_version")
-            .limit(1)
-            .collect()
-        )
+        rows = spark.read.parquet(d).select(column).limit(1).collect()
     except Exception:
         return None  # half-written stats: original run never retrained
     return int(rows[0][0]) if rows else None
