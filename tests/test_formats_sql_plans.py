@@ -279,3 +279,86 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     n_months = months.filter("pick").count()
     got_months = joined.select("o_month").distinct().count()
     assert got_months == n_months > 0
+
+
+def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
+    """Engine-wide invariant: no catalog query plans a CartesianProduct,
+    and every BroadcastNestedLoopJoin is one of the audited
+    BOUNDED-side shapes (a single-row or threshold-constant literal
+    frame crossed into a linear pass — min/max bounds, corpus totals,
+    threshold sweeps). An unbounded cartesian would be quadratic at
+    corpus scale; this test pins the allowlist so a new query can't
+    introduce one silently."""
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    # queries whose plan legitimately contains BroadcastNestedLoopJoin:
+    # every crossed side is a 1-row aggregate or a <=5-row literal frame
+    bnlj_ok = {
+        "events_value_histogram",       # 1-row min/max bounds
+        "events_value_deciles",         # 1-row quantile-boundary frame
+        "events_value_percentiles",     # 1-row quantile-boundary frame
+        "doc_unigram_surprisal",        # 1-row corpus-total frame
+        "doc_token_drift",              # 1-row doc-count + totals frames
+        "doc_vocab_topk",               # 1-row vocabulary-total frame
+        "doc_bigram_lift",              # 1-row unigram-total frame
+        "doc_mixture_weights",          # 1-row corpus-total frame
+        "doc_subword_budget",           # 1-row total frame
+        "doc_token_diversity",          # 1-row total frame
+        "doc_dup_graph_degree",         # 1-row total x 1-row in-pairs
+        "doc_dup_threshold_sensitivity",  # 5-row threshold literal
+        "doc_bm25_search",              # 1-row df/avgdl frame
+        "dq_profile_orders",            # 1-row profile bounds
+        "minhash_recall_audit",         # 1-row summary cross
+        "emb_ivf_recall_audit",         # 1-row summary cross
+        "doc_decontaminate",            # 1-row benchmark-size frame
+        "doc_corpus_diff",              # 1-row snapshot-count frame
+        "events_anomaly_days",          # 1-row mean/stddev frame
+        "lineitem_yearly_growth",       # 1-row base-year frame
+        "doc_quality_above_median",     # group-count-sized median frame
+        "emb_quantize_error",           # 1-row scale frame
+        "emb_pq_error",                 # 1-row summary frame
+        "tpch_q11_important_stock",     # 1-row threshold subquery
+        "tpch_q14_promo_effect",        # 1-row ratio frame
+        "tpch_q15_top_supplier",        # 1-row max-revenue frame
+        "tpch_q17_small_quantity_revenue",  # per-part avg, AQE may BNLJ tiny side
+        "tpch_q22_dormant_rich_customers",  # 1-row avg-balance frame
+        "emb_cell_drift",               # 1-row population totals
+        "events_gap_filled_daily_value",    # 1-row day-span frame
+        "emb_semantic_dedup",           # 1-row auto-k count frame
+        "emb_semantic_dedup_hier",      # 1-row auto-k count frame
+        "emb_semantic_dedup_incremental",   # 1-row auto-k count frame
+        "emb_knn_classify",             # 1-row label-prior frame
+        "emb_centroid_outliers",        # 1-row threshold frame
+        "orders_rfm_segments",          # 1-row boundary frame
+        "events_weekly_retention",      # 1-row cohort-base frame
+        "events_funnel_view_click_purchase",  # 1-row funnel-base frame
+        "doc_length_buckets",           # 1-row bucket-bounds frame
+        "doc_mixture_upsample",         # <=5-row rates literal
+        "doc_stratified_sample",        # <=5-row rates literal
+        "cdc_quarantine_stats",         # 1-row totals frame
+        "media_decode_audit",           # 1-row audit-total frame
+        "events_hourly_click_purchase_full_outer",  # tiny hour-grain outer
+        "doc_heavy_hitter_tokens",      # <=support-bound candidate literal
+        "doc_curation_pipeline",        # 1-row stage-total frames
+        "emb_cosine_topk",              # bounded query-sample frame crossed into scan
+        "emb_cosine_near_dup",          # bounded query-sample frame
+        "emb_hard_negatives",           # bounded query-sample frame
+        "emb_ivf_topk",                 # k-row centroid frame (probe + rerank)
+        "emb_ivf_adc_topk",             # k-row centroid + codebook frames
+        "emb_kmeans_clusters",          # k-row centroid frame per Lloyd round
+        "emb_kmeans_clusters_hier",     # k-row centroid + sqrt(k)-row super-cell frames
+        "doc_tfidf_top_terms",          # 1-row doc-count frame
+        "orders_zorder_layout",         # 1-row min/max interleave bounds
+    }
+    offenders = []
+    for name, spec in CATALOG.items():
+        plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, (
+        f"unaudited cartesian/BNLJ in catalog plans: {offenders} — if the "
+        f"crossed side is a bounded literal/aggregate frame, add the query "
+        f"to bnlj_ok with a justification comment"
+    )
