@@ -6936,3 +6936,68 @@ def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return lsh_band_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _pq_balance_oracle_sql(
+    blocks: int = 4, k: int = 4, iters: int = 2, dim: int = 64
+) -> str:
+    """Unrolled-SQL twin of the PQ code-usage balance: per-block kmeans
+    chains (shared ``_pq_chain_sql``), then a (block, code) occupancy
+    rollup with permille shares."""
+    sub = dim // blocks
+    parts = [
+        """WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS full_e
+  FROM embeddings
+)"""
+    ]
+    for b in range(blocks):
+        parts.append(_pq_chain_sql(b, b * sub + 1, (b + 1) * sub, k, iters, "v"))
+    union = " UNION ALL ".join(
+        f"SELECT {b} AS block, cluster AS code, vec_id FROM b{b}a{iters}"
+        for b in range(blocks)
+    )
+    parts.append(
+        f""",
+u AS ({union}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+SELECT CAST(block AS BIGINT) AS block, CAST(code AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(floor(count(*) * 1000 / n.n) AS BIGINT) AS share_permille
+FROM u CROSS JOIN n GROUP BY block, code, n.n"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "emb_pq_code_balance",
+    _pq_balance_oracle_sql(),
+    doc="PQ codebook health audit: per (block, code) occupancy with "
+    "permille share — the quantizer-balance check run before shipping "
+    "codes to ADC serving (a dead codeword wastes a code id and fattens "
+    "reconstruction error; a hub codeword means that block's residuals "
+    "are unquantized). The ANN-side twin of minhash_band_stats. Training "
+    "is the shared grouped-Lloyd pass (one scan fans blocks out); the "
+    "rollup is blocks x k rows, broadcast-sized at any corpus scale.",
+)
+def q_emb_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        pq_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_assignments(emb)
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        codes.groupBy("block", "code")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("block").cast("long").alias("block"),
+            F.col("code").cast("long").alias("code"),
+            "n_vecs",
+            F.floor(F.col("n_vecs") * 1000 / F.col("n"))
+            .cast("long")
+            .alias("share_permille"),
+        )
+    )
