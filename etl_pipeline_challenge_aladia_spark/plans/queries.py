@@ -7001,3 +7001,103 @@ def q_emb_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_permille"),
         )
     )
+
+
+#: lexicon-filter demo terms (present in the synthetic corpus vocabulary)
+_BLOCKLIST = ("slow", "merge")
+
+
+@query(
+    "doc_blocklist_rate",
+    f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT source,
+             list_has_any(w, ['slow', 'merge']) AS flagged,
+             len(list_filter(w, x -> x IN ('slow', 'merge'))) AS n_hits
+      FROM t)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       {_s4('CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS DOUBLE) / count(*)')}
+         AS flag_rate
+FROM s GROUP BY source
+""",
+    doc="Lexicon blocklist filter audit: per source, how many documents "
+    "contain any blocked term, total hit occurrences, and the flag rate "
+    "— the safety/compliance screen every pre-training pipeline runs "
+    "(here over demo terms present in the synthetic vocabulary; swap "
+    "the literal list for the production lexicon). Pure higher-order "
+    "column functions on the token array — no explode, no shuffle "
+    "beyond the slice-sized aggregate, codegen end to end.",
+)
+def q_doc_blocklist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens_col("text")
+    blocked = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    hits = F.size(F.filter(w, lambda x: x.isin(*_BLOCKLIST)))
+    return (
+        docs.select(
+            "source",
+            F.arrays_overlap(w, blocked).alias("flagged"),
+            hits.alias("n_hits"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("flagged").cast("long")).cast("long").alias("n_flagged"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+            _r4(
+                F.sum(F.col("flagged").cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                "flag_rate",
+            ),
+        )
+    )
+
+
+@query(
+    "events_time_to_purchase_histogram",
+    """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT CAST(floor(date_diff('second', t_view, t_purchase) / 3600.0) AS BIGINT)
+           AS hours_bucket
+  FROM f
+  WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL AND t_purchase >= t_view)
+SELECT hours_bucket, CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY hours_bucket
+""",
+    doc="Time-to-conversion histogram: per user, hours from FIRST view "
+    "to FIRST purchase, bucketed (integer hour floors — no global "
+    "quantile window, so no single-partition sort at any scale). One "
+    "conditional-min aggregate per user + a bucket-sized rollup — the "
+    "conversion-latency profile behind attribution-window choices.",
+)
+def q_events_time_to_purchase_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    secs = (F.unix_micros("t_purchase") - F.unix_micros("t_view")) / F.lit(1_000_000.0)
+    return (
+        f.filter(
+            F.col("t_view").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") >= F.col("t_view"))
+        )
+        .select(F.floor(secs / F.lit(3600.0)).cast("long").alias("hours_bucket"))
+        .groupBy("hours_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
