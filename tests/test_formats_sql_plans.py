@@ -349,6 +349,7 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "emb_kmeans_clusters_hier",     # k-row centroid + sqrt(k)-row super-cell frames
         "doc_tfidf_top_terms",          # 1-row doc-count frame
         "orders_zorder_layout",         # 1-row min/max interleave bounds
+        "emb_pq_code_balance",          # 1-row corpus-count frame
     }
     offenders = []
     for name, spec in CATALOG.items():
