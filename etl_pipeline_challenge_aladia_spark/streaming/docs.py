@@ -571,3 +571,148 @@ def run_text_drift_ingest_stream(
         .start()
         .awaitTermination()
     )
+
+
+def make_streaming_curation_processor(
+    admitted_path: str,
+    budget_state_path: str,
+    sig_store_path: str,
+    report_path: str,
+    budget: int,
+    quality_min: float = 0.0,
+    threshold: float = 0.8,
+    text_col: str = "text",
+):
+    """The streaming twin of the batch ``doc_curation_pipeline``: one
+    foreachBatch composes the three ingest-time curation gates in
+    pipeline order —
+
+    1. QUALITY: drop documents below ``quality_min`` (pure JVM column
+       arithmetic, no shuffle);
+    2. BUDGET: admit survivors per source until the persistent token
+       budget is spent (``make_budget_admission_processor`` semantics:
+       hash-priority within the batch, arrival-order across batches);
+    3. DEDUP SCREEN: screen admitted documents against the persisted
+       signature store (band index + shingle sets — corpus text never
+       re-read), report near-dup hits, then append the batch's own
+       signatures so later batches screen against it.
+
+    Outputs (all ``batch=<id>`` overwrite — the layer's replay-idempotent
+    contract): admitted rows, per-batch budget state, the near-dup
+    report, and the growing signature store. At 100 TB each gate keeps
+    its batch shape: the quality filter and admission window touch only
+    the delta; the screen joins the delta's bands against the stored
+    index.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        hash_order_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        doc_signature_store,
+        minhash_pairs_from_store,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        token_count_col,
+        with_text_stats,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        read_batch_store,
+    )
+
+    def process_batch(delta: DataFrame, batch_id: int) -> None:
+        spark = delta.sparkSession
+        passing = (
+            with_text_stats(delta, text_col)
+            .filter(F.col("quality_score") >= quality_min)
+            .select(*delta.columns)
+            .localCheckpoint(eager=True)
+        )
+        consumed = (
+            read_batch_store(
+                spark, budget_state_path, BUDGET_STATE_SCHEMA,
+                exclude_batch=batch_id,
+            )
+            .groupBy(F.col("source"))
+            .agg(F.sum("tokens_admitted").alias("_consumed"))
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy(hash_order_col("doc_id"), F.col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        admitted = (
+            passing.withColumn("n_tokens", token_count_col(text_col))
+            .withColumn("_cum", F.sum("n_tokens").over(w))
+            .join(F.broadcast(consumed), "source", "left")
+            .withColumn("_consumed", F.coalesce(F.col("_consumed"), F.lit(0)))
+            .filter(F.col("_consumed") + F.col("_cum") <= budget)
+            .drop("_consumed", "_cum")
+            .localCheckpoint(eager=True)
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(admitted_path, f"batch={batch_id}")
+        )
+        (
+            admitted.groupBy("source")
+            .agg(F.sum("n_tokens").cast("long").alias("tokens_admitted"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(budget_state_path, f"batch={batch_id}"))
+        )
+        stored_bands = read_batch_store(
+            spark, os.path.join(sig_store_path, "bands"), BAND_STORE_SCHEMA,
+            exclude_batch=batch_id,
+        )
+        stored_shingles = read_batch_store(
+            spark, os.path.join(sig_store_path, "shingles"),
+            SHINGLE_STORE_SCHEMA, exclude_batch=batch_id,
+        )
+        report = minhash_pairs_from_store(
+            stored_bands, stored_shingles, admitted,
+            text_col=text_col, threshold=threshold,
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(report_path, f"batch={batch_id}")
+        )
+        band_rows, shingle_sets = doc_signature_store(admitted, text_col=text_col)
+        band_rows.write.mode("overwrite").parquet(
+            os.path.join(sig_store_path, "bands", f"batch={batch_id}")
+        )
+        shingle_sets.write.mode("overwrite").parquet(
+            os.path.join(sig_store_path, "shingles", f"batch={batch_id}")
+        )
+
+    return process_batch
+
+
+def run_streaming_curation(
+    spark: SparkSession,
+    input_dir: str,
+    admitted_path: str,
+    budget_state_path: str,
+    sig_store_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    budget: int,
+    quality_min: float = 0.0,
+    threshold: float = 0.8,
+) -> None:
+    """Drain available document files through the composed curation
+    ingest (Trigger.AvailableNow)."""
+    stream = spark.readStream.schema(BUDGET_DOC_STREAM_SCHEMA).json(input_dir)
+    (
+        stream.writeStream.foreachBatch(
+            make_streaming_curation_processor(
+                admitted_path, budget_state_path, sig_store_path, report_path,
+                budget, quality_min, threshold,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -2130,3 +2130,68 @@ def test_text_drift_loop_rebaselines_on_distribution_shift(spark, tmp_path):
     # drained replay: no new input, generation unchanged
     run()
     assert load_text_baseline(spark, store)[1] == 2
+
+
+def test_streaming_curation_composes_quality_budget_and_dedup(spark, tmp_path):
+    """The composed streaming curation ingest: low-quality docs never
+    reach admission, the token budget persists across batches, a batch-2
+    near-dup of a batch-1 ADMITTED doc is reported, and a drained replay
+    changes nothing."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        run_streaming_curation,
+    )
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    admitted = str(tmp_path / "admitted")
+    budget_state = str(tmp_path / "bstate")
+    sig_store = str(tmp_path / "sigs")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+
+    # rich text passes the quality gate; "the the ..." fails it
+    rich = " ".join(f"tok{i}" for i in range(40))          # quality 1.0
+    junk = " ".join(["the"] * 40)                          # quality ~0
+    near_dup = rich + " extra"
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    def run():
+        run_streaming_curation(
+            spark, in_dir, admitted, budget_state, sig_store, report, ckpt,
+            budget=200, quality_min=0.5, threshold=0.8,
+        )
+
+    write_batch("b1.jsonl", [
+        {"doc_id": 1, "source": "s", "text": rich},
+        {"doc_id": 2, "source": "s", "text": junk},       # quality-rejected
+    ])
+    run()
+    got1 = {r["doc_id"] for r in spark.read.parquet(admitted).collect()}
+    assert got1 == {1}
+
+    write_batch("b2.jsonl", [
+        {"doc_id": 10, "source": "s", "text": near_dup},  # near-dup of doc 1
+    ])
+    run()
+    admitted_ids = {r["doc_id"] for r in spark.read.parquet(admitted).collect()}
+    # doc 10 (41 tokens, consumed 40 -> cum 81 <= 200) admitted
+    assert admitted_ids == {1, 10}
+    pairs = {
+        (r["delta_id"], r["corpus_id"])
+        for r in spark.read.parquet(report).collect()
+    }
+    assert pairs == {(10, 1)}
+
+    # batch 3: a doc bigger than the remaining budget is dropped (prefix
+    # admission — the cum including it exceeds the budget)
+    write_batch("b3.jsonl", [
+        {"doc_id": 20, "source": "s",
+         "text": " ".join(f"other{i}" for i in range(200))},
+    ])
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(admitted).collect()} == {1, 10}
+
+    run()  # drained replay
+    assert {r["doc_id"] for r in spark.read.parquet(admitted).collect()} == {1, 10}
