@@ -1,0 +1,56 @@
+"""Results must not depend on the physical join strategy or the shuffle
+partition count. At 100 TB, dimension tables outgrow broadcast thresholds
+and partition counts differ per cluster — a query whose RESULT changes
+under those knobs has a partition- or broadcast-dependent bug (e.g. a
+non-commutative aggregate, an order-sensitive limit without a tie-break,
+or driver-side state). This re-runs a join/agg/window-heavy sample with
+AUTO broadcast selection disabled (threshold -1; the engine's explicit
+F.broadcast hints stay, and are reserved for provably bounded frames —
+see the cartesian/BNLJ audit) AND a different (prime) shuffle partition
+count, asserting bit-identical results against the default config.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SAMPLE = [
+    "tpch_q3_shipping_priority",       # dim joins + top-k
+    "tpch_q5_local_supplier_volume",   # 6-way star join
+    "tpch_q18_large_volume_customer",  # HAVING pushdown + joins
+    "cdc_avg_watched_ratio_per_video", # flagship dedup window + agg
+    "window_top3_parts_per_supplier",  # rank window
+    "minhash_near_dup",                # LSH self-join + verification
+    "doc_leakage_safe_split",          # broadcast cluster map by default
+    "doc_token_budget_sample",         # per-group running-sum window
+    "emb_ivf_topk",                    # broadcast centroids by default
+    "doc_unigram_surprisal",           # vocab join + global top-k
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_result_invariant_under_no_broadcast_and_prime_partitions(
+    spark, sf_dir, name
+):
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    spec = CATALOG[name]
+    baseline = _rows(spec.spark(spark, sf_dir))
+    conf = spark.conf
+    old_thresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.shuffle.partitions", "7")
+        stressed = _rows(spec.spark(spark, sf_dir))
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+    assert stressed == baseline, (
+        f"{name}: result changed under no-broadcast / 7-partition config"
+    )
