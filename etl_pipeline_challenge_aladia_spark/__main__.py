@@ -53,6 +53,19 @@ def build_parser() -> argparse.ArgumentParser:
     vac = sub.add_parser("vacuum", help="expire history and GC unreferenced versions")
     vac.add_argument("path")
     vac.add_argument("--keep-snapshots", type=int, default=0)
+
+    cur = sub.add_parser(
+        "curate-stream",
+        help="drain a document-file stream through the composed curation "
+        "ingest (quality gate -> token-budget admission -> near-dup screen)",
+    )
+    cur.add_argument("--input", required=True, help="dir of jsonl doc files")
+    cur.add_argument("--out", required=True, help="output root directory")
+    cur.add_argument("--budget", type=int, required=True,
+                     help="token budget per source")
+    cur.add_argument("--quality-min", type=float, default=0.0)
+    cur.add_argument("--threshold", type=float, default=0.8,
+                     help="near-dup Jaccard threshold")
     return p
 
 
@@ -111,6 +124,28 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             df.explain("formatted")
         df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "curate-stream":
+        import os
+
+        from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+            run_streaming_curation,
+        )
+
+        run_streaming_curation(
+            spark,
+            args.input,
+            admitted_path=os.path.join(args.out, "admitted"),
+            budget_state_path=os.path.join(args.out, "budget_state"),
+            sig_store_path=os.path.join(args.out, "signatures"),
+            report_path=os.path.join(args.out, "near_dup_report"),
+            checkpoint_dir=os.path.join(args.out, "checkpoint"),
+            budget=args.budget,
+            quality_min=args.quality_min,
+            threshold=args.threshold,
+        )
+        print(f"curation drained into {args.out}")
         return 0
 
     # args.cmd == "cdc"
