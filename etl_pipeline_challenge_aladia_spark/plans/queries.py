@@ -6960,11 +6960,17 @@ def _pq_balance_oracle_sql(
     parts.append(
         f""",
 u AS ({union}),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
-SELECT CAST(block AS BIGINT) AS block, CAST(code AS BIGINT) AS code,
-       CAST(count(*) AS BIGINT) AS n_vecs,
-       CAST(floor(count(*) * 1000 / n.n) AS BIGINT) AS share_permille
-FROM u CROSS JOIN n GROUP BY block, code, n.n"""
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+occ AS (SELECT block, code, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM u GROUP BY block, code),
+grid AS (SELECT g.b AS block, g2.c AS code
+         FROM range(0, {blocks}) g(b), range(1, {k + 1}) g2(c))
+SELECT CAST(grid.block AS BIGINT) AS block, CAST(grid.code AS BIGINT) AS code,
+       COALESCE(occ.n_vecs, 0) AS n_vecs,
+       CAST(floor(COALESCE(occ.n_vecs, 0) * 1000 / n.n) AS BIGINT)
+         AS share_permille
+FROM grid LEFT JOIN occ ON grid.block = occ.block AND grid.code = occ.code
+CROSS JOIN n"""
     )
     return "".join(parts)
 
@@ -6973,38 +6979,58 @@ FROM u CROSS JOIN n GROUP BY block, code, n.n"""
     "emb_pq_code_balance",
     _pq_balance_oracle_sql(),
     doc="PQ codebook health audit: per (block, code) occupancy with "
-    "permille share — the quantizer-balance check run before shipping "
-    "codes to ADC serving (a dead codeword wastes a code id and fattens "
-    "reconstruction error; a hub codeword means that block's residuals "
-    "are unquantized). The ANN-side twin of minhash_band_stats. Training "
+    "permille share, LEFT-joined onto the full blocks x k code grid so "
+    "DEAD codewords surface as explicit n_vecs=0 rows — the "
+    "quantizer-balance check run before shipping codes to ADC serving "
+    "(a dead codeword wastes a code id and fattens reconstruction "
+    "error; a hub codeword means that block's residuals are "
+    "unquantized). The ANN-side twin of minhash_band_stats. Training "
     "is the shared grouped-Lloyd pass (one scan fans blocks out); the "
-    "rollup is blocks x k rows, broadcast-sized at any corpus scale.",
+    "grid and rollup are blocks x k rows, broadcast-sized at any "
+    "corpus scale.",
 )
 def q_emb_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         pq_assignments,
     )
 
+    blocks, k = 4, 4
     emb = load_table(spark, sf_dir, "embeddings")
-    codes = pq_assignments(emb)
+    codes = pq_assignments(emb, blocks=blocks, k=k)
+    occ = codes.groupBy("block", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    grid = spark.createDataFrame(
+        [(b, c) for b in range(blocks) for c in range(1, k + 1)],
+        "block long, code long",
+    )
     n = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
     return (
-        codes.groupBy("block", "code")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        grid.join(
+            occ.select(
+                F.col("block").cast("long").alias("block"),
+                F.col("code").cast("long").alias("code"),
+                "n_vecs",
+            ),
+            ["block", "code"],
+            "left",
+        )
         .crossJoin(F.broadcast(n))
         .select(
-            F.col("block").cast("long").alias("block"),
-            F.col("code").cast("long").alias("code"),
-            "n_vecs",
-            F.floor(F.col("n_vecs") * 1000 / F.col("n"))
+            "block",
+            "code",
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+            F.floor(F.coalesce("n_vecs", F.lit(0)) * 1000 / F.col("n"))
             .cast("long")
             .alias("share_permille"),
         )
     )
 
 
-#: lexicon-filter demo terms (present in the synthetic corpus vocabulary)
+#: lexicon-filter demo terms (present in the synthetic corpus vocabulary);
+#: the oracle SQL interpolates THIS tuple so the two sides cannot desync
 _BLOCKLIST = ("slow", "merge")
+_BLOCKLIST_SQL = ", ".join(f"'{t}'" for t in _BLOCKLIST)
 
 
 @query(
@@ -7012,8 +7038,8 @@ _BLOCKLIST = ("slow", "merge")
     f"""
 WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
 s AS (SELECT source,
-             list_has_any(w, ['slow', 'merge']) AS flagged,
-             len(list_filter(w, x -> x IN ('slow', 'merge'))) AS n_hits
+             list_has_any(w, [{_BLOCKLIST_SQL}]) AS flagged,
+             len(list_filter(w, x -> x IN ({_BLOCKLIST_SQL}))) AS n_hits
       FROM t)
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -7067,8 +7093,11 @@ WITH f AS (
          min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
   FROM events GROUP BY user_id),
 d AS (
-  SELECT CAST(floor(date_diff('second', t_view, t_purchase) / 3600.0) AS BIGINT)
-           AS hours_bucket
+  -- exact microsecond delta (matches Spark's unix_micros subtraction);
+  -- date_diff('second') would truncate to whole seconds first and can
+  -- disagree on deltas within <1s of an hour multiple
+  SELECT CAST(floor(((epoch_us(t_purchase) - epoch_us(t_view)) / 1000000.0)
+                    / 3600.0) AS BIGINT) AS hours_bucket
   FROM f
   WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL AND t_purchase >= t_view)
 SELECT hours_bucket, CAST(count(*) AS BIGINT) AS n_users

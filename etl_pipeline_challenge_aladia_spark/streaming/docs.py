@@ -104,6 +104,69 @@ def _read_store(spark, path: str, schema: str, exclude_batch: int | None = None)
     return read_batch_store(spark, path, schema, exclude_batch)
 
 
+def _screen_against_store(
+    spark,
+    store_path: str,
+    delta: DataFrame,
+    batch_id: int,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup report of ``delta`` against the persisted signature
+    store, EXCLUDING this batch's own directory (replay safety). The
+    shared screening leg of the sigstore ingest and the composed
+    curation processor."""
+    stored_bands = _read_store(
+        spark, os.path.join(store_path, "bands"), BAND_STORE_SCHEMA,
+        exclude_batch=batch_id,
+    )
+    stored_shingles = _read_store(
+        spark, os.path.join(store_path, "shingles"), SHINGLE_STORE_SCHEMA,
+        exclude_batch=batch_id,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_pairs_from_store,
+    )
+
+    return minhash_pairs_from_store(
+        stored_bands, stored_shingles, delta,
+        text_col=text_col, n=n, num_perm=num_perm, bands=bands,
+        threshold=threshold, seed=seed,
+    )
+
+
+def _append_signatures(
+    delta: DataFrame,
+    store_path: str,
+    batch_id: int,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    text_col: str = "text",
+) -> None:
+    """Persist ``delta``'s band index + shingle sets under this batch's
+    directory — the store-append leg shared by the sigstore ingest and
+    the composed curation processor."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        doc_signature_store,
+    )
+
+    band_rows, shingle_sets = doc_signature_store(
+        delta, text_col=text_col, n=n, num_perm=num_perm, bands=bands, seed=seed
+    )
+    band_rows.write.mode("overwrite").parquet(
+        os.path.join(store_path, "bands", f"batch={batch_id}")
+    )
+    shingle_sets.write.mode("overwrite").parquet(
+        os.path.join(store_path, "shingles", f"batch={batch_id}")
+    )
+
+
 def make_sigstore_ingest_processor(
     store_path: str,
     report_path: str,
@@ -112,6 +175,7 @@ def make_sigstore_ingest_processor(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    text_col: str = "text",
 ):
     """Signature-STORE ingest — the 100-TB form of
     ``make_incremental_dedup_processor``: instead of re-shingling the
@@ -125,40 +189,19 @@ def make_sigstore_ingest_processor(
     Replay-idempotent like the embedding ingest: batch-keyed overwrites
     everywhere, and the screen reads the store EXCLUDING its own batch
     directory."""
-    import os
-
-    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
-        doc_signature_store,
-        minhash_pairs_from_store,
-    )
 
     def process_batch(delta: DataFrame, batch_id: int) -> None:
         spark = delta.sparkSession
         delta = delta.localCheckpoint(eager=True)
-        stored_bands = _read_store(
-            spark, os.path.join(store_path, "bands"), BAND_STORE_SCHEMA,
-            exclude_batch=batch_id,
-        )
-        stored_shingles = _read_store(
-            spark, os.path.join(store_path, "shingles"), SHINGLE_STORE_SCHEMA,
-            exclude_batch=batch_id,
-        )
-        report = minhash_pairs_from_store(
-            stored_bands, stored_shingles, delta,
-            n=n, num_perm=num_perm, bands=bands, threshold=threshold,
-            seed=seed,
+        report = _screen_against_store(
+            spark, store_path, delta, batch_id, threshold,
+            n, num_perm, bands, seed, text_col,
         )
         report.write.mode("overwrite").parquet(
             os.path.join(report_path, f"batch={batch_id}")
         )
-        band_rows, shingle_sets = doc_signature_store(
-            delta, n=n, num_perm=num_perm, bands=bands, seed=seed
-        )
-        band_rows.write.mode("overwrite").parquet(
-            os.path.join(store_path, "bands", f"batch={batch_id}")
-        )
-        shingle_sets.write.mode("overwrite").parquet(
-            os.path.join(store_path, "shingles", f"batch={batch_id}")
+        _append_signatures(
+            delta, store_path, batch_id, n, num_perm, bands, seed, text_col
         )
 
     return process_batch
@@ -197,6 +240,80 @@ BUDGET_STATE_SCHEMA = "source string, tokens_admitted long"
 BUDGET_DOC_STREAM_SCHEMA = "doc_id long, source string, text string"
 
 
+def _budget_admit(
+    delta: DataFrame,
+    state_path: str,
+    budget: int,
+    batch_id: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The shared admission core: prefix-admit ``delta``'s rows per group
+    (hash-priority order, running token sum) against the persistent
+    consumed state, EXCLUDING this batch's own state directory (replay
+    safety). Returns the admitted rows plus ``n_tokens``,
+    eager-checkpointed so both downstream writes compute it once. A
+    pre-existing ``n_tokens`` column (e.g. from ``with_text_stats``) is
+    reused rather than recomputed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        hash_order_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import token_count_col
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        read_batch_store,
+    )
+
+    spark = delta.sparkSession
+    consumed = (
+        read_batch_store(
+            spark, state_path, BUDGET_STATE_SCHEMA, exclude_batch=batch_id
+        )
+        .groupBy(F.col("source").alias(group_col))
+        .agg(F.sum("tokens_admitted").alias("_consumed"))
+    )
+    if "n_tokens" not in delta.columns:
+        delta = delta.withColumn("n_tokens", token_count_col(text_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_order_col(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        delta.withColumn("_cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(consumed), group_col, "left")
+        .withColumn("_consumed", F.coalesce(F.col("_consumed"), F.lit(0)))
+        .filter(F.col("_consumed") + F.col("_cum") <= budget)
+        .drop("_consumed", "_cum")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _write_admission(
+    admitted: DataFrame,
+    admitted_path: str,
+    state_path: str,
+    batch_id: int,
+    group_col: str = "source",
+) -> None:
+    """Persist an admission decision batch-keyed: the admitted rows and
+    the per-group token-count state row this batch contributes."""
+    from pyspark.sql import functions as F
+
+    admitted.write.mode("overwrite").parquet(
+        os.path.join(admitted_path, f"batch={batch_id}")
+    )
+    (
+        admitted.groupBy(F.col(group_col).alias("source"))
+        .agg(F.sum("n_tokens").cast("long").alias("tokens_admitted"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(state_path, f"batch={batch_id}"))
+    )
+
+
 def make_budget_admission_processor(
     admitted_path: str,
     state_path: str,
@@ -228,52 +345,12 @@ def make_budget_admission_processor(
     rows — broadcast-joined; the only wide operation is the per-group
     window over the DELTA (one micro-batch), never the history.
     """
-    import os
-
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
-        hash_order_col,
-    )
-    from etl_pipeline_challenge_aladia_spark.operators.text import token_count_col
-    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
-        read_batch_store,
-    )
-
     def process_batch(delta: DataFrame, batch_id: int) -> None:
-        spark = delta.sparkSession
         delta = delta.localCheckpoint(eager=True)
-        consumed = (
-            read_batch_store(
-                spark, state_path, BUDGET_STATE_SCHEMA, exclude_batch=batch_id
-            )
-            .groupBy(F.col("source").alias(group_col))
-            .agg(F.sum("tokens_admitted").alias("_consumed"))
+        admitted = _budget_admit(
+            delta, state_path, budget, batch_id, id_col, group_col, text_col
         )
-        w = (
-            Window.partitionBy(group_col)
-            .orderBy(hash_order_col(id_col), F.col(id_col))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        admitted = (
-            delta.withColumn("n_tokens", token_count_col(text_col))
-            .withColumn("_cum", F.sum("n_tokens").over(w))
-            .join(F.broadcast(consumed), group_col, "left")
-            .withColumn("_consumed", F.coalesce(F.col("_consumed"), F.lit(0)))
-            .filter(F.col("_consumed") + F.col("_cum") <= budget)
-            .drop("_consumed", "_cum")
-            .localCheckpoint(eager=True)  # one computation for both writes
-        )
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(admitted_path, f"batch={batch_id}")
-        )
-        (
-            admitted.groupBy(F.col(group_col).alias("source"))
-            .agg(F.sum("n_tokens").cast("long").alias("tokens_admitted"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(state_path, f"batch={batch_id}"))
-        )
+        _write_admission(admitted, admitted_path, state_path, batch_id, group_col)
 
     return process_batch
 
@@ -584,18 +661,22 @@ def make_streaming_curation_processor(
     text_col: str = "text",
 ):
     """The streaming twin of the batch ``doc_curation_pipeline``: one
-    foreachBatch composes the three ingest-time curation gates in
-    pipeline order —
+    foreachBatch composes the three ingest-time curation gates in the
+    BATCH pipeline's order —
 
     1. QUALITY: drop documents below ``quality_min`` (pure JVM column
-       arithmetic, no shuffle);
-    2. BUDGET: admit survivors per source until the persistent token
-       budget is spent (``make_budget_admission_processor`` semantics:
-       hash-priority within the batch, arrival-order across batches);
-    3. DEDUP SCREEN: screen admitted documents against the persisted
-       signature store (band index + shingle sets — corpus text never
-       re-read), report near-dup hits, then append the batch's own
-       signatures so later batches screen against it.
+       arithmetic, no shuffle; the computed ``n_tokens`` rides along so
+       admission never re-derives it);
+    2. DEDUP SCREEN: screen survivors against the persisted signature
+       store (``_screen_against_store`` — corpus text never re-read),
+       report near-dup hits, and DROP the reported documents — like the
+       batch pipeline's survivor anti-join, so duplicates never consume
+       token budget (the stored corpus doc stays the representative);
+    3. BUDGET: prefix-admit the deduplicated survivors per source until
+       the persistent token budget is spent (``_budget_admit`` — the
+       exact admission core of ``make_budget_admission_processor``),
+       then append ONLY admitted documents' signatures to the store
+       (only they join the training corpus).
 
     Outputs (all ``batch=<id>`` overwrite — the layer's replay-idempotent
     contract): admitted rows, per-batch budget state, the near-dup
@@ -604,87 +685,35 @@ def make_streaming_curation_processor(
     the delta; the screen joins the delta's bands against the stored
     index.
     """
-    import os
-
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
-        hash_order_col,
-    )
-    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
-        doc_signature_store,
-        minhash_pairs_from_store,
-    )
-    from etl_pipeline_challenge_aladia_spark.operators.text import (
-        token_count_col,
-        with_text_stats,
-    )
-    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
-        read_batch_store,
-    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import with_text_stats
 
     def process_batch(delta: DataFrame, batch_id: int) -> None:
         spark = delta.sparkSession
         passing = (
             with_text_stats(delta, text_col)
             .filter(F.col("quality_score") >= quality_min)
-            .select(*delta.columns)
+            .select(*delta.columns, "n_tokens")
             .localCheckpoint(eager=True)
         )
-        consumed = (
-            read_batch_store(
-                spark, budget_state_path, BUDGET_STATE_SCHEMA,
-                exclude_batch=batch_id,
-            )
-            .groupBy(F.col("source"))
-            .agg(F.sum("tokens_admitted").alias("_consumed"))
-        )
-        w = (
-            Window.partitionBy("source")
-            .orderBy(hash_order_col("doc_id"), F.col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        admitted = (
-            passing.withColumn("n_tokens", token_count_col(text_col))
-            .withColumn("_cum", F.sum("n_tokens").over(w))
-            .join(F.broadcast(consumed), "source", "left")
-            .withColumn("_consumed", F.coalesce(F.col("_consumed"), F.lit(0)))
-            .filter(F.col("_consumed") + F.col("_cum") <= budget)
-            .drop("_consumed", "_cum")
-            .localCheckpoint(eager=True)
-        )
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(admitted_path, f"batch={batch_id}")
-        )
-        (
-            admitted.groupBy("source")
-            .agg(F.sum("n_tokens").cast("long").alias("tokens_admitted"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(budget_state_path, f"batch={batch_id}"))
-        )
-        stored_bands = read_batch_store(
-            spark, os.path.join(sig_store_path, "bands"), BAND_STORE_SCHEMA,
-            exclude_batch=batch_id,
-        )
-        stored_shingles = read_batch_store(
-            spark, os.path.join(sig_store_path, "shingles"),
-            SHINGLE_STORE_SCHEMA, exclude_batch=batch_id,
-        )
-        report = minhash_pairs_from_store(
-            stored_bands, stored_shingles, admitted,
-            text_col=text_col, threshold=threshold,
-        )
+        report = _screen_against_store(
+            spark, sig_store_path, passing, batch_id,
+            threshold=threshold, text_col=text_col,
+        ).localCheckpoint(eager=True)
         report.write.mode("overwrite").parquet(
             os.path.join(report_path, f"batch={batch_id}")
         )
-        band_rows, shingle_sets = doc_signature_store(admitted, text_col=text_col)
-        band_rows.write.mode("overwrite").parquet(
-            os.path.join(sig_store_path, "bands", f"batch={batch_id}")
+        survivors = passing.join(
+            report.select(F.col("delta_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
         )
-        shingle_sets.write.mode("overwrite").parquet(
-            os.path.join(sig_store_path, "shingles", f"batch={batch_id}")
+        admitted = _budget_admit(
+            survivors, budget_state_path, budget, batch_id, text_col=text_col
         )
+        _write_admission(admitted, admitted_path, budget_state_path, batch_id)
+        _append_signatures(admitted, sig_store_path, batch_id, text_col=text_col)
 
     return process_batch
 
@@ -702,8 +731,15 @@ def run_streaming_curation(
     threshold: float = 0.8,
 ) -> None:
     """Drain available document files through the composed curation
-    ingest (Trigger.AvailableNow)."""
-    stream = spark.readStream.schema(BUDGET_DOC_STREAM_SCHEMA).json(input_dir)
+    ingest (Trigger.AvailableNow; 1 file = 1 micro-batch, so every file
+    is screened against all previously-ingested files' signatures — a
+    single all-files batch would screen against an empty store and
+    report nothing)."""
+    stream = (
+        spark.readStream.schema(BUDGET_DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(input_dir)
+    )
     (
         stream.writeStream.foreachBatch(
             make_streaming_curation_processor(

@@ -2133,10 +2133,11 @@ def test_text_drift_loop_rebaselines_on_distribution_shift(spark, tmp_path):
 
 
 def test_streaming_curation_composes_quality_budget_and_dedup(spark, tmp_path):
-    """The composed streaming curation ingest: low-quality docs never
-    reach admission, the token budget persists across batches, a batch-2
-    near-dup of a batch-1 ADMITTED doc is reported, and a drained replay
-    changes nothing."""
+    """The composed streaming curation ingest, in the batch pipeline's
+    gate order: low-quality docs never reach the screen, a near-dup of
+    an earlier ADMITTED doc is both reported and dropped BEFORE budget
+    accounting (duplicates never consume budget), the token budget
+    persists across batches, and a drained replay changes nothing."""
     from etl_pipeline_challenge_aladia_spark.streaming.docs import (
         run_streaming_curation,
     )
@@ -2175,23 +2176,73 @@ def test_streaming_curation_composes_quality_budget_and_dedup(spark, tmp_path):
         {"doc_id": 10, "source": "s", "text": near_dup},  # near-dup of doc 1
     ])
     run()
-    admitted_ids = {r["doc_id"] for r in spark.read.parquet(admitted).collect()}
-    # doc 10 (41 tokens, consumed 40 -> cum 81 <= 200) admitted
-    assert admitted_ids == {1, 10}
+    # the near-dup is REPORTED and dropped before admission: it consumes
+    # no budget and its signatures never enter the store (doc 1 stays
+    # the representative)
+    assert {r["doc_id"] for r in spark.read.parquet(admitted).collect()} == {1}
     pairs = {
         (r["delta_id"], r["corpus_id"])
         for r in spark.read.parquet(report).collect()
     }
     assert pairs == {(10, 1)}
+    consumed = sum(
+        r["tokens_admitted"] for r in spark.read.parquet(budget_state).collect()
+    )
+    assert consumed == 40  # doc 1 only — the dup never spent budget
 
     # batch 3: a doc bigger than the remaining budget is dropped (prefix
-    # admission — the cum including it exceeds the budget)
+    # admission — the cum including it exceeds the budget)...
     write_batch("b3.jsonl", [
         {"doc_id": 20, "source": "s",
          "text": " ".join(f"other{i}" for i in range(200))},
     ])
     run()
-    assert {r["doc_id"] for r in spark.read.parquet(admitted).collect()} == {1, 10}
+    assert {r["doc_id"] for r in spark.read.parquet(admitted).collect()} == {1}
+
+    # ...while a later doc that fits is still admitted
+    write_batch("b4.jsonl", [
+        {"doc_id": 30, "source": "s",
+         "text": " ".join(f"fresh{i}" for i in range(100))},
+    ])
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(admitted).collect()} == {1, 30}
 
     run()  # drained replay
-    assert {r["doc_id"] for r in spark.read.parquet(admitted).collect()} == {1, 10}
+    assert {r["doc_id"] for r in spark.read.parquet(admitted).collect()} == {1, 30}
+
+
+def test_streaming_curation_one_shot_run_still_screens_across_files(spark, tmp_path):
+    """A SINGLE drain over a directory that already holds several files
+    must still catch cross-file near-dups: maxFilesPerTrigger=1 makes
+    each file its own micro-batch, so later files screen against earlier
+    files' signatures (an all-files mega-batch would screen against an
+    empty store and report nothing)."""
+    import time
+
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        run_streaming_curation,
+    )
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    rich = " ".join(f"tok{i}" for i in range(40))
+    for name, doc_id, text in [
+        ("a1.jsonl", 1, rich),
+        ("a2.jsonl", 10, rich + " extra"),
+    ]:
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write(json.dumps({"doc_id": doc_id, "source": "s", "text": text}) + "\n")
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    run_streaming_curation(
+        spark, in_dir,
+        str(tmp_path / "admitted"), str(tmp_path / "bstate"),
+        str(tmp_path / "sigs"), str(tmp_path / "report"),
+        str(tmp_path / "ckpt"), budget=500, quality_min=0.5,
+    )
+    pairs = {
+        (r["delta_id"], r["corpus_id"])
+        for r in spark.read.parquet(str(tmp_path / "report")).collect()
+    }
+    assert pairs == {(10, 1)}
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "admitted")).collect()}
+    assert got == {1}
