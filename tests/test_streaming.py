@@ -2246,3 +2246,53 @@ def test_streaming_curation_one_shot_run_still_screens_across_files(spark, tmp_p
     assert pairs == {(10, 1)}
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "admitted")).collect()}
     assert got == {1}
+
+
+def test_text_drift_replay_pins_original_generation(spark, tmp_path):
+    """A checkpoint-REPLAYED batch must re-count against the generation
+    it originally used, even after a newer baseline was published —
+    otherwise the replay rewrites its stats under the new generation and
+    the drift evaluation diverges from the first run. Simulated by
+    invoking the processor closure directly with the same batch_id after
+    publishing generation 2."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        make_text_drift_ingest_processor,
+        save_text_baseline,
+        train_and_save_text_baseline,
+    )
+
+    store = str(tmp_path / "store")
+    ingest = str(tmp_path / "ingest")
+    stats = str(tmp_path / "stats")
+
+    corpus = spark.createDataFrame(
+        [(i, "s", "alpha beta alpha beta gamma") for i in range(5)],
+        "doc_id long, source string, text string",
+    )
+    train_and_save_text_baseline(corpus, store, vocab_size=3)
+    proc = make_text_drift_ingest_processor(
+        store, ingest, stats, drift_threshold_permille=10_000, vocab_size=3
+    )
+    delta = spark.createDataFrame(
+        [(100, "s", "alpha gamma gamma zeta")],
+        "doc_id long, source string, text string",
+    )
+    proc(delta, 0)
+    first = sorted(
+        (r["term"], r["n_occ"], r["baseline_version"])
+        for r in spark.read.parquet(os.path.join(stats, "batch=0")).collect()
+    )
+    assert all(v == 1 for _, _, v in first)
+
+    # a newer generation with a DIFFERENT tracked vocabulary appears
+    v2 = spark.createDataFrame(
+        [("zeta", 10), ("omega", 5), ("<TOTAL>", 15)], "term string, n_occ long"
+    )
+    save_text_baseline(v2, store, version=2)
+
+    proc(delta, 0)  # replay of batch 0
+    replayed = sorted(
+        (r["term"], r["n_occ"], r["baseline_version"])
+        for r in spark.read.parquet(os.path.join(stats, "batch=0")).collect()
+    )
+    assert replayed == first  # pinned to generation 1, byte-identical
