@@ -2296,3 +2296,52 @@ def test_text_drift_replay_pins_original_generation(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(stats, "batch=0")).collect()
     )
     assert replayed == first  # pinned to generation 1, byte-identical
+
+
+def test_embedding_monitored_ingest_replay_pins_original_generation(spark, tmp_path):
+    """Same pinning contract as the text loop, for the embedding
+    monitored ingest: replaying a batch after a newer quantizer
+    generation was published must re-route with the ORIGINAL generation
+    — stats and index rewrites byte-identical to the first run."""
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        make_monitored_ingest_processor,
+        save_quantizer,
+        train_and_save_quantizer,
+    )
+
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    stats = str(tmp_path / "stats")
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0 - (i % 2)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    train_and_save_quantizer(base, k=2, store_path=store)
+    proc = make_monitored_ingest_processor(
+        store, index, stats, drift_threshold_permille=10_000
+    )
+    delta = spark.createDataFrame(
+        [(100, [0.9, 0.1]), (101, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    proc(delta, 0)
+    first = sorted(
+        (r["cell"], r["n_vecs"], r["sum_dist_fx"], r["quantizer_version"])
+        for r in spark.read.parquet(os.path.join(stats, "batch=0")).collect()
+    )
+    assert all(row[3] == 1 for row in first)
+
+    # publish a DIFFERENT generation-2 quantizer (swapped centroids)
+    cents2 = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [0.0, 0.0])], "cluster int, c array<double>"
+    )
+    base2 = spark.createDataFrame([(1, 4), (2, 4)], "cell int, n_train long")
+    save_quantizer(cents2, base2, store, version=2)
+
+    proc(delta, 0)  # replay of batch 0
+    replayed = sorted(
+        (r["cell"], r["n_vecs"], r["sum_dist_fx"], r["quantizer_version"])
+        for r in spark.read.parquet(os.path.join(stats, "batch=0")).collect()
+    )
+    assert replayed == first  # pinned to generation 1
