@@ -240,3 +240,34 @@ def test_token_budget_sample_is_partitioning_invariant(spark):
         for r in token_budget_sample(docs.repartition(13), "source", 40, "doc_id").collect()
     }
     assert a == b and a
+
+
+def test_token_budget_sample_nesting_chain_and_group_isolation(spark):
+    """Prefix-admission invariants across a whole budget chain: every
+    smaller budget's selection is a subset of every larger one's, per
+    group independently (one group's long docs never affect another's
+    admission), and the admitted token sum never exceeds the budget."""
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"g{i % 3}", " ".join(["w"] * (4 + (i * 7) % 11)))
+            for i in range(45)
+        ],
+        "doc_id long, source string, text string",
+    )
+    budgets = [0, 9, 25, 60, 10_000]
+    picks = {}
+    for b in budgets:
+        rows = token_budget_sample(docs, "source", b, "doc_id").collect()
+        picks[b] = {(r["source"], r["doc_id"]) for r in rows}
+        per_group: dict[str, int] = {}
+        for r in rows:
+            per_group[r["source"]] = per_group.get(r["source"], 0) + r["n_tokens"]
+        assert all(v <= b for v in per_group.values()), (b, per_group)
+    for lo, hi in zip(budgets, budgets[1:]):
+        assert picks[lo] <= picks[hi], (lo, hi)
+    assert picks[0] == set()
+    assert len(picks[10_000]) == 45  # unconstrained budget admits everything
