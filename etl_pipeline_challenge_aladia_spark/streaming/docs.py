@@ -752,3 +752,37 @@ def run_streaming_curation(
         .start()
         .awaitTermination()
     )
+
+
+def compact_signature_store(
+    spark: SparkSession, store_path: str, out_path: str
+) -> int:
+    """Consolidate a signature store's per-batch directories into ONE
+    ``batch=0`` layout at a fresh path — the small-files maintenance op
+    a long-running ingest needs (thousands of micro-batch directories
+    otherwise accumulate one parquet footer each; at 100 TB the listing
+    alone dominates screen latency). Same publish-then-point pattern as
+    the embedding ``rebuild_index``: reads a snapshot of the batch
+    directories, writes to a fresh path, never blocks ingest; the
+    caller points screening at ``out_path`` when done (a replayed old
+    batch against the ORIGINAL path stays correct meanwhile). Returns
+    the number of stored documents."""
+    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+        read_batch_store,
+    )
+
+    bands = read_batch_store(
+        spark, os.path.join(store_path, "bands"), BAND_STORE_SCHEMA
+    )
+    shingles = read_batch_store(
+        spark, os.path.join(store_path, "shingles"), SHINGLE_STORE_SCHEMA
+    )
+    bands.write.mode("overwrite").parquet(
+        os.path.join(out_path, "bands", "batch=0")
+    )
+    shingles.write.mode("overwrite").parquet(
+        os.path.join(out_path, "shingles", "batch=0")
+    )
+    return spark.read.parquet(
+        os.path.join(out_path, "shingles", "batch=0")
+    ).count()

@@ -2345,3 +2345,47 @@ def test_embedding_monitored_ingest_replay_pins_original_generation(spark, tmp_p
         for r in spark.read.parquet(os.path.join(stats, "batch=0")).collect()
     )
     assert replayed == first  # pinned to generation 1
+
+
+def test_compact_signature_store_preserves_screening(spark, tmp_path):
+    """Compacting a multi-batch signature store into one batch=0 layout
+    preserves screening semantics exactly: the same delta screened
+    against the compacted store yields the identical near-dup report,
+    and the stored document count is unchanged."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        compact_signature_store,
+        make_sigstore_ingest_processor,
+        _screen_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "compacted")
+    report = str(tmp_path / "report")
+    rich = " ".join(f"tok{i}" for i in range(40))
+    proc = make_sigstore_ingest_processor(store, report)
+    proc(
+        spark.createDataFrame([(1, rich)], "doc_id long, text string"), 0
+    )
+    proc(
+        spark.createDataFrame(
+            [(2, " ".join(f"other{i}" for i in range(40)))],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    n = compact_signature_store(spark, store, out)
+    assert n == 2
+    delta = spark.createDataFrame(
+        [(100, rich + " extra")], "doc_id long, text string"
+    )
+    # screen the same delta against original vs compacted store
+    # (batch_id 99: excludes nothing that exists in either layout)
+    orig = {
+        (r["delta_id"], r["corpus_id"])
+        for r in _screen_against_store(spark, store, delta, 99).collect()
+    }
+    compacted = {
+        (r["delta_id"], r["corpus_id"])
+        for r in _screen_against_store(spark, out, delta, 99).collect()
+    }
+    assert orig == compacted == {(100, 1)}
