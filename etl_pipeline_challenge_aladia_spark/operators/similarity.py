@@ -2039,6 +2039,12 @@ def lsh_band_stats(
     throughout (the pair formula uses integer division; the product of
     two consecutive integers is even, so nothing truncates).
     """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm}: _band_rows "
+            "would silently drop the trailing "
+            f"{num_perm % bands} permutations and audit a weaker sketch"
+        )
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm, seed=seed
     )
@@ -2101,6 +2107,14 @@ def tune_lsh_bands(
     """
     if candidates is None:
         candidates = [b for b in (4, 8, 16, 32) if num_perm % b == 0]
+    else:
+        bad = [b for b in candidates if b <= 0 or num_perm % b != 0]
+        if bad:
+            raise ValueError(
+                f"candidate band counts {bad} do not divide "
+                f"num_perm={num_perm}: each would silently audit a "
+                "weaker sketch (trailing permutations dropped)"
+            )
     exact = (
         ngram_jaccard_pairs(
             docs, id_col=id_col, text_col=text_col, n=n, threshold=threshold

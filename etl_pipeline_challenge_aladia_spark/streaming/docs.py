@@ -96,12 +96,30 @@ SHINGLE_STORE_SCHEMA = "id long, shingles array<string>"
 NEAR_DUP_REPORT_SCHEMA = "delta_id long, corpus_id long, jaccard double"
 
 
+#: reserved directory name for consolidated signature data. Ingest
+#: batches land in ``batch=<id>`` directories, so no batch id — not
+#: even the 0 a fresh checkpoint restarts at — can ever exclude or
+#: overwrite the compacted history (the batch=0 collision class).
+COMPACTED_DIR = "compacted"
+
+
 def _read_store(spark, path: str, schema: str, exclude_batch: int | None = None):
+    """Read a signature-store side: every ``batch=<id>`` directory
+    (minus the replayed batch's own) PLUS the reserved ``compacted/``
+    directory when present. The compacted history is read
+    unconditionally — ``exclude_batch`` only ever names a live
+    micro-batch directory, so a continuing ingest pointed at a
+    compacted store (whose fresh checkpoint restarts at batch_id=0)
+    still screens against the full consolidated corpus."""
     from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
         read_batch_store,
     )
 
-    return read_batch_store(spark, path, schema, exclude_batch)
+    df = read_batch_store(spark, path, schema, exclude_batch)
+    compacted = os.path.join(path, COMPACTED_DIR)
+    if os.path.isdir(compacted):
+        df = df.unionByName(spark.read.schema(schema).parquet(compacted))
+    return df
 
 
 def _screen_against_store(
@@ -477,8 +495,8 @@ def train_and_save_text_baseline(
 
 def text_drift_report(baseline: DataFrame, ingest_counts: DataFrame) -> DataFrame:
     """Per tracked token, permille share shift of the ingested population
-    vs the baseline: drift_permille = floor(n_ingest*1000/total_ingest)
-    - floor(n_train*1000/total_train) — the stored-stats form of the
+    vs the baseline: drift_permille = (n_ingest*1000 div total_ingest)
+    - (n_train*1000 div total_train) — the stored-stats form of the
     doc_token_drift formula; aggregates vocab-bounded rows, never
     rescans text. Tokens the ingest never produced still report (their
     baseline share is the negative drift)."""
@@ -505,12 +523,21 @@ def text_drift_report(baseline: DataFrame, ingest_counts: DataFrame) -> DataFram
         F.col("n_train"),
         F.coalesce(F.col("n_ingest"), F.lit(0)).cast("long").alias("n_ingest"),
     )
-    share_t = F.when(
-        F.lit(t) > 0, F.floor(F.col("n_train") * 1000 / F.lit(t))
-    ).otherwise(F.lit(0))
-    share_d = F.when(
-        F.lit(d) > 0, F.floor(F.col("n_ingest") * 1000 / F.lit(d))
-    ).otherwise(F.lit(0))
+    # integer `div`, never double `/`+floor: the double quotient can
+    # round just below an integer at exact-multiple boundaries (and
+    # goes inexact past 2^53), making the drift trigger
+    # nondeterministic by one permille — the same exactness rule as
+    # lsh_band_stats' candidate-pair arithmetic
+    share_t = (
+        F.expr(f"(n_train * CAST(1000 AS BIGINT)) div {int(t)}")
+        if t > 0
+        else F.lit(0).cast("long")
+    )
+    share_d = (
+        F.expr(f"(n_ingest * CAST(1000 AS BIGINT)) div {int(d)}")
+        if d > 0
+        else F.lit(0).cast("long")
+    )
     return joined.withColumn("drift_permille", (share_d - share_t).cast("long"))
 
 
@@ -758,31 +785,34 @@ def compact_signature_store(
     spark: SparkSession, store_path: str, out_path: str
 ) -> int:
     """Consolidate a signature store's per-batch directories into ONE
-    ``batch=0`` layout at a fresh path — the small-files maintenance op
-    a long-running ingest needs (thousands of micro-batch directories
-    otherwise accumulate one parquet footer each; at 100 TB the listing
-    alone dominates screen latency). Same publish-then-point pattern as
-    the embedding ``rebuild_index``: reads a snapshot of the batch
-    directories, writes to a fresh path, never blocks ingest; the
-    caller points screening at ``out_path`` when done (a replayed old
-    batch against the ORIGINAL path stays correct meanwhile). Returns
-    the number of stored documents."""
-    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
-        read_batch_store,
-    )
-
-    bands = read_batch_store(
+    reserved ``compacted/`` layout at a fresh path — the small-files
+    maintenance op a long-running ingest needs (thousands of
+    micro-batch directories otherwise accumulate one parquet footer
+    each; at 100 TB the listing alone dominates screen latency). Same
+    publish-then-point pattern as the embedding ``rebuild_index``:
+    reads a snapshot of the batch directories (folding in any prior
+    ``compacted/`` layer, so re-compaction composes), writes to a fresh
+    path, never blocks ingest; the caller points a CONTINUING ingest at
+    ``out_path`` when done (a replayed old batch against the ORIGINAL
+    path stays correct meanwhile). The consolidated data deliberately
+    does NOT live in a ``batch=<id>`` directory: a fresh checkpoint
+    restarts micro-batch ids at 0, and a ``batch=0`` layout would let
+    that first batch both exclude the entire history from its screen
+    and overwrite it on append. ``compacted/`` is read unconditionally
+    and can never collide with an ingest batch id. Returns the number
+    of stored documents."""
+    bands = _read_store(
         spark, os.path.join(store_path, "bands"), BAND_STORE_SCHEMA
     )
-    shingles = read_batch_store(
+    shingles = _read_store(
         spark, os.path.join(store_path, "shingles"), SHINGLE_STORE_SCHEMA
     )
     bands.write.mode("overwrite").parquet(
-        os.path.join(out_path, "bands", "batch=0")
+        os.path.join(out_path, "bands", COMPACTED_DIR)
     )
     shingles.write.mode("overwrite").parquet(
-        os.path.join(out_path, "shingles", "batch=0")
+        os.path.join(out_path, "shingles", COMPACTED_DIR)
     )
     return spark.read.parquet(
-        os.path.join(out_path, "shingles", "batch=0")
+        os.path.join(out_path, "shingles", COMPACTED_DIR)
     ).count()

@@ -3,6 +3,7 @@ brute-force baseline on the planted near-duplicates."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.operators.similarity import (
@@ -380,6 +381,24 @@ def test_lsh_band_stats_mass_identities_and_hub_detection(spark):
     # the 6 identical docs share every band key: 16 hub buckets of size 6
     assert stats[6]["n_buckets"] == 16
     assert stats[6]["n_candidate_pairs"] == 16 * (6 * 5 // 2)
+
+
+def test_lsh_band_validation_rejects_non_divisors(spark):
+    """A band count that does not divide num_perm would silently drop
+    the trailing permutations and audit/tune a weaker sketch than
+    requested — both entry points must refuse it up front."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        lsh_band_stats,
+        tune_lsh_bands,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="divide num_perm"):
+        lsh_band_stats(docs, bands=24, num_perm=64)
+    with pytest.raises(ValueError, match="divide"):
+        tune_lsh_bands(docs, candidates=[8, 24], num_perm=64)
 
 
 def test_tune_lsh_bands_picks_cheapest_config_meeting_target(spark, sf_dir):

@@ -2389,3 +2389,84 @@ def test_compact_signature_store_preserves_screening(spark, tmp_path):
         for r in _screen_against_store(spark, out, delta, 99).collect()
     }
     assert orig == compacted == {(100, 1)}
+
+
+def test_compacted_store_survives_fresh_checkpoint_batch0(spark, tmp_path):
+    """The collision class compaction must never reintroduce: a
+    CONTINUING ingest pointed at a compacted store starts a fresh
+    checkpoint whose first micro-batch id is 0. Because the
+    consolidated history lives in the reserved ``compacted/`` directory
+    (not ``batch=0``), that first batch still screens against the full
+    history (exclude_batch=0 removes nothing), its append cannot
+    overwrite the history, and a replay of it self-excludes only its
+    own directory (no self-match drop)."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        SHINGLE_STORE_SCHEMA,
+        _read_store,
+        compact_signature_store,
+        make_sigstore_ingest_processor,
+        read_near_dup_report,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "compacted")
+    rich = " ".join(f"tok{i}" for i in range(40))
+    proc = make_sigstore_ingest_processor(store, str(tmp_path / "report1"))
+    proc(spark.createDataFrame([(1, rich)], "doc_id long, text string"), 0)
+    proc(
+        spark.createDataFrame(
+            [(2, " ".join(f"other{i}" for i in range(40)))],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    assert compact_signature_store(spark, store, out) == 2
+
+    report2 = str(tmp_path / "report2")
+    delta = spark.createDataFrame(
+        [(100, rich + " extra")], "doc_id long, text string"
+    )
+    proc2 = make_sigstore_ingest_processor(out, report2)
+    proc2(delta, 0)  # fresh checkpoint: batch id restarts at 0
+    hits = {
+        (r["delta_id"], r["corpus_id"])
+        for r in read_near_dup_report(spark, report2).collect()
+    }
+    assert hits == {(100, 1)}  # compacted history screened, not excluded
+    stored = _read_store(
+        spark, os.path.join(out, "shingles"), SHINGLE_STORE_SCHEMA
+    )
+    assert {r["id"] for r in stored.collect()} == {1, 2, 100}  # nothing clobbered
+    proc2(delta, 0)  # replay: own batch=0 excluded, compacted/ still read
+    hits2 = {
+        (r["delta_id"], r["corpus_id"])
+        for r in read_near_dup_report(spark, report2).collect()
+    }
+    assert hits2 == hits  # no (100, 100) self-match, history report intact
+    # and re-compaction composes: compacted layer + new batch fold together
+    out2 = str(tmp_path / "compacted2")
+    assert compact_signature_store(spark, out, out2) == 3
+
+
+def test_text_drift_report_integer_exact_shares(spark):
+    """Permille shares are integer `div`, not double-division floor —
+    the exactness convention every drift trigger in the engine follows
+    (double quotients can round just below an integer at exact-multiple
+    boundaries and go inexact past 2^53)."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        TOTAL_SENTINEL,
+        text_drift_report,
+    )
+
+    base = spark.createDataFrame(
+        [(TOTAL_SENTINEL, 8), ("a", 2), ("b", 6)], "term string, n_occ long"
+    )
+    ing = spark.createDataFrame(
+        [(TOTAL_SENTINEL, 3), ("a", 1)], "term string, n_occ long"
+    )
+    rep = text_drift_report(base, ing)
+    vals = {r["term"]: r["drift_permille"] for r in rep.collect()}
+    assert vals["a"] == 1000 // 3 - 250  # 333 - 250
+    assert vals["b"] == -750  # never ingested: negative baseline share
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert "floor" not in plan.lower() and " div " in plan.lower()
