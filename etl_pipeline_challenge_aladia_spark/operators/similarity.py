@@ -2184,3 +2184,93 @@ def tune_lsh_bands(
             return bands, recall, int(mass)
     assert best is not None
     return best
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_permille: int = 800,
+) -> DataFrame:
+    """EXACT directional shingle-containment pairs via the inverted
+    shingle index: containment(A in B) = |sh(A) ∩ sh(B)| * 1000 div
+    |sh(A)| — the ASYMMETRIC near-dup measure. Jaccard misses a short
+    document quoted wholesale inside a much longer one (the union term
+    dilutes it); containment flags it at full strength, which is why
+    quote/subset detection and contamination screens use containment,
+    not Jaccard (the same reason `doc_decontaminate` checks benchmark
+    n-grams one-sidedly).
+
+    Same lossless candidate generation as ``ngram_jaccard_pairs``: any
+    pair with containment > 0 shares a shingle, so the posting-list
+    equi-join enumerates a candidate superset and the exact score needs
+    only set sizes (one undirected count per pair, emitted in both
+    directions). Cost is posting-list-bounded, never corpus²; the
+    boilerplate-cap mitigation for hub shingles applies unchanged.
+    All-integer output (permille `div`), so cross-engine parity is
+    bit-exact with no rounding contract.
+
+    Reference analog: none (SURVEY.md §1.4 dedups whole rows by key);
+    north-star LLM-pipeline scope.
+    """
+    base = fan_out(
+        docs.select(
+            F.col(id_col).alias("id"),
+            shingles_col(tokens_col(text_col), n).alias("sh"),
+        )
+    ).select("id", F.explode(F.array_distinct("sh")).alias("shingle"))
+    sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = base.alias("a"), base.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    scored = (
+        common.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+    )
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.col("na").alias("n_contained"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    F.col("nb").alias("n_contained"),
+                ),
+            )
+        ).alias("d"),
+        "c",
+        "na",
+        "nb",
+    ).select(
+        F.col("d.contained_id").alias("contained_id"),
+        F.col("d.container_id").alias("container_id"),
+        F.col("c").alias("n_shared"),
+        F.col("d.n_contained").alias("n_contained"),
+        F.expr("(c * 1000) div d.n_contained").cast("long").alias(
+            "containment_permille"
+        ),
+        F.expr("(c * 1000) div (na + nb - c)").cast("long").alias(
+            "jaccard_permille"
+        ),
+    )
+    return directed.filter(
+        F.col("containment_permille") >= F.lit(threshold_permille)
+    )

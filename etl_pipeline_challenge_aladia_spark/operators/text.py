@@ -294,3 +294,88 @@ def chunk_plan(
             F.col("n_tokens") - F.col("chunk_id") * chunk_tokens,
         ).alias("chunk_len"),
     )
+
+
+def segment_dedup_stats(
+    docs: DataFrame,
+    segment_tokens: int = 8,
+    min_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    slice_col: str = "source",
+) -> DataFrame:
+    """Sub-document exact dedup audit (the CCNet/RefinedWeb
+    paragraph-dedup shape with deterministic segmentation): split every
+    document into consecutive ``segment_tokens``-token segments, mark a
+    segment instance REMOVED when its exact text occurs in at least
+    ``min_doc_freq`` distinct documents and this document is not the
+    lowest-id holder (one canonical copy survives corpus-wide), and
+    report per-``slice_col`` how many segments/tokens the pass would
+    strip. This is the granularity between whole-document exact dedup
+    (``doc_exact_dedup``) and overlapping-shingle boilerplate detection
+    (``shingle_doc_freq``): non-overlapping spans, every token counted
+    exactly once, so `tokens_removed` is the real training-token saving.
+
+    Plan shape: one explode (n_tokens/segment_tokens rows per doc), a
+    hash aggregate keyed by segment text (map-side partials; the
+    canonical holder is a plain ``min``), a same-key join back, and a
+    slice-sized rollup — two shuffles on the segment key, one on the
+    slice. No windows, no driver state; at 100 TB the segment key would
+    be a 128-bit hash instead of the text (same plan, narrower
+    exchange — kept as text here so the DuckDB oracle joins on the
+    identical key). ``removed_permille`` uses integer `div` per the
+    exactness convention.
+
+    Reference analog: none (the reference dedups whole rows by key,
+    SURVEY.md §1.4); this is north-star LLM-pipeline scope.
+    """
+    toks = tokens_col(text_col)
+    n_seg = F.ceil(F.size(toks) / F.lit(float(segment_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * segment_tokens + 1, segment_tokens), " "
+        ),
+    )
+    inst = docs.select(
+        F.col(id_col), F.col(slice_col), F.explode(segs).alias("seg")
+    )
+    g = inst.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("df_docs"),
+        F.min(id_col).alias("canon_doc"),
+    )
+    j = inst.join(g, "seg").select(
+        slice_col,
+        id_col,
+        token_count_col(F.col("seg")).alias("n_tok"),
+        (
+            (F.col("df_docs") >= min_doc_freq) & (F.col(id_col) != F.col("canon_doc"))
+        ).alias("removed"),
+    )
+    removed_tok = F.sum(F.when(F.col("removed"), F.col("n_tok")).otherwise(F.lit(0)))
+    kept_tok = F.sum(F.when(~F.col("removed"), F.col("n_tok")).otherwise(F.lit(0)))
+    return (
+        j.groupBy(slice_col)
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.col("removed").cast("long")).cast("long").alias(
+                "n_removed_segments"
+            ),
+            removed_tok.cast("long").alias("tokens_removed"),
+            kept_tok.cast("long").alias("tokens_kept"),
+        )
+        .select(
+            slice_col,
+            "n_docs",
+            "n_segments",
+            "n_removed_segments",
+            "tokens_removed",
+            "tokens_kept",
+            F.expr(
+                "(tokens_removed * 1000) div (tokens_removed + tokens_kept)"
+            )
+            .cast("long")
+            .alias("removed_permille"),
+        )
+    )

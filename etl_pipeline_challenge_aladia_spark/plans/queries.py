@@ -7130,3 +7130,245 @@ def q_events_time_to_purchase_histogram(
         .groupBy("hours_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6: sequence transition matrix, market-basket lift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+t AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM o WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2),
+f AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+      FROM t GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n_trans,
+       CAST((t.n_trans * 1000) // f.n_from AS BIGINT) AS share_permille
+FROM t JOIN f USING (from_type)
+""",
+    doc="Full first-order transition matrix over per-user event "
+    "timelines: for every (from_type, to_type) adjacency, the count and "
+    "the integer-exact permille share of transitions leaving from_type "
+    "— the Markov-chain sequence profile behind next-event models and "
+    "journey analysis (events_purchase_prev_type answers one row of "
+    "this; this is the whole matrix). One lag window per user partition "
+    "(single hash shuffle on user_id, ts + event_id total order), a "
+    "type-pair-sized hash aggregate, and a tiny row-total join that "
+    "auto-broadcasts; shares use integer `div` per the engine's "
+    "exactness convention.",
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("from_type")
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    f = t.groupBy("from_type").agg(F.sum("n_trans").cast("long").alias("n_from"))
+    return t.join(f, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr("(n_trans * 1000) div n_from").cast("long").alias("share_permille"),
+    )
+
+
+@query(
+    "basket_brand_lift",
+    """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem),
+bc AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_brand
+       FROM ob GROUP BY p_brand),
+co AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2)
+SELECT co.brand_a, co.brand_b, co.n_co,
+       CAST((co.n_co * n.n_orders * 1000) // (ca.n_brand * cb.n_brand)
+            AS BIGINT) AS lift_permille
+FROM co
+JOIN bc ca ON ca.p_brand = co.brand_a
+JOIN bc cb ON cb.p_brand = co.brand_b
+CROSS JOIN n
+WHERE co.n_co >= 3
+""",
+    doc="Market-basket brand affinity: for every pair of part brands "
+    "co-occurring in an order, the co-occurrence count and the "
+    "integer-exact permille lift n_co*N*1000 div (n_a*n_b) — lift > "
+    "1000 means the brands appear together more than independence "
+    "predicts (the association-rule mining primitive). The pair "
+    "explosion is bounded per order (orders hold <= 7 lineitems, so "
+    "<= 21 brand pairs each): one distinct on (order, brand), a "
+    "co-located self-join on orderkey, then brand-pair-sized "
+    "aggregates; the per-brand counts and the 1-row order total "
+    "broadcast onto the <= 300-row pair frame. int64 arithmetic is "
+    "exact to ~3e9 orders; past that the one-line change is "
+    "DECIMAL(38)/HUGEINT on both engines.",
+)
+def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("long").alias("n_brand"))
+    a, b = ob.alias("a"), ob.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    return (
+        co.join(
+            bc.select(
+                F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+            ),
+            "brand_a",
+        )
+        .join(
+            bc.select(
+                F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+            ),
+            "brand_b",
+        )
+        .crossJoin(n)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_co",
+            F.expr("(n_co * n_orders * 1000) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_permille"),
+        )
+    )
+
+
+@query(
+    "doc_segment_dedup",
+    """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
+seg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')))
+           AS seg
+  FROM w),
+g AS (SELECT seg, count(DISTINCT doc_id) AS df_docs, min(doc_id) AS canon
+      FROM seg GROUP BY seg),
+j AS (
+  SELECT s.source, s.doc_id,
+         len(string_split(s.seg, ' ')) AS n_tok,
+         (g.df_docs >= 2 AND s.doc_id <> g.canon) AS removed
+  FROM seg s JOIN g USING (seg))
+SELECT source,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed_segments,
+  CAST(sum(CASE WHEN removed THEN n_tok ELSE 0 END) AS BIGINT)
+    AS tokens_removed,
+  CAST(sum(CASE WHEN NOT removed THEN n_tok ELSE 0 END) AS BIGINT)
+    AS tokens_kept,
+  CAST((sum(CASE WHEN removed THEN n_tok ELSE 0 END) * 1000)
+       // sum(n_tok) AS BIGINT) AS removed_permille
+FROM j GROUP BY source
+""",
+    doc="Sub-document exact dedup audit "
+    "(operators/text.py:segment_dedup_stats): consecutive 8-token "
+    "segments, an instance is removed when its exact text occurs in "
+    ">= 2 distinct documents and this is not the lowest-id holder — "
+    "the CCNet/RefinedWeb paragraph-dedup granularity between "
+    "whole-doc exact dedup and overlapping boilerplate shingles. "
+    "Non-overlapping spans count every token once, so tokens_removed "
+    "is the real training-token saving per source. Explode + "
+    "segment-keyed hash agg + same-key join + slice rollup; no "
+    "windows, integer-exact permille.",
+)
+def q_doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        segment_dedup_stats,
+    )
+
+    return segment_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_containment_pairs",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM tok),
+post AS (SELECT doc_id, unnest(sh) AS shingle FROM tok),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT c.id_a, c.id_b, c.c, sa.n_sh AS na, sb.n_sh AS nb,
+         sa.n_sh + sb.n_sh - c.c AS u
+  FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+                JOIN sizes sb ON sb.doc_id = c.id_b),
+directed AS (
+  SELECT id_a AS contained_id, id_b AS container_id, c, na AS nc, u
+  FROM scored
+  UNION ALL
+  SELECT id_b, id_a, c, nb, u FROM scored)
+SELECT contained_id, container_id, c AS n_shared,
+       nc AS n_contained,
+       CAST((c * 1000) // nc AS BIGINT) AS containment_permille,
+       CAST((c * 1000) // u AS BIGINT) AS jaccard_permille
+FROM directed
+WHERE (c * 1000) // nc >= 800
+""",
+    doc="Directional shingle-containment near-dup pairs "
+    "(operators/similarity.py:containment_pairs): containment(A in B) "
+    "= shared-shingles*1000 div |sh(A)| — the asymmetric measure that "
+    "flags a short document quoted wholesale inside a longer one at "
+    "full strength where Jaccard dilutes it (the union term). The "
+    "jaccard_permille column sits alongside so asymmetry is visible "
+    "per pair. Lossless inverted-index candidates (any positive "
+    "containment shares a shingle), exact score from set sizes alone, "
+    "both directions emitted; all-integer output, no rounding "
+    "contract.",
+)
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        containment_pairs,
+    )
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"))

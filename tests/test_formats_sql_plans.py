@@ -338,6 +338,7 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "cdc_quarantine_stats",         # 1-row totals frame
         "media_decode_audit",           # 1-row audit-total frame
         "events_hourly_click_purchase_full_outer",  # tiny hour-grain outer
+        "basket_brand_lift",            # 1-row order-total frame
         "doc_heavy_hitter_tokens",      # <=support-bound candidate literal
         "doc_curation_pipeline",        # 1-row stage-total frames
         "emb_cosine_topk",              # bounded query-sample frame crossed into scan
