@@ -2274,3 +2274,63 @@ def containment_pairs(
     return directed.filter(
         F.col("containment_permille") >= F.lit(threshold_permille)
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy farthest-point (Gonzalez) k-center selection — the
+    2-approximation coreset/diversity sampler: start from the lowest-id
+    vector, then k-1 times pick the vector FARTHEST from everything
+    selected so far (exact int64 fixed-point distances, min-id
+    tie-break). Returns k+1 rows ``(center_rank, vec_id, dist_fx)``:
+    ranks 1..k are the selected coreset (dist_fx = the min distance to
+    the previously-selected set at selection time, 0 for the seed) and
+    rank k+1 is the coverage WITNESS — the point maximizing min-distance
+    to all k centers, whose dist_fx is the coverage radius the selection
+    guarantees. This is the diverse-subset primitive behind coreset
+    curation, seed selection for clustering, and embedding-space
+    coverage audits.
+
+    Scale shape: each round is ONE scan + running-min column update +
+    ``TakeOrderedAndProject(limit=1)`` — k+1 linear jobs, no window, no
+    pair join. The selected vectors cross the driver as k 1-row
+    collects (count-bounded by the k parameter — the same justified
+    bounded-driver-state exception as the union-find edge collect,
+    ``operators/dedup.py``) and re-enter each following round as a
+    64-term literal so the distance chain stays whole-stage-codegen'd.
+    The base projection is eagerly localCheckpointed once, so rounds
+    rescan the materialized (id, vector) pairs, not the parquet + cast
+    lineage.
+
+    Reference analog: none; north-star LLM-data-curation scope.
+    """
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = emb.sparkSession
+    first = base.orderBy("id").limit(1).collect()[0]
+    out: list[tuple[int, int, int]] = [(1, first["id"], 0)]
+    last_vec = first["v"]
+    cur = base
+    have_md = False
+    for rank in range(2, k + 2):
+        lit_vec = F.array(*[F.lit(float(x)) for x in last_vec])
+        d = _fx_sq_dist(F.col("v"), lit_vec, dim)
+        cur = cur.withColumn(
+            "md", d if not have_md else F.least(F.col("md"), d)
+        )
+        have_md = True
+        top = cur.orderBy(F.desc("md"), "id").limit(1).collect()[0]
+        out.append((rank, top["id"], top["md"]))
+        last_vec = top["v"]
+    return spark.createDataFrame(
+        out, "center_rank long, vec_id long, dist_fx long"
+    )

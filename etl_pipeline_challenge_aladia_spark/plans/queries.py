@@ -7372,3 +7372,72 @@ def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _kcenter_oracle_sql(k: int = 4) -> str:
+    """Unrolled Gonzalez k-center: stage r selects argmax of the running
+    min fixed-point distance (min-id tie-break), exactly the engine's
+    per-round arithmetic, so the parity is bit-exact."""
+    fx = (
+        "sum(CAST(floor((ev.val - c.cv) * (ev.val - c.cv) * 100000000.0"
+        " + 0.5) AS BIGINT))"
+    )
+    parts = [
+        """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+ev AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+       FROM e),
+c1 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+c1v AS (SELECT ev.dim, ev.val AS cv FROM ev JOIN c1 USING (vec_id)),
+d1 AS (SELECT ev.vec_id, {fx} AS md
+       FROM ev JOIN c1v c USING (dim) GROUP BY ev.vec_id)""".format(fx=fx)
+    ]
+    for r in range(2, k + 2):
+        parts.append(
+            f"""c{r} AS (SELECT vec_id, md FROM d{r - 1}
+        ORDER BY md DESC, vec_id LIMIT 1)"""
+        )
+        if r <= k:
+            parts.append(
+                f"""c{r}v AS (SELECT ev.dim, ev.val AS cv
+         FROM ev JOIN c{r} USING (vec_id)),
+d{r} AS (
+  SELECT d.vec_id, least(d.md, x.dn) AS md
+  FROM d{r - 1} d
+  JOIN (SELECT ev.vec_id, {fx} AS dn
+        FROM ev JOIN c{r}v c USING (dim) GROUP BY ev.vec_id) x
+    USING (vec_id))"""
+            )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS center_rank, vec_id,"
+        " CAST(0 AS BIGINT) AS dist_fx FROM c1"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), vec_id, CAST(md AS BIGINT) FROM c{r}"
+        for r in range(2, k + 2)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query(
+    "emb_kcenter_coreset",
+    _kcenter_oracle_sql(k=4),
+    doc="Greedy farthest-point (Gonzalez) k-center coreset over the "
+    "embedding table (operators/similarity.py:kcenter_select, k=4): "
+    "ranks 1-4 are the selected maximally-diverse vectors (dist_fx = "
+    "exact int64 fixed-point min-distance to the prior selection at "
+    "pick time), rank 5 is the coverage witness whose dist_fx is the "
+    "guaranteed coverage radius — the diverse-subset/coreset primitive "
+    "behind curation and seed selection. Each round is one linear scan "
+    "+ running-min update + TakeOrderedAndProject(limit=1); selected "
+    "vectors re-enter as 64-term literals (k-bounded 1-row collects, "
+    "the union-find exception), so no window, no pair join, no "
+    "broadcast of anything unbounded. The oracle unrolls the rounds as "
+    "chained CTEs with the identical fixed-point arithmetic.",
+)
+def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    return kcenter_select(load_table(spark, sf_dir, "embeddings"), k=4, dim=64)

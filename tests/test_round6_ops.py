@@ -134,3 +134,25 @@ def test_markov_transitions_rows_sum_to_1000ish_and_count_exactly(spark):
     assert got[("view", "purchase")] == (1, 333)
     assert got[("click", "view")] == (1, 1000)
     assert len(got) == 4
+
+
+def test_kcenter_select_picks_extremes_and_reports_radius(spark):
+    """Planted geometry: seed = lowest id, next pick = farthest point,
+    witness row carries the exact fixed-point coverage radius."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_select(emb, k=2, dim=2).orderBy("center_rank").collect()
+    assert [(r["center_rank"], r["vec_id"]) for r in rows] == [
+        (1, 1),
+        (2, 2),
+        (3, 3),
+    ]
+    assert rows[0]["dist_fx"] == 0
+    assert rows[1]["dist_fx"] == 10**10  # (10-0)^2 * 1e8
+    assert rows[2]["dist_fx"] == 10**8  # radius: point 3 at distance 1.0
