@@ -55,6 +55,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard near-dup pairs via an inverted shingle
     index — not all-pairs.
@@ -66,9 +67,13 @@ def ngram_jaccard_pairs(
     identical to the quadratic baseline, but the cost is the index join —
     proportional to shingle posting-list sizes, not corpus². At 100 TB the
     one caveat is ultra-frequent shingles (boilerplate) inflating posting
-    lists; the standard mitigation is dropping shingles with document
-    frequency above a cap, which only loses pairs whose overlap is pure
-    boilerplate. Optional ``block_col`` restricts pairs to equal blocks.
+    lists; ``df_cap`` (same parameter as ``shared_span_pairs``) drops
+    shingles with document frequency above the cap BEFORE set sizes and
+    the join, making Jaccard exact over the non-hub shingle universe —
+    pairs whose overlap is pure boilerplate disappear; true near-dups
+    survive since their shared shingles are mostly non-hub. Default
+    ``None`` keeps the full-universe EXACT semantics (the oracle shape).
+    Optional ``block_col`` restricts pairs to equal blocks.
     """
     base = fan_out(
         docs.select(
@@ -81,6 +86,14 @@ def ngram_jaccard_pairs(
         *(["block"] if block_col else []),
         F.explode(F.array_distinct("sh")).alias("shingle"),
     )
+    if df_cap is not None:
+        rare = (
+            base.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        base = base.join(rare, "shingle")
     sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = base.alias("a"), base.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
@@ -2192,6 +2205,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold_permille: int = 800,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """EXACT directional shingle-containment pairs via the inverted
     shingle index: containment(A in B) = |sh(A) ∩ sh(B)| * 1000 div
@@ -2206,10 +2220,18 @@ def containment_pairs(
     pair with containment > 0 shares a shingle, so the posting-list
     equi-join enumerates a candidate superset and the exact score needs
     only set sizes (one undirected count per pair, emitted in both
-    directions). Cost is posting-list-bounded, never corpus²; the
-    boilerplate-cap mitigation for hub shingles applies unchanged.
-    All-integer output (permille `div`), so cross-engine parity is
-    bit-exact with no rounding contract.
+    directions). Cost is posting-list-bounded, never corpus²; a hub
+    shingle (boilerplate appearing in a large fraction of the corpus)
+    makes its posting list — and the self-join within it — quadratic,
+    so ``df_cap`` (same parameter as ``shared_span_pairs``) drops
+    shingles with document frequency above the cap BEFORE sizes and the
+    join: both |sh(A)| and the intersection are then computed over the
+    non-hub shingle universe (self-consistent containment on the capped
+    universe; pairs whose overlap is pure boilerplate disappear, true
+    high-containment pairs survive because their shared shingles are
+    mostly non-hub). Default ``None`` keeps the full-universe EXACT
+    semantics (the oracle shape). All-integer output (permille `div`),
+    so cross-engine parity is bit-exact with no rounding contract.
 
     Reference analog: none (SURVEY.md §1.4 dedups whole rows by key);
     north-star LLM-pipeline scope.
@@ -2220,6 +2242,14 @@ def containment_pairs(
             shingles_col(tokens_col(text_col), n).alias("sh"),
         )
     ).select("id", F.explode(F.array_distinct("sh")).alias("shingle"))
+    if df_cap is not None:
+        rare = (
+            base.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        base = base.join(rare, "shingle")
     sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = base.alias("a"), base.alias("b")
     common = (
@@ -2301,11 +2331,22 @@ def kcenter_select(
     pair join. The selected vectors cross the driver as k 1-row
     collects (count-bounded by the k parameter — the same justified
     bounded-driver-state exception as the union-find edge collect,
-    ``operators/dedup.py``) and re-enter each following round as a
-    64-term literal so the distance chain stays whole-stage-codegen'd.
-    The base projection is eagerly localCheckpointed once, so rounds
-    rescan the materialized (id, vector) pairs, not the parquet + cast
-    lineage.
+    ``operators/dedup.py``) and re-enter each following round as an
+    array literal consumed by the compact zip_with/aggregate distance
+    fold (bit-identical to the unrolled chain; see ``_fx_sq_dist``).
+    The running-min ``md`` column is MATERIALIZED (localCheckpoint)
+    every round, so round r's plan contains exactly ONE distance
+    expression against the stored column — O(k) total plan/codegen
+    work, not the O(k²) a lazily-chained ``least(...)`` lineage would
+    compile (each round would otherwise re-evaluate every prior round's
+    64-term distance). Identical results; the checkpoint stores only
+    (id, v, md).
+
+    Degenerate inputs: an EMPTY frame raises ``ValueError``. With
+    1 <= n < k+1 distinct vectors the greedy rule still emits k+1 rows —
+    once every point is at running-min distance 0 the min-id point is
+    re-selected as center/witness with dist_fx = 0 (duplicate-center
+    semantics; the SQL oracle mirrors this exactly).
 
     Reference analog: none; north-star LLM-data-curation scope.
     """
@@ -2316,21 +2357,90 @@ def kcenter_select(
         .localCheckpoint(eager=True)
     )
     spark = emb.sparkSession
-    first = base.orderBy("id").limit(1).collect()[0]
+    seed = base.orderBy("id").limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_select: embeddings frame is empty")
+    first = seed[0]
     out: list[tuple[int, int, int]] = [(1, first["id"], 0)]
     last_vec = first["v"]
     cur = base
     have_md = False
     for rank in range(2, k + 2):
         lit_vec = F.array(*[F.lit(float(x)) for x in last_vec])
-        d = _fx_sq_dist(F.col("v"), lit_vec, dim)
+        # dim=None -> the compact zip_with/aggregate fold (bit-identical
+        # to the unrolled chain): the loop pays plan analysis + codegen k
+        # times, and the unrolled 64-term tree costs ~1.5 s/round there vs
+        # ~0.25 s for the fold. One-shot ops keep the unrolled codegen'd
+        # variant; the sequential loop trades per-row codegen for O(1)
+        # plan size per round.
+        d = _fx_sq_dist(F.col("v"), lit_vec, None)
+        # Lazy checkpoint: the top-1 job below evaluates every partition
+        # (global TakeOrdered), which materializes the checkpoint in the
+        # SAME job — one Spark job per round instead of two.
         cur = cur.withColumn(
             "md", d if not have_md else F.least(F.col("md"), d)
-        )
+        ).localCheckpoint(eager=False)
         have_md = True
         top = cur.orderBy(F.desc("md"), "id").limit(1).collect()[0]
         out.append((rank, top["id"], top["md"]))
         last_vec = top["v"]
     return spark.createDataFrame(
         out, "center_rank long, vec_id long, dist_fx long"
+    )
+
+
+def kcenter_vs_random_audit(
+    emb: DataFrame,
+    k: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coverage-quality audit for the greedy k-center selection — the
+    selection twin of ``minhash_recall_audit`` / ``emb_ivf_recall_audit``
+    (every selection op in this engine ships with its audit): for the
+    k greedy centers AND a deterministic pseudo-random k-subset
+    (md5-of-id order — engine-independent, reproducible), compute the
+    EXACT coverage each achieves over the whole corpus. Returns one row
+    per method ``(method, radius_fx, sum_min_fx)``: radius_fx = max
+    over points of the min fixed-point distance to that method's
+    centers (the coverage radius; for 'kcenter' it equals the witness
+    dist_fx of ``kcenter_select`` by construction), sum_min_fx = the
+    exact int64 sum of per-point min distances (the k-medoids-style
+    total-coverage cost). Greedy k-center carries a 2-approximation
+    guarantee on the radius; this audit measures the realized gap vs
+    the random baseline.
+
+    Scale shape: the k+k center vectors broadcast onto ONE linear scan
+    of the corpus (crossJoin with a 2k-row broadcast frame — bounded by
+    the k parameter, never data-sized), then a (method, point)-keyed
+    min and a 2-row final aggregate. No pair join, no window.
+
+    Reference analog: none; north-star LLM-data-curation scope.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    ).localCheckpoint(eager=True)
+    kc = (
+        kcenter_select(emb, k=k, dim=dim, id_col=id_col, vec_col=vec_col)
+        .filter(F.col("center_rank") <= k)
+        .select(F.col("vec_id").alias("cid"), F.lit("kcenter").alias("method"))
+    )
+    rnd = (
+        base.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(k)
+        .select(F.col("id").alias("cid"), F.lit("random_hash").alias("method"))
+    )
+    cvec = kc.unionByName(rnd).join(
+        base.select(F.col("id").alias("cid"), F.col("v").alias("cv")), "cid"
+    )
+    d = base.crossJoin(F.broadcast(cvec)).select(
+        "method",
+        F.col("id").alias("pid"),
+        _fx_sq_dist(F.col("v"), F.col("cv"), dim).alias("dist"),
+    )
+    m = d.groupBy("method", "pid").agg(F.min("dist").alias("mind"))
+    return m.groupBy("method").agg(
+        F.max("mind").cast("long").alias("radius_fx"),
+        F.sum("mind").cast("long").alias("sum_min_fx"),
     )

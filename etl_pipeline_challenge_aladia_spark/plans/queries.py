@@ -7204,7 +7204,8 @@ co AS (
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY 1, 2)
 SELECT co.brand_a, co.brand_b, co.n_co,
-       CAST((co.n_co * n.n_orders * 1000) // (ca.n_brand * cb.n_brand)
+       CAST((CAST(co.n_co AS HUGEINT) * n.n_orders * 1000)
+            // (ca.n_brand * cb.n_brand)
             AS BIGINT) AS lift_permille
 FROM co
 JOIN bc ca ON ca.p_brand = co.brand_a
@@ -7221,9 +7222,10 @@ WHERE co.n_co >= 3
     "<= 21 brand pairs each): one distinct on (order, brand), a "
     "co-located self-join on orderkey, then brand-pair-sized "
     "aggregates; the per-brand counts and the 1-row order total "
-    "broadcast onto the <= 300-row pair frame. int64 arithmetic is "
-    "exact to ~3e9 orders; past that the one-line change is "
-    "DECIMAL(38)/HUGEINT on both engines.",
+    "broadcast onto the <= 300-row pair frame. The numerator "
+    "n_co*N*1000 is computed in DECIMAL(38)/HUGEINT on both engines "
+    "(n_co can approach N, so int64 would overflow near ~9e7 orders); "
+    "the quotient always fits BIGINT since lift <= 1000*N/n_co.",
 )
 def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -7262,12 +7264,15 @@ def q_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "brand_b",
         )
-        .crossJoin(n)
+        .crossJoin(F.broadcast(n))
         .select(
             "brand_a",
             "brand_b",
             "n_co",
-            F.expr("(n_co * n_orders * 1000) div (n_a * n_b)")
+            F.expr(
+                "(CAST(n_co AS DECIMAL(38,0)) * n_orders * 1000)"
+                " div (n_a * n_b)"
+            )
             .cast("long")
             .alias("lift_permille"),
         )
@@ -7374,14 +7379,18 @@ def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def _kcenter_oracle_sql(k: int = 4) -> str:
-    """Unrolled Gonzalez k-center: stage r selects argmax of the running
-    min fixed-point distance (min-id tie-break), exactly the engine's
-    per-round arithmetic, so the parity is bit-exact."""
-    fx = (
-        "sum(CAST(floor((ev.val - c.cv) * (ev.val - c.cv) * 100000000.0"
-        " + 0.5) AS BIGINT))"
-    )
+_KC_FX = (
+    "sum(CAST(floor((ev.val - c.cv) * (ev.val - c.cv) * 100000000.0"
+    " + 0.5) AS BIGINT))"
+)
+
+
+def _kcenter_cte_parts(k: int) -> list[str]:
+    """Unrolled Gonzalez k-center as chained CTEs (stage r selects
+    argmax of the running-min fixed-point distance, min-id tie-break,
+    exactly the engine's per-round arithmetic): shared by the coreset
+    oracle and the vs-random audit oracle."""
+    fx = _KC_FX
     parts = [
         """WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -7409,6 +7418,13 @@ d{r} AS (
         FROM ev JOIN c{r}v c USING (dim) GROUP BY ev.vec_id) x
     USING (vec_id))"""
             )
+    return parts
+
+
+def _kcenter_oracle_sql(k: int = 4) -> str:
+    """Unrolled Gonzalez k-center oracle (see ``_kcenter_cte_parts``) —
+    bit-exact parity with ``kcenter_select``."""
+    parts = _kcenter_cte_parts(k)
     selects = [
         "SELECT CAST(1 AS BIGINT) AS center_rank, vec_id,"
         " CAST(0 AS BIGINT) AS dist_fx FROM c1"
@@ -7429,11 +7445,14 @@ d{r} AS (
     "pick time), rank 5 is the coverage witness whose dist_fx is the "
     "guaranteed coverage radius — the diverse-subset/coreset primitive "
     "behind curation and seed selection. Each round is one linear scan "
-    "+ running-min update + TakeOrderedAndProject(limit=1); selected "
-    "vectors re-enter as 64-term literals (k-bounded 1-row collects, "
-    "the union-find exception), so no window, no pair join, no "
-    "broadcast of anything unbounded. The oracle unrolls the rounds as "
-    "chained CTEs with the identical fixed-point arithmetic.",
+    "+ running-min update + TakeOrderedAndProject(limit=1), with the "
+    "running-min column MATERIALIZED per round (localCheckpoint) so "
+    "round r compiles ONE compact distance fold, not r chained ones — "
+    "O(k) total plan work; selected vectors re-enter as array literals "
+    "(k-bounded 1-row collects, the union-find exception), so no "
+    "window, no pair join, no broadcast of anything unbounded. The "
+    "oracle unrolls the rounds as chained CTEs with the identical "
+    "fixed-point arithmetic.",
 )
 def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
@@ -7441,3 +7460,159 @@ def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return kcenter_select(load_table(spark, sf_dir, "embeddings"), k=4, dim=64)
+
+
+# --------------------------------------------------------------------------
+# Round 7: selection audits, next-event expectation, segment-incremental
+# --------------------------------------------------------------------------
+
+
+def _kcenter_audit_oracle_sql(k: int = 4) -> str:
+    """Audit oracle: the shared greedy-selection CTE chain picks the
+    k-center ids, a deterministic md5-of-id order picks the random
+    baseline, then EXACT per-point min distances to each method's
+    centers roll up to (radius, sum) — identical fixed-point arithmetic
+    to the engine's broadcast-scan path."""
+    parts = _kcenter_cte_parts(k)
+    kc_selects = " UNION ALL ".join(
+        f"SELECT 'kcenter' AS method, vec_id FROM c{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(
+        f"""rnd AS (SELECT vec_id FROM e
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+cent AS ({kc_selects}
+  UNION ALL SELECT 'random_hash' AS method, vec_id FROM rnd),
+cw AS (SELECT cent.method, cent.vec_id AS cid, ev.dim, ev.val AS cv
+       FROM cent JOIN ev ON ev.vec_id = cent.vec_id),
+dd AS (SELECT c.method, ev.vec_id AS pid, c.cid, {_KC_FX} AS dist
+       FROM ev JOIN cw c USING (dim) GROUP BY 1, 2, 3),
+mm AS (SELECT method, pid, min(dist) AS mind FROM dd GROUP BY 1, 2)"""
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT method, CAST(max(mind) AS BIGINT) AS radius_fx,"
+        " CAST(sum(mind) AS BIGINT) AS sum_min_fx\nFROM mm GROUP BY method"
+    )
+
+
+@query(
+    "emb_kcenter_vs_random_audit",
+    _kcenter_audit_oracle_sql(k=4),
+    doc="Selection-quality audit for the k-center coreset "
+    "(operators/similarity.py:kcenter_vs_random_audit, k=4) — the "
+    "audit twin every selection op in this engine ships with "
+    "(minhash_recall_audit, emb_ivf_recall_audit): exact fixed-point "
+    "coverage radius and total min-distance cost of the greedy centers "
+    "vs a deterministic md5-of-id pseudo-random k-subset, over the "
+    "whole corpus. Greedy k-center guarantees radius <= 2x optimal; "
+    "this measures the realized margin over random. Scale shape: the "
+    "2k center vectors broadcast onto one linear corpus scan (bounded "
+    "crossJoin), then (method, point) min + a 2-row rollup — no pair "
+    "join, no window; the greedy selection itself reuses "
+    "kcenter_select's O(k)-plan loop.",
+)
+def q_emb_kcenter_vs_random_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        kcenter_vs_random_audit,
+    )
+
+    return kcenter_vs_random_audit(
+        load_table(spark, sf_dir, "embeddings"), k=4, dim=64
+    )
+
+
+@query(
+    "events_markov_next_expected",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+t AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM o WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2),
+f AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+      FROM t GROUP BY from_type),
+s AS (SELECT t.from_type, t.to_type, t.n_trans,
+             CAST((t.n_trans * 1000) // f.n_from AS BIGINT) AS share_permille
+      FROM t JOIN f USING (from_type)),
+last AS (
+  SELECT user_id, event_type AS from_type
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1),
+u AS (SELECT from_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM last GROUP BY from_type)
+SELECT s.from_type, s.to_type, u.n_users, s.n_trans, s.share_permille,
+       CAST(u.n_users * s.share_permille AS BIGINT)
+         AS expected_users_permille
+FROM s JOIN u USING (from_type)
+""",
+    doc="Next-event expectation: chains the Markov transition matrix "
+    "(events_markov_transitions) onto each user's LAST observed event — "
+    "per (from_type = a user's last event type, to_type), how many "
+    "users sit at from_type, the transition share, and the integer-"
+    "exact expected user mass flowing to to_type (n_users * "
+    "share_permille) — the next-event model behind journey forecasting. "
+    "Users whose last type was never observed as a transition source "
+    "have no prediction and drop (inner join). Scale shape: one lag "
+    "window + one row_number window (both partitioned by user_id — "
+    "same single hash shuffle key), two type-sized aggregates, then "
+    "the types^2-row matrix joins the types-row user census with a "
+    "broadcast — nothing data-sized ever joins.",
+)
+def q_events_markov_next_expected(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("from_type")
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    f = t.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("n_from")
+    )
+    s = t.join(f, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr("(n_trans * 1000) div n_from")
+        .cast("long")
+        .alias("share_permille"),
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    u = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.row_number().over(wd).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("from_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return s.join(F.broadcast(u), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_users",
+        "n_trans",
+        "share_permille",
+        (F.col("n_users") * F.col("share_permille"))
+        .cast("long")
+        .alias("expected_users_permille"),
+    )

@@ -72,6 +72,47 @@ def test_containment_flags_subset_doc_that_jaccard_dilutes(spark):
     assert r["n_shared"] == r["n_contained"] == 8
 
 
+def test_df_cap_kills_hub_shingle_candidate_blowup(spark):
+    """One boilerplate shingle shared by 50 docs makes the posting-list
+    self-join enumerate all 50*49/2 = 1225 candidate pairs; df_cap drops
+    the hub shingle BEFORE the join so those candidates never exist,
+    while a true high-containment pair (whose shared shingles are
+    non-hub, df = 2) survives at full strength."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "common boiler plate"
+    rows = [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(50)
+    ]
+    quote = " ".join(f"s{j}" for j in range(10))
+    rows.append((100, quote))
+    rows.append((101, quote + " " + " ".join(f"pad{j}" for j in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Uncapped, threshold 0: the hub shingle alone forces >= 1225
+    # candidate pairs (x2 directed rows) among the boiler docs.
+    uncapped = containment_pairs(docs, threshold_permille=0).collect()
+    assert len(uncapped) >= 2 * 1225
+
+    # Capped: the entire boiler candidate set vanishes at the index —
+    # even at threshold 0 only the true pair remains.
+    capped = containment_pairs(docs, threshold_permille=0, df_cap=10)
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment_permille"]
+        for r in capped.collect()
+    }
+    assert set(got) == {(100, 101), (101, 100)}
+    assert got[(100, 101)] == 1000  # true pair at full strength
+
+    # Same mitigation on the Jaccard twin: candidates collapse to the
+    # true pair's posting lists only.
+    j_capped = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10).collect()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in j_capped} == {(100, 101)}
+
+
 def test_basket_brand_lift_independence_and_affinity(spark, sf_dir):
     """Lift sanity on real data: every returned pair has n_co >= 3,
     lift_permille matches the integer formula recomputed from first
@@ -156,3 +197,37 @@ def test_kcenter_select_picks_extremes_and_reports_radius(spark):
     assert rows[0]["dist_fx"] == 0
     assert rows[1]["dist_fx"] == 10**10  # (10-0)^2 * 1e8
     assert rows[2]["dist_fx"] == 10**8  # radius: point 3 at distance 1.0
+
+
+def test_kcenter_select_empty_input_raises(spark):
+    """An empty embeddings frame is a caller error, not an IndexError."""
+    import pytest as _pytest
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        kcenter_select(emb, k=2, dim=2)
+
+
+def test_kcenter_select_fewer_points_than_k_duplicates_min_id(spark):
+    """Documented duplicate-center semantics: with n < k+1 distinct
+    vectors, once every point has running-min distance 0 the min-id
+    point is re-selected with dist_fx = 0 (the oracle mirrors this)."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_select(emb, k=3, dim=2).orderBy("center_rank").collect()
+    assert [(r["center_rank"], r["vec_id"], r["dist_fx"]) for r in rows] == [
+        (1, 1, 0),
+        (2, 2, 25 * 10**8),  # (3^2+4^2) * 1e8
+        (3, 1, 0),  # exhausted: min-id re-selected at distance 0
+        (4, 1, 0),  # witness is the same degenerate point
+    ]
