@@ -296,6 +296,109 @@ def chunk_plan(
     )
 
 
+def segments_col(toks: Column, segment_tokens: int) -> Column:
+    """Consecutive non-overlapping ``segment_tokens``-token segments of a
+    token array, each re-joined to its exact text — the deterministic
+    segmentation shared by the batch segment-dedup audit and the
+    incremental/streaming segment store."""
+    n_seg = F.ceil(F.size(toks) / F.lit(float(segment_tokens))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * segment_tokens + 1, segment_tokens), " "
+        ),
+    )
+
+
+def segment_fingerprint_store(
+    docs: DataFrame,
+    segment_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Precompute the STORED form of a corpus for incremental SEGMENT
+    dedup screening: the distinct set of exact segment texts — the
+    paragraph-level twin of ``doc_signature_store``. A 100-TB deployment
+    persists this (as 128-bit hashes; kept as text here so the DuckDB
+    oracle joins on the identical key) instead of re-segmenting the
+    corpus per ingest batch: each arriving batch pays only its own
+    segmentation plus one key-equi join against the store. Output:
+    one ``seg`` column, distinct."""
+    toks = tokens_col(text_col)
+    return (
+        docs.select(F.explode(segments_col(toks, segment_tokens)).alias("seg"))
+        .distinct()
+    )
+
+
+def segment_dedup_from_store(
+    store: DataFrame,
+    delta: DataFrame,
+    segment_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    slice_col: str = "source",
+) -> DataFrame:
+    """Incremental segment-dedup audit of a DELTA against a PRECOMPUTED
+    segment-fingerprint store (``segment_fingerprint_store``): a delta
+    segment instance is REMOVED when its exact text already exists in
+    the store (the corpus already holds the canonical copy), and the
+    per-``slice_col`` rollup reports how many segments/tokens the
+    ingest screen would strip — the same output shape as
+    ``segment_dedup_stats`` but delta-only cost: one explode over the
+    delta, one key-equi left join against the store (corpus text never
+    re-read), one slice-sized rollup. Within-delta duplicates are NOT
+    removed here — they are screened when the next batch arrives and
+    this batch's segments are already in the store (exactly the
+    streaming ingest's batch-ordering semantics).
+
+    Reference analog: none; north-star LLM-pipeline scope (the
+    streaming twin is ``streaming/docs.py:make_segment_store_ingest_
+    processor``)."""
+    toks = tokens_col(text_col)
+    inst = delta.select(
+        F.col(id_col),
+        F.col(slice_col),
+        F.explode(segments_col(toks, segment_tokens)).alias("seg"),
+    )
+    hit = store.select("seg").distinct().withColumn(
+        "in_store", F.lit(True)
+    )
+    j = inst.join(hit, "seg", "left").select(
+        slice_col,
+        id_col,
+        token_count_col(F.col("seg")).alias("n_tok"),
+        F.coalesce(F.col("in_store"), F.lit(False)).alias("removed"),
+    )
+    removed_tok = F.sum(F.when(F.col("removed"), F.col("n_tok")).otherwise(F.lit(0)))
+    kept_tok = F.sum(F.when(~F.col("removed"), F.col("n_tok")).otherwise(F.lit(0)))
+    return (
+        j.groupBy(slice_col)
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.col("removed").cast("long")).cast("long").alias(
+                "n_removed_segments"
+            ),
+            removed_tok.cast("long").alias("tokens_removed"),
+            kept_tok.cast("long").alias("tokens_kept"),
+        )
+        .select(
+            slice_col,
+            "n_docs",
+            "n_segments",
+            "n_removed_segments",
+            "tokens_removed",
+            "tokens_kept",
+            F.expr(
+                "(tokens_removed * 1000) div (tokens_removed + tokens_kept)"
+            )
+            .cast("long")
+            .alias("removed_permille"),
+        )
+    )
+
+
 def segment_dedup_stats(
     docs: DataFrame,
     segment_tokens: int = 8,
@@ -330,13 +433,7 @@ def segment_dedup_stats(
     SURVEY.md §1.4); this is north-star LLM-pipeline scope.
     """
     toks = tokens_col(text_col)
-    n_seg = F.ceil(F.size(toks) / F.lit(float(segment_tokens))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * segment_tokens + 1, segment_tokens), " "
-        ),
-    )
+    segs = segments_col(toks, segment_tokens)
     inst = docs.select(
         F.col(id_col), F.col(slice_col), F.explode(segs).alias("seg")
     )

@@ -7616,3 +7616,63 @@ def q_events_markov_next_expected(
         .cast("long")
         .alias("expected_users_permille"),
     )
+
+
+@query(
+    "doc_segment_dedup_incremental",
+    """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
+seg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')))
+           AS seg
+  FROM w),
+store AS (SELECT DISTINCT seg FROM seg WHERE doc_id < 400),
+j AS (
+  SELECT s.source, s.doc_id,
+         len(string_split(s.seg, ' ')) AS n_tok,
+         (st.seg IS NOT NULL) AS removed
+  FROM seg s LEFT JOIN store st USING (seg)
+  WHERE s.doc_id >= 400)
+SELECT source,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed_segments,
+  CAST(sum(CASE WHEN removed THEN n_tok ELSE 0 END) AS BIGINT)
+    AS tokens_removed,
+  CAST(sum(CASE WHEN NOT removed THEN n_tok ELSE 0 END) AS BIGINT)
+    AS tokens_kept,
+  CAST((sum(CASE WHEN removed THEN n_tok ELSE 0 END) * 1000)
+       // sum(n_tok) AS BIGINT) AS removed_permille
+FROM j GROUP BY source
+""",
+    doc="Incremental (delta-vs-store) segment dedup "
+    "(operators/text.py:segment_dedup_from_store): the corpus "
+    "(doc_id < 400) is PRECOMPUTED into a distinct segment-fingerprint "
+    "store (segment_fingerprint_store — the paragraph-level twin of "
+    "doc_signature_store), and the delta ingest (doc_id >= 400) is "
+    "screened against it: a delta segment instance is removed when its "
+    "exact 8-token text already exists in the store. Per-source rollup "
+    "of segments/tokens the ingest screen strips — the same shape as "
+    "doc_segment_dedup at delta-only cost: one explode over the delta "
+    "+ one key-equi join against the store; corpus text never re-read. "
+    "The streaming twin "
+    "(streaming/docs.py:make_segment_store_ingest_processor) appends "
+    "each batch's segments and screens the next batch against them.",
+)
+def q_doc_segment_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        segment_dedup_from_store,
+        segment_fingerprint_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    store = segment_fingerprint_store(corpus, segment_tokens=8)
+    return segment_dedup_from_store(store, delta, segment_tokens=8)

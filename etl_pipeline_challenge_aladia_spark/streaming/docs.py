@@ -816,3 +816,134 @@ def compact_signature_store(
     return spark.read.parquet(
         os.path.join(out_path, "shingles", COMPACTED_DIR)
     ).count()
+
+
+# --------------------------------------------------------------------------
+# Segment-fingerprint store ingest (paragraph-level incremental dedup)
+# --------------------------------------------------------------------------
+
+SEGMENT_STORE_SCHEMA = "seg string"
+SEGMENT_REPORT_SCHEMA = (
+    "source string, n_docs long, n_segments long, n_removed_segments long,"
+    " tokens_removed long, tokens_kept long, removed_permille long,"
+    " batch_id long"
+)
+
+
+def _append_segments(
+    delta: DataFrame,
+    store_path: str,
+    batch_id: int,
+    segment_tokens: int = 8,
+    text_col: str = "text",
+) -> None:
+    """Persist ``delta``'s distinct segment fingerprints under this
+    batch's directory — the store-append leg of the segment ingest."""
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        segment_fingerprint_store,
+    )
+
+    segment_fingerprint_store(
+        delta, segment_tokens=segment_tokens, text_col=text_col
+    ).write.mode("overwrite").parquet(
+        os.path.join(store_path, f"batch={batch_id}")
+    )
+
+
+def make_segment_store_ingest_processor(
+    store_path: str,
+    report_path: str,
+    segment_tokens: int = 8,
+    text_col: str = "text",
+):
+    """SEGMENT-store ingest — the paragraph-level twin of
+    ``make_sigstore_ingest_processor`` and the streaming form of the
+    batch ``doc_segment_dedup_incremental`` query: the store persists
+    each batch's distinct 8-token segment fingerprints
+    (``segment_fingerprint_store``), and every arriving batch is
+    screened against the STORED fingerprints
+    (``segment_dedup_from_store``) — per-source counts of segments and
+    tokens that exactly duplicate already-ingested text. Per-batch cost
+    is the delta's own segmentation plus one key-equi join; corpus text
+    is never re-read.
+
+    Replay-idempotent like the sigstore ingest: the report and the
+    store append are batch-keyed overwrites, and the screen reads the
+    store EXCLUDING its own batch directory (a replayed batch never
+    sees its own half-written output). A compacted history under the
+    reserved ``compacted/`` directory is read unconditionally
+    (``_read_store`` — same fresh-checkpoint batch-0 safety as the
+    signature store)."""
+
+    def process_batch(delta: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = delta.sparkSession
+        delta = delta.localCheckpoint(eager=True)
+        store = _read_store(
+            spark, store_path, SEGMENT_STORE_SCHEMA, exclude_batch=batch_id
+        )
+        from etl_pipeline_challenge_aladia_spark.operators.text import (
+            segment_dedup_from_store,
+        )
+
+        report = segment_dedup_from_store(
+            store, delta, segment_tokens=segment_tokens, text_col=text_col
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        report.write.mode("overwrite").parquet(
+            os.path.join(report_path, f"batch={batch_id}")
+        )
+        _append_segments(delta, store_path, batch_id, segment_tokens, text_col)
+
+    return process_batch
+
+
+def read_segment_dedup_report(spark, report_path: str) -> DataFrame:
+    return _read_store(spark, report_path, SEGMENT_REPORT_SCHEMA)
+
+
+def run_segment_store_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    segment_tokens: int = 8,
+) -> None:
+    """Drain currently-available document files through the
+    segment-store ingest (Trigger.AvailableNow; 1 file = 1 micro-batch,
+    so every file is screened against all previously-ingested files'
+    segment fingerprints)."""
+    stream = (
+        spark.readStream.schema(BUDGET_DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(input_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            make_segment_store_ingest_processor(
+                store_path, report_path, segment_tokens
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def compact_segment_store(
+    spark: SparkSession, store_path: str, out_path: str
+) -> int:
+    """Consolidate a segment store's per-batch directories into ONE
+    reserved ``compacted/`` layout at a fresh path — same
+    publish-then-point pattern and batch-0 safety as
+    ``compact_signature_store``, plus a global DISTINCT: segments
+    ingested by many batches collapse to one stored row, so compaction
+    also shrinks the store, not just the file count. Returns the number
+    of stored distinct segments."""
+    segs = _read_store(spark, store_path, SEGMENT_STORE_SCHEMA)
+    segs.distinct().write.mode("overwrite").parquet(
+        os.path.join(out_path, COMPACTED_DIR)
+    )
+    return spark.read.parquet(os.path.join(out_path, COMPACTED_DIR)).count()

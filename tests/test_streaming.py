@@ -2470,3 +2470,117 @@ def test_text_drift_report_integer_exact_shares(spark):
     assert vals["b"] == -750  # never ingested: negative baseline share
     plan = rep._jdf.queryExecution().optimizedPlan().toString()
     assert "floor" not in plan.lower() and " div " in plan.lower()
+
+
+def test_segment_store_ingest_matches_recompute_replay_and_compaction(
+    spark, tmp_path
+):
+    """The segment-fingerprint store ingest (paragraph-level twin of the
+    sigstore ingest): batch 2's report equals the batch recompute
+    operator bit-for-bit, a drained rerun and a directly-replayed
+    micro-batch change nothing, and a compacted store pointed at by a
+    FRESH checkpoint still screens batch 0 against the full history."""
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        segment_dedup_from_store,
+        segment_fingerprint_store,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        compact_segment_store,
+        make_segment_store_ingest_processor,
+        read_segment_dedup_report,
+        run_segment_store_ingest_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    seg_a = " ".join(f"a{i}" for i in range(8))
+    seg_b = " ".join(f"b{i}" for i in range(8))
+    seg_z = " ".join(f"z{i}" for i in range(8))
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    b1 = [
+        {"doc_id": 1, "source": "s1", "text": seg_a + " " + seg_b},
+        {"doc_id": 2, "source": "s2", "text": seg_z},
+    ]
+    b2 = [
+        {"doc_id": 10, "source": "s1", "text": seg_a + " " + " ".join(
+            f"n{i}" for i in range(8))},
+        {"doc_id": 11, "source": "s2", "text": " ".join(
+            f"m{i}" for i in range(8))},
+    ]
+
+    write_batch("b1.jsonl", b1)
+    run_segment_store_ingest_stream(spark, in_dir, store, report, ckpt)
+    r0 = read_segment_dedup_report(spark, report).collect()
+    assert {r["source"]: r["n_removed_segments"] for r in r0} == {
+        "s1": 0,
+        "s2": 0,
+    }  # empty store: nothing removed
+
+    write_batch("b2.jsonl", b2)
+    run_segment_store_ingest_stream(spark, in_dir, store, report, ckpt)
+    got = {
+        tuple(r)
+        for r in read_segment_dedup_report(spark, report)
+        .filter("batch_id = 1")
+        .drop("batch_id")
+        .collect()
+    }
+    # bit-for-bit the batch recompute: b2 screened against b1's store
+    b1_df = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in b1],
+        "doc_id long, source string, text string",
+    )
+    b2_df = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in b2],
+        "doc_id long, source string, text string",
+    )
+    want = {
+        tuple(r)
+        for r in segment_dedup_from_store(
+            segment_fingerprint_store(b1_df), b2_df
+        ).collect()
+    }
+    assert got == want
+    # the planted dup: doc 10's first segment (seg_a) already stored
+    by_src = {r[0]: r for r in got}
+    assert by_src["s1"][3] == 1 and by_src["s1"][4] == 8  # 1 seg, 8 tokens
+    assert by_src["s2"][3] == 0
+
+    # drained rerun: no new files -> nothing changes
+    before = {tuple(r) for r in read_segment_dedup_report(spark, report).collect()}
+    run_segment_store_ingest_stream(spark, in_dir, store, report, ckpt)
+    after = {tuple(r) for r in read_segment_dedup_report(spark, report).collect()}
+    assert after == before
+
+    # direct micro-batch replay (crash-after-write): same batch_id,
+    # same input -> identical report and store
+    make_segment_store_ingest_processor(store, report)(b2_df, 1)
+    replayed = {
+        tuple(r) for r in read_segment_dedup_report(spark, report).collect()
+    }
+    assert replayed == before
+
+    # compaction: fresh checkpoint restarts at batch 0; the compacted
+    # history must still screen it (batch-0 collision safety)
+    store2 = str(tmp_path / "store2")
+    n = compact_segment_store(spark, store, store2)
+    assert n == spark.read.parquet(store).select("seg").distinct().count()
+    assert n == 5  # seg_a stored by both batches collapses to one row
+    ckpt2 = str(tmp_path / "ckpt2")
+    report2 = str(tmp_path / "report2")
+    in2 = str(tmp_path / "in2")
+    os.makedirs(in2)
+    with open(os.path.join(in2, "b3.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"doc_id": 20, "source": "s1", "text": seg_z}) + "\n")
+    run_segment_store_ingest_stream(spark, in2, store2, report2, ckpt2)
+    r3 = read_segment_dedup_report(spark, report2).collect()
+    assert len(r3) == 1 and r3[0]["n_removed_segments"] == 1  # seg_z stored
