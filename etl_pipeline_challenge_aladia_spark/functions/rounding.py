@@ -53,3 +53,23 @@ def sql_avg_fixed_point(expr: str, quant_scale: int = 6) -> str:
         f"CAST(sum(CAST(floor(({expr}) * {q} + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / {q} / count({expr})"
     )
+
+
+def sum_fixed_point(col: Column, quant_scale: int = 6) -> Column:
+    """Order-independent sum (aggregate expression): quantize each value
+    to fixed-point int64 (``floor(x * 10^q + 0.5)``), sum EXACTLY in
+    integer space, then one double division back — the sum twin of
+    ``avg_fixed_point`` (same rationale: a raw double ``sum`` is
+    fold-order-dependent across engines/partitionings)."""
+    q = float(10**quant_scale)
+    fx = F.floor(col * F.lit(q) + F.lit(0.5)).cast("long")
+    return F.sum(fx).cast("double") / F.lit(q)
+
+
+def sql_sum_fixed_point(expr: str, quant_scale: int = 6) -> str:
+    """The identical order-independent sum as ANSI SQL text."""
+    q = float(10**quant_scale)
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {q} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {q}"
+    )

@@ -1,0 +1,114 @@
+"""Graph analytics over pair frames (near-dup graphs, similarity
+graphs) expressed as DataFrame join/agg rounds — the iterative-
+algorithm family (the engine's union-find canonicalization lives in
+``operators/dedup.py``; this module holds rank/centrality passes).
+
+Reference analog: none (the reference dedups whole rows by key,
+SURVEY.md §1.4); north-star LLM-pipeline scope — duplicate-cluster
+centrality ranks the representative document to KEEP (the hub a
+template family radiates from), and boilerplate hubs to quarantine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000  # fixed-point rank mass (1e12)
+
+
+def pagerank_fixed_point(
+    pairs: DataFrame,
+    iterations: int = 3,
+    damping_permille: int = 850,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """EXACT integer fixed-point PageRank over an undirected pair frame
+    — power iteration as DataFrame join/agg rounds, no GraphX, no RDDs.
+
+    Arithmetic is all-int64 so cross-engine parity is bit-exact with no
+    rounding contract: ranks live at ``PR_SCALE`` (1e12) fixed point,
+    each round computes
+
+        rank'(v) = ((1000 - d) * SCALE div 1000) div N
+                   + (d * sum_{u in nbr(v)} (rank(u) div deg(u))) div 1000
+
+    with integer `div` throughout (all values non-negative, so Spark's
+    truncate-toward-zero and the oracle's floor agree). Truncation dust
+    makes total mass drift below SCALE by < N per round — deterministic
+    and identical in any engine, which is the point: this is a RANKING,
+    not a probability estimate.
+
+    Nodes are the ids appearing in ``pairs`` (isolated documents have no
+    edges and rank nothing — callers union them back if needed); every
+    node has degree >= 1, so there is no dangling-mass term. Output:
+    ``(id, degree, rank_fx)``.
+
+    Scale shape: per round ONE equi-join of the edge list with the
+    k-node rank frame plus one dst-keyed sum — shuffle keyed on node id,
+    partial aggregation map-side, nothing quadratic. The edge list and
+    each round's rank frame are materialized (localCheckpoint), so round
+    r's plan is one join/agg, not r chained ones — the same O(rounds)
+    plan-size discipline as ``kcenter_select``. Overflow headroom:
+    sum-of-shares <= SCALE, so d * sum <= 8.5e14 << int64 max.
+    """
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = both.localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    keep = 1000 - damping_permille
+    nodes = (
+        deg.crossJoin(F.broadcast(nn))
+        .select(
+            "id",
+            "degree",
+            "n_nodes",
+            F.expr(f"CAST({PR_SCALE} AS BIGINT) div n_nodes").alias(
+                "rank_fx"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                nodes.select(
+                    F.col("id").alias("src"), "degree", "rank_fx"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank_fx div degree").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        nodes = (
+            nodes.drop("rank_fx")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                "degree",
+                "n_nodes",
+                F.expr(
+                    f"(({keep} * {PR_SCALE}) div 1000) div n_nodes"
+                    f" + ({damping_permille} * coalesce(s, CAST(0 AS BIGINT)))"
+                    " div 1000"
+                )
+                .cast("long")
+                .alias("rank_fx"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return nodes.select("id", "degree", "rank_fx")

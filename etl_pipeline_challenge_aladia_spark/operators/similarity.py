@@ -2444,3 +2444,109 @@ def kcenter_vs_random_audit(
         F.max("mind").cast("long").alias("radius_fx"),
         F.sum("mind").cast("long").alias("sum_min_fx"),
     )
+
+
+def label_separation_audit(
+    emb: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-separation audit over labeled embeddings — the
+    Fisher-style quality check of the centroid family
+    (``emb_label_centroids`` publishes the centroids; this measures
+    whether they separate): per label, the exact fixed-point WITHIN
+    scatter (mean squared distance of the label's vectors to its own
+    centroid) vs the BETWEEN margin (min squared distance from its
+    centroid to any other label's centroid), plus the nearest rival
+    label. ``separation_permille = between_min * 1000 / within_mean``
+    computed as one integer division ``(between_min * n * 1000) div
+    within_sum`` — > 1000 means the nearest rival centroid sits outside
+    the label's own scatter radius (well-separated); << 1000 flags
+    label confusion/mislabeled clusters before training.
+
+    Centroids are the PUBLISHED ones (4dp-rounded order-independent
+    fixed-point mean — identical definition to emb_label_centroids), so
+    the audit measures exactly what downstream consumers read. All
+    distances are exact int64 fixed point. Overflow headroom:
+    between_min * n * 1000 <= ~2.6e10 * n, int64-safe to n ~ 3.5e8
+    vectors per label; past that the one-line change is
+    DECIMAL(38)/HUGEINT on both engines.
+
+    Scale shape: one posexplode + (label, dim)-keyed mean for the
+    centroids (labels x dims rows), centroid arrays broadcast onto ONE
+    corpus scan for the within scatter, and a labels² centroid
+    crossJoin for the between margins — nothing data-sized ever pairs.
+
+    Reference analog: none; north-star LLM-data-curation scope.
+    """
+    base = emb.select(
+        F.col(label_col).alias("label"), to_double_array(vec_col).alias("v")
+    )
+    cent = (
+        base.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(round_half_up(avg_fixed_point(F.col("val")), 4).alias("cv"))
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+            lambda s: s["cv"],
+        ).alias("c")
+    )
+    within = (
+        base.join(F.broadcast(cent_arr), "label")
+        .select(
+            "label",
+            _fx_sq_dist(F.col("v"), F.col("c"), dim).alias("dist"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("dist").cast("long").alias("ws"),
+        )
+    )
+    a = cent_arr.select(
+        F.col("label").alias("la"), F.col("c").alias("ca")
+    )
+    b = cent_arr.select(
+        F.col("label").alias("lb"), F.col("c").alias("cb")
+    )
+    bd = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            _fx_sq_dist(F.col("ca"), F.col("cb"), dim).alias("dist"),
+        )
+    )
+    bm = bd.groupBy(F.col("la").alias("label")).agg(
+        F.min("dist").cast("long").alias("between_min_fx")
+    )
+    nr = (
+        bd.join(
+            bm,
+            (bd.la == bm.label) & (bd.dist == bm.between_min_fx),
+        )
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.min("lb").alias("nearest_label"))
+    )
+    return (
+        within.join(bm, "label")
+        .join(nr, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.expr("ws div n_vecs").cast("long").alias("within_mean_fx"),
+            "nearest_label",
+            "between_min_fx",
+            F.when(
+                F.col("ws") > 0,
+                F.expr("(between_min_fx * n_vecs * 1000) div ws"),
+            )
+            .cast("long")
+            .alias("separation_permille"),
+        )
+    )

@@ -31,6 +31,8 @@ from etl_pipeline_challenge_aladia_spark.functions.rounding import (
     round_half_up,
     sql_avg_fixed_point,
     sql_round_half_up,
+    sql_sum_fixed_point,
+    sum_fixed_point,
 )
 from etl_pipeline_challenge_aladia_spark.pipeline import (
     envelopes_to_warehouse,
@@ -7676,3 +7678,344 @@ def q_doc_segment_dedup_incremental(
     delta = docs.filter(F.col("doc_id") >= 400)
     store = segment_fingerprint_store(corpus, segment_tokens=8)
     return segment_dedup_from_store(store, delta, segment_tokens=8)
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled integer fixed-point PageRank over the exact-Jaccard dup
+    graph — each round is one CTE with the identical all-int64
+    arithmetic as operators/graph.py:pagerank_fixed_point (div/floor
+    agree on non-negative values), so parity is bit-exact."""
+    parts = [
+        _jaccard_pairs_cte("ia", "ib"),
+        """q AS (SELECT ia, ib FROM p WHERE jaccard >= 0.8),
+ed AS (SELECT ia AS src, ib AS dst FROM q
+       UNION ALL SELECT ib, ia FROM q),
+nd AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+       FROM ed GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nd),
+r0 AS (SELECT id, degree, n_nodes,
+              CAST(1000000000000 // n_nodes AS BIGINT) AS rank_fx
+       FROM nd CROSS JOIN nn)""",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"""r{r} AS (
+  SELECT n.id, n.degree, n.n_nodes,
+         CAST(((150 * 1000000000000) // 1000) // n.n_nodes
+              + (850 * COALESCE(s.s, 0)) // 1000 AS BIGINT) AS rank_fx
+  FROM r{r - 1} n LEFT JOIN (
+    SELECT e.dst AS id, CAST(sum(x.rank_fx // x.degree) AS BIGINT) AS s
+    FROM ed e JOIN r{r - 1} x ON x.id = e.src GROUP BY e.dst) s
+  USING (id))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS doc_id, degree, rank_fx
+FROM r{iterations} ORDER BY rank_fx DESC, id LIMIT 20"""
+    )
+
+
+@query(
+    "doc_dup_pagerank",
+    _pagerank_oracle_sql(iterations=3),
+    doc="Duplicate-cluster centrality: integer fixed-point PageRank "
+    "(3 rounds, damping 850 permille, 1e12 rank scale — "
+    "operators/graph.py:pagerank_fixed_point) over the exact-Jaccard "
+    "near-dup pair graph (threshold 0.8), top-20 by rank. Where "
+    "doc_dup_graph_degree counts edges, this ranks CENTRALITY: the hub "
+    "a template family radiates from scores highest, which picks the "
+    "canonical representative to keep (or the boilerplate hub to "
+    "quarantine) inside each dup cluster. Power iteration as "
+    "DataFrame join/agg rounds: per round one edge-list equi-join + "
+    "one node-keyed sum, rank frame materialized per round (the "
+    "kcenter O(rounds)-plan discipline), all-int64 arithmetic so "
+    "cross-engine parity is bit-exact. The oracle unrolls the three "
+    "rounds as chained CTEs.",
+)
+def q_doc_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pr = pagerank_fixed_point(
+        ngram_jaccard_pairs(docs, n=3, threshold=0.8),
+        iterations=3,
+        damping_permille=850,
+    )
+    return pr.orderBy(F.desc("rank_fx"), "id").limit(20).select(
+        F.col("id").alias("doc_id"), "degree", "rank_fx"
+    )
+
+
+@query(
+    "doc_source_segment_overlap",
+    """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
+seg AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')))
+           AS seg
+  FROM w),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_segs
+       FROM seg GROUP BY source),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM seg a JOIN seg b ON a.seg = b.seg AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT pr.source_a, pr.source_b, pr.n_shared,
+       sa.n_segs AS n_a, sb.n_segs AS n_b,
+       CAST((pr.n_shared * 1000) // least(sa.n_segs, sb.n_segs) AS BIGINT)
+         AS overlap_permille
+FROM pr
+JOIN sz sa ON sa.source = pr.source_a
+JOIN sz sb ON sb.source = pr.source_b
+""",
+    doc="Cross-source contamination matrix: for every pair of sources, "
+    "how many DISTINCT 8-token segments they share and the permille of "
+    "the smaller source's segment set that overlap covers — 'which "
+    "source copies from which', the provenance diagnostic that decides "
+    "source-level dedup order and mixture weights before a 100-TB "
+    "ingest (doc_corpus_diff compares token distributions; this "
+    "detects verbatim text flow). Plan: one explode + distinct on "
+    "(source, segment), a segment-keyed self-join whose posting lists "
+    "are bounded by the SOURCE count (tiny), then source-pair-sized "
+    "aggregates — never doc x doc.",
+)
+def q_doc_source_segment_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        segments_col,
+        tokens_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inst = docs.select(
+        "source",
+        F.explode(segments_col(tokens_col("text"), 8)).alias("seg"),
+    ).distinct()
+    sizes = inst.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs")
+    )
+    a, b = inst.alias("a"), inst.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_segs").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_segs").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("(n_shared * 1000) div least(n_a, n_b)")
+            .cast("long")
+            .alias("overlap_permille"),
+        )
+    )
+
+
+@query(
+    "events_attribution_touch",
+    f"""
+WITH o AS (
+  SELECT event_type, value,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM events),
+pur AS (SELECT first_touch, last_touch, value FROM o
+        WHERE event_type = 'purchase' AND last_touch IS NOT NULL),
+x AS (SELECT 'first' AS model, first_touch AS touch_type, value FROM pur
+      UNION ALL
+      SELECT 'last', last_touch, value FROM pur)
+SELECT touch_type,
+       CAST(count(CASE WHEN model = 'first' THEN 1 END) AS BIGINT)
+         AS n_first_touch,
+       COALESCE({_s2(sql_sum_fixed_point(
+           "CASE WHEN model = 'first' THEN value END"))}, 0.0)
+         AS first_touch_value,
+       CAST(count(CASE WHEN model = 'last' THEN 1 END) AS BIGINT)
+         AS n_last_touch,
+       COALESCE({_s2(sql_sum_fixed_point(
+           "CASE WHEN model = 'last' THEN value END"))}, 0.0)
+         AS last_touch_value
+FROM x GROUP BY touch_type
+""",
+    doc="First-touch vs last-touch purchase attribution: for every "
+    "purchase, the FIRST and the LAST preceding non-purchase event of "
+    "that user (IGNORE-NULLS window over the user timeline, frame "
+    "ending 1 row before the purchase), then per touched event type "
+    "the purchase count and attributed value under each model — the "
+    "two ends of the attribution spectrum whose disagreement measures "
+    "how position-sensitive channel credit is "
+    "(events_asof_last_click_before_purchase answers one pair; this "
+    "is the full per-type comparison). Purchases with no preceding "
+    "event attribute to nothing and drop. Scale shape: both touch "
+    "columns ride ONE window pass (same user_id partitioning, same "
+    "frame), each purchase unpivots into two (model, touch) rows "
+    "(bounded 2x), and ONE type-keyed conditional aggregate produces "
+    "both models' columns — one scan, one window exchange, one agg "
+    "shuffle (the naive two-aggregate FULL JOIN scans the events "
+    "twice). Value sums use the shared fixed-point-sum rounding so "
+    "engine fold order cannot drift the 2dp result.",
+)
+def q_events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    pur = (
+        ev.select(
+            "event_type",
+            "value",
+            F.first(nonp, ignorenulls=True).over(w).alias("first_touch"),
+            F.last(nonp, ignorenulls=True).over(w).alias("last_touch"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_touch").isNotNull()
+        )
+    )
+    x = pur.select(
+        "value",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("model"),
+                    F.col("first_touch").alias("touch_type"),
+                ),
+                F.struct(
+                    F.lit("last").alias("model"),
+                    F.col("last_touch").alias("touch_type"),
+                ),
+            )
+        ).alias("m"),
+    ).select("value", "m.model", "m.touch_type")
+    first_val = F.when(F.col("model") == "first", F.col("value"))
+    last_val = F.when(F.col("model") == "last", F.col("value"))
+    return x.groupBy("touch_type").agg(
+        F.count(F.when(F.col("model") == "first", F.lit(1)))
+        .cast("long")
+        .alias("n_first_touch"),
+        F.coalesce(
+            round_half_up(sum_fixed_point(first_val), 2), F.lit(0.0)
+        ).alias("first_touch_value"),
+        F.count(F.when(F.col("model") == "last", F.lit(1)))
+        .cast("long")
+        .alias("n_last_touch"),
+        F.coalesce(
+            round_half_up(sum_fixed_point(last_val), 2), F.lit(0.0)
+        ).alias("last_touch_value"),
+    )
+
+
+@query(
+    "emb_label_separation_audit",
+    f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+ev AS (SELECT vec_id, label, generate_subscripts(v, 1) AS dim,
+              unnest(v) AS val
+       FROM e),
+c AS (SELECT label, dim, {_s4(sql_avg_fixed_point('val'))} AS cv
+      FROM ev GROUP BY label, dim),
+wd AS (
+  SELECT ev.label, ev.vec_id,
+         sum(CAST(floor((ev.val - c.cv) * (ev.val - c.cv) * 100000000.0
+                        + 0.5) AS BIGINT)) AS dist
+  FROM ev JOIN c ON c.label = ev.label AND c.dim = ev.dim
+  GROUP BY ev.label, ev.vec_id),
+w AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(dist) AS BIGINT) AS ws
+      FROM wd GROUP BY label),
+bd AS (
+  SELECT a.label AS la, b.label AS lb,
+         sum(CAST(floor((a.cv - b.cv) * (a.cv - b.cv) * 100000000.0
+                        + 0.5) AS BIGINT)) AS dist
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label <> b.label
+  GROUP BY 1, 2),
+bm AS (SELECT la AS label, CAST(min(dist) AS BIGINT) AS between_min_fx
+       FROM bd GROUP BY la),
+nr AS (SELECT bd.la AS label, min(bd.lb) AS nearest_label
+       FROM bd JOIN bm ON bm.label = bd.la AND bd.dist = bm.between_min_fx
+       GROUP BY bd.la)
+SELECT w.label, w.n_vecs,
+       CAST(w.ws // w.n_vecs AS BIGINT) AS within_mean_fx,
+       nr.nearest_label, bm.between_min_fx,
+       CAST(CASE WHEN w.ws > 0
+                 THEN (bm.between_min_fx * w.n_vecs * 1000) // w.ws
+            END AS BIGINT) AS separation_permille
+FROM w JOIN bm USING (label) JOIN nr USING (label)
+""",
+    doc="Cluster-separation audit "
+    "(operators/similarity.py:label_separation_audit): per label, the "
+    "exact fixed-point within-scatter (mean squared distance to own "
+    "published 4dp centroid — same definition as emb_label_centroids) "
+    "vs the between-margin (min squared distance to any rival "
+    "centroid) and the nearest rival; separation_permille > 1000 "
+    "means the nearest rival centroid lies outside the label's own "
+    "scatter radius. The Fisher-style quality gate on labeled "
+    "embedding spaces before training — the audit twin of the "
+    "centroid family. Centroid arrays broadcast onto one corpus scan; "
+    "the between matrix is a labels-squared crossJoin of the tiny "
+    "centroid frame.",
+)
+def q_emb_label_separation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        label_separation_audit,
+    )
+
+    return label_separation_audit(
+        load_table(spark, sf_dir, "embeddings"), dim=64
+    )

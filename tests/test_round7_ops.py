@@ -1,0 +1,157 @@
+"""Planted-geometry tests for the round-7 operators: fixed-point
+PageRank over the dup graph, source segment overlap, first/last-touch
+attribution, and the label separation audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_pagerank_star_center_outranks_leaves(spark):
+    """A 4-leaf star: the hub receives every leaf's full share each
+    round and must outrank the leaves; ranks are exact int64 so the
+    values can be checked against a hand-rolled iteration."""
+    from etl_pipeline_challenge_aladia_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixed_point,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        r["id"]: (r["degree"], r["rank_fx"])
+        for r in pagerank_fixed_point(pairs, iterations=3).collect()
+    }
+    assert got[0][0] == 4 and all(got[i][0] == 1 for i in range(1, 5))
+    # hand-rolled identical integer iteration
+    n = 5
+    rank = {v: PR_SCALE // n for v in range(5)}
+    deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+    nbr = {0: [1, 2, 3, 4], 1: [0], 2: [0], 3: [0], 4: [0]}
+    for _ in range(3):
+        rank = {
+            v: ((150 * PR_SCALE) // 1000) // n
+            + (850 * sum(rank[u] // deg[u] for u in nbr[v])) // 1000
+            for v in range(5)
+        }
+    assert {v: got[v][1] for v in got} == rank
+    assert got[0][1] > got[1][1]
+
+
+def test_pagerank_disconnected_components_keep_local_mass(spark):
+    """Two disjoint edges: all four nodes are symmetric (degree 1) and
+    must end with identical ranks — no cross-component leakage."""
+    from etl_pipeline_challenge_aladia_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_id_a long, doc_id_b long"
+    )
+    ranks = {
+        r["id"]: r["rank_fx"]
+        for r in pagerank_fixed_point(pairs, iterations=3).collect()
+    }
+    assert len(set(ranks.values())) == 1 and len(ranks) == 4
+
+
+def test_source_segment_overlap_counts_shared_distinct_segments(spark):
+    """Sources s1/s2 share exactly two distinct 8-token segments (one
+    of them repeated inside s2 — still counted once); s3 shares
+    nothing and must not pair."""
+    seg = lambda p: " ".join(f"{p}{i}" for i in range(8))  # noqa: E731
+    rows = [
+        (1, "s1", seg("a") + " " + seg("b")),
+        (2, "s1", seg("c")),
+        (3, "s2", seg("a") + " " + seg("b") + " " + seg("a")),
+        (4, "s2", seg("d")),
+        (5, "s3", seg("z")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(d + "/documents.parquet")
+        got = {
+            (r["source_a"], r["source_b"]): r
+            for r in CATALOG["doc_source_segment_overlap"]
+            .spark(spark, d)
+            .collect()
+        }
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    # s1 holds {a,b,c}; s2 holds {a,b,d}; shared {a,b}; both sized 3
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["overlap_permille"] == 666  # 2*1000 div 3
+
+
+def test_attribution_first_vs_last_touch_disagree(spark):
+    """User journey view -> click -> purchase(10.0): first touch is the
+    view, last touch is the click; a purchase with no preceding event
+    attributes nothing."""
+    import datetime as dt
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "view", 0.0, None),
+        (2, t0 + dt.timedelta(minutes=1), 7, "click", 0.0, None),
+        (3, t0 + dt.timedelta(minutes=2), 7, "purchase", 10.0, None),
+        (4, t0, 8, "purchase", 99.0, None),  # orphan purchase
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(d + "/events.parquet")
+        got = {
+            r["touch_type"]: r
+            for r in CATALOG["events_attribution_touch"]
+            .spark(spark, d)
+            .collect()
+        }
+    assert set(got) == {"view", "click"}
+    assert got["view"]["n_first_touch"] == 1
+    assert got["view"]["first_touch_value"] == 10.0
+    assert got["view"]["n_last_touch"] == 0
+    assert got["view"]["last_touch_value"] == 0.0
+    assert got["click"]["n_last_touch"] == 1
+    assert got["click"]["last_touch_value"] == 10.0
+    assert got["click"]["n_first_touch"] == 0
+
+
+def test_label_separation_audit_planted_clusters(spark):
+    """Two tight clusters far apart: separation >> 1000; the nearest
+    rival is the other label; within scatter matches hand arithmetic."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        label_separation_audit,
+    )
+
+    rows = [
+        (1, [0.0, 0.1], 0),
+        (2, [0.0, -0.1], 0),
+        (3, [10.0, 0.1], 1),
+        (4, [10.0, -0.1], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["label"]: r
+        for r in label_separation_audit(emb, dim=2).collect()
+    }
+    assert set(got) == {0, 1}
+    for lab in (0, 1):
+        r = got[lab]
+        assert r["nearest_label"] == 1 - lab
+        # centroid (x, 0.0); each point at squared distance 0.01 -> fx 1e6
+        assert r["within_mean_fx"] == 10**6
+        # centroids 10 apart -> fx 100 * 1e8 = 1e10
+        assert r["between_min_fx"] == 10**10
+        assert r["separation_permille"] == (10**10 * 2 * 1000) // (2 * 10**6)
