@@ -7786,9 +7786,12 @@ JOIN sz sb ON sb.source = pr.source_b
     "source-level dedup order and mixture weights before a 100-TB "
     "ingest (doc_corpus_diff compares token distributions; this "
     "detects verbatim text flow). Plan: one explode + distinct on "
-    "(source, segment), a segment-keyed self-join whose posting lists "
-    "are bounded by the SOURCE count (tiny), then source-pair-sized "
-    "aggregates — never doc x doc.",
+    "(source, segment), then ONE segment-keyed aggregate collects each "
+    "segment's sorted source set (bounded by the SOURCE count) and "
+    "in-row combination expansion emits its source pairs — no "
+    "self-join, so the big segment frame shuffles once, not twice "
+    "(the oracle's self-join form is the semantic spec); then "
+    "source-pair-sized aggregates — never doc x doc.",
 )
 def q_doc_source_segment_overlap(
     spark: SparkSession, sf_dir: str
@@ -7806,16 +7809,27 @@ def q_doc_source_segment_overlap(
     sizes = inst.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_segs")
     )
-    a, b = inst.alias("a"), inst.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.seg") == F.col("b.seg"))
-            & (F.col("a.source") < F.col("b.source")),
+    per_seg = (
+        inst.groupBy("seg")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
         )
+    )
+    pairs = (
+        per_seg.select(F.explode(combos).alias("pr"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("pr.source_a").alias("source_a"),
+            F.col("pr.source_b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
@@ -8018,4 +8032,245 @@ def q_emb_label_separation_audit(
 
     return label_separation_audit(
         load_table(spark, sf_dir, "embeddings"), dim=64
+    )
+
+
+@query(
+    "events_session_paths",
+    """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN us - lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sessions AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+),
+o AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY us, event_id) AS rn
+  FROM sessions
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM o WHERE rn <= 5
+  GROUP BY user_id, session_seq
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+""",
+    doc="Session path mining: the top-20 most common user-journey "
+    "shapes — each 30-min-gap session (same boundary rule as "
+    "events_sessionization) rendered as its first five event types "
+    "joined 'view>click>...' — the sequence-pattern rollup behind "
+    "funnel design and bot-shape detection "
+    "(events_markov_transitions is the memoryless 1-step view; this "
+    "keeps 5-step order exactly). Scale shape: the lag window, the "
+    "running-sum window, the per-session row_number, and the "
+    "per-session path aggregate ALL key on user_id — one hash "
+    "exchange reused end to end; the rn <= 5 filter bounds every "
+    "path to 5 tokens before the path-keyed rollup, and top-20 is "
+    "TakeOrdered, never a global sort.",
+)
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("us") - F.lag("us").over(w)
+    sessions = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    ).withColumn("session_seq", F.sum("is_new").over(run))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_seq").orderBy("us", "event_id")
+    )
+    paths = (
+        sessions.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "orders_topk_revenue_concentration",
+    """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_custkey),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(rev_cents) AS BIGINT) AS total_cents
+        FROM rev),
+ks AS (SELECT unnest([10, 100, 1000]) AS top_k),
+tops AS (
+  SELECT k.top_k, r.rev_cents
+  FROM ks k JOIN (
+    SELECT rev_cents,
+           row_number() OVER (ORDER BY rev_cents DESC, o_custkey) AS rnk
+    FROM rev) r ON r.rnk <= k.top_k)
+SELECT t.top_k,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(t.rev_cents) AS BIGINT) AS topk_revenue_cents,
+       CAST((sum(t.rev_cents) * 1000) // tot.total_cents AS BIGINT)
+         AS revenue_share_permille
+FROM tops t CROSS JOIN tot
+GROUP BY t.top_k, tot.total_cents
+""",
+    doc="Revenue concentration: what share of total order revenue the "
+    "top-10/100/1000 customers capture — the Pareto/whale-curve "
+    "metric behind account tiering and risk concentration. Revenue is "
+    "summed in integer cents (fixed-point, order-independent) and "
+    "shares use integer div, so parity is bit-exact. Scale shape: one "
+    "customer-keyed aggregate, then each k's top set comes from "
+    "TakeOrdered(k) on the per-customer frame (per-partition top-k "
+    "then merge — never a global sort of all customers), a k-bounded "
+    "sum, and a broadcast 1-row total. The oracle's row_number form "
+    "is the semantic spec; the engine computes the identical set via "
+    "limit(k) with the same (rev DESC, custkey) tie-break.",
+)
+def q_orders_topk_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+    )
+    parts = []
+    for k in (10, 100, 1000):
+        topk = (
+            rev.orderBy(F.desc("rev_cents"), "o_custkey")
+            .limit(k)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_customers"),
+                F.sum("rev_cents").cast("long").alias("topk_revenue_cents"),
+            )
+            .select(F.lit(k).cast("long").alias("top_k"), "*")
+        )
+        parts.append(topk)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(tot)).select(
+        "top_k",
+        "n_customers",
+        "topk_revenue_cents",
+        F.expr("(topk_revenue_cents * 1000) div total_cents")
+        .cast("long")
+        .alias("revenue_share_permille"),
+    )
+
+
+@query(
+    "doc_crosslang_near_dup_matrix",
+    f"""
+WITH {_jaccard_pairs_cte("ia", "ib")},
+q AS (SELECT ia, ib FROM p WHERE jaccard >= 0.8),
+lx AS (
+  SELECT least(da.lang, db.lang) AS lang_a,
+         greatest(da.lang, db.lang) AS lang_b
+  FROM q
+  JOIN documents da ON da.doc_id = q.ia
+  JOIN documents db ON db.doc_id = q.ib),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lx)
+SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST((count(*) * 1000) // tot.n_total AS BIGINT) AS share_permille
+FROM lx CROSS JOIN tot
+GROUP BY lang_a, lang_b, tot.n_total
+""",
+    doc="Near-dup language matrix: exact-Jaccard pair counts (threshold "
+    "0.8) bucketed by the UNORDERED language pair of the two documents "
+    "— the off-diagonal rows are cross-language near-dups (transliterated "
+    "boilerplate, mislabeled language IDs, machine-translated copies), "
+    "the contamination mode same-language dedup never surfaces; "
+    "doc_lang_confusion audits the classifier, this audits the CORPUS. "
+    "Pairs come from the inverted-index join (never all-pairs); the "
+    "two lang lookups are doc-keyed equi-joins and the matrix rollup "
+    "is lang²-sized with a broadcast 1-row total.",
+)
+def q_doc_crosslang_near_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = docs.select("doc_id", "lang")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    lx = (
+        pairs.join(
+            langs.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("lang").alias("la")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("lang").alias("lb")
+            ),
+            "doc_id_b",
+        )
+        .select(
+            F.least("la", "lb").alias("lang_a"),
+            F.greatest("la", "lb").alias("lang_b"),
+        )
+    )
+    tot = lx.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        lx.groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_pairs",
+            F.expr("(n_pairs * 1000) div n_total")
+            .cast("long")
+            .alias("share_permille"),
+        )
     )

@@ -155,3 +155,107 @@ def test_label_separation_audit_planted_clusters(spark):
         # centroids 10 apart -> fx 100 * 1e8 = 1e10
         assert r["between_min_fx"] == 10**10
         assert r["separation_permille"] == (10**10 * 2 * 1000) // (2 * 10**6)
+
+
+def test_session_paths_splits_on_gap_and_caps_at_five(spark):
+    """One user: 3 events, 31-min gap, then 7 rapid events — two
+    sessions; the second path is capped at its first five types."""
+    import datetime as dt
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = [
+        (1, t0, 7, "view", 0.0, None),
+        (2, t0 + dt.timedelta(minutes=1), 7, "click", 0.0, None),
+        (3, t0 + dt.timedelta(minutes=2), 7, "purchase", 5.0, None),
+    ]
+    t1 = t0 + dt.timedelta(minutes=33)
+    types = ["view", "view", "click", "view", "click", "purchase", "view"]
+    rows += [
+        (10 + i, t1 + dt.timedelta(seconds=i), 7, ty, 0.0, None)
+        for i, ty in enumerate(types)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(d + "/events.parquet")
+        got = {
+            r["path"]: (r["n_sessions"], r["n_users"])
+            for r in CATALOG["events_session_paths"].spark(spark, d).collect()
+        }
+    assert got == {
+        "view>click>purchase": (1, 1),
+        "view>view>click>view>click": (1, 1),  # capped at 5 of 7
+    }
+
+
+def test_topk_revenue_concentration_exact_shares(spark):
+    """Four customers with revenues 70/20/9/1: top-10 covers everyone
+    (1000 permille); hand-checked cents arithmetic."""
+    import datetime as dt
+    import tempfile
+
+    rows = [
+        (1, 100, "F", 70.0, dt.datetime(1995, 1, 1), "1-URGENT"),
+        (2, 200, "F", 15.0, dt.datetime(1995, 1, 2), "1-URGENT"),
+        (3, 200, "F", 5.0, dt.datetime(1995, 1, 3), "1-URGENT"),
+        (4, 300, "F", 9.0, dt.datetime(1995, 1, 4), "1-URGENT"),
+        (5, 400, "F", 1.0, dt.datetime(1995, 1, 5), "1-URGENT"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(d + "/orders.parquet")
+        got = {
+            r["top_k"]: r
+            for r in CATALOG["orders_topk_revenue_concentration"]
+            .spark(spark, d)
+            .collect()
+        }
+    assert set(got) == {10, 100, 1000}
+    for k in (10, 100, 1000):
+        r = got[k]
+        assert r["n_customers"] == 4
+        assert r["topk_revenue_cents"] == 10000
+        assert r["revenue_share_permille"] == 1000
+
+
+def test_crosslang_matrix_buckets_unordered_lang_pairs(spark):
+    """Two near-dup docs with different langs land in one off-diagonal
+    bucket; two same-lang dups in a diagonal one."""
+    import tempfile
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"oth{i}" for i in range(40))
+    rows = [
+        (1, base, "en", "s1", len(base)),
+        (2, base + " x", "de", "s1", len(base)),  # cross-lang near-dup
+        (3, other, "fr", "s2", len(other)),
+        (4, other + " y", "fr", "s2", len(other)),  # same-lang near-dup
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(d + "/documents.parquet")
+        got = {
+            (r["lang_a"], r["lang_b"]): (r["n_pairs"], r["share_permille"])
+            for r in CATALOG["doc_crosslang_near_dup_matrix"]
+            .spark(spark, d)
+            .collect()
+        }
+    assert got == {("de", "en"): (1, 500), ("fr", "fr"): (1, 500)}
