@@ -2550,3 +2550,101 @@ def label_separation_audit(
             .alias("separation_permille"),
         )
     )
+
+
+def top_pc_power_iteration(
+    emb: DataFrame,
+    iterations: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal axis of the (uncentered) second-moment matrix by
+    POWER ITERATION — distributed iterative linear algebra as two
+    aggregates per round, with a cross-engine-exact arithmetic contract:
+
+        d_i  = sum_d floor(x_id * w_d * 1e6 + 0.5)        (int64 fold)
+        v_d  = sum_i floor(d_i * x_id + 0.5)              (int64)
+        nrm  = sqrt(double(sum_d v_d^2))   (exact DECIMAL(38) sum)
+        w_d  = round_half_up(v_d / nrm, 6)                (next round)
+
+    Every cross-row sum is INTEGER (order-independent — engine fold
+    order cannot drift it); the only float ops are per-element products,
+    one exact-integer-to-double conversion, one IEEE sqrt and one IEEE
+    division — all correctly-rounded and identical in any engine, so the
+    oracle matches bit-for-bit, sign included (the deterministic
+    all-0.125 seed fixes the eigenvector sign). Uncentered second moment
+    = the top right-singular vector of the raw matrix — the dominant
+    embedding-space axis used for anisotropy audits ("all-but-the-top"),
+    ABTT-style post-processing decisions, and drift detection on the
+    principal direction.
+
+    Scale shape: per round ONE corpus scan computing the d_i fold
+    against the broadcast-literal w (compact zip_with fold — the
+    kcenter O(rounds)-plan discipline), a posexplode, and a dim-keyed
+    integer aggregate (64 keys, map-side partials). The 64-row v
+    vector crosses the driver per round (dim-bounded collects — the
+    kcenter/union-find justified exception) and the driver replicates
+    the engines' IEEE normalize exactly (same floor/sqrt/divide ops).
+    The RETURNED frame is computed engine-side from the final round's
+    aggregate. Precision headroom: d_i <= dim * 1e6 * max|x|, so
+    sum_i floor(d_i * x) stays int64-safe past 1e9 rows.
+
+    Output: ``(dim, pc1)`` — the unit top-PC components, 4dp.
+
+    Reference analog: none; north-star LLM-data-curation scope.
+    """
+    import math
+
+    base = emb.select(to_double_array(vec_col).alias("v")).localCheckpoint(
+        eager=True
+    )
+    w = [0.125] * dim
+    last_v = None
+    for _ in range(iterations):
+        wlit = F.array(*[F.lit(float(x)) for x in w])
+        prod = F.zip_with(
+            F.col("v"),
+            wlit,
+            lambda a, b: F.floor(a * b * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        dfx = F.aggregate(
+            prod, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        t = base.select(
+            dfx.alias("dfx"), F.posexplode("v").alias("pos", "val")
+        )
+        vfr = (
+            t.groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("dfx").cast("double") * F.col("val")
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("vfx")
+            )
+            .localCheckpoint(eager=True)
+        )
+        last_v = vfr
+        rows = {r["dim"]: r["vfx"] for r in vfr.collect()}
+        nrm = math.sqrt(float(sum(v * v for v in rows.values())))
+        w = [
+            math.floor((rows[d] / nrm) * 1_000_000.0 + 0.5) / 1_000_000.0
+            for d in range(1, dim + 1)
+        ]
+    nrm_frame = last_v.agg(
+        F.sqrt(
+            F.sum(
+                F.col("vfx").cast("decimal(38,0)") * F.col("vfx")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    return last_v.crossJoin(F.broadcast(nrm_frame)).select(
+        "dim",
+        round_half_up(F.col("vfx") / F.col("nrm"), 4).alias("pc1"),
+    )

@@ -8274,3 +8274,78 @@ def q_doc_crosslang_near_dup_matrix(
             .alias("share_permille"),
         )
     )
+
+
+def _top_pc_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled power iteration with the engine's exact arithmetic
+    contract (integer cross-row sums, HUGEINT norm square, one IEEE
+    sqrt/divide per round) — bit-exact parity, sign included."""
+    parts = [
+        """e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+     FROM embeddings),
+ev AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+       FROM e),
+w0 AS (SELECT CAST(range AS BIGINT) AS dim, 0.125 AS w FROM range(1, 65))"""
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"""d{r} AS (
+  SELECT ev.vec_id,
+         sum(CAST(floor(ev.val * w.w * 1000000.0 + 0.5) AS BIGINT)) AS dfx
+  FROM ev JOIN w{r - 1} w USING (dim) GROUP BY ev.vec_id),
+v{r} AS (
+  SELECT ev.dim,
+         CAST(sum(CAST(floor(CAST(d.dfx AS DOUBLE) * ev.val + 0.5)
+                       AS BIGINT)) AS BIGINT) AS vfx
+  FROM ev JOIN d{r} d USING (vec_id) GROUP BY ev.dim)"""
+        )
+        if r < iterations:
+            parts.append(
+                f"""n{r} AS (SELECT sqrt(CAST(sum(CAST(vfx AS HUGEINT) * vfx)
+                         AS DOUBLE)) AS nrm FROM v{r}),
+w{r} AS (SELECT dim,
+                floor((CAST(vfx AS DOUBLE) / nrm) * 1000000.0 + 0.5)
+                  / 1000000.0 AS w
+         FROM v{r} CROSS JOIN n{r})"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+nf AS (SELECT sqrt(CAST(sum(CAST(vfx AS HUGEINT) * vfx) AS DOUBLE)) AS nrm
+       FROM v{iterations})
+SELECT dim, {_s4('CAST(vfx AS DOUBLE) / nrm')} AS pc1
+FROM v{iterations} CROSS JOIN nf"""
+    )
+
+
+@query(
+    "emb_top_pc_power_iteration",
+    _top_pc_oracle_sql(iterations=3),
+    doc="Top principal axis of the embedding second-moment matrix by "
+    "power iteration "
+    "(operators/similarity.py:top_pc_power_iteration, 3 rounds, "
+    "deterministic 0.125 seed): distributed iterative linear algebra "
+    "with a cross-engine-EXACT arithmetic contract — every cross-row "
+    "sum is integer fixed-point (order-independent), the norm square "
+    "sums exactly in DECIMAL(38)/HUGEINT, and the only float ops are "
+    "per-element products plus one correctly-rounded sqrt/divide per "
+    "round, so the oracle matches bit-for-bit, sign included. The "
+    "dominant axis feeds anisotropy audits and all-but-the-top style "
+    "embedding post-processing decisions. Per round: one corpus scan "
+    "folding against the broadcast-literal w, a posexplode, and a "
+    "64-key integer aggregate (map-side partials); the 64-row v "
+    "crosses the driver per round (dim-bounded, the kcenter "
+    "exception) and the returned frame is engine-computed.",
+)
+def q_emb_top_pc_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        top_pc_power_iteration,
+    )
+
+    return top_pc_power_iteration(
+        load_table(spark, sf_dir, "embeddings"), iterations=3, dim=64
+    )

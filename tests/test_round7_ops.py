@@ -259,3 +259,27 @@ def test_crosslang_matrix_buckets_unordered_lang_pairs(spark):
             .collect()
         }
     assert got == {("de", "en"): (1, 500), ("fr", "fr"): (1, 500)}
+
+
+def test_top_pc_power_iteration_finds_dominant_axis(spark):
+    """Vectors spread along x with tiny y jitter: the top PC is the
+    x-axis (unit component ~1.0 on dim 1, ~0 on dim 2), sign fixed by
+    the positive seed."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        top_pc_power_iteration,
+    )
+
+    rows = [
+        (1, [3.0, 0.02]),
+        (2, [-3.0, 0.01]),
+        (3, [2.0, -0.02]),
+        (4, [-2.0, -0.01]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["dim"]: r["pc1"]
+        for r in top_pc_power_iteration(emb, iterations=3, dim=2).collect()
+    }
+    assert abs(abs(got[1]) - 1.0) < 0.01  # dominant axis
+    assert abs(got[2]) < 0.05
+    assert abs(got[1] ** 2 + got[2] ** 2 - 1.0) < 0.01  # unit norm
