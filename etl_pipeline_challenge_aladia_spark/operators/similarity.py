@@ -2648,3 +2648,82 @@ def top_pc_power_iteration(
         "dim",
         round_half_up(F.col("vfx") / F.col("nrm"), 4).alias("pc1"),
     )
+
+
+def anisotropy_audit(
+    emb: DataFrame,
+    iterations: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space anisotropy audit — the audit twin of
+    ``top_pc_power_iteration`` (every selection/projection op in this
+    engine ships with its audit): how much of the corpus' total
+    second-moment energy the PUBLISHED top principal axis (the
+    4dp-rounded ``pc1`` consumers read) actually captures.
+
+        t  = sum_{i,d} floor(x_id^2 * 1e8 + 0.5)      (int64, exact)
+        e  = sum_i dot_i^2, dot_i = sum_d floor(x_id * pc_d * 1e6 + 0.5)
+             (per-vec int64 fold; squares summed in DECIMAL(38)/HUGEINT)
+        anisotropy_permille = (e * 1000) div (t * 10000)
+             (unit-corrected: dot^2 carries 1e12, t carries 1e8)
+
+    High anisotropy (a large share of variance on ONE axis) is the
+    classic contextual-embedding pathology that all-but-the-top
+    post-processing removes; this one number decides whether ABTT-style
+    correction is worth running. One row:
+    ``(n_vecs, total_energy_fx, top_axis_energy_permille)``.
+
+    Scale shape: the 64-row published axis broadcast-joins the exploded
+    corpus once; both energies are single aggregates with map-side
+    partials (integer/decimal sums — order-independent, bit-exact
+    cross-engine). No driver state at all.
+
+    Reference analog: none; north-star LLM-data-curation scope.
+    """
+    pc = top_pc_power_iteration(
+        emb, iterations=iterations, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    ev = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(to_double_array(vec_col)).alias("pos", "val"),
+    ).select("id", (F.col("pos") + 1).cast("long").alias("dim"), "val")
+    dots = (
+        ev.join(F.broadcast(pc), "dim")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("val") * F.col("pc1") * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("dfx")
+        )
+    )
+    e = dots.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(
+            F.col("dfx").cast("decimal(38,0)") * F.col("dfx")
+        ).alias("e_big"),
+    )
+    t = ev.agg(
+        F.sum(
+            F.floor(
+                F.col("val") * F.col("val") * F.lit(100_000_000.0)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("total_energy_fx")
+    )
+    return e.crossJoin(F.broadcast(t)).select(
+        "n_vecs",
+        "total_energy_fx",
+        F.expr(
+            "CAST((e_big * 1000) div (CAST(total_energy_fx AS DECIMAL(38,0))"
+            " * 10000) AS BIGINT)"
+        ).alias("top_axis_energy_permille"),
+    )

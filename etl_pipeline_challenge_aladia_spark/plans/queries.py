@@ -8349,3 +8349,167 @@ def q_emb_top_pc_power_iteration(
     return top_pc_power_iteration(
         load_table(spark, sf_dir, "embeddings"), iterations=3, dim=64
     )
+
+
+def _wrap_final_select_as_cte(sql: str, cte_name: str) -> str:
+    """Turn ``WITH <ctes> SELECT ...`` into ``WITH <ctes>, name AS
+    (SELECT ...)`` so another oracle can compose on the result."""
+    ctes, final = sql.rsplit("\nSELECT", 1)
+    return f"{ctes},\n{cte_name} AS (SELECT{final})"
+
+
+@query(
+    "emb_anisotropy_audit",
+    _wrap_final_select_as_cte(_top_pc_oracle_sql(iterations=3), "pc")
+    + """,
+ev2 AS (SELECT vec_id, generate_subscripts(v2, 1) AS dim, unnest(v2) AS val
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v2
+              FROM embeddings)),
+dots AS (
+  SELECT ev2.vec_id,
+         sum(CAST(floor(ev2.val * pc.pc1 * 1000000.0 + 0.5) AS BIGINT))
+           AS dfx
+  FROM ev2 JOIN pc USING (dim) GROUP BY ev2.vec_id),
+eagg AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                sum(CAST(dfx AS HUGEINT) * dfx) AS e_big
+         FROM dots),
+tagg AS (SELECT CAST(sum(CAST(floor(val * val * 100000000.0 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS total_energy_fx
+         FROM ev2)
+SELECT n_vecs, total_energy_fx,
+       CAST((e_big * 1000) // (CAST(total_energy_fx AS HUGEINT) * 10000)
+            AS BIGINT) AS top_axis_energy_permille
+FROM eagg CROSS JOIN tagg
+""",
+    doc="Anisotropy audit (operators/similarity.py:anisotropy_audit) — "
+    "the audit twin of emb_top_pc_power_iteration: the permille of "
+    "total second-moment energy captured by the PUBLISHED 4dp top "
+    "axis. High single-axis concentration is the contextual-embedding "
+    "pathology all-but-the-top correction removes; this number decides "
+    "whether to run it. Exact arithmetic throughout (integer folds, "
+    "DECIMAL(38)/HUGEINT squares, one integer div) — bit-exact parity. "
+    "The 64-row axis broadcast-joins the exploded corpus once; both "
+    "energies are map-side-partial aggregates; zero driver state.",
+)
+def q_emb_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        anisotropy_audit,
+    )
+
+    return anisotropy_audit(
+        load_table(spark, sf_dir, "embeddings"), iterations=3, dim=64
+    )
+
+
+@query(
+    "events_bot_suspects",
+    """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+g AS (
+  SELECT user_id, us - lag(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS gap
+  FROM e),
+peruser AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         max(us) - min(us) AS span_us
+  FROM e GROUP BY user_id),
+gaps AS (SELECT user_id, CAST(min(gap) AS BIGINT) AS min_gap_us
+         FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+tt AS (
+  SELECT user_id, CAST(max(c) AS BIGINT) AS top_type_n
+  FROM (SELECT user_id, event_type, count(*) AS c
+        FROM e GROUP BY user_id, event_type)
+  GROUP BY user_id),
+scored AS (
+  SELECT p.user_id, p.n_events,
+         CAST(CASE WHEN p.span_us > 0
+                   THEN (p.n_events * 3600000000) // p.span_us
+                   ELSE 0 END AS BIGINT) AS events_per_hour,
+         CAST(COALESCE(ga.min_gap_us, 3600000000) AS BIGINT) AS min_gap_us,
+         CAST((tt.top_type_n * 1000) // p.n_events AS BIGINT)
+           AS top_type_share_permille
+  FROM peruser p
+  LEFT JOIN gaps ga USING (user_id)
+  JOIN tt USING (user_id))
+SELECT user_id, n_events, events_per_hour, min_gap_us,
+       top_type_share_permille,
+       CAST(events_per_hour + top_type_share_permille
+            + CASE WHEN min_gap_us < 1000000 THEN 500 ELSE 0 END
+            AS BIGINT) AS bot_score
+FROM scored
+ORDER BY bot_score DESC, user_id LIMIT 20
+""",
+    doc="Bot/abuse suspect ranking: per user, the integer behavioral "
+    "fingerprint — sustained event rate (events/hour over the active "
+    "span), minimum inter-event gap, and single-type concentration — "
+    "combined into a deterministic integer suspicion score (rate + "
+    "type-share + sub-second-gap penalty), top-20. The traffic-quality "
+    "screen a web-scale training-data pipeline runs before counting "
+    "user signals (a scripted scraper shows high rate, near-zero gaps, "
+    "one event type; events_debounce_burst collapses bursts — this "
+    "RANKS the burst sources). Scale shape: one lag window and three "
+    "user-keyed aggregates, all on the same user_id shuffle key; "
+    "top-20 is TakeOrdered. Single-event users have no gap (sentinel "
+    "1h) and zero rate (span 0), so they never rank.",
+)
+def q_events_bot_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        e.select("user_id", (F.col("us") - F.lag("us").over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("gap").cast("long").alias("min_gap_us"))
+    )
+    peruser = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+    tt = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("long").alias("top_type_n"))
+    )
+    scored = (
+        peruser.join(gaps, "user_id", "left")
+        .join(tt, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            F.when(
+                F.col("span_us") > 0,
+                F.expr("(n_events * 3600000000) div span_us"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("events_per_hour"),
+            F.coalesce("min_gap_us", F.lit(3_600_000_000))
+            .cast("long")
+            .alias("min_gap_us"),
+            F.expr("(top_type_n * 1000) div n_events")
+            .cast("long")
+            .alias("top_type_share_permille"),
+        )
+    )
+    return (
+        scored.select(
+            "*",
+            (
+                F.col("events_per_hour")
+                + F.col("top_type_share_permille")
+                + F.when(F.col("min_gap_us") < 1_000_000, F.lit(500)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("bot_score"),
+        )
+        .orderBy(F.desc("bot_score"), "user_id")
+        .limit(20)
+    )

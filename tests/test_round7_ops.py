@@ -283,3 +283,61 @@ def test_top_pc_power_iteration_finds_dominant_axis(spark):
     assert abs(abs(got[1]) - 1.0) < 0.01  # dominant axis
     assert abs(got[2]) < 0.05
     assert abs(got[1] ** 2 + got[2] ** 2 - 1.0) < 0.01  # unit norm
+
+
+def test_bot_suspects_ranks_scripted_traffic_first(spark):
+    """A scraper (60 identical events 100ms apart) must outrank an
+    organic user (3 mixed events minutes apart) on every component."""
+    import datetime as dt
+    import tempfile
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (100 + i, t0 + dt.timedelta(milliseconds=100 * i), 1, "view", 0.0, None)
+        for i in range(60)
+    ]
+    rows += [
+        (1, t0, 2, "view", 0.0, None),
+        (2, t0 + dt.timedelta(minutes=5), 2, "click", 0.0, None),
+        (3, t0 + dt.timedelta(minutes=11), 2, "purchase", 4.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(d + "/events.parquet")
+        out = CATALOG["events_bot_suspects"].spark(spark, d).collect()
+    assert [r["user_id"] for r in out] == [1, 2]
+    bot, human = out[0], out[1]
+    assert bot["top_type_share_permille"] == 1000
+    assert bot["min_gap_us"] == 100_000  # 100ms cadence
+    # 60 events over 5.9s -> ~36k/hour; organic: 3 over 11 min -> 16/hour
+    assert bot["events_per_hour"] > 10_000 > human["events_per_hour"]
+    assert bot["bot_score"] > human["bot_score"] + 1000  # rate + gap penalty
+
+
+def test_anisotropy_audit_detects_dominant_axis_energy(spark):
+    """Vectors almost entirely along one axis: the top-PC energy share
+    approaches 1000 permille; isotropic 2D data sits near 500."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        anisotropy_audit,
+    )
+
+    aniso = spark.createDataFrame(
+        [(i, [float(3 + (i % 3)), 0.01 * (i % 2)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    r = anisotropy_audit(aniso, iterations=3, dim=2).collect()[0]
+    assert r["n_vecs"] == 8
+    assert r["top_axis_energy_permille"] >= 990
+
+    iso = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]), (4, [0.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = anisotropy_audit(iso, iterations=3, dim=2).collect()[0]
+    assert 400 <= r2["top_axis_energy_permille"] <= 600
