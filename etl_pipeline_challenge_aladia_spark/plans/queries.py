@@ -8513,3 +8513,61 @@ def q_events_bot_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bot_score"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "doc_winnowing_pairs",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(greatest(len(w) - 3, 0)),
+                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                             || ' ' || w[i+4]) AS grams
+  FROM t),
+p AS (SELECT doc_id, generate_subscripts(grams, 1) AS pos,
+             unnest(grams) AS gram
+      FROM g),
+h AS (SELECT doc_id, pos, {sql_md5_fold32('gram')} AS hv FROM p),
+wm AS (
+  SELECT doc_id, pos,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+  FROM h),
+fp AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 4),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+       FROM fp GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(count(*) AS BIGINT) AS n_shared_fp
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2)
+SELECT pr.doc_id_a, pr.doc_id_b, pr.n_shared_fp,
+       sa.n_fp AS n_a, sb.n_fp AS n_b,
+       CAST((pr.n_shared_fp * 1000) // least(sa.n_fp, sb.n_fp) AS BIGINT)
+         AS share_permille
+FROM pr
+JOIN sz sa ON sa.doc_id = pr.doc_id_a
+JOIN sz sb ON sb.doc_id = pr.doc_id_b
+""",
+    doc="Winnowing copy-detection pairs "
+    "(operators/text.py:winnowing_pairs — the "
+    "Schleimer/Wilkerson/Aiken MOSS fingerprint, k=4-token grams, "
+    "window 4): each window's minimum md5-fold32 gram hash is kept, "
+    "guaranteeing any shared token run of length >= k+window-1 = 7 is "
+    "detected while indexing only ~2/(window+1) = 40% of positions — "
+    "the order-sensitive dedup screen at a fraction of "
+    "doc_shared_span_pairs' index size. Pairs share >= 2 fingerprints; "
+    "share_permille compares against the smaller fingerprint set. One "
+    "posexplode + per-doc min-window + distinct, then a "
+    "posting-list-bounded self-join — never all-pairs.",
+)
+def q_doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        winnowing_pairs,
+    )
+
+    return winnowing_pairs(
+        load_table(spark, sf_dir, "documents"), k=4, window=4, min_shared=2
+    )

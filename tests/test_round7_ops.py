@@ -341,3 +341,33 @@ def test_anisotropy_audit_detects_dominant_axis_energy(spark):
     )
     r2 = anisotropy_audit(iso, iterations=3, dim=2).collect()[0]
     assert 400 <= r2["top_axis_energy_permille"] <= 600
+
+
+def test_winnowing_detects_long_shared_run(spark):
+    """The winnowing guarantee: a shared run of >= k+window-1 tokens
+    always yields shared fingerprints. Two docs embedding the same
+    16-token passage in different contexts must pair; unrelated docs
+    must not."""
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        winnow_fingerprints,
+        winnowing_pairs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one two " + shared + " outro alpha"),
+            (2, "different lead " + shared + " tail omega zz"),
+            (3, " ".join(f"x{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    got = winnowing_pairs(docs, k=4, window=4, min_shared=2).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in got] == [(1, 2)]
+    # 13 grams inside the shared run -> 10 full windows -> >= 3 selected
+    assert got[0]["n_shared_fp"] >= 3
+
+    # density: winnowing indexes far fewer positions than grams exist
+    fp = winnow_fingerprints(docs, k=4, window=4)
+    n_fp = fp.filter("id = 3").count()
+    assert 0 < n_fp <= 27 - 3  # 27 grams, strictly compressed
