@@ -8571,3 +8571,146 @@ def q_doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_pairs(
         load_table(spark, sf_dir, "documents"), k=4, window=4, min_shared=2
     )
+
+
+@query(
+    "orders_open_backlog_daily",
+    """
+WITH last_ship AS (
+  SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS last_ship
+  FROM lineitem GROUP BY l_orderkey),
+iv AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+         ls.last_ship + INTERVAL 1 DAY AS close_day
+  FROM orders o JOIN last_ship ls ON ls.l_orderkey = o.o_orderkey),
+deltas AS (
+  SELECT open_day AS day, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT CAST(close_day AS DATE), CAST(-1 AS BIGINT) FROM iv),
+byday AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net
+          FROM deltas GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(sum(net) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_orders
+FROM byday
+""",
+    doc="Open-order backlog time series by interval algebra: each order "
+    "is open from its order date through its LAST lineitem ship date; "
+    "instead of testing every (order, day) pair (quadratic), every "
+    "interval emits +1/-1 boundary deltas, a day-keyed aggregate "
+    "collapses them, and one running sum over the DAY-GRAIN frame "
+    "yields the backlog — the standard scale trick for concurrent-"
+    "interval counting (active sessions, open connections, WIP "
+    "inventory). The only unpartitioned window runs over the "
+    "day-cardinality aggregate (thousands of rows at any corpus "
+    "scale), never over orders. Orders with no lineitems have no "
+    "close boundary and are excluded by the inner join.",
+)
+def q_orders_open_backlog_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    iv = orders.join(
+        last_ship, orders.o_orderkey == last_ship.l_orderkey
+    ).select(
+        F.to_date("o_orderdate").alias("open_day"),
+        F.date_add("last_ship", 1).alias("close_day"),
+    )
+    deltas = iv.select(
+        F.col("open_day").alias("day"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        iv.select(
+            F.col("close_day").alias("day"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    byday = deltas.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("net")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return byday.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+#: Benford's-law expected leading-digit shares, permille (log10(1+1/d)
+#: precomputed as integer literals so no transcendental runs in-engine).
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58,
+                     8: 51, 9: 46}
+
+
+@query(
+    "dq_benford_totalprice",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1.0),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+        FROM d GROUP BY digit),
+exp AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+               unnest([301,176,125,97,79,67,58,51,46]) AS expected_permille)
+SELECT e.digit,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       CAST((COALESCE(o.n_orders, 0) * 1000) // tot.n AS BIGINT)
+         AS observed_permille,
+       CAST(e.expected_permille AS BIGINT) AS expected_permille,
+       CAST((COALESCE(o.n_orders, 0) * 1000) // tot.n - e.expected_permille
+            AS BIGINT) AS deviation_permille
+FROM exp e LEFT JOIN obs o USING (digit) CROSS JOIN tot
+""",
+    doc="Benford's-law audit on order totals: observed leading-digit "
+    "distribution vs the Benford expectation (precomputed integer "
+    "permille literals — no transcendental runs in-engine), with the "
+    "signed deviation per digit. Natural multiplicative amounts "
+    "follow Benford; strong deviations flag synthetic, capped, or "
+    "manipulated monetary fields — the fraud/data-quality screen "
+    "auditors run first (on THIS synthetic corpus the deviations are "
+    "themselves the evidence of uniform generation, which is the "
+    "point of the audit). One digit-keyed aggregate + a broadcast "
+    "9-row expectation table + a 1-row total.",
+)
+def q_dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1.0).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    obs = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    exp = spark.createDataFrame(
+        [(k, v) for k, v in _BENFORD_PERMILLE.items()],
+        "digit long, expected_permille long",
+    )
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.expr("(coalesce(n_orders, 0) * 1000) div n")
+            .cast("long")
+            .alias("observed_permille"),
+            "expected_permille",
+            F.expr(
+                "(coalesce(n_orders, 0) * 1000) div n - expected_permille"
+            )
+            .cast("long")
+            .alias("deviation_permille"),
+        )
+    )

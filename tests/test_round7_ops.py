@@ -371,3 +371,58 @@ def test_winnowing_detects_long_shared_run(spark):
     fp = winnow_fingerprints(docs, k=4, window=4)
     n_fp = fp.filter("id = 3").count()
     assert 0 < n_fp <= 27 - 3  # 27 grams, strictly compressed
+
+
+def test_open_backlog_interval_counting(spark):
+    """Two overlapping orders: backlog rises to 2 in the overlap and
+    returns to 0 the day after the last ship."""
+    import datetime as dt
+    import tempfile
+
+    d = dt.datetime
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "F", 5.0, d(1995, 1, 1), "x"),
+            (2, 11, "F", 5.0, d(1995, 1, 3), "x"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, 100, d(1995, 1, 5)), (2, 101, d(1995, 1, 4))],
+        "l_orderkey long, l_partkey long, l_shipdate timestamp",
+    )
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    with tempfile.TemporaryDirectory() as tmp:
+        orders.write.parquet(tmp + "/orders.parquet")
+        li.write.parquet(tmp + "/lineitem.parquet")
+        got = {
+            r["day"]: r["open_orders"]
+            for r in CATALOG["orders_open_backlog_daily"]
+            .spark(spark, tmp)
+            .collect()
+        }
+    assert got == {
+        "1995-01-01": 1,  # order 1 opens
+        "1995-01-03": 2,  # order 2 opens, 1 still open
+        "1995-01-05": 1,  # order 2 closed (shipped 1/4)
+        "1995-01-06": 0,  # order 1 closed (shipped 1/5)
+    }
+
+
+def test_benford_audit_shares_sum_and_deviation_arithmetic(spark, sf_dir):
+    """Nine rows always; observed permilles reconstruct from counts;
+    deviation = observed - expected exactly."""
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    rows = CATALOG["dq_benford_totalprice"].spark(spark, sf_dir).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    n = sum(r["n_orders"] for r in rows)
+    for r in rows:
+        assert r["observed_permille"] == (r["n_orders"] * 1000) // n
+        assert (
+            r["deviation_permille"]
+            == r["observed_permille"] - r["expected_permille"]
+        )
+    assert sum(r["expected_permille"] for r in rows) == 1000
