@@ -25,6 +25,13 @@ SAMPLE = [
     "doc_token_budget_sample",         # per-group running-sum window
     "emb_ivf_topk",                    # broadcast centroids by default
     "doc_unigram_surprisal",           # vocab join + global top-k
+    # round-7 additions:
+    "doc_dup_pagerank",                # iterative join/agg rounds + top-k
+    "events_attribution_touch",        # ignore-nulls windows + unpivot agg
+    "doc_source_segment_overlap",      # collect_set + in-row pair expansion
+    "emb_top_pc_power_iteration",      # driver-literal loop + decimal norm
+    "orders_topk_revenue_concentration",  # TakeOrdered(k) cutoff ties
+    "events_session_paths",            # ordered path aggregate + top-20
 ]
 
 
