@@ -93,6 +93,23 @@ PICKS = {
     "doc_token_budget_sample": "one Exchange on the group key, then a "
     "per-group ordered running sum — the budget filter is a pure integer "
     "comparison inside the window stage; groups sweep in parallel",
+    "doc_source_segment_overlap": "NO self-join: one segment-keyed "
+    "aggregate collects each segment's sorted source set and the pair "
+    "expansion is an in-row array combination (bounded by the source "
+    "count) — the big segment frame crosses one Exchange, the pair "
+    "rollup is source²-sized",
+    "events_attribution_touch": "both attribution models ride ONE "
+    "window pass (single user_id Exchange) and one conditional "
+    "aggregate after a bounded 2x unpivot — 1 scan, 1 window, 1 agg "
+    "shuffle in the plan",
+    "events_session_paths": "lag window, running-sum session window, "
+    "per-session row_number, and the path aggregate ALL key on "
+    "user_id — the plan shows one hash Exchange reused down the "
+    "chain; top-20 is TakeOrderedAndProject",
+    "emb_top_pc_power_iteration": "per power-iteration round: one scan "
+    "folding the vector against the broadcast-literal axis, a "
+    "posexplode, and a 64-key integer hash aggregate with map-side "
+    "partials — no joins on the corpus, rank state is dim-bounded",
 }
 
 
