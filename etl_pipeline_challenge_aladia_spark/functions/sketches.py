@@ -250,3 +250,109 @@ def _native_bloom_available(spark) -> bool:
         except Exception:
             _NATIVE_BLOOM_OK = False
     return _NATIVE_BLOOM_OK
+
+
+def hll_audit(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    lg_m: int = 6,
+) -> DataFrame:
+    """Cross-engine DETERMINISTIC HyperLogLog accuracy audit: per
+    ``group_col``, the exact distinct ``key_col`` count next to a raw
+    HLL estimate built from md5-fold32 register assignments — unlike
+    the engine-native sketches above (``approx_distinct``,
+    ``hll_rollup``), every register value here is reproducible bit-
+    for-bit in any SQL engine, so THIS one is oracle-checkable.
+
+    Construction (m = 2^lg_m registers over the 32-bit fold): the top
+    ``lg_m`` hash bits pick the register, rho = 1 + leading-zero count
+    of the remaining ``32-lg_m`` bits (exact via bit-length:
+    rho = (32-lg_m) + 1 - length(bin(suffix)), all-zero suffix =>
+    rho = 33-lg_m), register = max rho. The harmonic mean is computed
+    in EXACT integers by scaling through 2^(33-lg_m):
+    S = sum_j 2^((33-lg_m) - M_j) (empty register: M=0 contributes the
+    full 2^(33-lg_m)), estimate = (alpha_permille * m^2 * 2^(33-lg_m))
+    div (1000 * S) — one integer division at the end, no floats, no
+    transcendentals (alpha is a precomputed permille literal; the
+    small-range linear-counting correction needs ln so the audit
+    reports the RAW estimator, which is the regime a 100-TB distinct
+    count lives in anyway). Output per group: ``n_exact``,
+    ``hll_estimate``, ``err_permille`` (absolute, vs exact).
+
+    Scale shape: one (group, register) aggregate over the hashed
+    stream (map-side combined, group x m rows), a broadcast
+    group-by-group exact distinct for the audit column, and the m-row
+    register fold per group. The ESTIMATOR alone is one linear pass at
+    any scale; the exact side exists because this is an audit.
+    """
+    if not 4 <= lg_m <= 12:
+        raise ValueError("hll_audit: lg_m must be in [4, 12]")
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
+
+    m = 1 << lg_m
+    suffix_bits = 32 - lg_m
+    # alpha_m = 0.7213 / (1 + 1.079/m), permille, precomputed literals
+    # (no transcendental in-engine; values from the HLL paper)
+    alpha_pm = {16: 673, 32: 697, 64: 709}.get(m, 721)
+    g = F.col(group_col).alias("grp")
+    hashed = df.select(
+        g, md5_fold32_col(F.col(key_col).cast("string")).alias("h")
+    )
+    sfx = 1 << suffix_bits
+    regs = (
+        hashed.select(
+            "grp",
+            F.expr(f"h div {sfx}").cast("long").alias("reg"),
+            F.expr(
+                f"CASE WHEN h % {sfx} = 0 THEN {suffix_bits + 1} "
+                f"ELSE {suffix_bits + 1} - length(bin(h % {sfx})) END"
+            )
+            .cast("long")
+            .alias("rho"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # densify: every group needs all m registers (empty => M=0)
+    grid = (
+        df.select(g).distinct().select(
+            "grp",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("reg"),
+        )
+    )
+    folded = (
+        grid.join(regs, ["grp", "reg"], "left")
+        .select(
+            "grp",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST("
+                f"{suffix_bits + 1} - coalesce(m_j, CAST(0 AS BIGINT))"
+                f" AS INT))"
+            ).alias("term"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("term").cast("long").alias("s"))
+    )
+    exact = df.groupBy(g).agg(
+        F.countDistinct(key_col).cast("long").alias("n_exact")
+    )
+    num = alpha_pm * m * m * (1 << (suffix_bits + 1))
+    return (
+        exact.join(folded, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            F.expr(f"CAST({num} AS BIGINT) div (1000 * s)")
+            .cast("long")
+            .alias("hll_estimate"),
+        )
+        .withColumn(
+            "err_permille",
+            F.expr(
+                "(abs(hll_estimate - n_exact) * 1000) div n_exact"
+            ).cast("long"),
+        )
+    )

@@ -2727,3 +2727,192 @@ def anisotropy_audit(
             " * 10000) AS BIGINT)"
         ).alias("top_axis_energy_permille"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_permille: int = 800,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
+    PPJoin/AllPairs candidate rule) — same output as
+    ``ngram_jaccard_pairs`` at a fraction of its index-join cost.
+
+    Rule: order every document's shingles by a single global total
+    order (document frequency ascending, shingle text as tie-break —
+    rarest first) and index only the first
+    ``|s| - ceil(t*|s|) + 1`` shingles. Lossless for J >= t: a
+    qualifying pair shares >= ceil(t*|a|) shingles, at most
+    ``ceil(t*|a|) - 1`` of a's shingles fall outside its prefix, so
+    the globally-smallest SHARED shingle sits inside BOTH prefixes
+    (anything before it in either list is unshared by minimality).
+    Candidates therefore come from the prefix-only posting lists —
+    the frequent-shingle tails that dominate ``ngram_jaccard_pairs``'
+    posting-list join never enter the index, exactly the hub problem
+    ``df_cap`` mitigates, solved here WITHOUT changing the shingle
+    universe: the result is bit-identical to the full-universe exact
+    baseline (shared oracle). Verification joins the two distinct-
+    shingle arrays per surviving candidate and computes
+    J = c / (na + nb - c) with the engine-wide half-up rounding.
+
+    ``threshold_permille`` keeps the prefix length integer-exact
+    (ceil(t*s) = (t_pm*s + 999) div 1000) — an IEEE ``0.8 * s`` can
+    land a hair above 4s/5 and silently lengthen the prefix.
+
+    Scale shape: one shingle explode + df aggregate, a per-document
+    rank window (document-sized partitions), the prefix self-join on
+    (shingle) posting lists bounded by prefix occupancy, then a
+    candidate-pair-sized verify join. Nothing touches corpus^2.
+    Reference analog: none (north-star dedup scope; the exact twin of
+    the LSH screen in minhash_near_dup_pairs).
+    """
+    t_pm = threshold_permille
+    sh_arr = fan_out(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles_col(tokens_col(text_col), n)).alias(
+                "sh"
+            ),
+        )
+    ).localCheckpoint(eager=True)  # reused: prefix index + both verify sides
+    base = sh_arr.select("id", F.explode("sh").alias("shingle"))
+    dfreq = base.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rank_w = Window.partitionBy("id").orderBy("df", "shingle")
+    ranked = (
+        base.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(rank_w))
+        .join(
+            sh_arr.select("id", F.size("sh").alias("n_sh")),
+            "id",
+        )
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh")
+            - F.expr(f"({t_pm} * n_sh + 999) div 1000")
+            + F.lit(1)
+        )
+        .select("id", "shingle")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_id_a"), F.col("b.id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    sa = sh_arr.select(F.col("id").alias("doc_id_a"), F.col("sh").alias("sa"))
+    sb = sh_arr.select(F.col("id").alias("doc_id_b"), F.col("sh").alias("sb"))
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("c", F.size(F.array_intersect("sa", "sb")))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            round_half_up(
+                F.col("c")
+                / (F.size("sa") + F.size("sb") - F.col("c")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(t_pm) / 1000.0)
+    )
+
+
+def mmr_select(
+    emb: DataFrame,
+    k: int = 5,
+    lambda_permille: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (MMR) diverse retrieval: greedily
+    select ``k`` vectors balancing RELEVANCE to a query (here: the
+    lowest-id vector, the deterministic anchor) against REDUNDANCY
+    with what's already selected — the classic diversity re-ranker
+    for retrieval-augmented pipelines, where the top-k nearest
+    neighbors are often near-duplicates of each other and the
+    marginal information of each addition collapses.
+
+    Distance-form MMR, all integer: each round picks
+    argmin(lambda_pm * dq - (1000 - lambda_pm) * md) with dq = exact
+    int64 fixed-point squared distance to the query (computed ONCE)
+    and md = min distance to the already-selected set (running-min
+    column, materialized per round) — small query distance is
+    relevant, large selected-distance is novel; the score is a pure
+    int64 linear combination (can go negative; ordering only, no
+    division), min-id tie-break. lambda=1000 degenerates to plain
+    nearest-neighbor ranking, lambda=0 to farthest-point (k-center
+    seeded at the query's nearest neighbor). Selected rows leave the
+    candidate frame, so a highly-relevant item can't be re-picked.
+
+    Scale shape: identical discipline to ``kcenter_select`` — the
+    candidate frame (id, v, dq) is checkpointed once, each round is
+    one filter + one running-min update + TakeOrdered(1), the
+    running-min column materialized lazily per round (O(k) total plan
+    work), selected vectors cross the driver as k 1-row collects
+    (count-bounded driver state). Output: ``(mmr_rank, vec_id, dq_fx,
+    md_fx)`` with md_fx = 0 for the first pick (empty selected set).
+
+    Reference analog: none; north-star retrieval-curation scope.
+    """
+    if not 0 <= lambda_permille <= 1000:
+        raise ValueError("mmr_select: lambda_permille must be in [0, 1000]")
+    base = emb.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    ).localCheckpoint(eager=True)
+    seed = base.orderBy("id").limit(1).collect()
+    if not seed:
+        raise ValueError("mmr_select: embeddings frame is empty")
+    qid, qv = seed[0]["id"], seed[0]["v"]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    cand = (
+        base.filter(F.col("id") != qid)
+        .withColumn("dq", _fx_sq_dist(F.col("v"), q_lit, None))
+        .localCheckpoint(eager=True)  # dq computed exactly once
+    )
+    lam, mu = lambda_permille, 1000 - lambda_permille
+    top = cand.orderBy("dq", "id").limit(1).collect()
+    out: list[tuple[int, int, int, int]] = []
+    cur = cand
+    have_md = False
+    last = None
+    for rank in range(1, k + 1):
+        if rank == 1:
+            if not top:
+                break
+            out.append((1, top[0]["id"], top[0]["dq"], 0))
+            last = top[0]
+            continue
+        lit_vec = F.array(*[F.lit(float(x)) for x in last["v"]])
+        d = _fx_sq_dist(F.col("v"), lit_vec, None)
+        cur = (
+            cur.filter(F.col("id") != last["id"])
+            .withColumn(
+                "md", d if not have_md else F.least(F.col("md"), d)
+            )
+            .localCheckpoint(eager=False)  # materialized by the top-1 job
+        )
+        have_md = True
+        nxt = (
+            cur.withColumn(
+                "score", F.expr(f"{lam} * dq - {mu} * md").cast("long")
+            )
+            .orderBy("score", "id")
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        out.append((rank, nxt[0]["id"], nxt[0]["dq"], nxt[0]["md"]))
+        last = nxt[0]
+    return emb.sparkSession.createDataFrame(
+        out, "mmr_rank long, vec_id long, dq_fx long, md_fx long"
+    )

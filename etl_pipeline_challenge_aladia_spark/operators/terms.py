@@ -22,6 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_challenge_aladia_spark.functions.hashing import md5_fold32_col
 from etl_pipeline_challenge_aladia_spark.functions.rounding import round_half_up
 from etl_pipeline_challenge_aladia_spark.operators.text import (
     ngrams_col,
@@ -512,4 +513,180 @@ def oov_rate(
             ).alias("oov_share"),
         )
         .withColumnRenamed("grp", group_col)
+    )
+
+
+def _deletion_variants(c, max_edits: int):
+    """All strings reachable from column ``c`` by deleting up to
+    ``max_edits`` characters (SymSpell deletion neighborhood), self
+    included, duplicates removed. Pure column expressions — the variant
+    arrays are built per row inside codegen, never in Python."""
+    L = F.length(c)
+    parts = [F.array(c)]
+    d1 = F.when(
+        L >= 1,
+        F.transform(
+            F.sequence(F.lit(0), L - 1),
+            lambda i: F.concat(c.substr(F.lit(1), i), c.substr(i + 2, L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    parts.append(d1)
+    if max_edits >= 2:
+        d2 = F.when(
+            L >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), L - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, L - 1),
+                        lambda j: F.concat(
+                            c.substr(F.lit(1), i),
+                            c.substr(i + 2, j - i - 1),
+                            c.substr(j + 2, L),
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        parts.append(d2)
+    return F.array_distinct(F.concat(*parts))
+
+
+def symspell_vocab_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_edits: int = 2,
+) -> DataFrame:
+    """Vocabulary typo-pair mining by SymSpell deletion-neighborhood
+    blocking: every token pair within Levenshtein distance
+    ``max_edits``, with both occurrence counts (the higher-frequency
+    side is the likely canonical spelling, the lower the typo — the
+    normalization table a curation pass applies before dedup and
+    tokenizer training).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    explode + hash agg), so everything downstream is vocab-sized, not
+    corpus-sized. Blocking is the SymSpell deletion trick: if
+    lev(a, b) <= d then a and b share a string reachable by deleting
+    <= d chars from each (every substitution deletes one char on both
+    sides, every insert/delete one char on one side) — so joining the
+    deletion neighborhoods on equality has FULL recall and the
+    all-pairs O(V^2) edit-distance scan becomes a posting-list join on
+    O(V * len^d) short keys. Candidates then verify with one exact
+    ``levenshtein`` call per pair. Hub caveat: very short tokens
+    funnel into tiny variants (a 1-char token's neighborhood includes
+    the empty string), so posting lists on those keys are bounded by
+    the count of short tokens — at web-corpus scale pre-filter the
+    vocab to len >= 3 if that tail matters.
+
+    Reference analog: none (north-star curation scope). Output:
+    ``(tok_a, tok_b, lev, freq_a, freq_b)`` with tok_a < tok_b.
+    """
+    if not 1 <= max_edits <= 2:
+        raise ValueError("symspell_vocab_pairs: max_edits must be 1 or 2")
+    vocab = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)  # reused 3x: variants + both freq joins
+    )
+    var = vocab.select(
+        "tok", F.explode(_deletion_variants(F.col("tok"), max_edits)).alias("v")
+    )
+    cand = (
+        var.alias("a")
+        .join(
+            var.alias("b"),
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .select(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "lev", F.levenshtein("tok_a", "tok_b").cast("long")
+    ).filter(F.col("lev") <= max_edits)
+    fa = vocab.select(F.col("tok").alias("tok_a"), F.col("freq").alias("freq_a"))
+    fb = vocab.select(F.col("tok").alias("tok_b"), F.col("freq").alias("freq_b"))
+    return verified.join(fa, "tok_a").join(fb, "tok_b").select(
+        "tok_a", "tok_b", "lev", "freq_a", "freq_b"
+    )
+
+
+def countmin_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-min sketch accuracy audit: build a ``depth x width``
+    count-min sketch of the token stream with deterministic salted
+    md5-fold32 hash rows, then report, for the ``top_k`` most frequent
+    tokens, the exact count next to the sketch estimate (min over the
+    token's depth cells) and the signed overestimate — the bias a
+    consumer of the sketch would see. Count-min never underestimates,
+    so ``overestimate >= 0`` by construction; the audit quantifies how
+    much collision inflation this (depth, width) budget costs on THIS
+    corpus before anyone trusts the sketch at scale.
+
+    Scale shape: the sketch is built from the vocabulary aggregate,
+    not the raw stream — cell(r, b) = sum of exact counts of tokens
+    hashing to (r, b), which is identical to streaming increments
+    because the sketch update is a distributive sum. One corpus-wide
+    token aggregate (map-side combined), then everything is
+    vocab-sized: depth rows per term, a depth*width-cell aggregate
+    (1024 cells here — driver-trivial at any corpus size), one
+    cell-keyed join back, a min over depth values per term, and a
+    top-k TakeOrdered. All integer; the salted hash is the
+    cross-engine md5 fold, so the DuckDB oracle reproduces every cell
+    bit-for-bit. Reference analog: none (north-star sketch family —
+    the frequency twin of the MinHash/SimHash membership sketches).
+    """
+    vocab = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        # vocab-sized; materialized so the corpus is scanned ONCE, not
+        # once per consumer (cell build + estimate side)
+        .localCheckpoint(eager=True)
+    )
+    hashed = vocab.select(
+        "tok",
+        "exact_n",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        md5_fold32_col(
+                            F.concat(F.lit(f"{s}:"), F.col("tok"))
+                        )
+                        % F.lit(width)
+                    ).cast("long")
+                    for s in range(depth)
+                ]
+            )
+        ).alias("rw", "bucket"),
+    )
+    cells = hashed.groupBy("rw", "bucket").agg(
+        F.sum("exact_n").cast("long").alias("cell_n")
+    )
+    est = (
+        hashed.join(cells, ["rw", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell_n").cast("long").alias("cm_estimate"))
+    )
+    return (
+        est.orderBy(F.desc("exact_n"), "tok")
+        .limit(top_k)
+        .select(
+            "tok",
+            "exact_n",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_n"))
+            .cast("long")
+            .alias("overestimate"),
+            F.expr("((cm_estimate - exact_n) * 1000) div exact_n")
+            .cast("long")
+            .alias("overestimate_permille"),
+        )
     )

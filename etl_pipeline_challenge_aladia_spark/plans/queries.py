@@ -8714,3 +8714,694 @@ def q_dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("deviation_permille"),
         )
     )
+
+
+@query(
+    "doc_dedup_clusters_distributed",
+    _cluster_walk_sql()
+    + """
+SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+""",
+    doc="The DISTRIBUTED connected-components path, oracle-verified: "
+    "identical semantics to doc_dedup_clusters but with the adaptive "
+    "small-graph escape hatch disabled (small_graph_edges=0), forcing "
+    "the iterative min-label propagation with pointer doubling "
+    "(operators/dedup.py:dedup_clusters) — per round one edge join, "
+    "one min agg, one label->label(label) self-join, labels "
+    "materialized (O(1) plan depth), convergence in O(log diameter) "
+    "rounds with a limit-1 changed? probe as the only driver traffic. "
+    "doc_dedup_clusters verifies the path fixture-scale inputs "
+    "actually take (driver union-find on the count-bounded edge "
+    "frame); THIS entry pins the 100-TB path to the same oracle, so "
+    "both physical strategies are proven label-identical, not just "
+    "claimed.",
+)
+def q_doc_dedup_clusters_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.dedup import dedup_clusters
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        minhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs)
+    return dedup_clusters(pairs, small_graph_edges=0).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+@query(
+    "doc_vocab_fuzzy_pairs",
+    """
+WITH v AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok)
+SELECT a.tok AS tok_a, b.tok AS tok_b,
+       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS lev,
+       a.freq AS freq_a, b.freq AS freq_b
+FROM v a JOIN v b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) <= 2
+""",
+    doc="Vocabulary typo-pair mining "
+    "(operators/terms.py:symspell_vocab_pairs): every token pair "
+    "within Levenshtein distance 2, with both frequencies — the "
+    "normalization table (low-freq side = probable typo of the "
+    "high-freq side) a curation pass applies before tokenizer "
+    "training. The Spark side blocks by the SymSpell deletion "
+    "neighborhood (tokens within lev d ALWAYS share a <=d-deletion "
+    "variant, so the posting-list equi-join has full recall) and "
+    "verifies candidates with one exact levenshtein each — "
+    "vocab * len^2 short keys instead of the O(V^2) all-pairs scan. "
+    "The oracle IS the all-pairs scan (exact by definition), so the "
+    "driver hash-checks that lossless-blocking claim, the engine's "
+    "standard scale-path-vs-exact-oracle pairing (minhash_near_dup, "
+    "emb_ivf_topk).",
+)
+def q_doc_vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import (
+        symspell_vocab_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return symspell_vocab_pairs(docs, max_edits=2)
+
+
+@query(
+    "doc_countmin_audit",
+    """
+WITH v AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok),
+h AS (
+  SELECT tok, exact_n, r.rw,
+         CAST(((strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) || ':' || tok), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) || ':' || tok), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) || ':' || tok), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) || ':' || tok), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) || ':' || tok), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) || ':' || tok), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) || ':' || tok), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(rw AS VARCHAR) || ':' || tok), 8, 1)) - 1) * 1) % 16 AS BIGINT) AS bucket
+  FROM v CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS rw) r),
+c AS (SELECT rw, bucket, CAST(sum(exact_n) AS BIGINT) AS cell_n
+      FROM h GROUP BY rw, bucket),
+e AS (SELECT tok, exact_n, CAST(min(cell_n) AS BIGINT) AS cm_estimate
+      FROM h JOIN c USING (rw, bucket) GROUP BY tok, exact_n)
+SELECT tok, exact_n, cm_estimate,
+       cm_estimate - exact_n AS overestimate,
+       CAST(((cm_estimate - exact_n) * 1000) // exact_n AS BIGINT)
+         AS overestimate_permille
+FROM e ORDER BY exact_n DESC, tok LIMIT 20
+""",
+    doc="Count-min sketch accuracy audit "
+    "(operators/terms.py:countmin_audit): a 4x16 count-min sketch of "
+    "the token stream (salted md5-fold32 rows — the deterministic "
+    "cross-engine hash), then for the 20 most frequent tokens the "
+    "exact count, the sketch estimate (min over the token's 4 cells) "
+    "and the signed overestimate, absolute and permille. Count-min "
+    "never underestimates, so the overestimate IS the collision "
+    "inflation this sketch budget costs — measured before anyone "
+    "trusts the sketch for heavy-hitter screening at 100 TB. Built "
+    "from the vocabulary aggregate, not the raw stream (cell = sum of "
+    "counts of tokens hashing there — identical to streaming "
+    "increments since the update is a distributive sum), so after one "
+    "map-side-combined token agg every stage is vocab-sized; the cell "
+    "table is depth*width rows (64 here — deliberately undersized so "
+    "the audit SHOWS inflation on this corpus) at ANY corpus size. "
+    "The oracle rebuilds "
+    "every cell bit-for-bit.",
+)
+def q_doc_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.terms import countmin_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return countmin_audit(docs, depth=4, width=16, top_k=20)
+
+
+@query(
+    "orders_revenue_trend_by_nation",
+    """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_part('year', o_orderdate) * 12
+              + date_part('month', o_orderdate) - 1 AS BIGINT) AS midx,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+m0 AS (SELECT min(midx) AS m0 FROM o),
+m AS (
+  SELECT n.n_name, o.midx - m0.m0 AS x, CAST(sum(o.cents) AS BIGINT) AS y
+  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  CROSS JOIN m0
+  GROUP BY 1, 2),
+s AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_months,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM m GROUP BY n_name)
+SELECT n_name, n_months, sy AS total_cents,
+       CAST(CASE WHEN n_months * sxx - sx * sx = 0 THEN 0
+            ELSE (CASE WHEN n_months * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                 * ((abs(n_months * sxy - sx * sy) * 1000)
+                    // (n_months * sxx - sx * sx)) END AS BIGINT)
+         AS trend_permille
+FROM s
+""",
+    doc="Per-nation revenue trend: the exact least-squares slope of "
+    "monthly revenue (integer cents) over the month index, permille "
+    "(milli-cents/month), via the closed form "
+    "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — regression as two hash "
+    "aggregates, no ML library, no iteration. All arithmetic is "
+    "integer: cents = floor(price*100 + 0.5), month index rebased to "
+    "the corpus minimum (small x keeps products tiny), cross products "
+    "accumulated in DECIMAL(38,0)/HUGEINT (int64 would overflow near "
+    "petabyte-scale monthly sums), and the final division is "
+    "sign-split (sign * (abs(num)*1000 div den)) because Spark's div "
+    "truncates toward zero while DuckDB's // floors — they agree only "
+    "on non-negative operands, the engine-wide convention. Plan: one "
+    "orders scan -> (nation, month) agg -> nation agg; the nation dim "
+    "and the 1-row month base broadcast. A negative trend_permille "
+    "flags a shrinking market, the direction the mixture-weighting "
+    "and forecasting passes consume.",
+)
+def q_orders_revenue_trend_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    o = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("midx"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    base = o.agg(F.min("midx").alias("m0"))
+    m = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .crossJoin(F.broadcast(base))
+        .groupBy("n_name", (F.col("midx") - F.col("m0")).alias("x"))
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    stats = m.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    num = "(n_months * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+    den = "(n_months * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    return stats.select(
+        "n_name",
+        "n_months",
+        F.col("sy").alias("total_cents"),
+        F.expr(
+            f"CAST(CASE WHEN {den} = 0 THEN 0"
+            f" ELSE (CASE WHEN {num} < 0 THEN -1 ELSE 1 END)"
+            f" * ((abs({num}) * 1000) div {den}) END AS BIGINT)"
+        ).alias("trend_permille"),
+    )
+
+
+@query(
+    "doc_prefix_filter_jaccard_dups",
+    f"""
+WITH {_jaccard_pairs_cte()}
+SELECT doc_id_a, doc_id_b, jaccard FROM p WHERE jaccard >= 0.8
+""",
+    doc="EXACT n-gram-Jaccard near-dup pairs via PREFIX FILTERING "
+    "(operators/similarity.py:prefix_filter_jaccard_pairs — the "
+    "PPJoin/AllPairs candidate rule): shingles ordered by one global "
+    "(df, shingle) total order, only the first |s|-ceil(t|s|)+1 "
+    "indexed, candidates from prefix-only posting lists, then an "
+    "exact set-overlap verify. Lossless for J >= t (the globally "
+    "smallest SHARED shingle must sit inside both prefixes), so the "
+    "oracle is the SAME all-pairs exact-Jaccard SQL as "
+    "doc_ngram_jaccard_dups — the driver hash-proves the pruning "
+    "rule drops no pair. This is the third, strongest answer to the "
+    "hub-shingle problem: frequent shingles sort to the END of the "
+    "global order and never enter the index at all (no df_cap "
+    "semantics change, no LSH approximation), which is why "
+    "prefix-filtered set-similarity joins are the standard exact "
+    "path at web scale.",
+)
+def q_doc_prefix_filter_jaccard_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, n=3, threshold_permille=800)
+
+
+@query(
+    "events_decayed_engagement",
+    """
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events),
+e AS (SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(datediff('day', CAST(ts AS DATE), mx.d0) // 30 AS INT)
+               AS k
+      FROM events CROSS JOIN mx),
+s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS raw_cents,
+             CAST(sum(cents >> k) AS BIGINT) AS decayed_cents
+      FROM e GROUP BY user_id)
+SELECT user_id, n_events, raw_cents, decayed_cents
+FROM s ORDER BY decayed_cents DESC, user_id LIMIT 20
+""",
+    doc="Recency-weighted user engagement: every event's integer-cent "
+    "value is halved for each 30-day half-life elapsed between the "
+    "event and the corpus' last day — exponential time decay as a "
+    "pure BITWISE RIGHT SHIFT (cents >> (age_days div 30)), the "
+    "no-transcendental trick for half-life weighting: exact int64, "
+    "bit-identical in any engine, zero float drift. Top-20 users by "
+    "decayed score (unique user_id tie-break), with raw totals "
+    "alongside so the decay's re-ranking is visible. Plan: one "
+    "1-row max-date broadcast, one user-keyed map-side-combined "
+    "aggregate, TakeOrderedAndProject — a linear pass at any scale.",
+)
+def q_events_decayed_engagement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("d0"))
+    e = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        (F.datediff("d0", F.to_date("ts")) / F.lit(30))
+        .cast("int")
+        .alias("k"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            F.sum(F.expr("shiftright(cents, k)"))
+            .cast("long")
+            .alias("decayed_cents"),
+        )
+        .orderBy(F.desc("decayed_cents"), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "events_hll_user_audit",
+    """
+WITH h AS (SELECT event_type, ((strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 1) AS h FROM events),
+r AS (SELECT event_type, h // 67108864 AS reg,
+             CASE WHEN h % 67108864 = 0 THEN 27
+                  ELSE 27 - length(bin(h % 67108864)) END AS rho
+      FROM h),
+m AS (SELECT event_type, reg, CAST(max(rho) AS BIGINT) AS m_j
+      FROM r GROUP BY 1, 2),
+grid AS (SELECT t.event_type, g.reg
+         FROM (SELECT DISTINCT event_type FROM events) t
+         CROSS JOIN (SELECT unnest(range(64)) AS reg) g),
+f AS (SELECT grid.event_type,
+             (CAST(1 AS BIGINT) << CAST(27 - COALESCE(m.m_j, 0) AS INT))
+               AS term
+      FROM grid LEFT JOIN m
+        ON m.event_type = grid.event_type AND m.reg = grid.reg),
+s AS (SELECT event_type, CAST(sum(term) AS BIGINT) AS s
+      FROM f GROUP BY event_type),
+x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type)
+SELECT x.event_type, x.n_exact,
+       CAST(389776872046592 // (1000 * s.s) AS BIGINT) AS hll_estimate,
+       CAST((abs(CAST(389776872046592 // (1000 * s.s) AS BIGINT) - x.n_exact) * 1000)
+            // x.n_exact AS BIGINT) AS err_permille
+FROM x JOIN s USING (event_type)
+""",
+    doc="Deterministic-HLL distinct-count audit "
+    "(functions/sketches.py:hll_audit): per event type, the exact "
+    "distinct-user count vs a HyperLogLog estimate whose 64 "
+    "registers are built from the cross-engine md5-fold32 hash (top "
+    "6 bits pick the register, rho = leading zeros of the 26-bit "
+    "suffix via exact bit-length) and whose harmonic mean is folded "
+    "in EXACT integers scaled by 2^27 — no floats, no ln; alpha is "
+    "a precomputed permille literal and the raw estimator is "
+    "reported (the small-range correction needs ln; large-scale "
+    "counts live in the raw regime anyway). Unlike the engine-"
+    "native approx_count_distinct family (deliberately un-oracled, "
+    "tests/test_sketches.py), every register here is reproducible "
+    "bit-for-bit, so the DuckDB oracle rebuilds the whole sketch. "
+    "err_permille IS the audited accuracy of a 64-register budget. "
+    "Plan: one (type, register) map-side-combined aggregate, a "
+    "types x 64 grid densify, one m-row fold per type.",
+)
+def q_events_hll_user_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.sketches import (
+        hll_audit,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_audit(ev, "event_type", "user_id", lg_m=6)
+
+
+@query(
+    "doc_dup_triangle_census",
+    f"""
+WITH {_jaccard_pairs_cte("ia", "ib")},
+q AS (SELECT ia, ib FROM p WHERE jaccard >= 0.8),
+ed AS (SELECT ia AS u, ib AS v FROM q),
+dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+       FROM (SELECT u AS id FROM ed UNION ALL SELECT v FROM ed)
+       GROUP BY id),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       FROM dg),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed),
+tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       FROM ed e1
+       JOIN ed e2 ON e2.u = e1.u AND e2.v > e1.v
+       JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((3 * n_triangles * 1000) // n_wedges AS BIGINT)
+       END AS clustering_permille
+FROM nn CROSS JOIN ne CROSS JOIN tr
+""",
+    doc="Triangle census of the exact-Jaccard near-dup graph "
+    "(operators/graph.py:triangle_stats): nodes, edges, wedges "
+    "(open triads), exact triangle count, and the global clustering "
+    "coefficient as integer permille (3*triangles*1000 div wedges). "
+    "The cluster-cohesion audit for threshold dedup: true duplicate "
+    "families are near-cliques (permille -> 1000), daisy-chained "
+    "borderline pairs — the transitive-closure failure mode that "
+    "makes doc_dedup_clusters over-merge — score low. The Spark side "
+    "uses the DEGREE-ORDERED orientation (compact-forward): each "
+    "edge points low-(deg,id) -> high, wedge join on the shared low "
+    "endpoint costs sum(outdeg^2) = O(E^1.5) on ANY graph, then one "
+    "semi-join closes wedges — hub-immune where a naive shared-"
+    "endpoint join is quadratic. Triangle counts are orientation-"
+    "invariant, so the id-ordered oracle counts the identical set.",
+)
+def q_doc_dup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.graph import (
+        triangle_stats,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return triangle_stats(ngram_jaccard_pairs(docs, n=3, threshold=0.8))
+
+
+def _mmr_oracle_sql(k: int = 5, lam: int = 700) -> str:
+    """Unrolled MMR as chained CTEs — round r excludes the r-1 already-
+    selected ids and picks argmin(lam*dq - (1000-lam)*md), identical
+    integer arithmetic to operators/similarity.py:mmr_select."""
+    fx = _KC_FX
+    mu = 1000 - lam
+    parts = [
+        """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+ev AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+       FROM e),
+q AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+qv AS (SELECT ev.dim, ev.val AS cv FROM ev JOIN q USING (vec_id)),
+dq AS (SELECT ev.vec_id, {fx} AS dq
+       FROM ev JOIN qv c USING (dim)
+       WHERE ev.vec_id != (SELECT vec_id FROM q)
+       GROUP BY ev.vec_id),
+c1 AS (SELECT vec_id, dq FROM dq ORDER BY dq, vec_id LIMIT 1)""".format(
+            fx=fx
+        )
+    ]
+    sel_union = "SELECT vec_id FROM c1"
+    for r in range(2, k + 1):
+        prev_m = f"m{r - 1}" if r > 2 else None
+        parts.append(
+            f"""c{r}v AS (SELECT ev.dim, ev.val AS cv
+         FROM ev JOIN c{r - 1} USING (vec_id)),
+d{r} AS (SELECT ev.vec_id, {fx} AS dn
+         FROM ev JOIN c{r}v c USING (dim) GROUP BY ev.vec_id)"""
+        )
+        if r == 2:
+            parts.append(
+                f"m{r} AS (SELECT vec_id, dn AS md FROM d{r})"
+            )
+        else:
+            parts.append(
+                f"""m{r} AS (SELECT m.vec_id, least(m.md, d.dn) AS md
+          FROM {prev_m} m JOIN d{r} d USING (vec_id))"""
+            )
+        parts.append(
+            f"""c{r} AS (SELECT m.vec_id, dq.dq, m.md
+         FROM m{r} m JOIN dq USING (vec_id)
+         WHERE m.vec_id NOT IN ({sel_union})
+         ORDER BY {lam} * dq.dq - {mu} * m.md, m.vec_id LIMIT 1)"""
+        )
+        sel_union += f" UNION SELECT vec_id FROM c{r}"
+    finals = [
+        "SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id,"
+        " CAST(dq AS BIGINT) AS dq_fx, CAST(0 AS BIGINT) AS md_fx FROM c1"
+    ]
+    for r in range(2, k + 1):
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT), vec_id, CAST(dq AS BIGINT),"
+            f" CAST(md AS BIGINT) FROM c{r}"
+        )
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(finals)
+        + "\nORDER BY mmr_rank"
+    )
+
+
+@query(
+    "emb_mmr_select",
+    _mmr_oracle_sql(k=5, lam=700),
+    doc="Maximal Marginal Relevance diverse retrieval "
+    "(operators/similarity.py:mmr_select, k=5, lambda=700 permille): "
+    "greedy re-ranking that balances relevance to the query anchor "
+    "(the lowest-id vector) against redundancy with what's already "
+    "selected — argmin(700*dq - 300*md) per round over exact int64 "
+    "fixed-point squared distances, min-id tie-break, selected rows "
+    "leave the pool. THE standard diversity re-ranker for RAG-style "
+    "retrieval, where plain top-k returns near-duplicates and each "
+    "addition's marginal information collapses; lambda=1000 is plain "
+    "kNN, lambda=0 is farthest-point. Same scale discipline as "
+    "kcenter_select: query distances computed once and checkpointed, "
+    "one running-min update + TakeOrdered(1) per round (O(k) plan "
+    "work), k 1-row bounded collects. The oracle unrolls all five "
+    "rounds as chained CTEs with the identical arithmetic.",
+)
+def q_emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select(emb, k=5, lambda_permille=700)
+
+
+@query(
+    "doc_rrf_fusion",
+    f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+g AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+t AS (SELECT doc_id, unnest(w) AS term FROM w),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM t WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             CAST(floor(((n_docs - df + 0.5) / (df + 0.5))
+                        * ((tf * (1.2 + 1.0))
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS sfx
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+bmtop AS (SELECT doc_id, CAST(sum(sfx) AS DOUBLE) / 1000000.0 AS bm25
+          FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+br AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS BIGINT) AS bm25_rank
+       FROM bmtop),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+c AS (SELECT vec_id AS doc_id, emb AS ce FROM e WHERE vec_id > 0),
+p AS (SELECT doc_id, {_s4('list_cosine_similarity(qe, ce)')} AS cos_sim
+      FROM c CROSS JOIN q),
+cr AS (SELECT doc_id, CAST(rnk AS BIGINT) AS cos_rank FROM (
+         SELECT doc_id, row_number() OVER (
+             ORDER BY cos_sim DESC, doc_id) AS rnk
+         FROM p) WHERE rnk <= 20),
+f AS (SELECT doc_id,
+             COALESCE(bm25_rank, 0) AS bm25_rank,
+             COALESCE(cos_rank, 0) AS cos_rank
+      FROM br FULL JOIN cr USING (doc_id))
+SELECT doc_id, bm25_rank, cos_rank,
+       CAST(CASE WHEN bm25_rank > 0 THEN 1000000 // (60 + bm25_rank)
+                 ELSE 0 END
+          + CASE WHEN cos_rank > 0 THEN 1000000 // (60 + cos_rank)
+                 ELSE 0 END AS BIGINT) AS rrf_fx
+FROM f
+ORDER BY rrf_fx DESC, doc_id LIMIT 10
+""",
+    doc="Reciprocal Rank Fusion of a LEXICAL and a SEMANTIC ranking "
+    "(hybrid retrieval): ranker A = BM25 top-20 for the standing "
+    "query terms (doc_bm25_search's exact arithmetic), ranker B = "
+    "cosine top-20 around query vector 0 (emb_cosine_topk's), fused "
+    "by integer RRF score sum(1000000 div (60 + rank)) over the "
+    "rankers that retrieved the doc (absent = no contribution, rank "
+    "0 sentinel in the output) — THE standard hybrid-search combiner "
+    "(rank-space, so BM25's unbounded scores and cosine's [-1,1] "
+    "need no calibration), all-integer so cross-engine parity is "
+    "exact. Plan: the two heavy rankers run their own optimal "
+    "shapes (term-filtered aggregate + TakeOrdered; broadcast query "
+    "x streamed corpus + bounded window); fusion itself touches two "
+    "20-row frames — one full outer join + one integer expression.",
+)
+def q_doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.terms import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bw = Window.orderBy(F.desc("bm25"), "doc_id")  # 20-row frame
+    br = (
+        bm25_topk(docs, _BM25_TERMS, k=20)
+        .select(
+            "doc_id", F.row_number().over(bw).cast("long").alias("bm25_rank")
+        )
+    )
+    cr = brute_force_topk(
+        emb.filter(F.col("vec_id") > 0),
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=20,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").cast("long").alias("cos_rank"),
+    )
+    return (
+        br.join(cr, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).cast("long").alias("bm25_rank"),
+            F.coalesce("cos_rank", F.lit(0)).cast("long").alias("cos_rank"),
+        )
+        .withColumn(
+            "rrf_fx",
+            F.expr(
+                "CASE WHEN bm25_rank > 0 THEN 1000000 div (60 + bm25_rank)"
+                " ELSE 0 END"
+                " + CASE WHEN cos_rank > 0 THEN 1000000 div (60 + cos_rank)"
+                " ELSE 0 END"
+            ).cast("long"),
+        )
+        .orderBy(F.desc("rrf_fx"), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "events_weekly_autocorr",
+    """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY day),
+pr AS (SELECT a.n AS x, b.n AS y
+       FROM d a JOIN d b ON b.day = a.day - INTERVAL 7 DAY),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS np,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM pr),
+k AS (SELECT np,
+             CAST(np * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(np * sxx - sx * sx AS DOUBLE) AS denx,
+             CAST(np * syy - sy * sy AS DOUBLE) AS deny
+      FROM s)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+       CAST(np AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN denx * deny = 0.0 THEN 0.0
+            ELSE floor((CASE WHEN num < 0.0 THEN -1.0 ELSE 1.0 END)
+                       * (((num * num) * 10000.0) / (denx * deny))
+                       + 0.5) / 10000.0
+            END AS DOUBLE) AS autocorr_lag7_r2
+FROM k
+""",
+    doc="Weekly-seasonality strength of event volume: the day-grain "
+    "count series self-joined at lag 7 and summarized as the SIGNED "
+    "squared Pearson correlation (sign(num) * r^2, scale 4) — r^2 "
+    "instead of r because r needs a square root while r^2 is a pure "
+    "ratio of the integer moment sums (num^2 / (denx*deny)), which "
+    "keeps the whole statistic transcendental-free: moments "
+    "accumulate in exact HUGEINT/DECIMAL(38), the single final "
+    "ratio runs in IEEE doubles (correctly-rounded conversions and "
+    "one multiply/divide each side — deterministic cross-engine) "
+    "through the shared half-up rounding. Near +1: strong weekly "
+    "rhythm (weekday/weekend structure a sampling or anomaly pass "
+    "must respect); near 0: no weekly pattern. Plan: one day-grain "
+    "aggregate (thousands of rows at ANY corpus scale), a day-keyed "
+    "lag-7 self-join on that tiny frame, one moment aggregate.",
+)
+def q_events_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pr = a.join(
+        b, F.col("b.day") == F.date_sub(F.col("a.day"), 7)
+    ).select(F.col("a.n").alias("x"), F.col("b.n").alias("y"))
+    s = pr.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("np"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        s.crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(np * sxy - sx * sy AS DOUBLE)"
+            ).alias("num"),
+            F.expr(
+                "CAST(np * sxx - sx * sx AS DOUBLE)"
+            ).alias("denx"),
+            F.expr(
+                "CAST(np * syy - sy * sy AS DOUBLE)"
+            ).alias("deny"),
+        )
+        .select(
+            "n_days",
+            "n_pairs",
+            F.expr(
+                "CAST(CASE WHEN denx * deny = 0.0D THEN 0.0D"
+                " ELSE floor((CASE WHEN num < 0.0D THEN -1.0D ELSE 1.0D END)"
+                "            * (((num * num) * 10000.0D) / (denx * deny))"
+                "            + 0.5D) / 10000.0D"
+                " END AS DOUBLE)"
+            ).alias("autocorr_lag7_r2"),
+        )
+    )

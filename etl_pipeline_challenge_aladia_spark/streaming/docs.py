@@ -947,3 +947,247 @@ def compact_segment_store(
         os.path.join(out_path, COMPACTED_DIR)
     )
     return spark.read.parquet(os.path.join(out_path, COMPACTED_DIR)).count()
+
+
+# --------------------------------------------------------------------------
+# Streaming count-min frequency store (heavy-hitter screen at ingest)
+# --------------------------------------------------------------------------
+
+CM_STORE_SCHEMA = "rw long, bucket long, n long"
+CM_REPORT_SCHEMA = (
+    "tok string, batch_n long, hist_estimate long, batch_id long"
+)
+
+
+def _cm_cells(delta: DataFrame, depth: int, width: int) -> DataFrame:
+    """Token stream -> count-min cell deltas ``(rw, bucket, n)`` for one
+    batch — the distributive-sum form of the sketch update (cell = sum
+    of counts of tokens hashing there), built from the batch's own
+    vocabulary aggregate exactly like the batch operator
+    (operators/terms.py:countmin_audit)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    vocab = (
+        delta.select(F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        vocab.select(
+            "n",
+            F.posexplode(
+                F.array(
+                    *[
+                        (
+                            md5_fold32_col(
+                                F.concat(F.lit(f"{s}:"), F.col("tok"))
+                            )
+                            % F.lit(width)
+                        ).cast("long")
+                        for s in range(depth)
+                    ]
+                )
+            ).alias("rw", "bucket"),
+        )
+        .groupBy("rw", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def make_countmin_ingest_processor(
+    store_path: str,
+    report_path: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 5,
+):
+    """Streaming COUNT-MIN ingest — the frequency twin of the
+    signature/segment stores: the store persists each micro-batch's
+    sketch cell deltas (depth x width int64 grid, so the store's
+    logical size is CONSTANT regardless of stream length), and every
+    arriving batch reports, for its ``top_k`` most frequent tokens,
+    the batch count next to the HISTORICAL count-min estimate (min
+    over the token's depth cells summed across stored batches) — the
+    online heavy-hitter/boilerplate screen: a token whose historical
+    estimate explodes is template text the curation pass should cap
+    before admission (the streaming analog of doc_heavy_hitter_tokens
+    + doc_boilerplate_shingles).
+
+    Replay-idempotent like every store in this module: report and
+    cell append are ``batch=<id>`` overwrites, the estimate reads the
+    store EXCLUDING the replayed batch's own directory, and a
+    ``compacted/`` layer is read unconditionally. Count-min's merge
+    is a plain cell-wise sum, so compaction collapses any number of
+    batch directories into one depth*width grid with zero information
+    loss — the sketch is the rare store whose compacted form has a
+    HARD size bound."""
+
+    def process_batch(delta: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+            md5_fold32_col,
+        )
+        from etl_pipeline_challenge_aladia_spark.operators.text import (
+            tokens_col,
+        )
+
+        spark = delta.sparkSession
+        delta = delta.localCheckpoint(eager=True)
+        cells = (
+            _read_store(
+                spark, store_path, CM_STORE_SCHEMA, exclude_batch=batch_id
+            )
+            .groupBy("rw", "bucket")
+            .agg(F.sum("n").cast("long").alias("cell_n"))
+        )
+        batch_top = (
+            delta.select(F.explode(tokens_col("text")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("batch_n"))
+            .orderBy(F.desc("batch_n"), "tok")
+            .limit(top_k)
+        )
+        hashed = batch_top.select(
+            "tok",
+            "batch_n",
+            F.posexplode(
+                F.array(
+                    *[
+                        (
+                            md5_fold32_col(
+                                F.concat(F.lit(f"{s}:"), F.col("tok"))
+                            )
+                            % F.lit(width)
+                        ).cast("long")
+                        for s in range(depth)
+                    ]
+                )
+            ).alias("rw", "bucket"),
+        )
+        report = (
+            hashed.join(cells, ["rw", "bucket"], "left")
+            .groupBy("tok", "batch_n")
+            .agg(
+                F.min(F.coalesce("cell_n", F.lit(0)))
+                .cast("long")
+                .alias("hist_estimate")
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(report_path, f"batch={batch_id}")
+        )
+        _cm_cells(delta, depth, width).write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch={batch_id}")
+        )
+
+    return process_batch
+
+
+def read_countmin_report(spark, report_path: str) -> DataFrame:
+    return _read_store(spark, report_path, CM_REPORT_SCHEMA)
+
+
+def countmin_estimate_from_store(
+    spark,
+    store_path: str,
+    tokens: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the persisted sketch: for each row of ``tokens``
+    (column ``tok``), the count-min estimate of its TOTAL ingested
+    frequency — min over depth cells of the cell-wise summed store.
+    One depth*width aggregate + one broadcast-sized join; the raw
+    stream is never re-read."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
+
+    cells = (
+        _read_store(spark, store_path, CM_STORE_SCHEMA)
+        .groupBy("rw", "bucket")
+        .agg(F.sum("n").cast("long").alias("cell_n"))
+    )
+    hashed = tokens.select(
+        "tok",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        md5_fold32_col(F.concat(F.lit(f"{s}:"), F.col("tok")))
+                        % F.lit(width)
+                    ).cast("long")
+                    for s in range(depth)
+                ]
+            )
+        ).alias("rw", "bucket"),
+    )
+    return (
+        hashed.join(cells, ["rw", "bucket"], "left")
+        .groupBy("tok")
+        .agg(
+            F.min(F.coalesce("cell_n", F.lit(0)))
+            .cast("long")
+            .alias("cm_estimate")
+        )
+    )
+
+
+def run_countmin_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """Drain currently-available document files through the count-min
+    ingest (Trigger.AvailableNow; 1 file = 1 micro-batch)."""
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(input_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            make_countmin_ingest_processor(
+                store_path, report_path, depth, width
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def compact_countmin_store(
+    spark: SparkSession, store_path: str, out_path: str
+) -> int:
+    """Consolidate a count-min store into ONE summed depth*width grid
+    under the reserved ``compacted/`` directory — same
+    publish-then-point pattern and batch-0 safety as the other stores,
+    with the sketch-specific bonus that the compacted form has a HARD
+    row bound (depth * width) no matter how many batches were
+    ingested. Returns the number of non-zero cells."""
+    from pyspark.sql import functions as F
+
+    cells = (
+        _read_store(spark, store_path, CM_STORE_SCHEMA)
+        .groupBy("rw", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    cells.write.mode("overwrite").parquet(
+        os.path.join(out_path, COMPACTED_DIR)
+    )
+    return spark.read.parquet(os.path.join(out_path, COMPACTED_DIR)).count()

@@ -2584,3 +2584,115 @@ def test_segment_store_ingest_matches_recompute_replay_and_compaction(
     run_segment_store_ingest_stream(spark, in2, store2, report2, ckpt2)
     r3 = read_segment_dedup_report(spark, report2).collect()
     assert len(r3) == 1 and r3[0]["n_removed_segments"] == 1  # seg_z stored
+
+
+def test_countmin_ingest_reports_history_replay_and_compaction(
+    spark, tmp_path
+):
+    """The streaming count-min store (frequency twin of the signature/
+    segment stores): batch 1's report carries batch 0's EXACT counts
+    as historical estimates (no collisions at width 256 on a tiny
+    vocab), point queries over the store sum the whole history, a
+    drained rerun and a directly-replayed micro-batch change nothing,
+    and a compacted store pointed at by a fresh checkpoint still
+    answers with the full history inside its hard depth*width bound."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        compact_countmin_store,
+        countmin_estimate_from_store,
+        make_countmin_ingest_processor,
+        read_countmin_report,
+        run_countmin_ingest_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    write_batch(
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "text": "alpha alpha alpha beta"},
+            {"doc_id": 2, "text": "gamma"},
+        ],
+    )
+    run_countmin_ingest_stream(spark, in_dir, store, report, ckpt)
+    r0 = {
+        r["tok"]: (r["batch_n"], r["hist_estimate"])
+        for r in read_countmin_report(spark, report).collect()
+    }
+    assert r0 == {"alpha": (3, 0), "beta": (1, 0), "gamma": (1, 0)}
+
+    write_batch(
+        "b2.jsonl", [{"doc_id": 10, "text": "alpha beta beta delta"}]
+    )
+    run_countmin_ingest_stream(spark, in_dir, store, report, ckpt)
+    r1 = {
+        r["tok"]: (r["batch_n"], r["hist_estimate"])
+        for r in read_countmin_report(spark, report)
+        .filter("batch_id = 1")
+        .collect()
+    }
+    # historical estimates == batch 0's exact counts (delta unseen -> 0)
+    assert r1 == {"alpha": (1, 3), "beta": (2, 1), "delta": (1, 0)}
+
+    toks = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",), ("omega",)],
+        "tok string",
+    )
+    est = {
+        r["tok"]: r["cm_estimate"]
+        for r in countmin_estimate_from_store(spark, store, toks).collect()
+    }
+    assert est == {"alpha": 4, "beta": 3, "gamma": 1, "delta": 1, "omega": 0}
+
+    # drained rerun: nothing changes
+    before = {
+        tuple(r) for r in read_countmin_report(spark, report).collect()
+    }
+    run_countmin_ingest_stream(spark, in_dir, store, report, ckpt)
+    assert {
+        tuple(r) for r in read_countmin_report(spark, report).collect()
+    } == before
+
+    # direct micro-batch replay (crash-after-write): idempotent
+    b2_df = spark.createDataFrame(
+        [(10, "alpha beta beta delta")], "doc_id long, text string"
+    )
+    make_countmin_ingest_processor(store, report)(b2_df, 1)
+    assert {
+        tuple(r) for r in read_countmin_report(spark, report).collect()
+    } == before
+    est2 = {
+        r["tok"]: r["cm_estimate"]
+        for r in countmin_estimate_from_store(spark, store, toks).collect()
+    }
+    assert est2 == est
+
+    # compaction: hard depth*width bound, full history preserved,
+    # fresh-checkpoint batch-0 safety
+    store2 = str(tmp_path / "store2")
+    n_cells = compact_countmin_store(spark, store, store2)
+    assert n_cells <= 4 * 256
+    est3 = {
+        r["tok"]: r["cm_estimate"]
+        for r in countmin_estimate_from_store(spark, store2, toks).collect()
+    }
+    assert est3 == est
+    in2 = str(tmp_path / "in2")
+    os.makedirs(in2)
+    with open(os.path.join(in2, "b3.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 20, "text": "alpha omega"}) + "\n")
+    report2 = str(tmp_path / "report2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    run_countmin_ingest_stream(spark, in2, store2, report2, ckpt2)
+    r3 = {
+        r["tok"]: (r["batch_n"], r["hist_estimate"])
+        for r in read_countmin_report(spark, report2).collect()
+    }
+    assert r3 == {"alpha": (1, 4), "omega": (1, 0)}

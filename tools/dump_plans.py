@@ -110,6 +110,30 @@ PICKS = {
     "folding the vector against the broadcast-literal axis, a "
     "posexplode, and a 64-key integer hash aggregate with map-side "
     "partials — no joins on the corpus, rank state is dim-bounded",
+    "doc_vocab_fuzzy_pairs": "the corpus collapses to its vocabulary "
+    "before anything quadratic can happen; the deletion-variant "
+    "self-join equi-keys on the variant string and Catalyst pushes "
+    "the levenshtein verify INTO the join condition, so false "
+    "candidates die before the distinct",
+    "doc_countmin_audit": "one corpus token aggregate (map-side "
+    "combined, vocab checkpointed so the corpus scans ONCE), then "
+    "every stage is vocab- or cell-sized; the 64-cell table "
+    "broadcasts back onto the per-term hash rows",
+    "emb_mmr_select": "query distances computed once into a "
+    "checkpointed 3-column frame; each round is one filter + one "
+    "running-min update + TakeOrderedAndProject(1) — the kcenter "
+    "O(k)-plan discipline with an extra integer linear-combination "
+    "score, no window, no pair join",
+    "doc_dup_triangle_census": "every edge oriented low-(deg,id) -> "
+    "high before the wedge self-join, so the join fans out on "
+    "sum(outdeg^2) = O(E^1.5) — the hub vertex that would make a "
+    "naive shared-endpoint join quadratic carries almost no "
+    "out-edges; one semi-join closes wedges",
+    "orders_revenue_trend_by_nation": "regression with zero "
+    "iteration: two chained hash aggregates (nation-month, nation) "
+    "after broadcast dim joins; the 1-row month base is the "
+    "allowlisted bounded cross join; cross products ride "
+    "DECIMAL(38,0) inside the agg",
 }
 
 
