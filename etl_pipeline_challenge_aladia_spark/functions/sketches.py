@@ -356,3 +356,97 @@ def hll_audit(
             ).cast("long"),
         )
     )
+
+
+def bloom_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Deterministic Bloom-filter false-positive audit — the measured
+    answer to "is this filter budget worth shipping?" before a Bloom
+    prune (``bloom_prune_probe``) is trusted at 100 TB.
+
+    Builds an ``m_bits``-bit filter over the build side's distinct keys
+    using ``k_hashes`` salted md5-fold32 positions (the engine's
+    cross-engine hash — any SQL engine reproduces every bit), then
+    probes it with the keys that are in ``probe`` but NOT in ``build``
+    (the true negatives: anything else could legitimately match). One
+    summary row: ``(n_members, n_bits_set, fill_permille,
+    n_true_negatives, n_false_positives, fpr_permille)``.
+
+    A probe key is a false positive iff EVERY one of its (distinct)
+    positions is set. The observed fpr_permille tracks the classic
+    fill^k expectation without ever computing a transcendental — the
+    audit MEASURES instead. Scale shape: the bit table is at most
+    ``m_bits`` rows regardless of corpus size, so it broadcasts to the
+    probe side; the only wide shuffles are the two distinct-key
+    aggregates and the per-probe-key verdict aggregate, all map-side
+    combined. Unlike ``bloom_prune_probe`` (JVM treeAggregate, xxhash,
+    fastest) this path is hash-reproducible, which is what an AUDIT
+    needs: the measured FPR is the same number on every engine.
+    """
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
+
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(k_hashes)])
+    ).alias("s")
+    members = build.select(
+        F.col(build_key).cast("long").alias("k")
+    ).distinct()
+    pos_of = (
+        md5_fold32_col(
+            F.concat(
+                F.col("s").cast("string"), F.lit(":"), F.col("k").cast("string")
+            )
+        )
+        % m_bits
+    ).alias("pos")
+    bits = members.select(salts, "k").select(pos_of).distinct()
+    neg = (
+        probe.select(F.col(probe_key).cast("long").alias("k"))
+        .distinct()
+        .join(members, "k", "left_anti")
+    )
+    ppos = neg.select(salts, "k").select("k", pos_of).distinct()
+    verdict = (
+        ppos.join(
+            F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("k")
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("_hit"), F.lit(0))))
+            .cast("int")
+            .alias("fp")
+        )
+    )
+    nm = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    nb = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    nv = verdict.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_negatives"),
+        F.sum("fp").cast("long").alias("n_false_positives"),
+    )
+    return (
+        nm.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_members",
+            "n_bits_set",
+            F.expr(f"n_bits_set * 1000 div {m_bits}")
+            .cast("long")
+            .alias("fill_permille"),
+            "n_true_negatives",
+            "n_false_positives",
+            F.expr(
+                "CASE WHEN n_true_negatives = 0 THEN 0"
+                " ELSE n_false_positives * 1000 div n_true_negatives END"
+            )
+            .cast("long")
+            .alias("fpr_permille"),
+        )
+    )

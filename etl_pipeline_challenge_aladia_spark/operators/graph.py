@@ -214,3 +214,60 @@ def triangle_stats(
             ).alias("clustering_permille"),
         )
     )
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every node whose
+    degree is below ``k``, restrict the edge list to surviving endpoints,
+    and repeat for ``rounds`` rounds. Output: the surviving nodes as
+    ``(id, core_degree)`` with their degree INSIDE the final subgraph.
+
+    On a near-dup graph the 2-core is the cycle-bearing heart of each
+    duplicate family: chains of borderline one-off pairs (the transitive
+    false-merge failure mode threshold dedup is prone to) peel away
+    entirely, while genuine template families — near-cliques — survive
+    with high core degree. Peeling is the standard distributed k-core
+    algorithm (degree filter + semi-join, the same shape GraphX/Giraph
+    run): per round one degree aggregate plus two semi-joins of the edge
+    list against the survivor set, everything keyed on node id, nothing
+    quadratic. Each round's edge list is materialized (localCheckpoint)
+    so round r's plan stays one agg + two joins — the O(rounds)
+    plan-size discipline of ``pagerank_fixed_point``.
+
+    ``rounds`` is FIXED, not run-to-convergence: a bounded unrollable
+    contract any SQL engine can mirror CTE-for-CTE. Peeling removes at
+    least one node per non-converged round, so on graphs whose longest
+    sub-k chain is shorter than ``rounds`` the result IS the fixpoint;
+    callers needing a certificate compare ``rounds`` vs ``rounds + 1``.
+    """
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = both.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("id")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("id", "src"), "src", "leftsemi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )

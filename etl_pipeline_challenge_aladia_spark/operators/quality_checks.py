@@ -138,6 +138,113 @@ def profile_table(
     ).select("r.*")
 
 
+def candidate_keys(
+    df: DataFrame, candidates: Sequence[Sequence[str]]
+) -> DataFrame:
+    """Candidate-key discovery: for each candidate column set, one row
+    ``(candidate, n_rows, n_null_rows, n_distinct, is_key)`` — the
+    uniqueness profile schema-inference and dedup passes consult before
+    trusting a column set as a join or merge key.
+
+    A candidate is a key iff no row has a NULL in any of its columns and
+    the non-null rows are pairwise distinct on the set. Rows with a NULL
+    in the set are counted separately and EXCLUDED from the distinct
+    count on both engines (dodging the count(DISTINCT a,b) null-skipping
+    divergence between dialects), so the check is exact cross-engine.
+
+    One aggregation pass over the table: each candidate adds a
+    count-distinct (Spark's multi-distinct expand — same plan shape as
+    ``profile_table``) and a conditional null-row sum; the result is a
+    candidates-sized unpivot of the 1-row aggregate. No shuffle carries
+    more than the distinct-key cardinality, at any table size.
+    """
+    cands = [list(c) for c in candidates]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, cols in enumerate(cands):
+        anynull = None
+        for c in cols:
+            p = F.col(c).isNull()
+            anynull = p if anynull is None else (anynull | p)
+        aggs.append(
+            F.sum(F.when(anynull, 1).otherwise(0)).alias(f"_nu{i}")
+        )
+        # A single struct expression (not countDistinct(a, b, ...)): the
+        # when() nulls the WHOLE tuple for any-null rows, and single-input
+        # count distinct skips NULLs identically on every engine — the
+        # multi-argument form's null handling is dialect-dependent.
+        aggs.append(
+            F.countDistinct(
+                F.when(~anynull, F.struct(*[F.col(c) for c in cols]))
+            ).alias(f"_nd{i}")
+        )
+    one = df.agg(*aggs)
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit("+".join(cols)).alias("candidate"),
+                            F.col("_n").cast("long").alias("n_rows"),
+                            F.col(f"_nu{i}").cast("long").alias("n_null_rows"),
+                            F.col(f"_nd{i}").cast("long").alias("n_distinct"),
+                        )
+                        for i, cols in enumerate(cands)
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .withColumn(
+            "is_key",
+            (F.col("n_null_rows") == 0)
+            & (F.col("n_distinct") == F.col("n_rows")),
+        )
+    )
+
+
+def fd_audit(
+    df: DataFrame, fds: Mapping[str, tuple[Sequence[str], str]]
+) -> DataFrame:
+    """Functional-dependency audit (Metanome-style profiling): for each
+    asserted dependency ``lhs -> rhs``, one row ``(fd_name, n_groups,
+    n_violating_groups, max_rhs_variants, violation_permille)``.
+
+    A group is an lhs value combination; it violates the FD when more
+    than one distinct non-null rhs value appears under it. NULL lhs
+    values form their own group (standard GROUP BY semantics on both
+    engines); NULL rhs values don't count as variants.
+
+    Per FD: one lhs-keyed aggregate (map-side combined, shuffle carries
+    distinct-lhs rows) feeding a 1-row summary; the audit result is the
+    union of the tiny summaries. ``violation_permille`` is the integer
+    ``n_violating * 1000 div n_groups`` — non-negative, so Spark's
+    truncating div and DuckDB's flooring // agree.
+    """
+    outs = []
+    for name, (lhs, rhs) in fds.items():
+        per = df.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.countDistinct(F.col(rhs)).alias("_v")
+        )
+        outs.append(
+            per.agg(
+                F.lit(name).alias("fd_name"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("_v") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.max("_v").cast("long").alias("max_rhs_variants"),
+            ).withColumn(
+                "violation_permille",
+                F.expr("n_violating_groups * 1000 div n_groups").cast("long"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def fixed_width_histogram(
     df: DataFrame, value_col: str, n_bins: int = 20, scale: int = 4
 ) -> DataFrame:

@@ -9405,3 +9405,506 @@ def q_events_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("autocorr_lag7_r2"),
         )
     )
+
+
+@query(
+    "dq_candidate_keys_lineitem",
+    """
+SELECT 'l_orderkey' AS candidate,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       (sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        AND count(DISTINCT l_orderkey) = count(*)) AS is_key
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_partkey) AS BIGINT),
+       (sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) = 0
+        AND count(DISTINCT l_partkey) = count(*))
+FROM lineitem
+UNION ALL
+SELECT 'l_suppkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_suppkey) AS BIGINT),
+       (sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) = 0
+        AND count(DISTINCT l_suppkey) = count(*))
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_linenumber) AS BIGINT),
+       (sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) = 0
+        AND count(DISTINCT l_linenumber) = count(*))
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey+l_linenumber',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT (l_orderkey, l_linenumber))
+            FILTER (WHERE l_orderkey IS NOT NULL
+                    AND l_linenumber IS NOT NULL) AS BIGINT),
+       (sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+            THEN 1 ELSE 0 END) = 0
+        AND count(DISTINCT (l_orderkey, l_linenumber))
+            FILTER (WHERE l_orderkey IS NOT NULL
+                    AND l_linenumber IS NOT NULL) = count(*))
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey+l_suppkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_partkey IS NULL OR l_suppkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT (l_partkey, l_suppkey))
+            FILTER (WHERE l_partkey IS NOT NULL
+                    AND l_suppkey IS NOT NULL) AS BIGINT),
+       (sum(CASE WHEN l_partkey IS NULL OR l_suppkey IS NULL
+            THEN 1 ELSE 0 END) = 0
+        AND count(DISTINCT (l_partkey, l_suppkey))
+            FILTER (WHERE l_partkey IS NOT NULL
+                    AND l_suppkey IS NOT NULL) = count(*))
+FROM lineitem
+""",
+    doc="Candidate-key discovery on lineitem "
+    "(operators/quality_checks.py:candidate_keys): for six candidate "
+    "column sets — four single columns and two composites — the row "
+    "count, any-NULL row count, distinct count over the NULL-free "
+    "rows, and the resulting is_key verdict. The composite "
+    "(l_orderkey, l_linenumber) is the table's real primary key; "
+    "(l_partkey, l_suppkey) shows a plausible-looking composite that "
+    "is NOT unique — exactly the distinction a schema-inference or "
+    "merge-key-selection pass must make before trusting a join key. "
+    "Plan: ONE aggregation pass over the table (each candidate adds a "
+    "count-distinct to Spark's multi-distinct expand and one "
+    "conditional sum), then a 6-row unpivot; the distinct counts are "
+    "the only shuffle payload at any scale. NULL handling is "
+    "engine-exact: any-NULL rows are nulled out of the single struct "
+    "expression Spark counts (single-input count distinct skips "
+    "NULLs on every engine) and FILTERed out of the DuckDB twin.",
+)
+def q_dq_candidate_keys_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.quality_checks import (
+        candidate_keys,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return candidate_keys(
+        li,
+        [
+            ["l_orderkey"],
+            ["l_partkey"],
+            ["l_suppkey"],
+            ["l_linenumber"],
+            ["l_orderkey", "l_linenumber"],
+            ["l_partkey", "l_suppkey"],
+        ],
+    )
+
+
+@query(
+    "dq_fd_audit",
+    """
+SELECT 'orders.o_orderkey->o_custkey' AS fd_name,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(max(v) AS BIGINT) AS max_rhs_variants,
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+            AS BIGINT) AS violation_permille
+FROM (SELECT count(DISTINCT o_custkey) AS v FROM orders
+      GROUP BY o_orderkey)
+UNION ALL
+SELECT 'orders.o_custkey->o_orderpriority',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(max(v) AS BIGINT),
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+            AS BIGINT)
+FROM (SELECT count(DISTINCT o_orderpriority) AS v FROM orders
+      GROUP BY o_custkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey->l_returnflag',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(max(v) AS BIGINT),
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+            AS BIGINT)
+FROM (SELECT count(DISTINCT l_returnflag) AS v FROM lineitem
+      GROUP BY l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey+l_linenumber->l_partkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(max(v) AS BIGINT),
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+            AS BIGINT)
+FROM (SELECT count(DISTINCT l_partkey) AS v FROM lineitem
+      GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'documents.source->lang',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(max(v) AS BIGINT),
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+            AS BIGINT)
+FROM (SELECT count(DISTINCT lang) AS v FROM documents GROUP BY source)
+UNION ALL
+SELECT 'nation.n_nationkey->n_regionkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(max(v) AS BIGINT),
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+            AS BIGINT)
+FROM (SELECT count(DISTINCT n_regionkey) AS v FROM nation
+      GROUP BY n_nationkey)
+""",
+    doc="Functional-dependency audit across four tables "
+    "(operators/quality_checks.py:fd_audit): six asserted lhs->rhs "
+    "dependencies, each summarized as (groups, violating groups, max "
+    "rhs variants under one lhs, violation permille). The mix is "
+    "deliberate: key-implied FDs that must hold (o_orderkey->"
+    "o_custkey, the composite lineitem PK->l_partkey, n_nationkey->"
+    "n_regionkey), and plausible-but-false FDs whose violation counts "
+    "quantify HOW false (a customer uses many priorities, an order's "
+    "lines carry mixed return flags, a source publishes in many "
+    "languages) — the Metanome-style profiling a pipeline runs before "
+    "assuming 'one X per Y' in a dedup or enrichment rule. Per FD one "
+    "lhs-keyed count-distinct aggregate (map-side combined; the "
+    "shuffle carries distinct-lhs rows only) feeds a 1-row summary; "
+    "the result is a 6-row union of those summaries. The permille is "
+    "integer sign-safe div (non-negative operands, so Spark div == "
+    "DuckDB //).",
+)
+def q_dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.quality_checks import (
+        fd_audit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    nation = load_table(spark, sf_dir, "nation")
+    a = fd_audit(
+        orders,
+        {
+            "orders.o_orderkey->o_custkey": (["o_orderkey"], "o_custkey"),
+            "orders.o_custkey->o_orderpriority": (
+                ["o_custkey"],
+                "o_orderpriority",
+            ),
+        },
+    )
+    b = fd_audit(
+        li,
+        {
+            "lineitem.l_orderkey->l_returnflag": (
+                ["l_orderkey"],
+                "l_returnflag",
+            ),
+            "lineitem.l_orderkey+l_linenumber->l_partkey": (
+                ["l_orderkey", "l_linenumber"],
+                "l_partkey",
+            ),
+        },
+    )
+    c = fd_audit(docs, {"documents.source->lang": (["source"], "lang")})
+    d = fd_audit(
+        nation,
+        {"nation.n_nationkey->n_regionkey": (["n_nationkey"], "n_regionkey")},
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+@query(
+    "events_sliding_7d_unique_users",
+    """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+d1 AS (SELECT day, CAST(count(*) AS BIGINT) AS uniques_1d
+       FROM ud GROUP BY day),
+d7 AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS uniques_7d
+       FROM (SELECT DISTINCT day FROM ud) d
+       JOIN ud u ON u.day >= d.day - 6 AND u.day <= d.day
+       GROUP BY d.day)
+SELECT strftime(d1.day, '%Y-%m-%d') AS day, uniques_1d, uniques_7d,
+       CAST(uniques_7d * 1000 // uniques_1d AS BIGINT) AS lift_permille
+FROM d1 JOIN d7 USING (day)
+""",
+    doc="Exact 7-day sliding-window unique users per day — the DAU/WAU "
+    "surface, computed exactly at any scale. Distinct counts are not "
+    "additive, so a windowed sum of daily uniques is WRONG and a "
+    "BETWEEN range self-join is quadratic in window size x rows; the "
+    "scale shape here is window-assignment expansion: dedup to "
+    "(user, day) presence rows (one map-side-combined aggregate), "
+    "explode each presence into the exactly 7 window-end days it "
+    "participates in (a bounded x7 fan-out of the ALREADY-deduped "
+    "frame, not the raw stream), semi-join the generated window ends "
+    "against the broadcast set of observed days, and run one more "
+    "distinct aggregate per window day. lift_permille = "
+    "uniques_7d*1000 div uniques_1d (>= 1000 by construction; near "
+    "1000 means the same users return daily, near 7000 means "
+    "every day brings fresh users) — the churn signal a sampling or "
+    "cohort pass reads. The oracle computes the same windows via the "
+    "range self-join DuckDB can afford at fixture scale — two "
+    "independent algorithms, one answer.",
+)
+def q_events_sliding_7d_unique_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    d1 = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("uniques_1d")
+    )
+    exp = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "user_id",
+    )
+    d7 = (
+        exp.join(
+            F.broadcast(days), exp.wday == days.day, "leftsemi"
+        )
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("uniques_7d"))
+    )
+    return (
+        d1.join(d7, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "uniques_1d",
+            "uniques_7d",
+            F.expr("uniques_7d * 1000 div uniques_1d")
+            .cast("long")
+            .alias("lift_permille"),
+        )
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY day),
+t AS (SELECT CAST(sum(n) AS HUGEINT) AS tot,
+             CAST(count(*) AS HUGEINT) AS nd FROM d),
+s AS (SELECT day, n,
+             sum(CAST(n AS HUGEINT) * nd - tot)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cusum,
+             sum(CAST(n AS HUGEINT))
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum_n,
+             CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS rn,
+             tot, nd
+      FROM d CROSS JOIN t)
+SELECT strftime(day, '%Y-%m-%d') AS split_day,
+       CAST(nd AS BIGINT) AS n_days,
+       CAST(abs(cusum) AS BIGINT) AS cusum_abs,
+       CAST(CASE WHEN cusum > 0 THEN 1 WHEN cusum < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS cusum_sign,
+       CAST(cum_n * 1000 // rn AS BIGINT) AS mean_before_x1000,
+       CAST(CASE WHEN rn = nd THEN 0
+            ELSE (tot - cum_n) * 1000 // (nd - rn) END AS BIGINT)
+         AS mean_after_x1000
+FROM s
+ORDER BY abs(cusum) DESC, day ASC
+LIMIT 1
+""",
+    doc="Single-changepoint detection on daily event volume via the "
+    "CUSUM statistic: center the day-grain count series (dev_i = "
+    "n_i * n_days - total, the mean-centering scaled by n_days so "
+    "everything stays integer), cumulate it in day order, and report "
+    "the day with the maximum |cumsum| — the classic argmax-CUSUM "
+    "estimator of where the level shifted (binary segmentation's "
+    "first cut), with the integer mean-per-day x1000 before and "
+    "after the split as the effect size. All arithmetic is exact "
+    "HUGEINT/DECIMAL(38) (dev products reach counts x days, beyond "
+    "int64 at petabyte scale); ties break to the earliest day. The "
+    "ordered cumsum runs over the DAY-GRAIN aggregate — thousands of "
+    "rows after a century of data — so the unpartitioned window is "
+    "bounded by construction (see SCALING.md 'Global windows by "
+    "design'); the raw stream is touched once by the day aggregate.",
+)
+def q_events_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = d.agg(
+        F.sum("n").cast("decimal(38,0)").alias("tot"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        d.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.expr("CAST(n AS DECIMAL(38,0)) * nd - tot")
+            ).over(w),
+        )
+        .withColumn(
+            "cum_n", F.sum(F.col("n").cast("decimal(38,0)")).over(w)
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("day")).cast("decimal(38,0)"),
+        )
+    )
+    return (
+        s.select(
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("nd").cast("long").alias("n_days"),
+            F.abs(F.col("cusum")).cast("long").alias("cusum_abs"),
+            F.when(F.col("cusum") > 0, 1)
+            .when(F.col("cusum") < 0, -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("cusum_sign"),
+            F.expr("CAST(cum_n * 1000 div rn AS BIGINT)")
+            .alias("mean_before_x1000"),
+            F.expr(
+                "CAST(CASE WHEN rn = nd THEN 0"
+                " ELSE (tot - cum_n) * 1000 div (nd - rn) END AS BIGINT)"
+            ).alias("mean_after_x1000"),
+        )
+        .orderBy(F.col("cusum_abs").desc(), F.col("split_day").asc())
+        .limit(1)
+    )
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled k-core peel over the exact-Jaccard dup graph — one CTE
+    pair (survivor set, restricted edges) per round, mirroring
+    operators/graph.py:kcore_peel join-for-join."""
+    parts = [
+        _jaccard_pairs_cte("ia", "ib"),
+        """q AS (SELECT ia, ib FROM p WHERE jaccard >= 0.8),
+c0 AS (SELECT ia AS src, ib AS dst FROM q
+       UNION ALL SELECT ib, ia FROM q)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""k{r} AS (SELECT src AS id FROM c{r - 1}
+       GROUP BY src HAVING count(*) >= {k}),
+c{r} AS (SELECT e.src, e.dst FROM c{r - 1} e
+         JOIN k{r} a ON a.id = e.src
+         JOIN k{r} b ON b.id = e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM c{rounds} GROUP BY src"""
+    )
+
+
+@query(
+    "doc_dup_kcore",
+    _kcore_oracle_sql(k=2, rounds=4),
+    doc="2-core of the exact-Jaccard near-dup graph (threshold 0.8) by "
+    "iterative peeling, 4 rounds (operators/graph.py:kcore_peel): "
+    "nodes surviving repeated delete-degree-below-2, with their degree "
+    "inside the final subgraph. Chains of borderline one-off pairs — "
+    "the transitive false-merge failure mode of threshold dedup — peel "
+    "away entirely; genuine template families are near-cliques and "
+    "survive, so the 2-core separates 'real duplicate family' from "
+    "'daisy-chained accident' BEFORE canonicalization collapses a "
+    "cluster (the per-cluster twin of doc_dup_triangle_census's global "
+    "cohesion number). Per round one degree aggregate + two semi-joins "
+    "of the edge list against the survivor set — the standard "
+    "distributed peel, node-id-keyed throughout, edge frame "
+    "materialized per round (the O(rounds) plan discipline). The "
+    "oracle unrolls the four peels CTE-for-CTE.",
+)
+def q_doc_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.graph import kcore_peel
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    core = kcore_peel(
+        ngram_jaccard_pairs(docs, n=3, threshold=0.8), k=2, rounds=4
+    )
+    return core.select(F.col("id").alias("doc_id"), "core_degree")
+
+
+_BLOOM_FOLD = sql_md5_fold32(
+    "CAST(s AS VARCHAR) || ':' || CAST(k AS VARCHAR)"
+)
+
+@query(
+    "orders_bloom_fpr_audit",
+    f"""
+WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+salts AS (SELECT unnest([0, 1, 2]) AS s),
+bits AS (SELECT DISTINCT ({_BLOOM_FOLD}) % 8192 AS pos
+         FROM members CROSS JOIN salts),
+neg AS (SELECT c.c_custkey AS k FROM customer c
+        LEFT JOIN members m ON m.k = c.c_custkey WHERE m.k IS NULL),
+ppos AS (SELECT DISTINCT k, ({_BLOOM_FOLD}) % 8192 AS pos
+         FROM neg CROSS JOIN salts),
+v AS (SELECT p.k,
+             sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nh,
+             count(*) AS np
+      FROM ppos p LEFT JOIN bits b ON b.pos = p.pos GROUP BY p.k),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_true_negatives,
+               CAST(sum(CASE WHEN nh = np THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_false_positives
+        FROM v)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+       CAST((SELECT count(*) FROM bits) * 1000 // 8192 AS BIGINT)
+         AS fill_permille,
+       n_true_negatives,
+       n_false_positives,
+       CAST(CASE WHEN n_true_negatives = 0 THEN 0
+            ELSE n_false_positives * 1000 // n_true_negatives END AS BIGINT)
+         AS fpr_permille
+FROM agg
+""",
+    doc="Bloom-filter false-positive audit "
+    "(functions/sketches.py:bloom_audit): an 8192-bit, 3-hash filter "
+    "built over the customers who HAVE orders, probed with the "
+    "customers who have NONE (the true negatives — the rows a Bloom "
+    "prune of a customer->orders join would ideally drop). One row: "
+    "member count, bits set, fill permille, negatives probed, false "
+    "positives, measured FPR permille. Completes the engine's "
+    "sketch-audit family (count-min: doc_countmin_audit, HLL: "
+    "events_hll_user_audit, Bloom: here) — every approximate "
+    "structure ships with a deterministic audit that MEASURES its "
+    "error instead of trusting the fill^k formula (no transcendentals "
+    "in-engine). Positions are salted md5-fold32 mod m, so every bit "
+    "is reproducible on any engine, unlike the production prune path "
+    "(bloom_prune_probe: JVM treeAggregate + xxhash — faster, not "
+    "auditable cross-engine; this IS the audit for it). The bit table "
+    "is <= m rows at ANY corpus size and broadcasts to the probe side; "
+    "the shuffles are the two distinct-key aggregates and the "
+    "per-probe verdict, all map-side combined.",
+)
+def q_orders_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.sketches import (
+        bloom_audit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return bloom_audit(
+        orders, cust, "o_custkey", "c_custkey", m_bits=8192, k_hashes=3
+    )
