@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.functions.rounding import round_half_up
@@ -91,4 +91,192 @@ def debounce_stats(
                 F.col("n_kept").cast("double") / F.col("n_total").cast("double"), 4
             ),
         )
+    )
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    steps: int = 8,
+) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al.'s
+    data-driven alternative to last-touch): per channel, how much
+    first-conversion probability disappears when that channel is cut
+    out of the journey graph, and the resulting attribution share.
+
+    Model: each user's events ordered by (ts, event_id) and truncated
+    at the FIRST conversion event form a journey; states are the
+    channels plus '__start__', absorbing '__conv__' (the conversion)
+    and absorbing '__null__' (journey ended unconverted). Transition
+    probabilities are integer fixed-point (1e6 scale) shares of
+    observed transitions. For every variant — the intact graph
+    ('__none__') and one per removed channel (edges INTO the removed
+    channel divert to '__null__'; its outgoing edges become
+    unreachable and are dropped) — conversion probability is
+    approximated by ``steps`` rounds of mass propagation from
+    '__start__' with per-edge ``(mass * p) div 1e6`` truncation:
+    bounded, unrollable CTE-for-CTE by any SQL engine, deterministic
+    to the last unit (unabsorbed residual mass after ``steps`` rounds
+    is dropped identically on every engine; fixture journeys absorb
+    almost everything in far fewer rounds).
+
+    Output per channel: ``(channel, p_conv_full_fx, p_conv_removed_fx,
+    removal_effect_fx, attribution_permille)`` where the effect is
+    clamped at 0 (truncation dust can push an irrelevant channel a few
+    units negative) and shares are ``effect * 1000 div total_effect``.
+
+    Scale shape: the distributed work is the journey pass — one lag
+    window per user partition and a type-pair aggregate (shuffle keyed
+    on user_id, then on the tiny pair key). Everything after operates
+    on frames bounded by the EVENT-TYPE VOCABULARY (variants x states
+    x states), propagated with one tiny join/agg per round,
+    materialized per round (the O(rounds) plan discipline of
+    pagerank_fixed_point) — corpus size never enters the iteration.
+    """
+    scale = 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    conv_rn = (
+        rows.filter(F.col("event_type") == conversion)
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("crn"))
+    )
+    kept = (
+        rows.join(conv_rn, "user_id", "left")
+        .filter(F.col("crn").isNull() | (F.col("rn") <= F.col("crn")))
+        .select(
+            "user_id",
+            "rn",
+            F.when(
+                F.col("event_type") == conversion, F.lit("__conv__")
+            )
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+            F.col("crn").isNotNull().alias("converts"),
+        )
+    )
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    base = kept.select(
+        F.coalesce(F.lag("state").over(wk), F.lit("__start__")).alias("src"),
+        F.col("state").alias("dst"),
+        "user_id",
+        "rn",
+        "converts",
+    )
+    last = kept.groupBy("user_id").agg(
+        F.max("rn").alias("mrn"), F.max_by("state", "rn").alias("lstate"),
+        F.max(F.col("converts").cast("int")).alias("cflag"),
+    )
+    tails = last.filter(F.col("cflag") == 0).select(
+        F.col("lstate").alias("src"), F.lit("__null__").alias("dst")
+    )
+    trans = (
+        base.select("src", "dst")
+        .unionByName(tails)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = trans.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    prob = trans.join(tot, "src").select(
+        "src",
+        "dst",
+        F.expr(f"n * {scale} div n_src").cast("long").alias("p_fx"),
+    )
+    channels = (
+        trans.select(F.col("dst").alias("channel"))
+        .filter(~F.col("channel").isin("__conv__", "__null__"))
+        .distinct()
+    )
+    variants = channels.select(
+        F.col("channel").alias("variant")
+    ).unionByName(
+        events.sparkSession.createDataFrame(
+            [("__none__",)], "variant string"
+        )
+    )
+    edges = (
+        variants.crossJoin(prob)
+        .filter(F.col("src") != F.col("variant"))
+        .select(
+            "variant",
+            "src",
+            F.when(F.col("dst") == F.col("variant"), F.lit("__null__"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p_fx",
+        )
+        .localCheckpoint(eager=True)
+    )
+    mass = variants.select(
+        "variant",
+        F.lit("__start__").alias("state"),
+        F.lit(scale).cast("long").alias("fx"),
+    ).localCheckpoint(eager=True)
+    absorbing = ("__conv__", "__null__")
+    for _ in range(steps):
+        done = mass.filter(F.col("state").isin(*absorbing))
+        moved = (
+            mass.filter(~F.col("state").isin(*absorbing))
+            .alias("m")
+            .join(
+                edges.alias("e"),
+                (F.col("m.variant") == F.col("e.variant"))
+                & (F.col("m.state") == F.col("e.src")),
+            )
+            .select(
+                F.col("m.variant").alias("variant"),
+                F.col("e.dst").alias("state"),
+                F.expr(f"m.fx * e.p_fx div {scale}").cast("long").alias("fx"),
+            )
+        )
+        mass = (
+            done.unionByName(moved)
+            .groupBy("variant", "state")
+            .agg(F.sum("fx").cast("long").alias("fx"))
+            .localCheckpoint(eager=True)
+        )
+    pconv = mass.filter(F.col("state") == "__conv__").select(
+        "variant", F.col("fx").alias("p_conv_fx")
+    )
+    full = pconv.filter(F.col("variant") == "__none__").select(
+        F.col("p_conv_fx").alias("p_conv_full_fx")
+    )
+    per = (
+        channels.join(
+            pconv.withColumnRenamed("variant", "channel"), "channel", "left"
+        )
+        .crossJoin(F.broadcast(full))
+        .select(
+            "channel",
+            "p_conv_full_fx",
+            F.coalesce("p_conv_fx", F.lit(0))
+            .cast("long")
+            .alias("p_conv_removed_fx"),
+        )
+        .withColumn(
+            "removal_effect_fx",
+            F.greatest(
+                F.col("p_conv_full_fx") - F.col("p_conv_removed_fx"),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    te = per.agg(
+        F.sum("removal_effect_fx").cast("long").alias("total_effect")
+    )
+    return per.crossJoin(F.broadcast(te)).select(
+        "channel",
+        "p_conv_full_fx",
+        "p_conv_removed_fx",
+        "removal_effect_fx",
+        F.expr(
+            "CASE WHEN total_effect = 0 THEN 0"
+            " ELSE removal_effect_fx * 1000 div total_effect END"
+        )
+        .cast("long")
+        .alias("attribution_permille"),
     )

@@ -2916,3 +2916,146 @@ def mmr_select(
     return emb.sparkSession.createDataFrame(
         out, "mmr_rank long, vec_id long, dq_fx long, md_fx long"
     )
+
+
+def containment_lsh_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold_permille: int = 800,
+    seed: int = 42,
+) -> DataFrame:
+    """Measures the Jaccard-LSH blind spot on ASYMMETRIC containment —
+    one summary row comparing MinHash-ESTIMATED containment pairs
+    against the exact inverted-index set (``containment_pairs``).
+
+    The estimator: with m of ``num_perm`` minhash components matching
+    and exact distinct-shingle sizes |A|, |B| (cheap one-pass counts),
+    Jaccard ≈ m/num_perm, and since I = J(|A|+|B|)/(1+J) the shared-
+    shingle count is Î = m(|A|+|B|)/(num_perm+m), giving
+
+        containment(A in B) ≈ m * (|A|+|B|) * 1000
+                              div ((num_perm + m) * |A|)
+
+    — all-integer, engine-exact. The catch this audit quantifies:
+    candidates come from JACCARD banding, and a short doc swallowed by
+    a long one has high containment but DILUTED Jaccard, so its bands
+    rarely collide — exactly the pairs the posting-list exact path
+    (`containment_pairs`) or a one-sided screen (`doc_decontaminate`)
+    exists for. Output: ``(n_exact, n_lsh, n_both,
+    n_missed_asymmetric, recall, precision)`` at the shared threshold;
+    a low recall here is the measured justification for keeping the
+    exact containment operator in the 100 TB pipeline instead of
+    reusing the near-dup LSH screen.
+
+    Scale shape: signatures + banding are the linear MinHash path; the
+    estimate needs only the candidate pairs, two size-join lookups and
+    a num_perm-term component comparison — never the shingle sets; the
+    exact side is the posting-list-bounded operator it audits.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm, seed)
+    cand = (
+        _band_rows(sigs, num_perm, bands)
+        .alias("x")
+        .join(
+            _band_rows(sigs, num_perm, bands).alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = (
+        fan_out(
+            docs.select(
+                F.col(id_col).alias("id"),
+                shingles_col(tokens_col(text_col), n).alias("sh"),
+            )
+        )
+        .select("id", F.size(F.array_distinct("sh")).cast("long").alias("n_sh"))
+    )
+    m_col = F.expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1"
+        " ELSE 0 END), 0, (acc, v) -> acc + v)"
+    ).cast("long")
+    scored = (
+        cand.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", m_col.alias("m"))
+        .join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+    )
+    est = (
+        scored.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("contained_id"),
+                        F.col("id_b").alias("container_id"),
+                        F.col("na").alias("nc"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("contained_id"),
+                        F.col("id_a").alias("container_id"),
+                        F.col("nb").alias("nc"),
+                    ),
+                )
+            ).alias("d"),
+            "m",
+            "na",
+            "nb",
+        )
+        .select(
+            F.col("d.contained_id").alias("contained_id"),
+            F.col("d.container_id").alias("container_id"),
+            F.expr(
+                f"m * (na + nb) * 1000 div (({num_perm} + m) * d.nc)"
+            )
+            .cast("long")
+            .alias("est_permille"),
+        )
+        .filter(F.col("est_permille") >= threshold_permille)
+        .select("contained_id", "container_id", F.lit(1).alias("in_l"))
+    )
+    exact = containment_pairs(
+        docs, id_col, text_col, n, threshold_permille
+    ).select("contained_id", "container_id", F.lit(1).alias("in_e"))
+    keys = ["contained_id", "container_id"]
+    u = exact.join(est, keys, "full_outer").select(
+        F.coalesce("in_e", F.lit(0)).alias("in_e"),
+        F.coalesce("in_l", F.lit(0)).alias("in_l"),
+    )
+    return u.agg(
+        F.sum("in_e").cast("long").alias("n_exact"),
+        F.sum("in_l").cast("long").alias("n_lsh"),
+        F.sum(F.col("in_e") * F.col("in_l")).cast("long").alias("n_both"),
+        F.sum(F.col("in_e") * (1 - F.col("in_l")))
+        .cast("long")
+        .alias("n_missed_asymmetric"),
+        round_half_up(
+            F.sum(F.col("in_e") * F.col("in_l")).cast("double")
+            / F.sum("in_e"),
+            4,
+        ).alias("recall"),
+        round_half_up(
+            F.sum(F.col("in_e") * F.col("in_l")).cast("double")
+            / F.sum("in_l"),
+            4,
+        ).alias("precision"),
+    )

@@ -9908,3 +9908,228 @@ def q_orders_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_audit(
         orders, cust, "o_custkey", "c_custkey", m_bits=8192, k_hashes=3
     )
+
+
+def _containment_lsh_audit_oracle_sql(
+    num_perm: int = 64, threshold_permille: int = 800
+) -> str:
+    """Minhash prefix (identical permutations/band keys) -> estimated
+    containment on the LSH candidates; exact containment from the same
+    ``tok`` CTE via posting lists; one full-outer summary row. Mirrors
+    operators/similarity.py:containment_lsh_audit stage-for-stage."""
+    m_expr = " + ".join(
+        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)"
+        for j in range(num_perm)
+    )
+    return _minhash_oracle_sql(prefix_only=True) + f""",
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM tok),
+mm AS (SELECT c.doc_id_a AS id_a, c.doc_id_b AS id_b,
+              CAST({m_expr} AS BIGINT) AS m
+       FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id_a
+                   JOIN sig sb ON sb.doc_id = c.doc_id_b),
+sc AS (SELECT mm.id_a, mm.id_b, mm.m, za.n_sh AS na, zb.n_sh AS nb
+       FROM mm JOIN sizes za ON za.doc_id = mm.id_a
+               JOIN sizes zb ON zb.doc_id = mm.id_b),
+estd AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         m * (na + nb) * 1000 // (({num_perm} + m) * na) AS est_permille
+  FROM sc
+  UNION ALL
+  SELECT id_b, id_a, m * (na + nb) * 1000 // (({num_perm} + m) * nb)
+  FROM sc),
+lsh AS (SELECT contained_id, container_id FROM estd
+        WHERE est_permille >= {threshold_permille}),
+post AS (SELECT doc_id, unnest(sh) AS shingle FROM tok),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+cscored AS (
+  SELECT co.id_a, co.id_b, co.c, za.n_sh AS na, zb.n_sh AS nb
+  FROM common co JOIN sizes za ON za.doc_id = co.id_a
+                 JOIN sizes zb ON zb.doc_id = co.id_b),
+cdirected AS (
+  SELECT id_a AS contained_id, id_b AS container_id, c, na AS nc
+  FROM cscored
+  UNION ALL
+  SELECT id_b, id_a, c, nb FROM cscored),
+exact AS (SELECT contained_id, container_id FROM cdirected
+          WHERE (c * 1000) // nc >= {threshold_permille}),
+u AS (
+  SELECT CASE WHEN e.contained_id IS NOT NULL THEN 1 ELSE 0 END AS in_e,
+         CASE WHEN l.contained_id IS NOT NULL THEN 1 ELSE 0 END AS in_l
+  FROM exact e
+  FULL OUTER JOIN lsh l
+    ON e.contained_id = l.contained_id AND e.container_id = l.container_id
+)
+SELECT CAST(sum(in_e) AS BIGINT) AS n_exact,
+       CAST(sum(in_l) AS BIGINT) AS n_lsh,
+       CAST(sum(in_e * in_l) AS BIGINT) AS n_both,
+       CAST(sum(in_e * (1 - in_l)) AS BIGINT) AS n_missed_asymmetric,
+       {_s4('CAST(sum(in_e * in_l) AS DOUBLE) / sum(in_e)')} AS recall,
+       {_s4('CAST(sum(in_e * in_l) AS DOUBLE) / sum(in_l)')} AS precision
+FROM u"""
+
+
+@query(
+    "doc_containment_lsh_audit",
+    _containment_lsh_audit_oracle_sql(),
+    doc="The Jaccard-LSH blind spot on asymmetric containment, "
+    "measured (operators/similarity.py:containment_lsh_audit): "
+    "MinHash-ESTIMATED containment (m matching components + exact "
+    "set sizes -> I_hat = m(|A|+|B|)/(num_perm+m), containment "
+    "permille all-integer) on the standard 16x4 banding candidates, "
+    "full-outer-compared against the exact posting-list containment "
+    "set at the same 0.8 threshold. A short doc quoted wholesale in "
+    "a long one has full-strength containment but DILUTED Jaccard, "
+    "so its bands rarely collide — n_missed_asymmetric counts "
+    "exactly those escapes, and a low recall is the measured reason "
+    "the exact containment operator (doc_containment_pairs) and the "
+    "one-sided decontamination screen exist as separate paths rather "
+    "than reusing the near-dup LSH screen. Completes the audit "
+    "family: every approximate path in this engine ships with an "
+    "in-engine measurement of what it misses (minhash_recall_audit, "
+    "emb_ivf_recall_audit, emb_kcenter_vs_random_audit, sketch "
+    "audits, and now the containment estimator). The estimate needs "
+    "only candidates, two size lookups and a 64-term component "
+    "comparison — never the shingle sets.",
+)
+def q_doc_containment_lsh_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        containment_lsh_audit,
+    )
+
+    return containment_lsh_audit(load_table(spark, sf_dir, "documents"))
+
+
+def _markov_removal_oracle_sql(steps: int = 8) -> str:
+    """Unrolled removal-effect attribution: journey extraction, the
+    fixed-point transition matrix, variant edge graphs, and ``steps``
+    mass-propagation rounds as chained CTEs — mirroring
+    operators/funnel.py:markov_removal_attribution stage-for-stage
+    (per-edge `fx * p // 1e6` truncation, identical on both engines).
+
+    The chained CTEs are AS MATERIALIZED: each round references the
+    previous one twice (absorbed pass-through + moved mass), so
+    DuckDB's default inline-at-every-reference expansion would grow
+    the plan 2^steps-fold — hundreds of redundant parquet scans that
+    exhaust file descriptors before they exhaust patience.
+    """
+    parts = [
+        """o AS MATERIALIZED (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+cv AS (SELECT user_id, min(rn) AS crn FROM o
+       WHERE event_type = 'purchase' GROUP BY user_id),
+kept AS MATERIALIZED (
+  SELECT o.user_id, o.rn,
+         CASE WHEN o.event_type = 'purchase' THEN '__conv__'
+              ELSE o.event_type END AS state,
+         cv.crn IS NOT NULL AS converts
+  FROM o LEFT JOIN cv USING (user_id)
+  WHERE cv.crn IS NULL OR o.rn <= cv.crn),
+b AS (
+  SELECT coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY rn),
+                  '__start__') AS src,
+         state AS dst
+  FROM kept),
+lastrow AS (
+  SELECT user_id, max(rn) AS mrn,
+         max(CASE WHEN converts THEN 1 ELSE 0 END) AS cflag
+  FROM kept GROUP BY user_id),
+tails AS (
+  SELECT k.state AS src, '__null__' AS dst
+  FROM kept k JOIN lastrow l ON l.user_id = k.user_id AND l.mrn = k.rn
+  WHERE l.cflag = 0),
+trans AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT src, dst FROM b
+                UNION ALL SELECT src, dst FROM tails)
+          GROUP BY 1, 2),
+tt AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM trans GROUP BY src),
+prob AS (SELECT t.src, t.dst,
+                CAST(t.n * 1000000 // tt.n_src AS BIGINT) AS p_fx
+         FROM trans t JOIN tt USING (src)),
+ch AS (SELECT DISTINCT dst AS channel FROM trans
+       WHERE dst NOT IN ('__conv__', '__null__')),
+vs AS (SELECT channel AS variant FROM ch UNION ALL SELECT '__none__'),
+edges AS MATERIALIZED (
+  SELECT v.variant, p.src,
+         CASE WHEN p.dst = v.variant THEN '__null__' ELSE p.dst END AS dst,
+         p.p_fx
+  FROM vs v CROSS JOIN prob p WHERE p.src <> v.variant),
+m0 AS (SELECT variant, '__start__' AS state, CAST(1000000 AS BIGINT) AS fx
+       FROM vs)""",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT variant, state, CAST(sum(fx) AS BIGINT) AS fx FROM (
+    SELECT e.variant, e.dst AS state, m.fx * e.p_fx // 1000000 AS fx
+    FROM m{t - 1} m JOIN edges e
+      ON e.variant = m.variant AND e.src = m.state
+    WHERE m.state NOT IN ('__conv__', '__null__')
+    UNION ALL
+    SELECT variant, state, fx FROM m{t - 1}
+    WHERE state IN ('__conv__', '__null__')
+  ) GROUP BY 1, 2)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+pc AS (SELECT variant, fx AS p_conv_fx FROM m{steps}
+       WHERE state = '__conv__'),
+fullv AS (SELECT p_conv_fx AS p_conv_full_fx FROM pc
+          WHERE variant = '__none__'),
+per AS (
+  SELECT ch.channel, f.p_conv_full_fx,
+         CAST(coalesce(pc.p_conv_fx, 0) AS BIGINT) AS p_conv_removed_fx,
+         CAST(greatest(f.p_conv_full_fx - coalesce(pc.p_conv_fx, 0), 0)
+              AS BIGINT) AS removal_effect_fx
+  FROM ch LEFT JOIN pc ON pc.variant = ch.channel CROSS JOIN fullv f),
+te AS (SELECT CAST(sum(removal_effect_fx) AS BIGINT) AS total_effect
+       FROM per)
+SELECT channel, p_conv_full_fx, p_conv_removed_fx, removal_effect_fx,
+       CAST(CASE WHEN total_effect = 0 THEN 0
+            ELSE removal_effect_fx * 1000 // total_effect END AS BIGINT)
+         AS attribution_permille
+FROM per CROSS JOIN te"""
+    )
+
+
+@query(
+    "events_markov_removal_attribution",
+    _markov_removal_oracle_sql(steps=8),
+    doc="Data-driven channel attribution by Markov removal effects "
+    "(operators/funnel.py:markov_removal_attribution): per-user "
+    "journeys truncated at FIRST purchase feed a fixed-point (1e6) "
+    "transition matrix over channels + __start__/__conv__/__null__; "
+    "for the intact graph and one variant per removed channel "
+    "(inbound edges diverted to __null__), conversion probability is "
+    "8 bounded rounds of integer mass propagation from __start__ "
+    "(per-edge mass*p div 1e6 — the unrollable, engine-exact "
+    "absorbing-chain approximation); the channel's attribution share "
+    "is its clamped conversion drop over the total drop, permille. "
+    "This is the principled alternative to last-touch "
+    "(events_attribution_touch gives positional credit; this gives "
+    "counterfactual credit — a channel earns by being NECESSARY, not "
+    "merely adjacent). Distributed work is one lag window per user "
+    "partition + a type-pair aggregate; every iteration frame is "
+    "bounded by the event-type VOCABULARY (variants x states), so the "
+    "8 propagation rounds are vocabulary-sized joins materialized per "
+    "round — corpus size never enters the loop. The oracle unrolls "
+    "all eight rounds CTE-for-CTE.",
+)
+def q_events_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.funnel import (
+        markov_removal_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_removal_attribution(ev, conversion="purchase", steps=8)

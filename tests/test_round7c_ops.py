@@ -130,6 +130,31 @@ def test_bloom_audit_undersized_filter_shows_false_positives(spark):
     assert roomy["fpr_permille"] <= tiny["fpr_permille"]
 
 
+def test_containment_lsh_audit_catches_asymmetric_escape(spark):
+    """A short doc quoted wholesale inside a much longer one: exact
+    containment flags it, but its Jaccard is so diluted the minhash
+    bands shouldn't collide — the audit must report the miss. Identical
+    near-dup docs stay caught by both paths."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        containment_lsh_audit,
+    )
+
+    short = " ".join(f"q{i}" for i in range(12))
+    long = short + " " + " ".join(f"f{i}" for i in range(300))
+    twin_a = " ".join(f"t{i}" for i in range(40))
+    twin_b = twin_a + " extra"
+    docs = spark.createDataFrame(
+        [(0, short), (1, long), (2, twin_a), (3, twin_b)],
+        "doc_id long, text string",
+    )
+    row = containment_lsh_audit(docs).collect()[0]
+    # exact: (0 in 1) and the twins both ways -> at least 3 directed pairs
+    assert row["n_exact"] >= 3
+    assert row["n_missed_asymmetric"] >= 1  # the quote escape
+    assert row["n_both"] >= 2  # the twins survive both paths
+    assert row["recall"] < 1.0
+
+
 def test_sliding_7d_uniques_matches_bruteforce(spark, tmp_path):
     """The window-assignment explode equals the brute-force per-day
     7-day distinct on a planted schedule with returns and churn."""
@@ -188,3 +213,40 @@ def test_cusum_finds_planted_level_shift(spark, tmp_path):
     assert row["cusum_sign"] == -1  # low regime pulls cumsum negative
     assert row["mean_before_x1000"] == 10_000
     assert row["mean_after_x1000"] == 30_000
+
+
+def test_markov_removal_attribution_planted_journeys(spark):
+    """Three journeys: A->B->conv, A->conv, C->(no conversion). Cutting
+    A kills all conversion (share ~2/3 of total effect vs B's ~1/3);
+    cutting C changes nothing (share 0)."""
+    import datetime as dt
+
+    from etl_pipeline_challenge_aladia_spark.operators.funnel import (
+        markov_removal_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(i, u, typ):
+        return (i, t0 + dt.timedelta(minutes=i), u, typ)
+
+    ev = spark.createDataFrame(
+        [
+            row(1, 1, "A"), row(2, 1, "B"), row(3, 1, "purchase"),
+            row(4, 2, "A"), row(5, 2, "purchase"),
+            row(6, 3, "C"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        r["channel"]: r
+        for r in markov_removal_attribution(ev, steps=8).collect()
+    }
+    assert set(got) == {"A", "B", "C"}
+    full = got["A"]["p_conv_full_fx"]
+    assert full == 666666  # 2/3 at 1e6 fixed point (truncated)
+    assert got["A"]["p_conv_removed_fx"] == 0
+    assert got["C"]["removal_effect_fx"] == 0
+    assert got["C"]["attribution_permille"] == 0
+    assert got["A"]["attribution_permille"] == 666
+    assert got["B"]["attribution_permille"] == 333
