@@ -10133,3 +10133,431 @@ def q_events_markov_removal_attribution(
 
     ev = load_table(spark, sf_dir, "events")
     return markov_removal_attribution(ev, conversion="purchase", steps=8)
+
+
+@query(
+    "orders_cohort_revenue",
+    f"""
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m
+  FROM orders
+),
+f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey)
+SELECT concat(CAST(m0 // 12 AS VARCHAR), '-',
+              lpad(CAST(m0 % 12 + 1 AS VARCHAR), 2, '0')) AS cohort_month,
+       CAST(o.m - f.m0 AS BIGINT) AS month_offset,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       {_s2(sql_sum_fixed_point('o_totalprice', 2))} AS revenue
+FROM o JOIN f USING (o_custkey)
+GROUP BY f.m0, o.m - f.m0
+""",
+    doc="Classic cohort-revenue matrix: customers are grouped by the "
+    "month of their FIRST order (the cohort), and revenue is rolled "
+    "up by cohort x months-since-first-order — the retention/LTV "
+    "triangle every subscription dashboard draws. Months are exact "
+    "integers (year*12+month-1) so the offset arithmetic is "
+    "engine-exact; revenue sums go through the order-independent "
+    "fixed-point path. Scale shape: the first-order frame is one "
+    "custkey-grain aggregate, the join back to orders is "
+    "co-partitioned on the same key (one shuffle, no broadcast of a "
+    "data-sized side), and the output is bounded by months^2 "
+    "(~6.4k rows for a 7-year corpus) at ANY data scale.",
+)
+def q_orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    j = o.join(first, "o_custkey")
+    return (
+        j.groupBy("m0", (F.col("m") - F.col("m0")).alias("month_offset"))
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            _r2(sum_fixed_point(F.col("o_totalprice"), 2), "revenue"),
+        )
+        .select(
+            F.concat(
+                F.expr("m0 div 12").cast("string"),
+                F.lit("-"),
+                F.lpad((F.col("m0") % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            F.col("month_offset").cast("long").alias("month_offset"),
+            "n_customers",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "orders_pareto_frontier",
+    f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         max(o_totalprice) OVER (
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM orders
+)
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       {_s2('o_totalprice')} AS price
+FROM o
+WHERE o_totalprice > coalesce(pm, -1.0)
+""",
+    doc="2-D skyline / record-break frontier: scanning orders in "
+    "(orderdate, orderkey) sequence, emit every order whose total "
+    "price strictly exceeds ALL earlier orders' — exactly the Pareto "
+    "frontier of (earlier date, higher price), i.e. the orders no "
+    "other order dominates. The naive formulation is an O(n^2) "
+    "dominance self-join; this is the sort+prefix-max reformulation. "
+    "The oracle states it as one global running-max window; the Spark "
+    "side uses the two-phase scale decomposition: a per-month max "
+    "(one small aggregate), a prefix-max over the ~80-row month frame "
+    "(the only global window — bounded by calendar months, never by "
+    "data), broadcast back, then a within-month prefix-max window "
+    "partitioned by month. Equivalent because month(orderdate) is "
+    "monotone in the sort key, so prefix-max = greatest(prior-months "
+    "max, within-month prefix). Prices are compared raw (no "
+    "arithmetic, so cross-engine exact) and only rounded on emit.",
+)
+def q_orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+    )
+    bm = o.groupBy("m").agg(F.max("o_totalprice").alias("bmax"))
+    w_pre = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bm.select("m", F.max("bmax").over(w_pre).alias("prev_max"))
+    w_in = (
+        Window.partitionBy("m")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = o.join(F.broadcast(pre), "m").withColumn(
+        "pm",
+        F.greatest(
+            F.coalesce(F.col("prev_max"), F.lit(-1.0)),
+            F.coalesce(F.max("o_totalprice").over(w_in), F.lit(-1.0)),
+        ),
+    )
+    return j.filter(F.col("o_totalprice") > F.col("pm")).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        _r2(F.col("o_totalprice"), "price"),
+    )
+
+
+@query(
+    "events_mad_outlier_days",
+    f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS fx
+  FROM events GROUP BY day
+),
+m AS (SELECT quantile_cont(fx, 0.5) AS med FROM d),
+dev AS (SELECT d.day, d.fx, abs(d.fx - m.med) AS dv FROM d, m),
+md AS (SELECT quantile_cont(dv, 0.5) AS mad FROM dev)
+SELECT strftime(dev.day, '%Y-%m-%d') AS day,
+       {_s2('dev.fx / 1000000.0')} AS daily_total,
+       {_s2('CASE WHEN md.mad = 0.0 THEN 0.0 ELSE dev.dv / md.mad END')}
+         AS robust_z
+FROM dev, md
+ORDER BY {_s2('CASE WHEN md.mad = 0.0 THEN 0.0 ELSE dev.dv / md.mad END')}
+         DESC, dev.day
+LIMIT 3
+""",
+    doc="Robust (median/MAD) outlier detection over the daily "
+    "event-value series — the anomaly screen that survives the very "
+    "outliers a mean/stddev z-score would absorb. Day totals are "
+    "exact fixed-point int64 sums (order-independent), the median "
+    "and the median-absolute-deviation both use the linear-"
+    "interpolation quantile that Spark's percentile() and DuckDB's "
+    "quantile_cont() share, and the robust z is the single final "
+    "division (MAD=0 guarded to 0). Emits the top-3 most anomalous "
+    "days by ROUNDED score with day tie-break. Scale shape: the "
+    "day-grain frame is calendar-bounded (thousands of rows for "
+    "years of data at ANY corpus scale), so the two quantiles and "
+    "the rank run on a tiny frame; the only data-sized work is one "
+    "day-keyed aggregate scan.",
+)
+def q_events_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("fx")
+    )
+    med = d.agg(F.expr("percentile(fx, 0.5D)").alias("med"))
+    dev = d.crossJoin(F.broadcast(med)).select(
+        "day", "fx", F.abs(F.col("fx") - F.col("med")).alias("dv")
+    )
+    mad = dev.agg(F.expr("percentile(dv, 0.5D)").alias("mad"))
+    z = F.when(F.col("mad") == 0.0, F.lit(0.0)).otherwise(
+        F.col("dv") / F.col("mad")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            _r2(F.col("fx") / 1000000.0, "daily_total"),
+            _r2(z, "robust_z"),
+        )
+        .orderBy(F.desc("robust_z"), "day")
+        .limit(3)
+    )
+
+
+@query(
+    "events_type_drift_chisq",
+    f"""
+WITH b AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+r AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+s AS (SELECT lo + CAST(date_diff('day', lo, hi) // 2 AS INTEGER) AS split
+      FROM r),
+c AS (SELECT event_type,
+             CAST(sum(CASE WHEN day <= split THEN 1 ELSE 0 END) AS BIGINT)
+               AS o1,
+             CAST(sum(CASE WHEN day > split THEN 1 ELSE 0 END) AS BIGINT)
+               AS o2
+      FROM b, s GROUP BY event_type),
+t AS (SELECT CAST(sum(o1) AS BIGINT) AS c1, CAST(sum(o2) AS BIGINT) AS c2
+      FROM c)
+SELECT event_type,
+       o1 AS n_first, o2 AS n_second,
+       CASE WHEN c1 = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((o1 * 1000) // c1 AS BIGINT) END
+         AS share_first_permille,
+       CASE WHEN c2 = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((o2 * 1000) // c2 AS BIGINT) END
+         AS share_second_permille,
+       CASE WHEN o1 + o2 = 0 OR c1 = 0 OR c2 = 0 THEN 0.0
+            ELSE {_s4(
+                'CAST(CAST(o1 AS HUGEINT) * c2 - CAST(o2 AS HUGEINT) * c1'
+                '     AS DOUBLE)'
+                ' * CAST(CAST(o1 AS HUGEINT) * c2 - CAST(o2 AS HUGEINT) * c1'
+                '       AS DOUBLE)'
+                ' / CAST(CAST(o1 + o2 AS HUGEINT) * c1 * c2 AS DOUBLE)'
+            )} END AS chisq_contrib
+FROM c, t
+""",
+    doc="Distribution-drift test between the first and second half of "
+    "the observation window: the event-type mix of early days vs "
+    "late days as a 2xK chi-square, per-type contribution "
+    "D^2/((o1+o2)*c1*c2) with D = o1*c2 - o2*c1 (the exact 2xK "
+    "identity — no expected-count intermediate needed). The split "
+    "day derives from the data (midpoint of the min/max day range, "
+    "pure integer date arithmetic), counts accumulate exactly, D and "
+    "the denominator are exact DECIMAL(38)/HUGEINT products "
+    "converted once to double for the single division (correctly "
+    "rounded on both engines), and shares are integer permille. "
+    "Share overflow bound: o*1000 needs o <= ~9.2e15 rows per type "
+    "(int64); D and the denominator hold to ~1e12-row halves in "
+    "DECIMAL(38). This is the categorical twin of the PSI/KL drift "
+    "monitors (which need logs) — chi-square keeps the whole test "
+    "transcendental-free. Scale shape: one day-grain pass, one "
+    "type-grain aggregate (vocabulary-sized), two broadcast "
+    "crossJoins of 1-row frames.",
+)
+def q_events_type_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    r = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    s = r.select(
+        F.date_add(
+            "lo", F.floor(F.datediff("hi", "lo") / 2).cast("int")
+        ).alias("split")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(s))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("split"), 1).otherwise(0))
+            .cast("long")
+            .alias("o1"),
+            F.sum(F.when(F.col("day") > F.col("split"), 1).otherwise(0))
+            .cast("long")
+            .alias("o2"),
+        )
+    )
+    t = c.agg(
+        F.sum("o1").cast("long").alias("c1"),
+        F.sum("o2").cast("long").alias("c2"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    d_expr = (
+        "CAST(CAST(o1 AS DECIMAL(38,0)) * c2 - CAST(o2 AS DECIMAL(38,0)) * c1"
+        " AS DOUBLE)"
+    )
+    den_expr = "CAST(CAST(o1 + o2 AS DECIMAL(38,0)) * c1 * c2 AS DOUBLE)"
+    chisq_sql = (
+        "CASE WHEN o1 + o2 = 0 OR c1 = 0 OR c2 = 0 THEN 0.0D ELSE "
+        + f"CAST(floor(({d_expr} * {d_expr} / {den_expr}) * 10000.0"
+        + " + 0.5) / 10000.0 AS DOUBLE) END"
+    )
+    return j.select(
+        "event_type",
+        F.col("o1").alias("n_first"),
+        F.col("o2").alias("n_second"),
+        F.expr(
+            "CASE WHEN c1 = 0 THEN 0L ELSE (o1 * 1000L) div c1 END"
+        ).alias("share_first_permille"),
+        F.expr(
+            "CASE WHEN c2 = 0 THEN 0L ELSE (o2 * 1000L) div c2 END"
+        ).alias("share_second_permille"),
+        F.expr(chisq_sql).alias("chisq_contrib"),
+    )
+
+
+_DISTINCT_TERMS_D = "CAST(CAST(a AS HUGEINT) * n - CAST(ta AS HUGEINT) * sa AS DOUBLE)"
+_DISTINCT_TERMS_DEN = (
+    "(CAST(CAST(ta AS HUGEINT) * (n - ta) AS DOUBLE)"
+    " * CAST(CAST(sa AS HUGEINT) * (n - sa) AS DOUBLE))"
+)
+
+
+@query(
+    "doc_distinctive_terms_chisq",
+    f"""
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS a
+       FROM w GROUP BY source, token),
+tt AS (SELECT token, CAST(count(*) AS BIGINT) AS ta FROM w GROUP BY token),
+ss AS (SELECT source, CAST(count(*) AS BIGINT) AS sa FROM w GROUP BY source),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+chi AS (
+  SELECT st.source, st.token, st.a,
+         CASE WHEN ta = 0 OR sa = 0 OR ta = n OR sa = n THEN 0.0
+              ELSE {_s4(
+                  'CAST(n AS DOUBLE) * ' + _DISTINCT_TERMS_D + ' * '
+                  + _DISTINCT_TERMS_D + ' / ' + _DISTINCT_TERMS_DEN
+              )} END AS chisq
+  FROM st JOIN tt USING (token) JOIN ss USING (source) CROSS JOIN nn
+),
+rk AS (SELECT source, token, a, chisq,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY chisq DESC, token) AS r
+       FROM chi)
+SELECT source, token, a AS n_in_source, chisq
+FROM rk WHERE r <= 3
+""",
+    doc="Per-source distinctive vocabulary: for every (source, token) "
+    "pair the 2x2 chi-square association between 'token occurrence' "
+    "and 'this source', keeping each source's top-3 most "
+    "characteristic tokens — the corpus-profiling pass that surfaces "
+    "boilerplate, source-specific jargon, or contamination before "
+    "mixing sources into a training set. Uses the exact 2x2 identity "
+    "chi2 = n*(a*n - ta*sa)^2 / (ta*(n-ta)*sa*(n-sa)) (a*d - b*c "
+    "algebraically reduces to a*n - ta*sa), numerator and the two "
+    "denominator factor-pairs computed exactly in DECIMAL(38)/"
+    "HUGEINT, each converted once to double (correctly rounded) so "
+    "the final multiply/divide chain is deterministic cross-engine; "
+    "degenerate margins (token or source covering the whole corpus) "
+    "guard to 0. Ranking is by the ROUNDED statistic with token "
+    "tie-break inside a source-partitioned window (never global). "
+    "Scale shape: one explode + three grouped counts (pair-, token-, "
+    "source-grain); the token-totals join stays a token-keyed "
+    "shuffle join (vocabulary is UNBOUNDED at corpus scale — typo "
+    "tokens — so it is deliberately not force-broadcast; AQE "
+    "upgrades it when small), while the source-grain frame (bounded "
+    "by the feed list) and the 1-row total are broadcast.",
+)
+def q_doc_distinctive_terms_chisq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(tokens_col("text")).alias("token")
+    )
+    st = w.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    tt = w.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("ta"))
+    ss = w.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("sa"))
+    nn = w.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d_expr = (
+        "CAST(CAST(a AS DECIMAL(38,0)) * n - CAST(ta AS DECIMAL(38,0)) * sa"
+        " AS DOUBLE)"
+    )
+    den_expr = (
+        "(CAST(CAST(ta AS DECIMAL(38,0)) * (n - ta) AS DOUBLE)"
+        " * CAST(CAST(sa AS DECIMAL(38,0)) * (n - sa) AS DOUBLE))"
+    )
+    chi_sql = (
+        "CASE WHEN ta = 0 OR sa = 0 OR ta = n OR sa = n THEN 0.0D ELSE "
+        f"CAST(floor((CAST(n AS DOUBLE) * {d_expr} * {d_expr} / {den_expr})"
+        " * 10000.0 + 0.5) / 10000.0 AS DOUBLE) END"
+    )
+    chi = (
+        st.join(tt, "token")
+        .join(F.broadcast(ss), "source")
+        .crossJoin(F.broadcast(nn))
+        .select("source", "token", "a", F.expr(chi_sql).alias("chisq"))
+    )
+    w_rk = Window.partitionBy("source").orderBy(F.desc("chisq"), "token")
+    return (
+        chi.withColumn("r", F.row_number().over(w_rk))
+        .filter(F.col("r") <= 3)
+        .select("source", "token", F.col("a").alias("n_in_source"), "chisq")
+    )
+
+
+@query(
+    "doc_weighted_sample",
+    f"""
+SELECT doc_id, n_chars,
+       CAST(({sql_md5_fold32("CAST(doc_id AS VARCHAR)")} * 1000000)
+            // greatest(n_chars, 1) AS BIGINT) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT 25
+""",
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis-style hash-priority, transcendental-free "
+    "surrogate): each document draws a pseudo-uniform key from the "
+    "engine-exact md5 fold of its id, divided by its weight "
+    "(n_chars) in pure integer arithmetic — larger documents get "
+    "systematically smaller priorities, so the k smallest-priority "
+    "rows are a size-weighted sample. The classic formulation keys "
+    "on u^(1/w) (needs pow/log); hash*SCALE div w preserves the "
+    "monotone-in-weight selection pressure with int64 arithmetic "
+    "both engines reproduce bit-for-bit (fold32 * 1e6 < 2^62, no "
+    "overflow). Deterministic => idempotent re-runs and exact "
+    "train/eval reproducibility, the properties a curation pipeline "
+    "actually needs from its sampler. Scale shape: one scan, no "
+    "shuffle — orderBy().limit(k) compiles to TakeOrderedAndProject "
+    "(per-partition top-k, k-row driver merge).",
+)
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_fold32_col(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", "n_chars", h.alias("h"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "(h * 1000000L) div greatest(n_chars, 1L)"
+            ).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(25)
+    )
