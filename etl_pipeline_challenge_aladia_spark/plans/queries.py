@@ -10561,3 +10561,332 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(25)
     )
+
+
+@query(
+    "emb_mutual_knn_pairs",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         {_s4('list_cosine_similarity(a.emb, b.emb)')} AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+f AS (SELECT * FROM p WHERE cos_sim >= 0.30),
+bidir AS (
+  SELECT va AS src, vb AS dst, cos_sim FROM f
+  UNION ALL
+  SELECT vb AS src, va AS dst, cos_sim FROM f
+),
+rk AS (
+  SELECT src, dst, cos_sim,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos_sim DESC, dst) AS rnk
+  FROM bidir
+),
+k AS (SELECT * FROM rk WHERE rnk <= 5)
+SELECT a.src AS vec_id_a, a.dst AS vec_id_b, a.cos_sim,
+       CAST(a.rnk AS BIGINT) AS rank_ab, CAST(b.rnk AS BIGINT) AS rank_ba
+FROM k a JOIN k b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+""",
+    doc="Reciprocal nearest neighbors: pairs where EACH vector ranks in "
+    "the other's cosine top-5 (among candidates >= 0.30) — the "
+    "mutual-kNN criterion that semantic-dedup and duplicate-cluster "
+    "canonicalization use to cut asymmetric hub matches (a generic "
+    "vector near the centroid lands in many top-k lists; mutuality "
+    "filters it out unless the attraction is reciprocated). Built on "
+    "the blocked-GEMM exact pair scan (operators/similarity.py:"
+    "cosine_pairs_blocked — BLAS matmuls in applyInPandas, rounded "
+    "half-up BEFORE the threshold so both engines prune identically), "
+    "then one src-partitioned rank window over the PRUNED pair frame "
+    "(0.8%% of n^2 at fixture scale) and a pair-keyed self-join for "
+    "mutuality. Ranking is by rounded similarity with neighbor-id "
+    "tie-break. Scale path: swap the exact pair scan for the IVF "
+    "cell-routed candidate generator (emb_ivf_topk) — the rank/"
+    "mutuality stages are unchanged; the criterion itself never "
+    "needs n^2 materialized, only each vector's candidate list.",
+)
+def q_emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(emb, threshold=0.30)
+    bidir = pairs.select(
+        F.col("vec_id_a").alias("src"),
+        F.col("vec_id_b").alias("dst"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_id_b").alias("src"),
+            F.col("vec_id_a").alias("dst"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    rk = bidir.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
+    a = rk.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("vec_id_a"),
+        F.col("dst").alias("vec_id_b"),
+        "cos_sim",
+        F.col("rnk").cast("long").alias("rank_ab"),
+    )
+    b = rk.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("vec_id_a"),
+        F.col("src").alias("vec_id_b"),
+        F.col("rnk").cast("long").alias("rank_ba"),
+    )
+    return a.join(b, ["vec_id_a", "vec_id_b"]).select(
+        "vec_id_a", "vec_id_b", "cos_sim", "rank_ab", "rank_ba"
+    )
+
+
+@query(
+    "orders_theil_sen_monthly_trend",
+    """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_fx
+  FROM orders GROUP BY m
+),
+p AS (
+  SELECT CAST(b.rev_fx - a.rev_fx AS DOUBLE)
+         / CAST(b.m - a.m AS DOUBLE) / 100.0 AS slope
+  FROM m a JOIN m b ON b.m > a.m
+)
+SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS n_months,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(floor(quantile_cont(slope, 0.5) * 100.0 + 0.5) / 100.0
+            AS DOUBLE) AS slope_per_month
+FROM p
+""",
+    doc="Theil-Sen robust trend of monthly revenue: the median of all "
+    "pairwise month-to-month slopes — the estimator that tolerates up "
+    "to ~29%% outlier months where OLS (one bad month) swings. The "
+    "series is first collapsed to month grain with EXACT fixed-point "
+    "revenue sums (2dp int64), so the only data-sized work is one "
+    "aggregate; the pairwise stage runs on the month frame, which is "
+    "CALENDAR-bounded (~80 months -> ~3.2k pairs for 7 years, "
+    "regardless of corpus size) — the classic O(n^2)-estimator-on-"
+    "bounded-grain pattern this engine uses for exact pair ops. Each "
+    "slope is ONE IEEE division of exact integers (deterministic "
+    "cross-engine; integer div is avoided because Spark's div "
+    "truncates while DuckDB's // floors — they disagree on NEGATIVE "
+    "slopes), and the median is the shared linear-interpolation "
+    "quantile.",
+)
+def q_orders_theil_sen_monthly_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev_fx")
+    )
+    a = m.select(F.col("m").alias("ma"), F.col("rev_fx").alias("ra"))
+    b = m.select(F.col("m").alias("mb"), F.col("rev_fx").alias("rb"))
+    p = (
+        a.join(b, F.col("mb") > F.col("ma"))
+        .select(
+            (
+                (F.col("rb") - F.col("ra")).cast("double")
+                / (F.col("mb") - F.col("ma")).cast("double")
+                / F.lit(100.0)
+            ).alias("slope")
+        )
+    )
+    nm = m.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    return (
+        p.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("percentile(slope, 0.5D)").alias("med"),
+        )
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "n_months",
+            "n_pairs",
+            _r2(F.col("med"), "slope_per_month"),
+        )
+    )
+
+
+@query(
+    "lineitem_discount_quantity_corr",
+    f"""
+WITH x AS (
+  SELECT p.p_brand,
+         CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT) AS xd,
+         CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS yq
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s AS (
+  SELECT p_brand,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(xd) AS HUGEINT) AS sx,
+         CAST(sum(yq) AS HUGEINT) AS sy,
+         sum(CAST(xd AS HUGEINT) * yq) AS sxy,
+         sum(CAST(xd AS HUGEINT) * xd) AS sxx,
+         sum(CAST(yq AS HUGEINT) * yq) AS syy
+  FROM x GROUP BY p_brand
+),
+k AS (
+  SELECT p_brand, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS deny
+  FROM s
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_items,
+       CAST(CASE WHEN denx * deny = 0.0 THEN 0.0
+            ELSE floor((CASE WHEN num < 0.0 THEN -1.0 ELSE 1.0 END)
+                       * (((num * num) * 10000.0) / (denx * deny))
+                       + 0.5) / 10000.0
+            END AS DOUBLE) AS corr_r2_signed
+FROM k
+""",
+    doc="Per-brand discount->quantity association: the signed squared "
+    "Pearson correlation between line-item discount and quantity, by "
+    "part brand — the price-elasticity screen that says WHERE "
+    "discounting moves volume. Same transcendental-free moment "
+    "machinery as events_weekly_autocorr (sign(num)*r^2 needs no "
+    "square root; all five moments accumulate exactly in "
+    "DECIMAL(38)/HUGEINT after 2dp/integer quantization, then three "
+    "exact->double conversions and one multiply/divide chain). Scale "
+    "shape: the lineitem->part join is a plain partkey equi-join "
+    "(AQE picks broadcast when part fits; never forced — part scales "
+    "with the corpus), and the moments collapse map-side into a "
+    "brand-grain frame (~thousands of rows at any scale).",
+)
+def q_lineitem_discount_quantity_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    x = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        "p_brand",
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("xd"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("yq"),
+    )
+    s = x.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("xd").cast("decimal(38,0)").alias("sx"),
+        F.sum("yq").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(xd AS DECIMAL(38,0)) * yq")).alias("sxy"),
+        F.sum(F.expr("CAST(xd AS DECIMAL(38,0)) * xd")).alias("sxx"),
+        F.sum(F.expr("CAST(yq AS DECIMAL(38,0)) * yq")).alias("syy"),
+    )
+    return s.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_items"),
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE)").alias("num"),
+        F.expr("CAST(n * sxx - sx * sx AS DOUBLE)").alias("denx"),
+        F.expr("CAST(n * syy - sy * sy AS DOUBLE)").alias("deny"),
+    ).select(
+        "p_brand",
+        "n_items",
+        F.expr(
+            "CAST(CASE WHEN denx * deny = 0.0D THEN 0.0D"
+            " ELSE floor((CASE WHEN num < 0.0D THEN -1.0D ELSE 1.0D END)"
+            "            * (((num * num) * 10000.0D) / (denx * deny))"
+            "            + 0.5D) / 10000.0D"
+            " END AS DOUBLE)"
+        ).alias("corr_r2_signed"),
+    )
+
+
+@query(
+    "events_user_fano_overdispersion",
+    """
+WITH span AS (
+  SELECT CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+              + 1 AS BIGINT) AS n_days
+  FROM events
+),
+d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, day
+),
+u AS (
+  SELECT user_id,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+         CAST(count(*) AS BIGINT) AS active_days
+  FROM d GROUP BY user_id
+)
+SELECT user_id,
+       s1 AS n_events,
+       active_days,
+       CAST(floor(CAST(CAST(n_days AS HUGEINT) * s2
+                       - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                  / CAST(CAST(n_days AS HUGEINT) * s1 AS DOUBLE)
+                  * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS fano
+FROM u, span
+WHERE s1 >= 20
+ORDER BY CAST(floor(CAST(CAST(n_days AS HUGEINT) * s2
+                         - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                    / CAST(CAST(n_days AS HUGEINT) * s1 AS DOUBLE)
+                    * 10000.0 + 0.5) / 10000.0 AS DOUBLE) DESC, user_id
+LIMIT 10
+""",
+    doc="Burstiness ranking by Fano factor (variance-to-mean ratio of "
+    "the per-user DAILY count series, zero days included): a Poisson "
+    "visitor scores ~1, a batch/bursty client (everything in one "
+    "spike) scores >> 1 — the overdispersion complement to "
+    "events_bot_suspects' min-gap/regularity signals. Zero-filled "
+    "variance without materializing zeros: over the global D-day "
+    "span, var/mean = (D*S2 - S1^2)/(D*S1) with S1 = total events "
+    "and S2 = sum of squared daily counts — days with no events "
+    "contribute nothing to either sum, so the identity needs only "
+    "the ACTIVE-day frame plus the 1-row global span (the sparse-"
+    "moments trick). Exact DECIMAL(38)/HUGEINT products, one final "
+    "double division, top-10 by ROUNDED score with user tie-break "
+    "via TakeOrderedAndProject. Scale shape: one (user, day) "
+    "aggregate, one user-grain rollup, a 1-row broadcast.",
+)
+def q_events_user_fano_overdispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        )
+        .cast("long")
+        .alias("n_days")
+    )
+    d = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    u = d.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("active_days"),
+    )
+    fano = F.expr(
+        "CAST(floor(CAST(CAST(n_days AS DECIMAL(38,0)) * s2"
+        "                - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)"
+        "           / CAST(CAST(n_days AS DECIMAL(38,0)) * s1 AS DOUBLE)"
+        "           * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+    )
+    return (
+        u.crossJoin(F.broadcast(span))
+        .filter(F.col("s1") >= 20)
+        .select(
+            "user_id",
+            F.col("s1").alias("n_events"),
+            "active_days",
+            fano.alias("fano"),
+        )
+        .orderBy(F.desc("fano"), "user_id")
+        .limit(10)
+    )

@@ -351,6 +351,27 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "doc_tfidf_top_terms",          # 1-row doc-count frame
         "orders_zorder_layout",         # 1-row min/max interleave bounds
         "emb_pq_code_balance",          # 1-row corpus-count frame
+        "emb_kcenter_vs_random_audit",  # 1-row coverage-summary frames
+        "emb_label_separation_audit",   # labels^2 centroid cross (label-vocab bounded)
+        "orders_topk_revenue_concentration",  # 1-row total-revenue frame
+        "doc_crosslang_near_dup_matrix",  # 1-row pair-total frame
+        "emb_top_pc_power_iteration",   # 1-row axis frame per iteration
+        "emb_anisotropy_audit",         # 1-row moment frames
+        "dq_benford_totalprice",        # 9-row Benford literal x 1-row total
+        "orders_revenue_trend_by_nation",  # 1-row base-month frame
+        "events_decayed_engagement",    # 1-row reference-time frame
+        "doc_dup_triangle_census",      # 1-row totals frame
+        "doc_rrf_fusion",               # 1-row list-size frames
+        "events_weekly_autocorr",       # 1-row day-count frame
+        "events_cusum_changepoint",     # 1-row global-mean frame
+        "orders_bloom_fpr_audit",       # 1-row filter-summary frame
+        "events_markov_removal_attribution",  # event-type-vocab state frames
+        "events_mad_outlier_days",      # 1-row median + 1-row MAD frames
+        "events_type_drift_chisq",      # 1-row split-day + 1-row totals frames
+        "orders_theil_sen_monthly_trend",  # 1-row month-count frame
+        "events_user_fano_overdispersion",  # 1-row day-span frame
+        "doc_distinctive_terms_chisq",  # 1-row corpus-total frame
+        "emb_mutual_knn_pairs",         # blocks^2/2-row block-pair literal (blocked GEMM)
     }
     offenders = []
     for name, spec in CATALOG.items():

@@ -194,3 +194,147 @@ def test_weighted_sample_exact_priorities_and_zero_guard(spark, tmp_path):
     for doc_id, n in [(0, 10), (1, 1000), (2, 0), (3, 500)]:
         want = _fold32(str(doc_id)) * 1000000 // max(n, 1)
         assert got[doc_id] == want
+
+
+def _emb(spark, vecs):
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_mutual_knn_matches_bruteforce_and_cuts_hub_asymmetry(spark, tmp_path):
+    """A satellite whose top-5 is a tight cluster, unreciprocated (the
+    cluster's members prefer each other), must appear in NO pair; the
+    full result must equal a brute-force Python replica of the
+    round->threshold->rank->mutual semantics."""
+    import numpy as np
+
+    rng = [
+        [1.0, 0.0, 0.0] , [0.999, 0.01, 0.0], [0.998, 0.02, 0.0],
+        [0.997, 0.03, 0.0], [0.996, 0.04, 0.0], [0.995, 0.05, 0.0],
+        [0.994, 0.06, 0.0],
+        [0.5, 0.5, 0.70710678],  # satellite: cos ~0.5 to the cluster
+        [0.0, 0.0, -1.0],        # below threshold to everything
+    ]
+    sf = _write(spark, tmp_path, "embeddings", _emb(spark, rng))
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): (r["rank_ab"], r["rank_ba"])
+        for r in CATALOG["emb_mutual_knn_pairs"].spark(spark, sf).collect()
+    }
+    # Brute-force replica (float32 parquet round-trip, then exact recipe)
+    m = np.array(rng, dtype=np.float32).astype(np.float64)
+    norm = np.linalg.norm(m, axis=1)
+    sim = (m @ m.T) / np.outer(norm, norm)
+    sim = np.floor(sim * 1e4 + 0.5) / 1e4
+    n = len(rng)
+    cand = {
+        i: sorted(
+            (j for j in range(n) if j != i and sim[i, j] >= 0.30),
+            key=lambda j: (-sim[i, j], j),
+        )[:5]
+        for i in range(n)
+    }
+    want = {
+        (i, j): (cand[i].index(j) + 1, cand[j].index(i) + 1)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if j in cand[i] and i in cand[j]
+    }
+    assert got == want
+    assert not any(7 in p or 8 in p for p in got)  # satellite + orthogonal
+
+
+def test_theil_sen_is_robust_to_one_outlier_month(spark, tmp_path):
+    """Monthly revenue 100,200,300,400 + one 9900 outlier month: the
+    median pairwise slope must equal the hand-computed Theil-Sen value
+    (100/mo), unmoved by the outlier that would wreck OLS."""
+    t = lambda m: dt.datetime(1995, m, 10)  # noqa: E731
+    revs = {1: 100.0, 2: 200.0, 3: 300.0, 4: 9900.0, 5: 500.0}
+    rows = [
+        (m, m, "F", v, t(m), "x") for m, v in revs.items()
+    ]
+    sf = _write(spark, tmp_path, "orders", _orders(spark, rows))
+    got = CATALOG["orders_theil_sen_monthly_trend"].spark(spark, sf).collect()[0]
+    assert got["n_months"] == 5 and got["n_pairs"] == 10
+    slopes = sorted(
+        (revs[b] - revs[a]) / (b - a)
+        for a in revs
+        for b in revs
+        if b > a
+    )
+    med = (slopes[4] + slopes[5]) / 2
+    assert got["slope_per_month"] == round(med, 2)
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+
+
+def _part(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+
+
+def test_discount_quantity_corr_signs_and_degenerate(spark, tmp_path):
+    """Perfectly aligned discount/quantity gives +1, perfectly opposed
+    gives -1, and a constant-discount brand guards to 0."""
+    li, pk = [], 0
+    ship = dt.datetime(1995, 1, 1)
+    parts = [(1, "p", "POS", "t", 1, 1.0), (2, "p", "NEG", "t", 1, 1.0),
+             (3, "p", "FLAT", "t", 1, 1.0)]
+    for q, d in [(1.0, 0.01), (2.0, 0.02), (3.0, 0.03)]:
+        pk += 1
+        li.append((pk, 1, 1, 1, q, 1.0, d, 0.0, "N", "O", ship))
+    for q, d in [(1.0, 0.03), (2.0, 0.02), (3.0, 0.01)]:
+        pk += 1
+        li.append((pk, 2, 1, 1, q, 1.0, d, 0.0, "N", "O", ship))
+    for q in [1.0, 2.0, 3.0]:
+        pk += 1
+        li.append((pk, 3, 1, 1, q, 1.0, 0.02, 0.0, "N", "O", ship))
+    _write(spark, tmp_path, "lineitem", _lineitem(spark, li))
+    sf = _write(spark, tmp_path, "part", _part(spark, parts))
+    got = {
+        r["p_brand"]: r["corr_r2_signed"]
+        for r in CATALOG["lineitem_discount_quantity_corr"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert got == {"POS": 1.0, "NEG": -1.0, "FLAT": 0.0}
+
+
+def test_fano_zero_days_count_via_sparse_moments(spark, tmp_path):
+    """A steady 2/day user over the 10-day span scores fano ~= 0.56
+    (pop. variance with zero days implied); a single-day 20-event burst
+    scores 18.0 — the zero days must enter through the span, not rows."""
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        for _ in range(2):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 12), 1, "view", 1.0, "{}")
+            )
+    for _ in range(20):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 5, 12), 2, "view", 1.0, "{}"))
+    sf = _write(spark, tmp_path, "events", _events(spark, rows))
+    got = {
+        r["user_id"]: r
+        for r in CATALOG["events_user_fano_overdispersion"]
+        .spark(spark, sf)
+        .collect()
+    }
+    # user 1: D=10, S1=20, S2=40 -> (400-400)/200 = 0.0
+    assert got[1]["fano"] == 0.0 and got[1]["active_days"] == 10
+    # user 2: D=10, S1=20, S2=400 -> (4000-400)/200 = 18.0
+    assert got[2]["fano"] == 18.0 and got[2]["active_days"] == 1
