@@ -10890,3 +10890,337 @@ def q_events_user_fano_overdispersion(
         .orderBy(F.desc("fano"), "user_id")
         .limit(10)
     )
+
+
+_DECILE_BOUNDS_SQL = ", ".join(
+    f"quantile_cont(s, {i / 10.0}) AS b{i}" for i in range(1, 10)
+)
+_DECILE_ASSIGN_SQL = "1 + " + " + ".join(
+    f"(CASE WHEN s > b{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+)
+
+
+@query(
+    "orders_value_decile_migration",
+    f"""
+WITH y AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS s
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY o_custkey, yr
+),
+b AS (SELECT {_DECILE_BOUNDS_SQL} FROM y WHERE yr = 1995),
+a95 AS (SELECT o_custkey, CAST({_DECILE_ASSIGN_SQL} AS BIGINT) AS d95
+        FROM (SELECT o_custkey, s FROM y WHERE yr = 1995), b),
+a96 AS (SELECT o_custkey, CAST({_DECILE_ASSIGN_SQL} AS BIGINT) AS d96
+        FROM (SELECT o_custkey, s FROM y WHERE yr = 1996), b)
+SELECT d95 AS decile_1995, d96 AS decile_1996,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM a95 JOIN a96 USING (o_custkey)
+GROUP BY d95, d96
+""",
+    doc="Customer-value decile migration 1995 -> 1996: each customer's "
+    "yearly spend is bucketed on the DECILE BOUNDARIES OF THE 1995 "
+    "DISTRIBUTION (nine quantile_cont cut points, shared by both "
+    "years), and the 10x10 transition matrix counts who moved where "
+    "— the churn/upsell mobility view. Deliberately NOT ntile(): an "
+    "equal-count ntile needs one global rank window over the "
+    "customer-grain frame, which is corpus-sized (the forbidden "
+    "unpartitioned-window shape at 100 TB); value-boundary deciles "
+    "need only a 1-row broadcast of nine boundaries and a map-side "
+    "CASE ladder, and the fixed scale makes the two years directly "
+    "comparable. Spend is exact fixed-point cents; the boundaries "
+    "are the shared linear-interpolation quantile, and bucket "
+    "assignment is pure comparisons against those doubles — "
+    "deterministic cross-engine. Scale shape: one (custkey, yr) "
+    "aggregate, a custkey equi-join, and a 100-cell rollup.",
+)
+def q_orders_value_decile_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y = (
+        o.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").alias("yr")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    b = y.filter(F.col("yr") == 1995).agg(
+        *[
+            F.expr(f"percentile(s, {i / 10.0}D)").alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    assign = "1L + " + " + ".join(
+        f"(CASE WHEN s > b{i} THEN 1L ELSE 0L END)" for i in range(1, 10)
+    )
+    a95 = (
+        y.filter(F.col("yr") == 1995)
+        .crossJoin(F.broadcast(b))
+        .select("o_custkey", F.expr(assign).alias("d95"))
+    )
+    a96 = (
+        y.filter(F.col("yr") == 1996)
+        .crossJoin(F.broadcast(b))
+        .select("o_custkey", F.expr(assign).alias("d96"))
+    )
+    return (
+        a95.join(a96, "o_custkey")
+        .groupBy(
+            F.col("d95").alias("decile_1995"),
+            F.col("d96").alias("decile_1996"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+@query(
+    "events_stickiness_dau_wau",
+    """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+),
+lo AS (SELECT min(day) AS d0 FROM base),
+k AS (SELECT user_id, day, CAST(date_diff('day', d0, day) // 7 AS BIGINT)
+             AS wk
+      FROM base, lo),
+dau AS (SELECT wk, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM k GROUP BY wk, day),
+wau AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM k GROUP BY wk),
+s AS (SELECT wk, CAST(sum(dau) AS BIGINT) AS sum_dau,
+             CAST(count(*) AS BIGINT) AS n_active_days
+      FROM dau GROUP BY wk)
+SELECT s.wk AS week_index, s.n_active_days, s.sum_dau, wau.wau,
+       CAST((s.sum_dau * 1000) // (7 * wau.wau) AS BIGINT)
+         AS stickiness_permille
+FROM s JOIN wau USING (wk)
+""",
+    doc="DAU/WAU stickiness per week: average daily actives over the "
+    "7-day week divided by weekly actives — the engagement-depth "
+    "ratio (1000 permille = every weekly user shows up every day). "
+    "Weeks are integer day-offsets from the corpus min day (datadiff "
+    "div 7 — non-negative, so Spark's truncating div and DuckDB's "
+    "flooring // agree), NOT ISO weeks, whose year-boundary rules "
+    "differ between engines. Distinct counts are exact; the ratio is "
+    "one integer permille division. Scale shape: two distinct "
+    "aggregates keyed on (wk, day)/(wk) — both shuffle once on small "
+    "keys; at extreme cardinality the exact distincts swap for the "
+    "HLL sketch path (events_hll_user_audit measures that sketch's "
+    "error against this exact shape).",
+)
+def q_events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    lo = ev.agg(F.min("day").alias("d0"))
+    k = ev.crossJoin(F.broadcast(lo)).select(
+        "user_id",
+        "day",
+        F.expr("CAST(datediff(day, d0) div 7 AS BIGINT)").alias("wk"),
+    )
+    dau = k.groupBy("wk", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    wau = k.groupBy("wk").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    s = dau.groupBy("wk").agg(
+        F.sum("dau").cast("long").alias("sum_dau"),
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+    )
+    return (
+        s.join(wau, "wk")
+        .select(
+            F.col("wk").alias("week_index"),
+            "n_active_days",
+            "sum_dau",
+            "wau",
+            F.expr("(sum_dau * 1000L) div (7L * wau)").alias(
+                "stickiness_permille"
+            ),
+        )
+    )
+
+
+@query(
+    "supplier_hhi_by_part_type",
+    """
+WITH q AS (
+  SELECT p.p_type, l.l_suppkey,
+         CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type, l.l_suppkey
+),
+t AS (SELECT p_type, CAST(sum(qty) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM q GROUP BY p_type),
+sh AS (SELECT q.p_type, (q.qty * 10000) // t.total AS bp
+       FROM q JOIN t USING (p_type))
+SELECT sh.p_type,
+       t.n_suppliers,
+       CAST(sum(CAST(bp AS HUGEINT) * bp) // 10000 AS BIGINT) AS hhi
+FROM sh JOIN t USING (p_type)
+GROUP BY sh.p_type, t.n_suppliers
+""",
+    doc="Herfindahl-Hirschman supply-concentration index per part type: "
+    "each supplier's share of shipped quantity in basis points "
+    "(integer div against the type total), HHI = sum of squared "
+    "shares rescaled to the standard 0..10000 range — the "
+    "single-supplier-risk screen (10000 = monopoly supply, <1500 = "
+    "competitive). All integer arithmetic: quantities quantized "
+    "once, shares and the final rescale are integer divisions "
+    "(non-negative, so truncate-vs-floor agree), squares accumulate "
+    "in DECIMAL(38)/HUGEINT. Scale shape: one (type, supplier) "
+    "aggregate off the partkey equi-join, a type-grain total, and a "
+    "type-keyed join back — supplier-grain frames, never row-grain.",
+)
+def q_supplier_hhi_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    q = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+            .cast("long")
+            .alias("qty")
+        )
+    )
+    t = q.groupBy("p_type").agg(
+        F.sum("qty").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    sh = q.join(t, "p_type").select(
+        "p_type",
+        "n_suppliers",
+        F.expr("(qty * 10000L) div total").alias("bp"),
+    )
+    return (
+        sh.groupBy("p_type", "n_suppliers")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(bp AS DECIMAL(38,0)) * bp) div 10000"
+                " AS BIGINT)"
+            ).alias("hhi")
+        )
+        .select("p_type", "n_suppliers", "hhi")
+    )
+
+
+@query(
+    "orders_seasonal_index",
+    """
+WITH m AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY yr, mo
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM m)
+SELECT CAST(mo AS BIGINT) AS month,
+       CAST(count(*) AS BIGINT) AS n_months,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST((CAST(sum(cents) AS HUGEINT) * n * 1000)
+            // (CAST(count(*) AS HUGEINT) * s) AS BIGINT)
+         AS seasonal_index_permille
+FROM m, tot
+GROUP BY mo, tot.s, tot.n
+""",
+    doc="Calendar seasonality index: for each month-of-year, the mean "
+    "monthly revenue over all observed years relative to the global "
+    "monthly mean, in permille (1000 = an average month; December "
+    "retail spikes read >1000). The ratio of two means collapses to "
+    "one integer expression — sum_m * N * 1000 div (n_m * S) — so "
+    "the whole index is exact HUGEINT/DECIMAL(38) arithmetic on "
+    "fixed-point cents with a single flooring division (all terms "
+    "non-negative). Scale shape: one (year, month) aggregate "
+    "(calendar-bounded output), a 1-row total, a 12-row rollup.",
+)
+def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = m.agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .groupBy("mo", "s", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            F.col("mo").cast("long").alias("month"),
+            "n_months",
+            "revenue_cents",
+            F.expr(
+                "CAST((CAST(revenue_cents AS DECIMAL(38,0)) * n * 1000)"
+                " div (CAST(n_months AS DECIMAL(38,0)) * s) AS BIGINT)"
+            ).alias("seasonal_index_permille"),
+        )
+    )
+
+
+@query(
+    "doc_hapax_ratio_by_source",
+    """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+tt AS (SELECT token, CAST(count(*) AS BIGINT) AS ta FROM w GROUP BY token),
+j AS (SELECT w.source, tt.ta FROM w JOIN tt USING (token))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN ta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((sum(CASE WHEN ta = 1 THEN 1 ELSE 0 END) * 1000) // count(*)
+            AS BIGINT) AS hapax_permille
+FROM j GROUP BY source
+""",
+    doc="Vocabulary freshness per source: the share of token "
+    "occurrences that are corpus-level hapax legomena (appear exactly "
+    "once anywhere) — high hapax-permille marks sources rich in novel "
+    "strings (serial numbers, OCR noise, genuinely fresh text; "
+    "tokenizer-stress either way), near-zero marks template/"
+    "boilerplate feeds, the complement of doc_distinctive_terms_chisq "
+    "(which finds REPEATED source-bound jargon). Counts exact, one "
+    "integer permille division. Scale shape: one explode, a "
+    "token-grain count, a token-keyed shuffle join back (vocabulary "
+    "is unbounded — deliberately NOT broadcast; AQE upgrades small "
+    "cases), a source-grain rollup.",
+)
+def q_doc_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(tokens_col("text")).alias("token"))
+    tt = w.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("ta"))
+    j = w.join(tt, "token")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("ta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr(
+            "CAST((sum(CASE WHEN ta = 1 THEN 1 ELSE 0 END) * 1000L)"
+            " div count(1) AS BIGINT)"
+        ).alias("hapax_permille"),
+    )

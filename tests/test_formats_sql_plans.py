@@ -372,6 +372,9 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "events_user_fano_overdispersion",  # 1-row day-span frame
         "doc_distinctive_terms_chisq",  # 1-row corpus-total frame
         "emb_mutual_knn_pairs",         # blocks^2/2-row block-pair literal (blocked GEMM)
+        "orders_value_decile_migration",  # 1-row decile-boundary frame
+        "events_stickiness_dau_wau",    # 1-row min-day frame
+        "orders_seasonal_index",        # 1-row grand-total frame
     }
     offenders = []
     for name, spec in CATALOG.items():

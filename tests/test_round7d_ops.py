@@ -338,3 +338,113 @@ def test_fano_zero_days_count_via_sparse_moments(spark, tmp_path):
     assert got[1]["fano"] == 0.0 and got[1]["active_days"] == 10
     # user 2: D=10, S1=20, S2=400 -> (4000-400)/200 = 18.0
     assert got[2]["fano"] == 18.0 and got[2]["active_days"] == 1
+
+
+def test_decile_migration_boundaries_from_1995_only(spark, tmp_path):
+    """Boundaries come from the 1995 spend distribution; a 1996-only
+    whale must land in decile 10 of the 1995 scale, and only customers
+    active in BOTH years appear."""
+    rows = []
+    ok = 0
+    # 1995: customers 1..10 spend 100..1000 (one order each)
+    for c in range(1, 11):
+        ok += 1
+        rows.append((ok, c, "F", 100.0 * c, dt.datetime(1995, 6, 1), "x"))
+    # 1996: customer 1 spends like 1995's top (decile 10), customer 2
+    # spends like 1995's bottom (decile 1); customer 99 is 1996-only
+    rows.append((ok + 1, 1, "F", 5000.0, dt.datetime(1996, 6, 1), "x"))
+    rows.append((ok + 2, 2, "F", 100.0, dt.datetime(1996, 6, 1), "x"))
+    rows.append((ok + 3, 99, "F", 9999.0, dt.datetime(1996, 6, 1), "x"))
+    sf = _write(spark, tmp_path, "orders", _orders(spark, rows))
+    got = {
+        (r["decile_1995"], r["decile_1996"]): r["n_customers"]
+        for r in CATALOG["orders_value_decile_migration"]
+        .spark(spark, sf)
+        .collect()
+    }
+    # customer 1: 1995 spend 100 -> decile 1; 1996 spend 5000 -> decile 10
+    # customer 2: 1995 spend 200 -> decile 2; 1996 spend 100 -> decile 1
+    assert got == {(1, 10): 1, (2, 1): 1}
+
+
+def test_stickiness_bounds_and_week_indexing(spark, tmp_path):
+    """A user active every day of week 0 drives stickiness toward 1000;
+    a week with one single-day user scores 1000//7 = 142."""
+    rows = []
+    eid = 0
+    for day in range(1, 8):  # week 0: user 1 every day
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, day, 9), 1, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 10, 9), 2, "view", 1.0, "{}"))
+    sf = _write(spark, tmp_path, "events", _events(spark, rows))
+    got = {
+        r["week_index"]: r
+        for r in CATALOG["events_stickiness_dau_wau"].spark(spark, sf).collect()
+    }
+    assert got[0]["wau"] == 1 and got[0]["sum_dau"] == 7
+    assert got[0]["stickiness_permille"] == 1000
+    assert got[1]["wau"] == 1 and got[1]["sum_dau"] == 1
+    assert got[1]["stickiness_permille"] == 142
+
+
+def test_hhi_monopoly_and_even_split(spark, tmp_path):
+    """A single-supplier type scores 10000; a perfect 4-way split
+    scores 2500."""
+    ship = dt.datetime(1995, 1, 1)
+    parts = [(1, "p", "B", "MONO", 1, 1.0), (2, "p", "B", "SPLIT", 1, 1.0)]
+    li = [(1, 1, 7, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", ship)]
+    for s in range(1, 5):
+        li.append((10 + s, 2, s, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", ship))
+    _write(spark, tmp_path, "lineitem", _lineitem(spark, li))
+    sf = _write(spark, tmp_path, "part", _part(spark, parts))
+    got = {
+        r["p_type"]: r
+        for r in CATALOG["supplier_hhi_by_part_type"].spark(spark, sf).collect()
+    }
+    assert got["MONO"]["hhi"] == 10000 and got["MONO"]["n_suppliers"] == 1
+    assert got["SPLIT"]["hhi"] == 2500 and got["SPLIT"]["n_suppliers"] == 4
+
+
+def test_seasonal_index_flags_the_hot_month(spark, tmp_path):
+    """Two years where June doubles every other month: June's index must
+    be > 1000 and equal the hand formula sum_m*N*1000 // (n_m*S)."""
+    rows = []
+    ok = 0
+    cents_total = 0
+    june_cents = 0
+    for yr in (1995, 1996):
+        for mo in (5, 6, 7):
+            amt = 200.0 if mo == 6 else 100.0
+            ok += 1
+            rows.append((ok, ok, "F", amt, dt.datetime(yr, mo, 10), "x"))
+            cents_total += int(amt * 100)
+            if mo == 6:
+                june_cents += int(amt * 100)
+    sf = _write(spark, tmp_path, "orders", _orders(spark, rows))
+    got = {
+        r["month"]: r
+        for r in CATALOG["orders_seasonal_index"].spark(spark, sf).collect()
+    }
+    want = june_cents * 6 * 1000 // (2 * cents_total)
+    assert got[6]["seasonal_index_permille"] == want == 1500
+    assert got[5]["seasonal_index_permille"] == 750
+
+
+def test_hapax_counts_corpus_level_not_source_level(spark, tmp_path):
+    """A token appearing once in EACH of two sources is not a hapax
+    (corpus count 2); a true hapax counts toward its source only."""
+    rows = [
+        (1, "shared unique1 common common", "en", "A", 25),
+        (2, "shared unique2 common", "en", "B", 20),
+    ]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["source"]: r
+        for r in CATALOG["doc_hapax_ratio_by_source"].spark(spark, sf).collect()
+    }
+    # 'shared' appears once per source -> corpus count 2 -> NOT hapax
+    assert got["A"]["n_tokens"] == 4 and got["A"]["n_hapax"] == 1
+    assert got["B"]["n_tokens"] == 3 and got["B"]["n_hapax"] == 1
+    assert got["A"]["hapax_permille"] == 250
+    assert got["B"]["hapax_permille"] == 333

@@ -134,6 +134,20 @@ PICKS = {
     "after broadcast dim joins; the 1-row month base is the "
     "allowlisted bounded cross join; cross products ride "
     "DECIMAL(38,0) inside the agg",
+    "orders_pareto_frontier": "the skyline WITHOUT a dominance "
+    "self-join: per-month max aggregate, an ~80-row month-grain "
+    "prefix-max window (the only global window — calendar-bounded), "
+    "broadcast back, then a month-PARTITIONED prefix-max window; "
+    "every data-sized stage keys on the month Exchange",
+    "emb_mutual_knn_pairs": "the n^2 cosine scan runs as blocked "
+    "GEMM inside applyInPandas (36 block-pair tasks, BLAS matmuls); "
+    "the rank window sees only the threshold-pruned pair frame and "
+    "the mutuality check is a pair-keyed hash self-join — nothing "
+    "row-at-a-time, nothing driver-side",
+    "orders_cohort_revenue": "first-order frame and the join back "
+    "both key on o_custkey, so the plan reuses ONE Exchange for the "
+    "min-month aggregate and the cohort join; the final rollup is "
+    "months^2-bounded",
 }
 
 
