@@ -11224,3 +11224,294 @@ def q_doc_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1) AS BIGINT)"
         ).alias("hapax_permille"),
     )
+
+
+_CDC_GRAM_SQL = (
+    "concat_ws(' ', lag(tok, 3) OVER w, lag(tok, 2) OVER w,"
+    " lag(tok, 1) OVER w, tok)"
+)
+
+
+@query(
+    "doc_cdc_chunk_dedup",
+    f"""
+WITH w AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos >= 3
+              AND ({sql_md5_fold32(_CDC_GRAM_SQL)}) % 8 = 0
+              THEN 1 ELSE 0 END AS brk
+  FROM w WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+c AS (
+  SELECT doc_id, pos, tok,
+         coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS chunk_no
+  FROM h
+),
+chunks AS (
+  SELECT doc_id, chunk_no,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+         CAST(count(*) AS BIGINT) AS chunk_tokens
+  FROM c GROUP BY doc_id, chunk_no
+),
+dup AS (
+  SELECT {sql_md5_fold32('chunk_text')} AS chunk_hash,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(max(chunk_tokens) AS BIGINT) AS chunk_tokens
+  FROM chunks GROUP BY chunk_text
+)
+SELECT chunk_hash, n_docs, n_occurrences, chunk_tokens
+FROM dup WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+LIMIT 20
+""",
+    doc="Content-defined chunking (CDC) dedup — the rsync/backup-dedup "
+    "idea applied to text curation: chunk boundaries fall where the "
+    "rolling 4-token fingerprint (engine-exact md5 fold) hits 0 mod "
+    "8, so boundaries are CONTENT-anchored and an insertion early in "
+    "a document shifts only the chunk it lands in — unlike "
+    "fixed-width segmenting (doc_segment_dedup), where one added "
+    "token re-frames every later segment and hides the overlap. "
+    "Emits the top-20 chunks shared across >= 2 documents (expected "
+    "chunk length = divisor 8). Everything is one posexplode, two "
+    "doc-partitioned windows (lag-gram + running breakpoint count — "
+    "never global), a (doc, chunk) string_agg in position order, and "
+    "a chunk-hash aggregate; top-20 is TakeOrderedAndProject. Text "
+    "order inside a chunk is pinned by pos on both engines, so the "
+    "hashes match bit-for-bit.",
+)
+def q_doc_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.lag("tok", 3).over(win),
+        F.lag("tok", 2).over(win),
+        F.lag("tok", 1).over(win),
+        F.col("tok"),
+    )
+    h = w.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            (F.col("pos") >= 3) & (md5_fold32_col(gram) % 8 == 0), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = h.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("brk").over(run), F.lit(0)).alias("chunk_no"),
+    )
+    chunks = c.groupBy("doc_id", "chunk_no").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).cast("long").alias("chunk_tokens"),
+    )
+    dup = chunks.groupBy("chunk_text").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("chunk_tokens").cast("long").alias("chunk_tokens"),
+    )
+    return (
+        dup.filter(F.col("n_docs") >= 2)
+        .select(
+            md5_fold32_col(F.col("chunk_text")).alias("chunk_hash"),
+            "n_docs",
+            "n_occurrences",
+            "chunk_tokens",
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash")
+        .limit(20)
+    )
+
+
+@query(
+    "doc_term_burstiness",
+    """
+WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+c AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+t AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS s1,
+         sum(CAST(c AS HUGEINT) * c) AS s2
+  FROM c GROUP BY token
+)
+SELECT token, df, s1 AS n_occurrences,
+       CAST(floor(CAST(CAST(d AS HUGEINT) * s2
+                       - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                  / CAST(CAST(d AS HUGEINT) * s1 AS DOUBLE)
+                  * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS burstiness
+FROM t, nd
+WHERE df >= 3
+ORDER BY CAST(floor(CAST(CAST(d AS HUGEINT) * s2
+                         - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                    / CAST(CAST(d AS HUGEINT) * s1 AS DOUBLE)
+                    * 10000.0 + 0.5) / 10000.0 AS DOUBLE) DESC, token
+LIMIT 20
+""",
+    doc="Church-Gale term burstiness: variance-to-mean of each token's "
+    "per-document count series, zero-docs included through the "
+    "sparse-moments identity (D*S2 - S1^2)/(D*S1) — a Poisson-"
+    "scattered function word scores ~1 while a term that slams into "
+    "few documents (boilerplate blocks, topical jargon, spam "
+    "signatures) scores >> 1, making this the token-grain twin of "
+    "events_user_fano_overdispersion and a curation signal "
+    "doc_distinctive_terms_chisq (source-bound) cannot see: "
+    "burstiness is source-agnostic concentration. Exact "
+    "DECIMAL(38)/HUGEINT moments, one double division, top-20 by "
+    "ROUNDED score with token tie-break (TakeOrderedAndProject). "
+    "Scale shape: one (doc, token) aggregate, one token-grain "
+    "rollup, a 1-row doc-count broadcast — no joins on the corpus.",
+)
+def q_doc_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    c = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    t = c.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
+    )
+    burst = F.expr(
+        "CAST(floor(CAST(CAST(d AS DECIMAL(38,0)) * s2"
+        "                - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)"
+        "           / CAST(CAST(d AS DECIMAL(38,0)) * s1 AS DOUBLE)"
+        "           * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+    )
+    return (
+        t.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") >= 3)
+        .select(
+            "token",
+            "df",
+            F.col("s1").alias("n_occurrences"),
+            burst.alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "doc_vocab_coverage_curve",
+    f"""
+WITH tt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS v
+        FROM tt),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
+  FROM tt ORDER BY c DESC, token LIMIT 1000
+)
+SELECT k,
+       CAST(sum(CASE WHEN rk <= k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tokens_used,
+       CAST((sum(CASE WHEN rk <= k THEN c ELSE 0 END) * 1000) // max(tot.s)
+            AS BIGINT) AS coverage_permille,
+       CAST(max(tot.v) AS BIGINT) AS vocab_size
+FROM top, tot, (SELECT unnest([10, 100, 1000]) AS k)
+GROUP BY k
+""",
+    doc="Vocabulary coverage curve: what share of all token occurrences "
+    "the top-10/100/1000 most frequent types cover — the Zipf-head "
+    "summary that sizes tokenizer vocabularies and stopword lists "
+    "(a 90%%-at-100 corpus is template-heavy; a flat curve means "
+    "rich text). The only ordered structure is the top-1000 frame "
+    "(orderBy + LIMIT compiles to TakeOrderedAndProject, per-"
+    "partition heaps + a 1000-row driver merge), and the rank window "
+    "runs on THAT bounded frame, never the unbounded vocabulary; "
+    "coverage is an exact integer permille against the 1-row corpus "
+    "total. Ties at the k-th count are pinned by token so both "
+    "engines cut the same prefix. Scale shape: one token aggregate, "
+    "a 1000-row sort-limit, a 3-row rollup.",
+)
+def q_doc_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tt = (
+        docs.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = tt.agg(
+        F.sum("c").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    top = (
+        tt.orderBy(F.desc("c"), "token")
+        .limit(1000)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "token"))
+            .alias("rk"),
+        )
+    )
+    ks = docs.sparkSession.createDataFrame([(10,), (100,), (1000,)], "k int")
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_used"),
+            F.expr(
+                "CAST((sum(CASE WHEN rk <= k THEN c ELSE 0 END) * 1000L)"
+                " div max(s) AS BIGINT)"
+            ).alias("coverage_permille"),
+            F.max("v").cast("long").alias("vocab_size"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_tokens_used",
+            "coverage_permille",
+            "vocab_size",
+        )
+    )

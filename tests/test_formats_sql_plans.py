@@ -375,6 +375,8 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "orders_value_decile_migration",  # 1-row decile-boundary frame
         "events_stickiness_dau_wau",    # 1-row min-day frame
         "orders_seasonal_index",        # 1-row grand-total frame
+        "doc_term_burstiness",          # 1-row doc-count frame
+        "doc_vocab_coverage_curve",     # 1-row total + 3-row k literal
     }
     offenders = []
     for name, spec in CATALOG.items():

@@ -448,3 +448,90 @@ def test_hapax_counts_corpus_level_not_source_level(spark, tmp_path):
     assert got["B"]["n_tokens"] == 3 and got["B"]["n_hapax"] == 1
     assert got["A"]["hapax_permille"] == 250
     assert got["B"]["hapax_permille"] == 333
+
+
+def _cdc_chunks(tokens):
+    """Python replica of the CDC boundary rule (4-gram md5 fold % 8)."""
+    chunks, cur = [], []
+    for i, t in enumerate(tokens):
+        cur.append(t)
+        if i >= 3:
+            gram = " ".join(tokens[i - 3 : i + 1])
+            if _fold32(gram) % 8 == 0:
+                chunks.append(" ".join(cur))
+                cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_cdc_chunks_survive_an_early_insertion(spark, tmp_path):
+    """A token inserted near the head of doc B must not re-frame the
+    shared tail: CDC must still report shared chunks (the fixed-width
+    segmenter would misalign every later segment), and the result must
+    equal the Python replica of the boundary rule."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten").split()
+    doc_a = base
+    doc_b = ["INSERTED"] + base
+    rows = [
+        (1, " ".join(doc_a), "en", "A", 1),
+        (2, " ".join(doc_b), "en", "B", 1),
+    ]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["chunk_hash"]: (r["n_docs"], r["n_occurrences"])
+        for r in CATALOG["doc_cdc_chunk_dedup"].spark(spark, sf).collect()
+    }
+    ca, cb = _cdc_chunks(doc_a), _cdc_chunks(doc_b)
+    shared = set(ca) & set(cb)
+    assert shared, "fixture must produce at least one shared chunk"
+    want = {
+        _fold32(ch): (2, ca.count(ch) + cb.count(ch)) for ch in shared
+    }
+    assert got == dict(sorted(want.items())[:20] if len(want) > 20 else want)
+
+
+def test_term_burstiness_concentration_vs_uniform(spark, tmp_path):
+    """'burst' (counts 7/1/1 across the 3 docs) must score far above
+    'flat' (1/doc, fano = 0 exactly); df<3 tokens are filtered out."""
+    rows = [
+        (1, "flat burst " + " ".join(["burst"] * 6), "en", "A", 1),
+        (2, "flat burst filler", "en", "A", 1),
+        (3, "flat burst filler", "en", "A", 1),
+    ]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["token"]: r
+        for r in CATALOG["doc_term_burstiness"].spark(spark, sf).collect()
+    }
+    # flat: D=3, S1=3, S2=3 -> (9-9)/9 = 0.0
+    assert got["flat"]["burstiness"] == 0.0
+    # burst: D=3, S1=9, S2=51 -> (153-81)/27 = 2.6667
+    assert got["burst"]["burstiness"] == 2.6667
+    assert got["burst"]["df"] == 3 and got["burst"]["n_occurrences"] == 9
+    assert "filler" not in got  # df=2 < 3 filtered
+
+
+def test_vocab_coverage_exact_shares_and_tie_cut(spark, tmp_path):
+    """With 12 types, two tied at the k=10 boundary: the prefix must cut
+    by (count DESC, token) so both engines pick the same 10; coverage
+    is an exact permille of all occurrences."""
+    toks = []
+    for i, n in enumerate([40, 30, 20, 10, 8, 6, 5, 4, 3, 2, 2, 1]):
+        # tokens t02..t11 with a tie (2,2) at ranks 10/11: t09 < t10
+        toks += [f"t{i:02d}"] * n
+    rows = [(1, " ".join(toks), "en", "A", 1)]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["k"]: r
+        for r in CATALOG["doc_vocab_coverage_curve"].spark(spark, sf).collect()
+    }
+    total = sum([40, 30, 20, 10, 8, 6, 5, 4, 3, 2, 2, 1])
+    top10 = sum([40, 30, 20, 10, 8, 6, 5, 4, 3, 2])  # tie: t09 in, t10 out
+    assert got[10]["n_tokens_used"] == 10
+    assert got[10]["coverage_permille"] == top10 * 1000 // total
+    assert got[100]["n_tokens_used"] == 12
+    assert got[100]["coverage_permille"] == 1000
+    assert got[10]["vocab_size"] == 12
