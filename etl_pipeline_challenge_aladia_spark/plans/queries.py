@@ -11515,3 +11515,190 @@ def q_doc_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size",
         )
     )
+
+
+@query(
+    "doc_dup_cluster_size_histogram",
+    """
+WITH g AS (
+  SELECT text, CAST(count(*) AS BIGINT) AS sz
+  FROM documents GROUP BY text
+),
+b AS (
+  SELECT CASE WHEN sz = 1 THEN '1 unique'
+              WHEN sz = 2 THEN '2'
+              WHEN sz <= 5 THEN '3-5'
+              ELSE '6+' END AS bucket,
+         sz
+  FROM g
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS n_redundant_docs
+FROM b GROUP BY bucket
+""",
+    doc="Exact-duplicate cluster-size histogram: group identical texts, "
+    "bucket cluster sizes (1 / 2 / 3-5 / 6+), and report clusters, "
+    "documents, and the REDUNDANT count (size-1 per cluster = rows a "
+    "keep-one dedup would delete) per bucket — the one-glance answer "
+    "to 'is our duplication a long tail of pairs or a few mega-"
+    "clusters?', which decides whether exact dedup alone suffices or "
+    "boilerplate removal (doc_cdc_chunk_dedup / segment dedup) has "
+    "to run first. Composes the same text-keyed aggregate as "
+    "doc_exact_dedup, so it shares that shape's scale story: one "
+    "hash aggregate on the text key (map-side partial), then a "
+    "4-row rollup. At petabyte scale the text key swaps for its "
+    "xxhash64 (same histogram, constant-width key) — the documented "
+    "exact-dedup production path.",
+)
+def q_doc_dup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("text").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    b = g.select(
+        F.when(F.col("sz") == 1, "1 unique")
+        .when(F.col("sz") == 2, "2")
+        .when(F.col("sz") <= 5, "3-5")
+        .otherwise("6+")
+        .alias("bucket"),
+        "sz",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_redundant_docs"),
+    )
+
+
+@query(
+    "orders_reorder_gap_profile",
+    """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+),
+g AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+                        lag(d) OVER (PARTITION BY o_custkey
+                                     ORDER BY d, o_orderkey),
+                        d) AS BIGINT) AS gap
+  FROM o
+),
+j AS (
+  SELECT c.c_mktsegment, g.gap
+  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+  WHERE g.gap IS NOT NULL
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(floor(quantile_cont(gap, 0.5) * 100.0 + 0.5) / 100.0
+            AS DOUBLE) AS median_gap_days,
+       CAST(floor(quantile_cont(gap, 0.9) * 100.0 + 0.5) / 100.0
+            AS DOUBLE) AS p90_gap_days
+FROM j GROUP BY c_mktsegment
+""",
+    doc="Reorder-cadence profile by market segment: per customer, the "
+    "day gaps between consecutive orders (one lag window PARTITIONED "
+    "on custkey — never global), joined to the customer dimension "
+    "and summarized as exact median / p90 gap per segment — the "
+    "repurchase-cycle metric behind replenishment forecasting and "
+    "churn thresholds ('no order for > p90 of their segment's cycle "
+    "= at risk'). Gaps are exact integer days; the grouped quantiles "
+    "use the shared linear-interpolation definition (Spark "
+    "percentile == DuckDB quantile_cont), and ties inside the lag "
+    "ordering are pinned by orderkey. Scale shape: window and join "
+    "both key on custkey (co-partitioned, one Exchange reused), "
+    "then a segments-sized rollup.",
+)
+def q_orders_reorder_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = g.join(cust, g.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        _r2(F.expr("percentile(gap, 0.5D)"), "median_gap_days"),
+        _r2(F.expr("percentile(gap, 0.9D)"), "p90_gap_days"),
+    )
+
+
+@query(
+    "events_transition_gini",
+    """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+),
+p AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM e
+),
+c AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE dst IS NOT NULL GROUP BY src, dst
+),
+t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY src)
+SELECT c.src AS event_type,
+       t.tot AS n_transitions,
+       CAST(count(*) AS BIGINT) AS n_distinct_next,
+       CAST(1000 - sum(CAST(n AS HUGEINT) * n * 1000)
+                   // (CAST(t.tot AS HUGEINT) * t.tot) AS BIGINT)
+         AS gini_permille
+FROM c JOIN t USING (src)
+GROUP BY c.src, t.tot
+""",
+    doc="Next-event diversity per event type as Gini impurity (1 - sum "
+    "of squared transition shares, permille): 0 = perfectly "
+    "predictable next step (a funnel rail), approaching "
+    "1000*(1-1/k) = maximally scattered — the transcendental-free "
+    "stand-in for transition entropy (entropy needs logs; Gini is a "
+    "pure ratio of integer cross products, exact in HUGEINT/"
+    "DECIMAL(38) with ONE flooring division on non-negative terms). "
+    "Complements the Markov family: events_markov_transitions gives "
+    "the full matrix, this collapses each row to one "
+    "predictability score. Scale shape: one user-partitioned lead "
+    "window (the same Exchange sessionization uses), a type-pair "
+    "aggregate (vocabulary-squared-bounded), a type-grain rollup.",
+)
+def q_events_transition_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = p.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("src").agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        c.join(t, "src")
+        .groupBy(F.col("src").alias("event_type"), F.col("tot"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_next"),
+            F.expr(
+                "CAST(1000 - sum(CAST(n AS DECIMAL(38,0)) * n * 1000)"
+                " div (CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)"
+            ).alias("gini_permille"),
+        )
+        .select(
+            "event_type",
+            F.col("tot").alias("n_transitions"),
+            "n_distinct_next",
+            "gini_permille",
+        )
+    )

@@ -535,3 +535,73 @@ def test_vocab_coverage_exact_shares_and_tie_cut(spark, tmp_path):
     assert got[100]["n_tokens_used"] == 12
     assert got[100]["coverage_permille"] == 1000
     assert got[10]["vocab_size"] == 12
+
+
+def test_dup_cluster_histogram_buckets_and_redundancy(spark, tmp_path):
+    """1 unique text, one pair, one 4-cluster, one 7-cluster: buckets,
+    doc counts, and keep-one redundancy must match exactly."""
+    rows, did = [], 0
+    for text, n in [("solo", 1), ("pair", 2), ("quad", 4), ("many", 7)]:
+        for _ in range(n):
+            did += 1
+            rows.append((did, text, "en", "A", len(text)))
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["bucket"]: r
+        for r in CATALOG["doc_dup_cluster_size_histogram"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert got["1 unique"]["n_clusters"] == 1
+    assert got["1 unique"]["n_redundant_docs"] == 0
+    assert got["2"]["n_docs"] == 2 and got["2"]["n_redundant_docs"] == 1
+    assert got["3-5"]["n_docs"] == 4 and got["3-5"]["n_redundant_docs"] == 3
+    assert got["6+"]["n_docs"] == 7 and got["6+"]["n_redundant_docs"] == 6
+
+
+def test_reorder_gap_median_and_p90(spark, tmp_path):
+    """Customer with orders on days 0,10,20,30 -> gaps 10,10,10; another
+    with 0,40 -> gap 40. Segment medians/p90s follow quantile_cont."""
+    rows = [
+        (1, 1, "F", 1.0, dt.datetime(1995, 1, 1), "x"),
+        (2, 1, "F", 1.0, dt.datetime(1995, 1, 11), "x"),
+        (3, 1, "F", 1.0, dt.datetime(1995, 1, 21), "x"),
+        (4, 1, "F", 1.0, dt.datetime(1995, 1, 31), "x"),
+        (5, 2, "F", 1.0, dt.datetime(1995, 1, 1), "x"),
+        (6, 2, "F", 1.0, dt.datetime(1995, 2, 10), "x"),
+    ]
+    cust = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "SEG"), (2, "c2", 0, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    _write(spark, tmp_path, "orders", _orders(spark, rows))
+    sf = _write(spark, tmp_path, "customer", cust)
+    got = CATALOG["orders_reorder_gap_profile"].spark(spark, sf).collect()
+    assert len(got) == 1 and got[0]["n_gaps"] == 4
+    # gaps sorted: [10,10,10,40]; median=10, p90 = 10+0.7*(40-10)=31.0
+    assert got[0]["median_gap_days"] == 10.0
+    assert got[0]["p90_gap_days"] == 31.0
+
+
+def test_transition_gini_rail_vs_scatter(spark, tmp_path):
+    """view->click always (gini 0); click scatters 50/50 to two types
+    (gini 500)."""
+    rows = []
+    eid = 0
+    for u in range(1, 5):
+        seq = ["view", "click", "purchase" if u % 2 else "error"]
+        for i, ety in enumerate(seq):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 8 + i), u, ety, 1.0, "{}")
+            )
+    sf = _write(spark, tmp_path, "events", _events(spark, rows))
+    got = {
+        r["event_type"]: r
+        for r in CATALOG["events_transition_gini"].spark(spark, sf).collect()
+    }
+    assert got["view"]["gini_permille"] == 0
+    assert got["view"]["n_distinct_next"] == 1
+    assert got["click"]["gini_permille"] == 500
+    assert got["click"]["n_distinct_next"] == 2
