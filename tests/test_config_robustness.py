@@ -32,6 +32,13 @@ SAMPLE = [
     "emb_top_pc_power_iteration",      # driver-literal loop + decimal norm
     "orders_topk_revenue_concentration",  # TakeOrdered(k) cutoff ties
     "events_session_paths",            # ordered path aggregate + top-20
+    # round-7d additions:
+    "orders_pareto_frontier",          # two-phase prefix-max windows
+    "emb_mutual_knn_pairs",            # blocked GEMM + rank + mutual join
+    "orders_value_decile_migration",   # 1-row boundary broadcast + joins
+    "doc_cdc_chunk_dedup",             # lag windows + position reassembly
+    "doc_vocab_coverage_curve",        # TakeOrdered head + rank window
+    "events_mad_outlier_days",         # two quantile frames + top-3 ties
 ]
 
 
