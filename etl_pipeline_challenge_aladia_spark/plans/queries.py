@@ -11702,3 +11702,323 @@ def q_events_transition_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_permille",
         )
     )
+
+
+@query(
+    "events_growth_accounting",
+    """
+WITH base AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                        CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+  FROM events
+),
+mx AS (SELECT max(wk) AS maxwk FROM base),
+lagged AS (
+  SELECT user_id, wk,
+         lag(wk) OVER w AS prev_wk,
+         lead(wk) OVER w AS next_wk
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY wk)
+),
+activity AS (
+  SELECT wk,
+         CASE WHEN prev_wk IS NULL THEN 'new'
+              WHEN wk = prev_wk + 1 THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM lagged
+),
+churn AS (
+  SELECT wk + 1 AS wk, 'churned' AS cls
+  FROM lagged, mx
+  WHERE (next_wk IS NULL AND wk < maxwk) OR next_wk > wk + 1
+),
+allrows AS (SELECT * FROM activity UNION ALL SELECT * FROM churn)
+SELECT wk AS week_index,
+       CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected,
+       CAST(sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned
+FROM allrows GROUP BY wk
+""",
+    doc="Growth accounting (the new/retained/resurrected/churned "
+    "decomposition every growth team runs): weekly active user sets, "
+    "each user's week classified by their previous active week (none "
+    "-> new; consecutive -> retained; gap -> resurrected), and churn "
+    "events emitted at gap starts and after final activity (bounded "
+    "by the corpus max week so the last observed week doesn't churn "
+    "everyone). Identity n_active(w) = new + retained + resurrected "
+    "holds by construction, and churned(w) = active(w-1) - "
+    "retained(w) — the planted-geometry test asserts both. Weeks are "
+    "min-day offsets div 7 (cross-engine-exact; no ISO-week "
+    "divergence). Scale shape: one distinct (user, week) aggregate, "
+    "one user-partitioned lag/lead window (the sessionization "
+    "Exchange), a week-grain rollup; the only broadcast is the 1-row "
+    "max-week frame.",
+)
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    lo = ev.agg(F.min("day").alias("d0"))
+    base = (
+        ev.crossJoin(F.broadcast(lo))
+        .select(
+            "user_id",
+            F.expr("CAST(datediff(day, d0) div 7 AS BIGINT)").alias("wk"),
+        )
+        .distinct()
+    )
+    mx = base.agg(F.max("wk").alias("maxwk"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    lagged = base.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    activity = lagged.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.col("wk") == F.col("prev_wk") + 1, "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+    )
+    churn = (
+        lagged.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next_wk").isNull() & (F.col("wk") < F.col("maxwk")))
+            | (F.col("next_wk") > F.col("wk") + 1)
+        )
+        .select((F.col("wk") + 1).alias("wk"), F.lit("churned").alias("cls"))
+    )
+    allrows = activity.unionByName(churn)
+    return allrows.groupBy(F.col("wk").alias("week_index")).agg(
+        F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.sum(F.when(F.col("cls") == "churned", 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned"),
+    )
+
+
+@query(
+    "doc_dedup_source_shift",
+    """
+WITH keep AS (
+  SELECT arg_min(source, doc_id) AS source
+  FROM documents GROUP BY text
+),
+before AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before
+           FROM documents GROUP BY source),
+after AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after
+          FROM keep GROUP BY source),
+tot AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb FROM before),
+tot2 AS (SELECT CAST(sum(n_after) AS BIGINT) AS ta FROM after)
+SELECT b.source,
+       b.n_before,
+       coalesce(a.n_after, 0) AS n_after,
+       CAST((b.n_before * 1000) // tb AS BIGINT) AS share_before_permille,
+       CAST((coalesce(a.n_after, 0) * 1000) // ta AS BIGINT)
+         AS share_after_permille,
+       CAST((coalesce(a.n_after, 0) * 1000) // ta
+            - (b.n_before * 1000) // tb AS BIGINT) AS shift_permille
+FROM before b LEFT JOIN after a USING (source), tot, tot2
+""",
+    doc="Dedup survivorship audit: how keep-lowest-id exact dedup shifts "
+    "the SOURCE MIX — per source, document share before vs after "
+    "dedup in permille and the delta. A source whose share collapses "
+    "was mostly duplicates (syndication, mirrors); one whose share "
+    "swells rode free on everyone else's removal — exactly the "
+    "composition drift a training-mixture owner must sign off on "
+    "before shipping a deduped corpus, and the policy complement of "
+    "doc_dup_rate_by_source (which counts dups; this shows the "
+    "post-dedup mixture). The canonical-per-cluster choice is the "
+    "same min-doc_id rule as doc_exact_dedup (arg_min there, min_by "
+    "here — identical semantics, doc_id is unique). Integer permille "
+    "throughout. Scale shape: one text-keyed aggregate (the exact-"
+    "dedup shape), two source-grain rollups, 1-row totals.",
+)
+def q_doc_dedup_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.groupBy("text").agg(
+        F.expr("min_by(source, doc_id)").alias("source")
+    )
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    after = keep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after")
+    )
+    tot = before.agg(F.sum("n_before").cast("long").alias("tb"))
+    tot2 = after.agg(F.sum("n_after").cast("long").alias("ta"))
+    return (
+        before.join(after, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "source",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.expr("(n_before * 1000L) div tb").alias(
+                "share_before_permille"
+            ),
+            F.expr(
+                "(coalesce(n_after, 0L) * 1000L) div ta"
+            ).alias("share_after_permille"),
+            F.expr(
+                "(coalesce(n_after, 0L) * 1000L) div ta"
+                " - (n_before * 1000L) div tb"
+            ).alias("shift_permille"),
+        )
+    )
+
+
+@query(
+    "emb_cosine_histogram",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+p AS (
+  SELECT {_s4('list_cosine_similarity(a.emb, b.emb)')} AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+b AS (
+  SELECT least(CAST(floor(cos_sim * 10.0) AS BIGINT), 9) AS bucket FROM p
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST((count(*) * 1000) // max(tot.n) AS BIGINT) AS share_permille
+FROM b, tot GROUP BY bucket
+""",
+    doc="Pairwise-cosine distribution histogram (0.1-wide buckets, "
+    "cos=1.0 clamped into [0.9,1.0]): the separability audit of the "
+    "embedding space that CALIBRATES every similarity threshold in "
+    "the catalog — where the near-dup cutoff 0.45 and the mutual-kNN "
+    "floor 0.30 sit relative to the background mass decides their "
+    "false-match rates; a right-shifted histogram (anisotropic, "
+    "hubby space — see emb_anisotropy_audit) silently turns a fixed "
+    "threshold permissive. Pairs come from the same blocked-GEMM "
+    "exact scan as emb_cosine_near_dup with the threshold released "
+    "(BLAS matmuls in applyInPandas; rounded half-up BEFORE "
+    "bucketing, so both engines bucket identically); the n^2 pair "
+    "mass immediately collapses into a <=21-row bucket aggregate "
+    "inside the same stage. At corpus scale the exact scan swaps for "
+    "a deterministic hash-sampled pair subset — the histogram is a "
+    "DISTRIBUTION estimate, the one place sampling is sound.",
+)
+def q_emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(emb, threshold=-1.0)
+    b = pairs.select(
+        F.least(
+            F.floor(F.col("cos_sim") * 10.0).cast("long"), F.lit(9)
+        ).alias("bucket")
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_pairs",
+            F.expr("(n_pairs * 1000L) div n").alias("share_permille"),
+        )
+    )
+
+
+@query(
+    "doc_vocab_growth_curve",
+    """
+WITH rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+w AS (
+  SELECT least(CAST(((doc_id - lo) * 10) // (hi - lo + 1) AS BIGINT), 9)
+           AS bucket,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents, rng
+),
+firstb AS (SELECT token, CAST(min(bucket) AS BIGINT) AS fb
+           FROM w GROUP BY token),
+newt AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new_types
+         FROM firstb GROUP BY fb),
+toks AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+         FROM w GROUP BY bucket)
+SELECT t.bucket,
+       t.n_tokens,
+       coalesce(n.n_new_types, 0) AS n_new_types,
+       CAST(sum(coalesce(n.n_new_types, 0))
+            OVER (ORDER BY t.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumulative_types
+FROM toks t LEFT JOIN newt n USING (bucket)
+""",
+    doc="Vocabulary growth (Heaps'-law) curve: documents bucketed into "
+    "10 equal doc_id ranges (integer range arithmetic off a 1-row "
+    "min/max frame — no global rank), each token attributed to the "
+    "bucket where it FIRST appears, and the cumulative type count "
+    "tracked against tokens scanned — the diagnostic for 'is new "
+    "data still bringing new vocabulary, or has the crawl gone "
+    "stale?' (a flattening curve = diminishing novelty; the per-"
+    "batch twin of what doc_ngram_novelty measures for a single "
+    "delta). First-appearance is a token-grain min aggregate, NOT a "
+    "scan-order dependency, so the result is partition-invariant. "
+    "The only window is the 10-row cumulative sum (bucket-grain, "
+    "bounded by construction). Scale shape: one explode + token-"
+    "grain min, two bucket-grain rollups.",
+)
+def q_doc_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    w = (
+        docs.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.expr("((doc_id - lo) * 10) div (hi - lo + 1)"),
+                F.lit(9).cast("long"),
+            ).alias("bucket"),
+            F.explode(tokens_col("text")).alias("token"),
+        )
+    )
+    firstb = w.groupBy("token").agg(F.min("bucket").alias("fb"))
+    newt = firstb.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_types")
+    )
+    toks = w.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    run = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        toks.join(newt, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("n_new_types", F.lit(0))
+            .cast("long")
+            .alias("n_new_types"),
+        )
+        .withColumn(
+            "cumulative_types",
+            F.sum("n_new_types").over(run).cast("long"),
+        )
+    )

@@ -377,6 +377,10 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "orders_seasonal_index",        # 1-row grand-total frame
         "doc_term_burstiness",          # 1-row doc-count frame
         "doc_vocab_coverage_curve",     # 1-row total + 3-row k literal
+        "events_growth_accounting",     # 1-row min-day + 1-row max-week frames
+        "doc_dedup_source_shift",       # two 1-row total frames
+        "emb_cosine_histogram",         # block-pair literal + 1-row total
+        "doc_vocab_growth_curve",       # 1-row id-range frame
     }
     offenders = []
     for name, spec in CATALOG.items():

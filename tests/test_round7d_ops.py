@@ -605,3 +605,106 @@ def test_transition_gini_rail_vs_scatter(spark, tmp_path):
     assert got["view"]["n_distinct_next"] == 1
     assert got["click"]["gini_permille"] == 500
     assert got["click"]["n_distinct_next"] == 2
+
+
+def test_growth_accounting_identities(spark, tmp_path):
+    """Planted lifecycle: u1 active wks 0,1,3; u2 active wk 0 only;
+    u3 joins wk 1. Classes and churn timing must match, and the
+    invariants active(w) = new+retained+resurrected and
+    churned(w) = active(w-1) - retained(w) must hold."""
+    def ev(eid, day, uid):
+        return (eid, dt.datetime(2024, 1, day, 9), uid, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 1), ev(2, 8, 1), ev(3, 22, 1),   # u1: wks 0,1,3
+        ev(4, 2, 2),                               # u2: wk 0 only
+        ev(5, 9, 3), ev(6, 16, 3), ev(7, 23, 3),   # u3: wks 1,2,3
+    ]
+    sf = _write(spark, tmp_path, "events", _events(spark, rows))
+    got = {
+        r["week_index"]: r
+        for r in CATALOG["events_growth_accounting"].spark(spark, sf).collect()
+    }
+    assert got[0]["n_new"] == 2  # u1, u2
+    assert got[1]["n_new"] == 1 and got[1]["n_retained"] == 1  # u3 new, u1 ret
+    assert got[1]["n_churned"] == 1  # u2 churned at wk1
+    assert got[2]["n_churned"] == 1  # u1 gap: churned at wk2
+    assert got[2]["n_retained"] == 1  # u3
+    assert got[3]["n_resurrected"] == 1  # u1 back
+    assert got[3]["n_retained"] == 1  # u3
+    # no churn emitted past the corpus max week
+    assert 4 not in got
+    active = {0: 2, 1: 2, 2: 1, 3: 2}
+    for w, n in active.items():
+        r = got[w]
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == n
+    for w in (1, 2, 3):
+        assert got[w]["n_churned"] == active[w - 1] - got[w]["n_retained"]
+
+
+def test_dedup_source_shift_penalizes_the_mirror(spark, tmp_path):
+    """Source M mirrors source O's docs (always with higher doc_id):
+    after keep-min-id dedup M keeps nothing, O keeps everything, and
+    the permille shares move accordingly."""
+    rows = [
+        (1, "alpha text", "en", "O", 10),
+        (2, "beta text", "en", "O", 9),
+        (3, "alpha text", "en", "M", 10),   # mirror of doc 1
+        (4, "beta text", "en", "M", 9),     # mirror of doc 2
+        (5, "original m", "en", "M", 10),
+    ]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["source"]: r
+        for r in CATALOG["doc_dedup_source_shift"].spark(spark, sf).collect()
+    }
+    assert got["O"]["n_before"] == 2 and got["O"]["n_after"] == 2
+    assert got["M"]["n_before"] == 3 and got["M"]["n_after"] == 1
+    assert got["O"]["share_before_permille"] == 400
+    assert got["O"]["share_after_permille"] == 666
+    assert got["M"]["shift_permille"] == 333 - 600
+
+
+def test_cosine_histogram_buckets_and_clamp(spark, tmp_path):
+    """Identical vectors (cos 1.0) must clamp into bucket 9; orthogonal
+    pairs land in bucket 0; opposite pairs in bucket -10; shares are
+    exact permille of all pairs."""
+    vecs = [
+        [1.0, 0.0], [1.0, 0.0],   # cos 1.0 -> bucket 9 (clamped)
+        [0.0, 1.0],               # orthogonal to 0,1 -> bucket 0
+        [-1.0, 0.0],              # cos -1 vs 0,1 -> bucket -10
+    ]
+    sf = _write(spark, tmp_path, "embeddings", _emb(spark, vecs))
+    got = {
+        r["bucket"]: r
+        for r in CATALOG["emb_cosine_histogram"].spark(spark, sf).collect()
+    }
+    # pairs: (0,1)=1.0->9, (0,2)=0->0, (1,2)=0->0, (0,3)=-1->-10,
+    # (1,3)=-1->-10, (2,3)=0->0
+    assert got[9]["n_pairs"] == 1
+    assert got[0]["n_pairs"] == 3
+    assert got[-10]["n_pairs"] == 2
+    assert got[0]["share_permille"] == 500
+    assert sum(r["n_pairs"] for r in got.values()) == 6
+
+
+def test_vocab_growth_first_appearance_buckets(spark, tmp_path):
+    """Tokens are credited to their FIRST doc_id-range bucket: a token
+    in buckets 0 and 9 counts as new only in 0; cumulative types are a
+    running sum; n_tokens counts occurrences per bucket."""
+    rows = [
+        (0, "alpha beta", "en", "A", 10),    # bucket 0
+        (5, "alpha gamma", "en", "A", 10),   # bucket 5
+        (9, "alpha delta beta", "en", "A", 15),  # bucket 9
+    ]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["bucket"]: r
+        for r in CATALOG["doc_vocab_growth_curve"].spark(spark, sf).collect()
+    }
+    assert got[0]["n_new_types"] == 2  # alpha, beta
+    assert got[5]["n_new_types"] == 1  # gamma
+    assert got[9]["n_new_types"] == 1  # delta
+    assert got[9]["cumulative_types"] == 4
+    assert got[9]["n_tokens"] == 3
+    assert got[0]["cumulative_types"] == 2
