@@ -12022,3 +12022,223 @@ def q_doc_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new_types").over(run).cast("long"),
         )
     )
+
+
+@query(
+    "orders_lineitem_count_histogram",
+    """
+WITH c AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT coalesce(c.n_items, 0) AS n_items
+  FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j)
+SELECT n_items,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST((count(*) * 1000) // max(tot.n) AS BIGINT) AS share_permille
+FROM j, tot GROUP BY n_items
+""",
+    doc="Order-size distribution: line items per order, INCLUDING "
+    "zero-item orders via the orders-side left join (a lineitem-only "
+    "rollup silently drops them — the classic survivor-bias hole in "
+    "fill-rate dashboards). Exact integer permille shares. Scale "
+    "shape: one orderkey-grain aggregate, an orderkey-co-partitioned "
+    "left join (both sides shuffle on the same key, no broadcast of "
+    "a fact), and a bounded histogram rollup (TPC-H order sizes are "
+    "1..7; any real order book is similarly few-valued).",
+)
+def q_orders_lineitem_count_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    c = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    j = o.join(c, o.o_orderkey == c.l_orderkey, "left").select(
+        F.coalesce("n_items", F.lit(0)).cast("long").alias("n_items")
+    )
+    tot = j.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        j.groupBy("n_items")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_items",
+            "n_orders",
+            F.expr("(n_orders * 1000L) div n").alias("share_permille"),
+        )
+    )
+
+
+@query(
+    "dq_status_priority_contingency",
+    f"""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+r AS (SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS rn FROM c
+      GROUP BY o_orderstatus),
+cc AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS cn FROM c
+       GROUP BY o_orderpriority),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c)
+SELECT c.o_orderstatus, c.o_orderpriority, c.n,
+       CAST((CAST(r.rn AS HUGEINT) * cc.cn * 1000) // t.nn AS BIGINT)
+         AS expected_millis,
+       CAST((CAST(c.n AS HUGEINT) * t.nn * 1000) // (CAST(r.rn AS HUGEINT)
+            * cc.cn) AS BIGINT) AS lift_permille,
+       {_s4(
+           'CAST(CAST(c.n AS HUGEINT) * t.nn'
+           '     - CAST(r.rn AS HUGEINT) * cc.cn AS DOUBLE)'
+           ' * CAST(CAST(c.n AS HUGEINT) * t.nn'
+           '       - CAST(r.rn AS HUGEINT) * cc.cn AS DOUBLE)'
+           ' / (CAST(t.nn AS DOUBLE) * CAST(CAST(r.rn AS HUGEINT) * cc.cn'
+           '                               AS DOUBLE))'
+       )} AS chisq_contrib
+FROM c JOIN r USING (o_orderstatus) JOIN cc USING (o_orderpriority)
+CROSS JOIN t
+""",
+    doc="Cross-column dependency profile: the status x priority "
+    "contingency table with per-cell expected count (margin product, "
+    "millis scale), observed/expected lift (permille), and the exact "
+    "chi-square contribution (o*N - r*c)^2 / (N*r*c) — emitted "
+    "PER CELL rather than summed, the engine's standing pattern for "
+    "chi-square family statistics (a cross-row double sum is "
+    "fold-order-dependent across engines; per-cell rows keep every "
+    "emitted double a single exact->double division, and the "
+    "consumer sums at display time). This is the statistical-"
+    "association complement of dq_fd_audit: an FD says a column "
+    "DETERMINES another; lift/chi-square says they merely correlate "
+    "— both matter when hunting derived or leaky columns before "
+    "training. Scale shape: one (status, priority) aggregate (cells "
+    "bounded by the two vocabularies), two margin rollups of THAT "
+    "frame, a 1-row total.",
+)
+def q_dq_status_priority_contingency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = c.groupBy("o_orderstatus").agg(
+        F.sum("n").cast("long").alias("rn")
+    )
+    cc = c.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("long").alias("cn")
+    )
+    t = c.agg(F.sum("n").cast("long").alias("nn"))
+    d_expr = (
+        "CAST(CAST(n AS DECIMAL(38,0)) * nn"
+        " - CAST(rn AS DECIMAL(38,0)) * cn AS DOUBLE)"
+    )
+    contrib = (
+        f"CAST(floor(({d_expr} * {d_expr}"
+        " / (CAST(nn AS DOUBLE)"
+        "    * CAST(CAST(rn AS DECIMAL(38,0)) * cn AS DOUBLE)))"
+        " * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+    )
+    return (
+        c.join(F.broadcast(r), "o_orderstatus")
+        .join(F.broadcast(cc), "o_orderpriority")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n",
+            F.expr(
+                "CAST((CAST(rn AS DECIMAL(38,0)) * cn * 1000) div nn"
+                " AS BIGINT)"
+            ).alias("expected_millis"),
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * nn * 1000)"
+                " div (CAST(rn AS DECIMAL(38,0)) * cn) AS BIGINT)"
+            ).alias("lift_permille"),
+            F.expr(contrib).alias("chisq_contrib"),
+        )
+    )
+
+
+_CONSONANT_RUN = "[bcdfghjklmnpqrstvwxz]+"
+
+
+@query(
+    "doc_garbage_text_screen",
+    f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_actual,
+         CAST(length(text)
+              - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+              AS BIGINT) AS n_symbols,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digits,
+         coalesce(list_max(list_transform(
+             regexp_extract_all(text, '{_CONSONANT_RUN}'), x -> length(x))),
+           0) AS max_consonant_run
+  FROM (SELECT doc_id, lower(text) AS text FROM documents)
+)
+SELECT doc_id,
+       CAST((n_symbols * 1000) // greatest(n_chars_actual, 1) AS BIGINT)
+         AS symbol_permille,
+       CAST((n_digits * 1000) // greatest(n_chars_actual, 1) AS BIGINT)
+         AS digit_permille,
+       CAST(max_consonant_run AS BIGINT) AS max_consonant_run,
+       CAST(((n_symbols * 1000) // greatest(n_chars_actual, 1) > 200
+             OR max_consonant_run >= 8) AS BOOLEAN) AS is_garbage
+FROM b
+""",
+    doc="Garbage-text screen (OCR noise / binary-in-text / markup "
+    "residue): per document, the permille of characters outside "
+    "[a-z0-9 ] after lowercasing, the digit permille, and the "
+    "longest consonant run (real words break consonant runs with "
+    "vowels; base64 blobs and OCR shred do not — run >= 8 is the "
+    "classic tell), with a composite is_garbage flag. All counts "
+    "come from two regexp_replace length-diffs and one "
+    "regexp_extract_all max — JVM-side regex per row, no UDFs, no "
+    "shuffle at all (a pure map stage a 1000-executor scan "
+    "parallelizes embarrassingly); ratios are integer permille "
+    "with a zero-length guard. The planted test feeds base64-ish "
+    "and symbol-soup rows the clean fixture lacks.",
+)
+def q_doc_garbage_text_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_chars = F.length(low).cast("long")
+    n_symbols = (
+        F.length(low)
+        - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))
+    ).cast("long")
+    n_digits = (
+        F.length(low) - F.length(F.regexp_replace(low, "[0-9]", ""))
+    ).cast("long")
+    runs = F.expr(
+        f"regexp_extract_all(lower(text), '{_CONSONANT_RUN}', 0)"
+    )
+    max_run = F.coalesce(
+        F.array_max(F.transform(runs, lambda x: F.length(x))),
+        F.lit(0),
+    ).cast("long")
+    b = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_symbols.alias("n_symbols"),
+        n_digits.alias("n_digits"),
+        max_run.alias("max_consonant_run"),
+    )
+    sym = F.expr("(n_symbols * 1000L) div greatest(n_chars_actual, 1L)")
+    dig = F.expr("(n_digits * 1000L) div greatest(n_chars_actual, 1L)")
+    return b.select(
+        "doc_id",
+        sym.alias("symbol_permille"),
+        dig.alias("digit_permille"),
+        "max_consonant_run",
+        ((sym > 200) | (F.col("max_consonant_run") >= 8)).alias(
+            "is_garbage"
+        ),
+    )

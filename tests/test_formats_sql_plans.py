@@ -381,6 +381,8 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "doc_dedup_source_shift",       # two 1-row total frames
         "emb_cosine_histogram",         # block-pair literal + 1-row total
         "doc_vocab_growth_curve",       # 1-row id-range frame
+        "orders_lineitem_count_histogram",  # 1-row total frame
+        "dq_status_priority_contingency",   # 1-row grand-total frame
     }
     offenders = []
     for name, spec in CATALOG.items():

@@ -708,3 +708,88 @@ def test_vocab_growth_first_appearance_buckets(spark, tmp_path):
     assert got[9]["cumulative_types"] == 4
     assert got[9]["n_tokens"] == 3
     assert got[0]["cumulative_types"] == 2
+
+
+def test_order_size_histogram_includes_zero_item_orders(spark, tmp_path):
+    """An order with no line items must appear in the n_items=0 bucket
+    (the survivor-bias hole a lineitem-only rollup has)."""
+    ship = dt.datetime(1995, 1, 1)
+    orders = [
+        (1, 1, "F", 1.0, ship, "x"),
+        (2, 1, "F", 1.0, ship, "x"),
+        (3, 1, "F", 1.0, ship, "x"),  # zero items
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+        (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+    ]
+    _write(spark, tmp_path, "orders", _orders(spark, orders))
+    sf = _write(spark, tmp_path, "lineitem", _lineitem(spark, li))
+    got = {
+        r["n_items"]: r
+        for r in CATALOG["orders_lineitem_count_histogram"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert got[0]["n_orders"] == 1 and got[0]["share_permille"] == 333
+    assert got[1]["n_orders"] == 1
+    assert got[2]["n_orders"] == 1
+
+
+def test_contingency_independence_and_lift(spark, tmp_path):
+    """A perfectly independent 2x2 (margins 2/2, each cell 1) must show
+    lift 1000 and chi-square contribution 0 in every cell; a planted
+    association shows lift > 1000 on the diagonal."""
+    ship = dt.datetime(1995, 1, 1)
+    rows = [
+        (1, 1, "A", 1.0, ship, "P1"),
+        (2, 1, "A", 1.0, ship, "P2"),
+        (3, 1, "B", 1.0, ship, "P1"),
+        (4, 1, "B", 1.0, ship, "P2"),
+    ]
+    sf = _write(spark, tmp_path, "orders", _orders(spark, rows))
+    got = CATALOG["dq_status_priority_contingency"].spark(spark, sf).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r["lift_permille"] == 1000
+        assert r["chisq_contrib"] == 0.0
+        assert r["expected_millis"] == 1000  # 2*2*1000//4
+    rows2 = [
+        (1, 1, "A", 1.0, ship, "P1"),
+        (2, 1, "A", 1.0, ship, "P1"),
+        (3, 1, "B", 1.0, ship, "P2"),
+        (4, 1, "B", 1.0, ship, "P2"),
+    ]
+    sf2 = _write(spark, tmp_path, "orders", _orders(spark, rows2))
+    got2 = {
+        (r["o_orderstatus"], r["o_orderpriority"]): r
+        for r in CATALOG["dq_status_priority_contingency"]
+        .spark(spark, sf2)
+        .collect()
+    }
+    assert got2[("A", "P1")]["lift_permille"] == 2000
+    # chi contribution per cell: (2*4 - 2*2)^2 / (4*2*2) = 16/16 = 1.0
+    assert got2[("A", "P1")]["chisq_contrib"] == 1.0
+
+
+def test_garbage_screen_flags_base64_and_symbol_soup(spark, tmp_path):
+    """Clean prose passes; a base64-ish blob trips the consonant-run
+    rule; symbol soup trips the symbol-ratio rule; digits count
+    separately from symbols."""
+    rows = [
+        (1, "the quick brown fox jumps over a dog", "en", "A", 37),
+        (2, "aGVsbG8gd29ybGQgZnJvbSBzcGFyaw", "en", "A", 30),  # base64-ish
+        (3, "@@@@ $$$$ %%%% ^^^^ &&&& ****", "en", "A", 29),
+        (4, "route 66 and 1234567890 numbers", "en", "A", 31),
+    ]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["doc_id"]: r
+        for r in CATALOG["doc_garbage_text_screen"].spark(spark, sf).collect()
+    }
+    assert not got[1]["is_garbage"] and got[1]["symbol_permille"] == 0
+    assert got[2]["is_garbage"] and got[2]["max_consonant_run"] >= 8
+    assert got[3]["is_garbage"] and got[3]["symbol_permille"] > 200
+    assert not got[4]["is_garbage"]
+    assert got[4]["digit_permille"] > 300
