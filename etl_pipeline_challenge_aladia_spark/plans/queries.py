@@ -11884,10 +11884,23 @@ def q_doc_dedup_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pair budget for the cosine histogram: the deterministic vector
+#: sample targets ~HIST_SAMPLE_M vectors, so pair work is bounded by
+#: HIST_SAMPLE_M^2/2 regardless of corpus size (2^32 = md5-fold range)
+_HIST_SAMPLE_M = 2000
+_HIST_GATE = _HIST_SAMPLE_M * (2**32)
+
+
 @query(
     "emb_cosine_histogram",
     f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM embeddings),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings, nn
+  WHERE CAST({sql_md5_fold32("CAST(vec_id AS VARCHAR)")} AS HUGEINT) * nv
+        < {_HIST_GATE}
+),
 p AS (
   SELECT {_s4('list_cosine_similarity(a.emb, b.emb)')} AS cos_sim
   FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -11908,22 +11921,42 @@ FROM b, tot GROUP BY bucket
     "floor 0.30 sit relative to the background mass decides their "
     "false-match rates; a right-shifted histogram (anisotropic, "
     "hubby space — see emb_anisotropy_audit) silently turns a fixed "
-    "threshold permissive. Pairs come from the same blocked-GEMM "
-    "exact scan as emb_cosine_near_dup with the threshold released "
-    "(BLAS matmuls in applyInPandas; rounded half-up BEFORE "
-    "bucketing, so both engines bucket identically); the n^2 pair "
-    "mass immediately collapses into a <=21-row bucket aggregate "
-    "inside the same stage. At corpus scale the exact scan swaps for "
-    "a deterministic hash-sampled pair subset — the histogram is a "
-    "DISTRIBUTION estimate, the one place sampling is sound.",
+    "threshold permissive. CONSTANT-BUDGET by construction: a "
+    "deterministic hash gate keeps a vector when fold32(id) * "
+    "n_vectors < M * 2^32 (M = 2000), i.e. an expected M-vector "
+    "sample whatever the corpus size — below ~M vectors the gate "
+    "keeps everything (exact histogram at fixture scales, ladder-"
+    "verified), above it pair work stays ~M^2/2 while the histogram "
+    "remains an unbiased distribution estimate (sampling VECTORS "
+    "keeps pair independence; the one statistic in the catalog where "
+    "sampling is sound, and the gate is engine-exact integer "
+    "arithmetic so both engines sample the identical set). Pairs "
+    "come from the same blocked-GEMM exact scan as "
+    "emb_cosine_near_dup with the threshold released (rounded "
+    "half-up BEFORE bucketing), collapsing into a <=21-row bucket "
+    "aggregate inside the same stage.",
 )
 def q_emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         cosine_pairs_blocked,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_blocked(emb, threshold=-1.0)
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    sampled = (
+        emb.crossJoin(F.broadcast(nn))
+        .withColumn("h", md5_fold32_col(F.col("vec_id").cast("string")))
+        .filter(
+            F.expr(
+                f"CAST(h AS DECIMAL(38,0)) * nv < {_HIST_GATE}"
+            )
+        )
+        .drop("h", "nv")
+    )
+    pairs = cosine_pairs_blocked(sampled, threshold=-1.0)
     b = pairs.select(
         F.least(
             F.floor(F.col("cos_sim") * 10.0).cast("long"), F.lit(9)

@@ -793,3 +793,33 @@ def test_garbage_screen_flags_base64_and_symbol_soup(spark, tmp_path):
     assert got[3]["is_garbage"] and got[3]["symbol_permille"] > 200
     assert not got[4]["is_garbage"]
     assert got[4]["digit_permille"] > 300
+
+
+def test_cosine_histogram_gate_kicks_in_above_budget(spark, tmp_path):
+    """With 2500 vectors (> M=2000) the deterministic gate must keep the
+    exact fold32(id)*n < M*2^32 subset, and the histogram must equal a
+    numpy brute force over precisely that subset."""
+    import numpy as np
+
+    n = 2500
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(n, 4).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = _write(spark, tmp_path, "embeddings", emb)
+    got = {
+        r["bucket"]: r["n_pairs"]
+        for r in CATALOG["emb_cosine_histogram"].spark(spark, sf).collect()
+    }
+    keep = [i for i in range(n) if _fold32(str(i)) * n < 2000 * (2**32)]
+    assert 1500 < len(keep) < 2500  # the gate actually sampled
+    m = vecs[keep].astype(np.float64)
+    norm = np.linalg.norm(m, axis=1)
+    sim = (m @ m.T) / np.outer(norm, norm)
+    sim = np.floor(sim * 1e4 + 0.5) / 1e4
+    iu = np.triu_indices(len(keep), k=1)
+    buckets = np.minimum(np.floor(sim[iu] * 10.0), 9).astype(int)
+    want = {int(b): int(c) for b, c in zip(*np.unique(buckets, return_counts=True))}
+    assert got == want
