@@ -12275,3 +12275,99 @@ def q_doc_garbage_text_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_garbage"
         ),
     )
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One unrolled BPE round: bigram counts over t{r-1}, the top merge
+    by (count DESC, pair ASC), and the space-padded corpus rewrite."""
+    return f"""
+c{r} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_transform(range(len(w) - 1),
+                  i -> w[i+1] || ' ' || w[i+2])) AS pair
+    FROM (SELECT string_split(trim(tx), ' ') AS w FROM t{r - 1})
+    WHERE len(w) >= 2
+  ) GROUP BY pair
+),
+m{r} AS (SELECT pair, n FROM c{r} ORDER BY n DESC, pair LIMIT 1),
+t{r} AS (
+  SELECT replace(tx, ' ' || pair || ' ',
+                 ' ' || replace(pair, ' ', '+') || ' ') AS tx
+  FROM t0x, m{r}
+)""".replace("t0x", f"t{r - 1}")
+
+
+_BPE_ORACLE = (
+    "WITH t0 AS (SELECT ' ' || text || ' ' AS tx FROM documents),"
+    + ",".join(_bpe_round_ctes(r).lstrip() for r in (1, 2, 3))
+    + """
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS merge_round, pair,
+         replace(pair, ' ', '+') AS merged, n AS n_occurrences FROM m1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', '+'), n FROM m2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', '+'), n FROM m3
+)
+"""
+)
+
+
+@query(
+    "doc_bpe_merge_rounds",
+    _BPE_ORACLE,
+    doc="Iterative BPE training, 3 merge rounds — the tokenizer-"
+    "construction primitive doc_bpe_pair_counts only approximates "
+    "(pair counts CHANGE after each merge; a static top-3 is not the "
+    "greedy merge sequence): per round, count adjacent token pairs "
+    "over the CURRENT corpus, pick the most frequent (count DESC, "
+    "pair ASC tie-break), and rewrite the corpus joining that pair "
+    "with '+'. The rewrite is a single space-padded replace(' a b ' "
+    "-> ' a+b '): sequential leftmost non-overlapping on BOTH "
+    "engines, so a run like 'a b a b' merges its first occurrence "
+    "only per pass (the consumed-separator semantics — pinned by a "
+    "planted test, identical cross-engine, and the reason the oracle "
+    "can unroll the loop CTE-for-CTE). Each round is one explode + "
+    "pair aggregate + a 1-row TakeOrdered merge decision broadcast "
+    "into one linear map rewrite — corpus scans stay O(rounds * "
+    "corpus), merge state is 1 row; the exact shape a 1000-executor "
+    "tokenizer-training job wants. Output: the greedy merge table "
+    "(round, pair, merged symbol, pre-merge count).",
+)
+def q_doc_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tx = docs.select(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("tx")
+    )
+    out = None
+    for r in (1, 2, 3):
+        pairs = (
+            tx.select(F.split(F.trim("tx"), " ").alias("w"))
+            .filter(F.size("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(w[i], ' ', w[i+1]))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "pair").limit(1)
+        rec = top.select(
+            F.lit(r).cast("long").alias("merge_round"),
+            "pair",
+            F.regexp_replace("pair", " ", "+").alias("merged"),
+            F.col("n").alias("n_occurrences"),
+        )
+        out = rec if out is None else out.unionByName(rec)
+        tx = tx.crossJoin(F.broadcast(top)).select(
+            F.expr(
+                "replace(tx, concat(' ', pair, ' '),"
+                " concat(' ', replace(pair, ' ', '+'), ' ')) AS tx"
+            )
+        )
+    return out

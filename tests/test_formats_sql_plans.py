@@ -383,6 +383,7 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "doc_vocab_growth_curve",       # 1-row id-range frame
         "orders_lineitem_count_histogram",  # 1-row total frame
         "dq_status_priority_contingency",   # 1-row grand-total frame
+        "doc_bpe_merge_rounds",         # three 1-row merge-decision frames
     }
     offenders = []
     for name, spec in CATALOG.items():

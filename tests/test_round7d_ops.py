@@ -823,3 +823,38 @@ def test_cosine_histogram_gate_kicks_in_above_budget(spark, tmp_path):
     buckets = np.minimum(np.floor(sim[iu] * 10.0), 9).astype(int)
     want = {int(b): int(c) for b, c in zip(*np.unique(buckets, return_counts=True))}
     assert got == want
+
+
+def test_bpe_merges_greedy_sequence_and_tiebreak(spark, tmp_path):
+    """'x y' dominates round 1; rounds 2-3 break the count tie
+    lexicographically among the rewritten pairs."""
+    rows = [
+        (1, "x y z", "en", "A", 5),
+        (2, "x y w", "en", "A", 5),
+        (3, "x y", "en", "A", 3),
+    ]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["merge_round"]: (r["pair"], r["merged"], r["n_occurrences"])
+        for r in CATALOG["doc_bpe_merge_rounds"].spark(spark, sf).collect()
+    }
+    assert got[1] == ("x y", "x+y", 3)
+    assert got[2] == ("x+y w", "x+y+w", 1)  # tie 1-1, 'w' < 'z'
+    assert got[3] == ("x+y z", "x+y+z", 1)
+
+
+def test_bpe_consumed_separator_semantics_pinned(spark, tmp_path):
+    """'a b a b a b': the padded sequential replace consumes the
+    separator after each match, so round 1 merges occurrences 1 and 3
+    (leaving ' a+b a b a+b '); round 2 then re-merges the survivor, and
+    round 3 pairs the merged symbols. This pins the exact cross-engine
+    rewrite semantics the oracle unrolls."""
+    rows = [(1, "a b a b a b", "en", "A", 11)]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["merge_round"]: (r["pair"], r["n_occurrences"])
+        for r in CATALOG["doc_bpe_merge_rounds"].spark(spark, sf).collect()
+    }
+    assert got[1] == ("a b", 3)       # pre-merge count
+    assert got[2] == ("a b", 1)       # the skipped middle occurrence
+    assert got[3] == ("a+b a+b", 2)   # merged symbols pair up
