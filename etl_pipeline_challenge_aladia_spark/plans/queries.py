@@ -12371,3 +12371,108 @@ def q_doc_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+@query(
+    "part_price_dispersion_by_type",
+    f"""
+WITH x AS (
+  SELECT p_type,
+         CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM part
+),
+s AS (
+  SELECT p_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         sum(CAST(c AS HUGEINT) * c) AS s2
+  FROM x GROUP BY p_type
+)
+SELECT p_type,
+       n,
+       {_s2('CAST(s1 AS DOUBLE) / 100.0 / n')} AS mean_price,
+       CASE WHEN s1 = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((CAST(n AS HUGEINT) * s2
+                       - CAST(s1 AS HUGEINT) * s1) * 1000
+                      // (CAST(s1 AS HUGEINT) * s1) AS BIGINT) END
+         AS cv2_permille
+FROM s
+""",
+    doc="Price dispersion per part type as the SQUARED coefficient of "
+    "variation in permille — cv^2 = variance/mean^2 = (n*S2 - S1^2) / "
+    "S1^2, the sqrt-free dispersion measure (a true CV needs a square "
+    "root; its square ranks types identically and stays a pure ratio "
+    "of exact integer moments): near 0 = administered/uniform "
+    "pricing, large = a type mixing budget and premium SKUs, the "
+    "signal for where a single 'average price' misleads downstream "
+    "models. Prices quantized once to cents, moments exact in "
+    "HUGEINT/DECIMAL(38), one flooring division on non-negative "
+    "terms; the mean reuses the order-independent fixed-point path. "
+    "Scale shape: one type-grain aggregate with map-side partials — "
+    "no joins, no windows.",
+)
+def q_part_price_dispersion_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pt = load_table(spark, sf_dir, "part")
+    s = pt.select(
+        "p_type",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("c"),
+    ).groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
+    )
+    return s.select(
+        "p_type",
+        "n",
+        _r2(F.col("s1").cast("double") / 100.0 / F.col("n"), "mean_price"),
+        F.expr(
+            "CASE WHEN s1 = 0 THEN 0L"
+            " ELSE CAST((CAST(n AS DECIMAL(38,0)) * s2"
+            "            - CAST(s1 AS DECIMAL(38,0)) * s1) * 1000"
+            "           div (CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)"
+            " END"
+        ).alias("cv2_permille"),
+    )
+
+
+@query(
+    "customer_acctbal_profile_by_segment",
+    f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST((sum(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END) * 1000)
+            // count(*) AS BIGINT) AS negative_permille,
+       {_s2(sql_avg_fixed_point('c_acctbal', 2))} AS mean_acctbal
+FROM customer GROUP BY c_mktsegment
+""",
+    doc="Account-balance health profile per market segment: customer "
+    "count, how many sit below zero (in-debt share, integer "
+    "permille), and the exact order-independent mean balance — the "
+    "receivables-risk slice behind credit-hold policies, and the "
+    "profiling twin of dq_profile_orders for the customer dimension. "
+    "Negative values are why the mean uses the signed fixed-point "
+    "path (quantize-then-integer-sum is sign-safe; only the division "
+    "is floating). One segment-grain aggregate, map-side partials, "
+    "no joins.",
+)
+def q_customer_acctbal_profile_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("c_acctbal") < 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.expr(
+            "CAST((sum(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END)"
+            " * 1000L) div count(1) AS BIGINT)"
+        ).alias("negative_permille"),
+        _r2(avg_fixed_point(F.col("c_acctbal"), 2), "mean_acctbal"),
+    )

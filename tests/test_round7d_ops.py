@@ -858,3 +858,46 @@ def test_bpe_consumed_separator_semantics_pinned(spark, tmp_path):
     assert got[1] == ("a b", 3)       # pre-merge count
     assert got[2] == ("a b", 1)       # the skipped middle occurrence
     assert got[3] == ("a+b a+b", 2)   # merged symbols pair up
+
+
+def test_price_dispersion_uniform_vs_mixed(spark, tmp_path):
+    """Uniform pricing gives cv2 = 0; a 100/300 two-point mix gives
+    variance/mean^2 = 10000/40000 = 250 permille exactly."""
+    parts = [
+        (1, "p", "B", "FLAT", 1, 50.0),
+        (2, "p", "B", "FLAT", 1, 50.0),
+        (3, "p", "B", "MIX", 1, 100.0),
+        (4, "p", "B", "MIX", 1, 300.0),
+    ]
+    sf = _write(spark, tmp_path, "part", _part(spark, parts))
+    got = {
+        r["p_type"]: r
+        for r in CATALOG["part_price_dispersion_by_type"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert got["FLAT"]["cv2_permille"] == 0
+    assert got["FLAT"]["mean_price"] == 50.0
+    # n=2, S1=40000c, S2=1e8+9e8: n*S2-S1^2 = 2e9-1.6e9 = 4e8;
+    # 4e8*1000 // 1.6e9 = 250
+    assert got["MIX"]["cv2_permille"] == 250
+    assert got["MIX"]["mean_price"] == 200.0
+
+
+def test_acctbal_profile_negative_share_and_signed_mean(spark, tmp_path):
+    """Negative balances count toward the permille and the signed
+    fixed-point mean is exact."""
+    cust = spark.createDataFrame(
+        [
+            (1, "c", 0, -100.0, "S"),
+            (2, "c", 0, 200.0, "S"),
+            (3, "c", 0, 350.5, "S"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    sf = _write(spark, tmp_path, "customer", cust)
+    got = CATALOG["customer_acctbal_profile_by_segment"].spark(spark, sf).collect()[0]
+    assert got["n_customers"] == 3 and got["n_negative"] == 1
+    assert got["negative_permille"] == 333
+    assert got["mean_acctbal"] == round((-100.0 + 200.0 + 350.5) / 3, 2)
