@@ -165,3 +165,36 @@ def run_mad_monitor_stream(
         .start()
         .awaitTermination()
     )
+
+
+def compact_day_store(
+    spark: SparkSession, store_path: str, out_path: str
+) -> int:
+    """Consolidate the day store's per-batch directories into ONE
+    day-grain frame at a fresh path — the small-files maintenance op
+    every ``batch=<id>`` store in this engine ships with
+    (compact_signature_store / compact_segment_store pattern: publish
+    to a reserved directory, then point the consumer). Beyond file
+    count, compaction SHRINKS the store: per-batch deltas for the same
+    day collapse into one summed row. The compacted frame keeps a
+    ``batch_id`` column holding the MAX contributing batch per day, so
+    the monitor's strictly-earlier-history predicate (batch_id <
+    current) stays correct after a pointer swap: a replayed batch b
+    only ever replays while later batches are being reprocessed too,
+    and compaction is an offline maintenance step run on quiesced
+    stores (same operational contract as the other compactors).
+    Returns the number of compacted day rows."""
+    import os as _os
+
+    days = (
+        read_batch_store(spark, store_path, DAY_STORE_SCHEMA)
+        .groupBy("day")
+        .agg(
+            F.sum("fx").cast("long").alias("fx"),
+            F.max("batch_id").cast("long").alias("batch_id"),
+        )
+        .select("day", "fx", "batch_id")
+    )
+    target = _os.path.join(out_path, "batch=0")
+    days.write.mode("overwrite").parquet(target)
+    return spark.read.parquet(target).count()

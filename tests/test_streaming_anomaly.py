@@ -133,3 +133,58 @@ def test_file_stream_end_to_end(spark, tmp_path):
     assert {r["day"] for r in rep} == {"2024-01-09"}
     assert os.path.isdir(os.path.join(store, "batch=0"))
     assert os.path.isdir(os.path.join(store, "batch=1"))
+
+
+def test_compact_day_store_sums_deltas_and_preserves_report(spark, tmp_path):
+    """Compaction collapses same-day deltas across batches into one row,
+    and a monitor pointed at the compacted store produces the same
+    anomaly report as against the raw store."""
+    from etl_pipeline_challenge_aladia_spark.streaming.anomaly import (
+        compact_day_store,
+        make_mad_monitor_processor,
+    )
+
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    proc = make_mad_monitor_processor(store, report, z_threshold=3.5)
+    proc(_events(spark, _quiet_rows()), 0)
+    # batch 1 re-touches day 1 (delta adds) and a new day
+    proc(
+        _events(
+            spark,
+            [
+                (50, dt.datetime(2024, 1, 1, 20), 4, "view", 5.0, "{}"),
+                (51, dt.datetime(2024, 1, 9, 9), 5, "view", 1000.0, "{}"),
+            ],
+        ),
+        1,
+    )
+    raw = read_day_store(spark, store)
+    n = compact_day_store(spark, store, str(tmp_path / "compacted"))
+    comp = read_day_store(spark, str(tmp_path / "compacted"))
+    assert n == comp.count() == 9  # 8 quiet days + spike day
+    # day 1 collapsed: 10.0 + 5.0 -> one 15e6 row
+    d1 = comp.filter("day = DATE'2024-01-01'").collect()
+    assert len(d1) == 1 and d1[0]["fx"] == 15_000_000
+    # totals preserved exactly
+    assert (
+        raw.groupBy().sum("fx").collect()[0][0]
+        == comp.groupBy().sum("fx").collect()[0][0]
+    )
+    # a batch-2 monitor run against the compacted store sees the same
+    # history (all compacted rows carry batch_id <= 1 < 2)
+    proc2 = make_mad_monitor_processor(
+        str(tmp_path / "compacted"), str(tmp_path / "report2"), 3.5
+    )
+    proc2(
+        _events(
+            spark, [(60, dt.datetime(2024, 1, 10, 9), 6, "view", 12.0, "{}")]
+        ),
+        2,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.anomaly import (
+        read_mad_report,
+    )
+
+    rep = read_mad_report(spark, str(tmp_path / "report2")).collect()
+    assert {r["day"] for r in rep} == {"2024-01-09"}  # spike still flagged

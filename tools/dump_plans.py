@@ -148,6 +148,17 @@ PICKS = {
     "both key on o_custkey, so the plan reuses ONE Exchange for the "
     "min-month aggregate and the cohort join; the final rollup is "
     "months^2-bounded",
+    "doc_bpe_merge_rounds": "iterative tokenizer training at engine "
+    "level: each of the three rounds is one explode + pair hash "
+    "aggregate, a TakeOrderedAndProject(1) merge decision, and a "
+    "1-row broadcast into a pure map rewrite — corpus scans stay "
+    "O(rounds x corpus) and the merge state crossing stages is ONE "
+    "row per round",
+    "doc_cdc_chunk_dedup": "two doc-PARTITIONED windows (lag-gram "
+    "fingerprint, running breakpoint count) share one doc_id "
+    "Exchange; chunk reassembly is an in-group array_sort (no second "
+    "shuffle at the same key), and the dedup aggregate keys on the "
+    "chunk text with map-side partials",
 }
 
 
