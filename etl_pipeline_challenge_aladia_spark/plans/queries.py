@@ -12476,3 +12476,113 @@ def q_customer_acctbal_profile_by_segment(
         ).alias("negative_permille"),
         _r2(avg_fixed_point(F.col("c_acctbal"), 2), "mean_acctbal"),
     )
+
+
+@query(
+    "doc_duplicated_span_coverage",
+    """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+tok AS (SELECT source, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+        FROM w GROUP BY source),
+g AS (
+  SELECT doc_id, source,
+         generate_subscripts(list_transform(range(greatest(len(w) - 7, 0)),
+           i -> 1), 1) - 1 AS pos,
+         unnest(list_transform(range(greatest(len(w) - 7, 0)),
+           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+                || ' ' || w[i+8])) AS gram
+  FROM w
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS nd
+    FROM g GROUP BY gram
+  ) WHERE n >= 2
+),
+hits AS (SELECT g.doc_id, g.source, g.pos FROM g JOIN dup USING (gram)),
+cov AS (
+  SELECT DISTINCT doc_id, source, CAST(pos + o AS BIGINT) AS p
+  FROM hits, (SELECT unnest(range(8)) AS o)
+),
+c AS (SELECT source, CAST(count(*) AS BIGINT) AS covered
+      FROM cov GROUP BY source)
+SELECT t.source,
+       t.n_tokens,
+       coalesce(c.covered, 0) AS covered_tokens,
+       CAST((coalesce(c.covered, 0) * 1000) // t.n_tokens AS BIGINT)
+         AS covered_permille
+FROM tok t LEFT JOIN c USING (source)
+""",
+    doc="Duplicated-span coverage — the memorization-risk metric from "
+    "the training-data-dedup literature (what share of the corpus "
+    "sits inside an 8-gram that occurs MORE THAN ONCE anywhere, "
+    "including within the same document): per source, the permille "
+    "of token positions covered by at least one duplicated 8-gram. "
+    "Near-dup pair ops find WHICH documents overlap; this measures "
+    "HOW MUCH raw text is recycled — the number that decides whether "
+    "span-level dedup (doc_cdc_chunk_dedup / segment dedup) is worth "
+    "running at all. Position coverage expands each hit gram into "
+    "its 8 token positions and DISTINCT-collapses overlaps, so a "
+    "token inside three duplicated grams counts once. Everything is "
+    "exact integers. Scale shape: one gram explode + gram-grain "
+    "count (the inverted-index shape), a gram-keyed semi join back, "
+    "a bounded x8 position expansion with a (doc, pos)-keyed "
+    "distinct, and source-grain rollups — all linear in corpus size; "
+    "nothing pairs documents.",
+)
+def q_doc_duplicated_span_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source", tokens_col("text").alias("w"))
+    tok = w.groupBy("source").agg(
+        F.sum(F.size("w")).cast("long").alias("n_tokens")
+    )
+    g = w.filter(F.size("w") >= 8).select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(w) - 8),"
+                " i -> concat_ws(' ', slice(w, i + 1, 8)))"
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram", "left_semi")
+    cov = (
+        hits.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 7)
+            ).alias("p0"),
+        )
+        .select("doc_id", "source", F.col("p0").cast("long").alias("p"))
+        .distinct()
+    )
+    c = cov.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("covered")
+    )
+    return (
+        tok.join(c, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce("covered", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.expr(
+                "(coalesce(covered, 0L) * 1000L) div n_tokens"
+            ).alias("covered_permille"),
+        )
+    )

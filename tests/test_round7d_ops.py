@@ -901,3 +901,39 @@ def test_acctbal_profile_negative_share_and_signed_mean(spark, tmp_path):
     assert got["n_customers"] == 3 and got["n_negative"] == 1
     assert got["negative_permille"] == 333
     assert got["mean_acctbal"] == round((-100.0 + 200.0 + 350.5) / 3, 2)
+
+
+def test_duplicated_span_coverage_counts_positions_once(spark, tmp_path):
+    """Two docs sharing an 8-token block: every token of the block is
+    covered in both docs (16 covered positions in source A+B), tokens
+    outside any duplicated gram are not, and overlapping duplicated
+    grams never double-count a position."""
+    block = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, f"u1 u2 {block}", "en", "A", 1),        # 10 tokens, 8 covered
+        (2, f"{block} v1 v2 v3", "en", "B", 1),     # 11 tokens, 8 covered
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "C", 1),  # nothing dup'd
+    ]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = {
+        r["source"]: r
+        for r in CATALOG["doc_duplicated_span_coverage"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert got["A"]["n_tokens"] == 10 and got["A"]["covered_tokens"] == 8
+    assert got["A"]["covered_permille"] == 800
+    assert got["B"]["n_tokens"] == 11 and got["B"]["covered_tokens"] == 8
+    assert got["C"]["covered_tokens"] == 0 and got["C"]["covered_permille"] == 0
+
+
+def test_duplicated_span_coverage_within_one_doc(spark, tmp_path):
+    """A repeated 8-gram INSIDE one document counts (n >= 2 occurrences
+    anywhere, same-doc included) — self-repetition is memorization risk
+    too."""
+    block = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [(1, f"{block} mid {block}", "en", "A", 1)]  # 17 tokens
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+    got = CATALOG["doc_duplicated_span_coverage"].spark(spark, sf).collect()[0]
+    assert got["n_tokens"] == 17
+    assert got["covered_tokens"] == 16  # both blocks, 'mid' uncovered
