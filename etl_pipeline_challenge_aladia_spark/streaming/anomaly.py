@@ -43,6 +43,11 @@ from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
 #: per-batch day-grain fixed-point deltas (1e6-scaled value sums)
 DAY_STORE_SCHEMA = "day date, fx long, batch_id long"
 
+#: consolidated day-grain history (no batch_id — compacted rows are
+#: pre-history by definition and are read UNCONDITIONALLY, never
+#: filtered by the strictly-earlier predicate; see compact_day_store)
+COMPACTED_DAY_SCHEMA = "day date, fx long"
+
 #: per-batch anomaly report (days breaching the threshold AS OF that batch)
 MAD_REPORT_SCHEMA = (
     "day string, daily_total double, robust_z double, batch_id long"
@@ -62,6 +67,37 @@ def _day_deltas(delta: DataFrame) -> DataFrame:
         .cast("long")
         .alias("fx")
     )
+
+
+def _read_day_history(
+    spark: SparkSession, store_path: str, batch_id: int
+) -> DataFrame:
+    """Day-grain history a (possibly replayed) batch may see: live
+    ``batch=<id>`` rows with STRICTLY-EARLIER batch ids, plus the
+    reserved ``compacted/`` directory read UNCONDITIONALLY. The
+    strictly-earlier predicate applies only to live rows — compacted
+    history predates every live batch by the compaction contract (the
+    store is quiesced and live directories removed before the pointer
+    swap), so no batch id — not even the 0 a fresh-checkpoint restart
+    replays at — can ever filter it out (the batch=0 collision class,
+    streaming/docs.py COMPACTED_DIR)."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        COMPACTED_DIR,
+    )
+
+    live = (
+        read_batch_store(
+            spark, store_path, DAY_STORE_SCHEMA, exclude_batch=batch_id
+        )
+        .filter(F.col("batch_id") < batch_id)
+        .select("day", "fx")
+    )
+    compacted = os.path.join(store_path, COMPACTED_DIR)
+    if os.path.isdir(compacted):
+        live = live.unionByName(
+            spark.read.schema(COMPACTED_DAY_SCHEMA).parquet(compacted)
+        )
+    return live
 
 
 def mad_day_report(day_totals: DataFrame) -> DataFrame:
@@ -100,20 +136,15 @@ def make_mad_monitor_processor(
         ).write.mode("overwrite").parquet(
             os.path.join(store_path, f"batch={batch_id}")
         )
-        # Strictly-earlier history (batch_id < mine), NOT merely
+        # Strictly-earlier history (live batch_id < mine), NOT merely
         # "exclude my own directory": a checkpoint-replayed batch must
         # see exactly the history its original run saw, and by the
         # time it replays, LATER batches' directories already exist.
         # The store rows carry batch_id precisely so this predicate is
         # expressible; exclude_batch additionally shields the replay
-        # from its own half-written directory.
-        history = (
-            read_batch_store(
-                spark, store_path, DAY_STORE_SCHEMA, exclude_batch=batch_id
-            )
-            .filter(F.col("batch_id") < batch_id)
-            .select("day", "fx")
-        )
+        # from its own half-written directory. Compacted history is
+        # read unconditionally (_read_day_history).
+        history = _read_day_history(spark, store_path, batch_id)
         totals = (
             history.unionByName(mine)
             .groupBy("day")
@@ -136,7 +167,22 @@ def read_mad_report(spark: SparkSession, report_path: str) -> DataFrame:
 
 
 def read_day_store(spark: SparkSession, store_path: str) -> DataFrame:
-    return read_batch_store(spark, store_path, DAY_STORE_SCHEMA)
+    """All accumulated day deltas: live ``batch=<id>`` rows plus the
+    reserved ``compacted/`` directory (compacted rows carry a NULL
+    batch_id — they are consolidated pre-history, not any batch's)."""
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        COMPACTED_DIR,
+    )
+
+    df = read_batch_store(spark, store_path, DAY_STORE_SCHEMA)
+    compacted = os.path.join(store_path, COMPACTED_DIR)
+    if os.path.isdir(compacted):
+        df = df.unionByName(
+            spark.read.schema(COMPACTED_DAY_SCHEMA)
+            .parquet(compacted)
+            .withColumn("batch_id", F.lit(None).cast("long"))
+        )
+    return df
 
 
 def run_mad_monitor_stream(
@@ -171,30 +217,35 @@ def compact_day_store(
     spark: SparkSession, store_path: str, out_path: str
 ) -> int:
     """Consolidate the day store's per-batch directories into ONE
-    day-grain frame at a fresh path — the small-files maintenance op
-    every ``batch=<id>`` store in this engine ships with
-    (compact_signature_store / compact_segment_store pattern: publish
-    to a reserved directory, then point the consumer). Beyond file
-    count, compaction SHRINKS the store: per-batch deltas for the same
-    day collapse into one summed row. The compacted frame keeps a
-    ``batch_id`` column holding the MAX contributing batch per day, so
-    the monitor's strictly-earlier-history predicate (batch_id <
-    current) stays correct after a pointer swap: a replayed batch b
-    only ever replays while later batches are being reprocessed too,
-    and compaction is an offline maintenance step run on quiesced
-    stores (same operational contract as the other compactors).
-    Returns the number of compacted day rows."""
+    day-grain frame under the reserved ``compacted/`` directory at a
+    fresh path — the small-files maintenance op every ``batch=<id>``
+    store in this engine ships with (compact_signature_store /
+    compact_segment_store pattern: publish to a fresh path, then point
+    the consumer). Beyond file count, compaction SHRINKS the store:
+    per-batch deltas for the same day collapse into one summed row.
+    Compacted rows carry NO batch_id: the monitor reads ``compacted/``
+    unconditionally and applies its strictly-earlier predicate only to
+    live ``batch=<id>`` rows, so no batch id — not even the 0 a
+    fresh-checkpoint restart replays at — can exclude or overwrite the
+    consolidated history (the batch=0 collision class,
+    streaming/docs.py COMPACTED_DIR). The trade is explicit: because
+    per-batch provenance is summed away, compaction FORECLOSES replay
+    of pre-compaction batches — it is an offline maintenance step run
+    on quiesced stores whose checkpoints have committed every
+    contributing batch (same operational contract as the other
+    compactors). Returns the number of compacted day rows."""
     import os as _os
 
-    days = (
-        read_batch_store(spark, store_path, DAY_STORE_SCHEMA)
-        .groupBy("day")
-        .agg(
-            F.sum("fx").cast("long").alias("fx"),
-            F.max("batch_id").cast("long").alias("batch_id"),
-        )
-        .select("day", "fx", "batch_id")
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        COMPACTED_DIR,
     )
-    target = _os.path.join(out_path, "batch=0")
+
+    days = (
+        read_day_store(spark, store_path)
+        .groupBy("day")
+        .agg(F.sum("fx").cast("long").alias("fx"))
+        .select("day", "fx")
+    )
+    target = _os.path.join(out_path, COMPACTED_DIR)
     days.write.mode("overwrite").parquet(target)
     return spark.read.parquet(target).count()

@@ -188,3 +188,45 @@ def test_compact_day_store_sums_deltas_and_preserves_report(spark, tmp_path):
 
     rep = read_mad_report(spark, str(tmp_path / "report2")).collect()
     assert {r["day"] for r in rep} == {"2024-01-09"}  # spike still flagged
+
+
+def test_compacted_store_survives_fresh_checkpoint_batch_zero(
+    spark, tmp_path
+):
+    """The batch=0 collision class: a monitor restarted with a FRESH
+    checkpoint replays batch ids from 0. Against a compacted store the
+    consolidated history must (a) remain fully visible to batch 0
+    (compacted rows are read unconditionally, never filtered by the
+    strictly-earlier predicate) and (b) never be overwritten by batch
+    0's own ``batch=0`` directory write."""
+    from etl_pipeline_challenge_aladia_spark.streaming.anomaly import (
+        compact_day_store,
+        make_mad_monitor_processor,
+        read_day_store,
+        read_mad_report,
+    )
+
+    store = str(tmp_path / "store")
+    proc = make_mad_monitor_processor(store, str(tmp_path / "rep"), 3.5)
+    proc(_events(spark, _quiet_rows()), 0)
+    compacted = str(tmp_path / "compacted")
+    n = compact_day_store(spark, store, compacted)
+    assert n == 8
+    # fresh-checkpoint restart: batch ids begin again at 0
+    proc0 = make_mad_monitor_processor(
+        compacted, str(tmp_path / "rep0"), 3.5
+    )
+    proc0(
+        _events(
+            spark, [(90, dt.datetime(2024, 1, 9, 9), 7, "view", 1000.0, "{}")]
+        ),
+        0,
+    )
+    # (a) history was visible: the spike is judged against all 8 quiet
+    # days, so it breaches the threshold exactly as in the raw-store run
+    rep = read_mad_report(spark, str(tmp_path / "rep0")).collect()
+    assert {r["day"] for r in rep} == {"2024-01-09"}
+    # (b) nothing was destroyed: 8 compacted days + batch 0's spike row
+    got = read_day_store(spark, compacted)
+    assert got.count() == 9
+    assert got.filter("batch_id IS NULL").count() == 8
