@@ -616,6 +616,97 @@ def ivf_topk(
     )
 
 
+def mutual_knn_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    threshold: float = 0.30,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal nearest neighbors on the IVF cell-routed candidate
+    generator — the scale path ``emb_mutual_knn_pairs``' docstring
+    promises: instead of the exact blocked-GEMM pair scan, each vector
+    probes its ``nprobe`` nearest coarse cells (broadcast centroid
+    table, rounded-cosine ranking with cell-id tie-break) and scores
+    ONLY the members of probed cells. The mutual-top-k criterion is
+    then identical to the exact operator: per-source rank (rounded
+    cosine desc, neighbor-id tie-break) over candidates >= threshold,
+    keep pairs where each side ranks in the other's top-k.
+
+    Scale shape: one broadcast cross of centroids (cells-sized), one
+    cell-keyed equi-join (corpus partitioned by cell => partition
+    pruning), and a per-source rank window bounded by nprobe cells'
+    membership — never n^2. Each (src, dst) appears at most once
+    because a candidate lives in exactly one cell and probed cells are
+    distinct. What cell routing misses (reciprocal pairs split across
+    unprobed cells) is measured by emb_mutual_knn_ivf_recall_audit.
+
+    Output: (vec_id_a < vec_id_b, cos_sim, rank_ab, rank_ba) — the
+    exact operator's schema, directly joinable against it.
+    """
+    cents = label_centroids(embeddings, None, cell_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(cell_col).alias("own_cell"),
+        to_double_array(vec_col).alias("v"),
+    )
+    probe_w = Window.partitionBy("id").orderBy(
+        F.desc("cent_sim"), F.col("cell")
+    )
+    probes = (
+        e.select("id", "v")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "id",
+            "v",
+            "cell",
+            round_half_up(
+                cosine_similarity_col(F.col("v"), F.col("centroid")), 4
+            ).alias("cent_sim"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("id", "v", "cell")
+    )
+    cand = e.select(
+        F.col("id").alias("dst"),
+        F.col("own_cell").alias("cell"),
+        F.col("v").alias("cv"),
+    )
+    scored = (
+        probes.join(cand, "cell")
+        .filter(F.col("id") != F.col("dst"))
+        .select(
+            F.col("id").alias("src"),
+            "dst",
+            round_half_up(
+                cosine_similarity_col(F.col("v"), F.col("cv")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    rk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    a = rk.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("vec_id_a"),
+        F.col("dst").alias("vec_id_b"),
+        "cos_sim",
+        F.col("rnk").cast("long").alias("rank_ab"),
+    )
+    b = rk.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("vec_id_a"),
+        F.col("src").alias("vec_id_b"),
+        F.col("rnk").cast("long").alias("rank_ba"),
+    )
+    return a.join(b, ["vec_id_a", "vec_id_b"]).select(
+        "vec_id_a", "vec_id_b", "cos_sim", "rank_ab", "rank_ba"
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,

@@ -5970,62 +5970,85 @@ def q_doc_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_above_group_median(docs, "q4", "lang", "doc_id")
 
 
+_RFM_BOUNDS_SQL = ", ".join(
+    f"quantile_cont({c}, {q / 4.0}) AS {c[0]}{q}"
+    for c in ("rdays", "n_orders", "cents")
+    for q in (1, 2, 3)
+)
+
+
+def _rfm_assign_sql(col: str) -> str:
+    """Quartile 1 = best (largest value): 4 minus the count of quartile
+    boundaries the value exceeds."""
+    p = col[0]
+    terms = " + ".join(
+        f"(CASE WHEN {col} > {p}{q} THEN 1 ELSE 0 END)" for q in (1, 2, 3)
+    )
+    return f"(4 - ({terms}))"
+
+
 @query(
     "orders_rfm_segments",
-    """
+    f"""
 WITH cust AS (
   SELECT o_custkey,
-         max(o_orderdate) AS last_order,
+         CAST(date_diff('day', DATE '1970-01-01', max(o_orderdate))
+              AS BIGINT) AS rdays,
          CAST(count(*) AS BIGINT) AS n_orders,
          sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
   FROM orders GROUP BY o_custkey
 ),
+b AS (SELECT {_RFM_BOUNDS_SQL} FROM cust),
 scored AS (
-  SELECT o_custkey,
-         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
-         ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
-         ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m
-  FROM cust
+  SELECT CAST({_rfm_assign_sql('rdays')} * 100
+              + {_rfm_assign_sql('n_orders')} * 10
+              + {_rfm_assign_sql('cents')} AS BIGINT) AS segment
+  FROM cust, b
 )
-SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
-       CAST(count(*) AS BIGINT) AS n_customers
+SELECT segment, CAST(count(*) AS BIGINT) AS n_customers
 FROM scored GROUP BY 1
 """,
     doc="RFM customer segmentation over orders: per-customer recency/"
-    "frequency/monetary quartiles (ntile with unique tie-breaks; monetary "
-    "summed in integer cents so the quartile order is exact cross-engine), "
-    "rolled up to segment sizes. The classic warehouse cohort shape. At "
-    "100 TB the three global ntiles become approx-quantile boundary "
-    "lookups; the per-customer aggregation underneath is the same single "
-    "hash shuffle either way.",
+    "frequency/monetary quartiles rolled up to segment sizes — the "
+    "classic warehouse cohort shape. Quartiles are VALUE-BOUNDARY, not "
+    "ntile: the three 25/50/75% cut points per measure come from one "
+    "exact linear-interpolation percentile aggregate (recency as integer "
+    "epoch days, monetary in integer cents, so the inputs are exact "
+    "cross-engine), broadcast as a 1-row frame, and each customer is "
+    "assigned by a map-side CASE ladder (quartile 1 = best). An "
+    "equal-count ntile(4) would need a global rank window over the "
+    "customer-grain frame — a corpus-sized single-partition sort, the "
+    "forbidden shape at 100 TB (three of them, here) — while boundary "
+    "quartiles cost one aggregate + one broadcast, the "
+    "orders_value_decile_migration pattern. Scale shape: one custkey "
+    "hash aggregate, a 9-value broadcast, a 64-cell rollup; no windows.",
 )
 def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("rdays"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias(
             "cents"
         ),
     )
-    scored = cust.select(
-        "o_custkey",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
-        .alias("r"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey")))
-        .alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("cents").desc(), F.col("o_custkey")))
-        .alias("m"),
+    b = cust.agg(
+        *[
+            F.expr(f"percentile({c}, {q / 4.0}D)").alias(f"{c[0]}{q}")
+            for c in ("rdays", "n_orders", "cents")
+            for q in (1, 2, 3)
+        ]
     )
+    segment = F.expr(
+        f"CAST({_rfm_assign_sql('rdays')} * 100"
+        f" + {_rfm_assign_sql('n_orders')} * 10"
+        f" + {_rfm_assign_sql('cents')} AS BIGINT)"
+    ).alias("segment")
     return (
-        scored.select(
-            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
-            .cast("long")
-            .alias("segment")
-        )
+        cust.crossJoin(F.broadcast(b))  # 1-row boundary frame
+        .select(segment)
         .groupBy("segment")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
@@ -10606,13 +10629,11 @@ FROM k a JOIN k b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
     "mutuality stages are unchanged; the criterion itself never "
     "needs n^2 materialized, only each vector's candidate list.",
 )
-def q_emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
-        cosine_pairs_blocked,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_blocked(emb, threshold=0.30)
+def _mutual_topk_pairs(pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Mutual-top-k criterion over a symmetric (vec_id_a < vec_id_b,
+    cos_sim) pair frame: mirror to a directed frame, rank per source
+    (rounded cosine desc, neighbor-id tie-break), keep pairs ranked
+    <= k on BOTH sides. Shared by the exact and the IVF-audit paths."""
     bidir = pairs.select(
         F.col("vec_id_a").alias("src"),
         F.col("vec_id_b").alias("dst"),
@@ -10626,7 +10647,7 @@ def q_emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     rk = bidir.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 5
+        F.col("rnk") <= k
     )
     a = rk.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("vec_id_a"),
@@ -10641,6 +10662,170 @@ def q_emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a.join(b, ["vec_id_a", "vec_id_b"]).select(
         "vec_id_a", "vec_id_b", "cos_sim", "rank_ab", "rank_ba"
+    )
+
+
+def q_emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _mutual_topk_pairs(cosine_pairs_blocked(emb, threshold=0.30), k=5)
+
+
+_MUTUAL_IVF_CTES = f"""e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cent0 AS (
+  SELECT label, dim, {_IVF_CENT6} AS cv
+  FROM (
+    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings)
+  GROUP BY label, dim
+),
+cent AS (SELECT label, list(cv ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
+probes AS (
+  SELECT vec_id, label FROM (
+    SELECT q.vec_id, c.label,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_s4('list_cosine_similarity(q.emb, c.centroid)')} DESC,
+                      c.label) AS pr
+    FROM e q, cent c) WHERE pr <= 2
+),
+fi AS (
+  SELECT * FROM (
+    SELECT p.vec_id AS src, cand.vec_id AS dst,
+           {_s4('list_cosine_similarity(q.emb, cand.emb)')} AS cos_sim
+    FROM probes p
+    JOIN e cand ON cand.label = p.label AND cand.vec_id <> p.vec_id
+    JOIN e q ON q.vec_id = p.vec_id)
+  WHERE cos_sim >= 0.30
+),
+rki AS (
+  SELECT src, dst, cos_sim,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos_sim DESC, dst) AS rnk
+  FROM fi
+),
+ki AS (SELECT * FROM rki WHERE rnk <= 5)"""
+
+
+@query(
+    "emb_mutual_knn_ivf",
+    f"""
+WITH {_MUTUAL_IVF_CTES}
+SELECT a.src AS vec_id_a, a.dst AS vec_id_b, a.cos_sim,
+       CAST(a.rnk AS BIGINT) AS rank_ab, CAST(b.rnk AS BIGINT) AS rank_ba
+FROM ki a JOIN ki b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+""",
+    doc="Reciprocal nearest neighbors on the IVF cell-routed candidate "
+    "generator — the scale path emb_mutual_knn_pairs' docstring "
+    "promises (operators/similarity.py:mutual_knn_ivf): each vector "
+    "probes its 2 nearest coarse cells (broadcast centroid table, "
+    "rounded-cosine probe ranking with cell tie-break) and the "
+    "mutual-top-5 criterion runs over probed-cell members only — "
+    "same threshold (0.30), ranking, and output schema as the exact "
+    "operator, so the two are directly joinable. Scale shape: one "
+    "cells-sized broadcast, one cell-keyed equi-join (partition "
+    "pruning when the corpus is stored partitioned by cell), and a "
+    "per-source rank window bounded by 2 cells' membership — never "
+    "n^2. What routing misses is measured by "
+    "emb_mutual_knn_ivf_recall_audit.",
+)
+def q_emb_mutual_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        mutual_knn_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mutual_knn_ivf(emb, k=5, nprobe=2, threshold=0.30)
+
+
+@query(
+    "emb_mutual_knn_ivf_recall_audit",
+    f"""
+WITH {_MUTUAL_IVF_CTES},
+pe AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         {_s4('list_cosine_similarity(a.emb, b.emb)')} AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+fe AS (SELECT * FROM pe WHERE cos_sim >= 0.30),
+bide AS (
+  SELECT va AS src, vb AS dst, cos_sim FROM fe
+  UNION ALL
+  SELECT vb AS src, va AS dst, cos_sim FROM fe
+),
+rke AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos_sim DESC, dst) AS rnk
+  FROM bide
+),
+ke AS (SELECT * FROM rke WHERE rnk <= 5),
+ex AS (
+  SELECT a.src AS vec_id_a, a.dst AS vec_id_b
+  FROM ke a JOIN ke b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+),
+iv AS (
+  SELECT a.src AS vec_id_a, a.dst AS vec_id_b
+  FROM ki a JOIN ki b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+),
+xn AS (SELECT count(*) AS n FROM ex),
+vn AS (SELECT count(*) AS n FROM iv),
+h AS (SELECT count(*) AS n FROM ex JOIN iv USING (vec_id_a, vec_id_b))
+SELECT CAST(xn.n AS BIGINT) AS n_exact,
+       CAST(vn.n AS BIGINT) AS n_ivf,
+       CAST(h.n AS BIGINT) AS n_hits,
+       CAST(h.n * 1000 // greatest(xn.n, 1) AS BIGINT) AS recall_permille
+FROM xn, vn, h
+""",
+    doc="In-engine recall audit of the IVF mutual-kNN path against the "
+    "exact blocked-GEMM mutual pairs at the same k/threshold — the "
+    "standing honesty contract every approximate path in this engine "
+    "ships with (minhash_recall_audit, emb_ivf_recall_audit, "
+    "doc_containment_lsh_audit): one row counting exact reciprocal "
+    "pairs, IVF-recovered reciprocal pairs, their intersection, and "
+    "recall in permille (floor division, zero-guarded). A reciprocal "
+    "pair is missed exactly when the two vectors' probe sets don't "
+    "cover each other's cells — the quantity a deployment watches "
+    "when tuning nprobe. Exact side is the oracle-shape baseline "
+    "(quadratic, audit-only); the IVF side is the production path.",
+)
+def q_emb_mutual_knn_ivf_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        mutual_knn_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _mutual_topk_pairs(
+        cosine_pairs_blocked(emb, threshold=0.30), k=5
+    ).select("vec_id_a", "vec_id_b")
+    ivf = mutual_knn_ivf(emb, k=5, nprobe=2, threshold=0.30).select(
+        "vec_id_a", "vec_id_b"
+    )
+    xn = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    vn = ivf.agg(F.count(F.lit(1)).cast("long").alias("n_ivf"))
+    h = exact.join(ivf, ["vec_id_a", "vec_id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        xn.crossJoin(vn)
+        .crossJoin(h)  # three 1-row frames
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_hits",
+            F.expr("n_hits * 1000L div greatest(n_exact, 1L)").alias(
+                "recall_permille"
+            ),
+        )
     )
 
 
@@ -12330,18 +12515,35 @@ SELECT * FROM (
     "planted test, identical cross-engine, and the reason the oracle "
     "can unroll the loop CTE-for-CTE). Each round is one explode + "
     "pair aggregate + a 1-row TakeOrdered merge decision broadcast "
-    "into one linear map rewrite — corpus scans stay O(rounds * "
-    "corpus), merge state is 1 row; the exact shape a 1000-executor "
-    "tokenizer-training job wants. Output: the greedy merge table "
-    "(round, pair, merged symbol, pre-merge count).",
+    "into one linear map rewrite, and the rewritten corpus is "
+    "localCheckpoint-materialized between rounds (the iterative-loop "
+    "discipline of pagerank_fixed_point) so round r never re-executes "
+    "rounds 1..r-1's rewrites — per-round cost is flat, O(rounds * "
+    "corpus) total with 1-row merge state, at any `rounds` (the "
+    "engine entry point bpe_merge_rounds parameterizes it; the "
+    "catalog pins rounds=3 to match the unrolled oracle); the exact "
+    "shape a 1000-executor tokenizer-training job wants. Output: the "
+    "greedy merge table (round, pair, merged symbol, pre-merge "
+    "count).",
 )
-def q_doc_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_merge_rounds(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """Greedy BPE merge table for ``rounds`` rounds. The rewritten
+    corpus is MATERIALIZED between rounds (lazy localCheckpoint folded
+    into the next round's pair-count job — the pagerank_fixed_point /
+    kcenter_select iterative discipline): without it, ``tx`` is an
+    unmaterialized replace() chain and round r's scan re-executes
+    rounds 1..r-1's corpus rewrites, O(rounds^2) text rewrites total.
+    With it, per-round cost is flat — one explode + pair aggregate +
+    a 1-row merge decision + one linear replace over the CHECKPOINTED
+    corpus, O(rounds * corpus) whatever ``rounds`` is."""
     docs = load_table(spark, sf_dir, "documents")
     tx = docs.select(
         F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("tx")
     )
     out = None
-    for r in (1, 2, 3):
+    for r in range(1, rounds + 1):
         pairs = (
             tx.select(F.split(F.trim("tx"), " ").alias("w"))
             .filter(F.size("w") >= 2)
@@ -12364,12 +12566,13 @@ def q_doc_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
         out = rec if out is None else out.unionByName(rec)
-        tx = tx.crossJoin(F.broadcast(top)).select(
-            F.expr(
-                "replace(tx, concat(' ', pair, ' '),"
-                " concat(' ', replace(pair, ' ', '+'), ' ')) AS tx"
-            )
-        )
+        if r < rounds:
+            tx = tx.crossJoin(F.broadcast(top)).select(
+                F.expr(
+                    "replace(tx, concat(' ', pair, ' '),"
+                    " concat(' ', replace(pair, ' ', '+'), ' ')) AS tx"
+                )
+            ).localCheckpoint(eager=False)
     return out
 
 

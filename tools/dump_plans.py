@@ -51,9 +51,11 @@ PICKS = {
     "doc_bm25_search": "token stream filtered to the query's terms BEFORE any "
     "aggregation; df/avgdl single-row frames broadcast; final top-k is "
     "TakeOrderedAndProject, not a global sort",
-    "orders_rfm_segments": "one hash aggregation per customer, then three "
-    "ntile windows over the customer AGGREGATE (documented: approx-quantile "
-    "boundaries replace the global ntiles at corpus scale)",
+    "orders_rfm_segments": "one hash aggregation per customer, then one "
+    "9-value percentile aggregate broadcast back as a 1-row frame and a "
+    "map-side CASE ladder — NO windows (the three global ntiles this "
+    "query used to carry were the catalog's last data-sized "
+    "single-partition sorts)",
     "events_value_histogram": "1-row min/max aggregate broadcast back into a "
     "linear binning pass; the histogram aggregate is bins-sized",
     "doc_quality_above_median": "group-partitioned rank windows only; the "
