@@ -84,8 +84,11 @@ def main() -> None:
     # sidecar copy of the SAME line: the driver's BENCH_r{N} artifact
     # truncates long tails, which made r2-vs-r3 comparable on only ~half
     # the catalog — a committed full-fidelity file keeps round-over-round
-    # attribution complete ($SPARK_GRAFT_BENCH_SIDECAR overrides/disables)
-    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_local_latest.json")
+    # attribution complete ($SPARK_GRAFT_BENCH_SIDECAR overrides/disables).
+    # Single runs land in BENCH_local_run.json; the COMMITTED minima
+    # artifact BENCH_local_latest.json is curated separately (min across
+    # >= 2 full runs) so a fresh noisy run never clobbers it.
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_local_run.json")
     if sidecar:
         try:
             with open(sidecar, "w") as fh:

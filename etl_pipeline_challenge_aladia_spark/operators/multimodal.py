@@ -782,3 +782,281 @@ def extract_audio_windows(media: DataFrame, window_ms: int = 500) -> DataFrame:
             yield pd.DataFrame(out)
 
     return plan.mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Image near-dup dedup: average-hash fingerprints + banded Hamming LSH
+# --------------------------------------------------------------------------
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def _fold_signed64(h: int) -> int:
+    """Fold an unsigned 64-bit int to SIGNED int64 (bit 63 = sign) so
+    Spark/DuckDB longs carry it unchanged."""
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _mean_threshold_bits(values: np.ndarray) -> int:
+    """The shared average-hash core: 64 integer values -> signed int64
+    whose bit j is set iff values[j] > floor-mean. Pure integer, so an
+    external oracle replays it bit-for-bit."""
+    vals = values.astype(np.int64).flatten()
+    mean = int(vals.sum()) // 64
+    h = 0
+    for j in range(64):
+        if int(vals[j]) > mean:
+            h |= 1 << j
+    return _fold_signed64(h)
+
+
+def _ahash64_gray(gray: np.ndarray) -> int:
+    """64-bit average hash of a 2-D integer image: resample to 8x8 with
+    the pixel-center nearest map (codecs.py:resize_nearest — src =
+    floor((2*dst + 1) * in / 16), binary-exact in float64 because /16
+    is a power-of-two divide), then mean-threshold bits in row-major
+    order (bit index y*8 + x)."""
+    cells = resize_nearest(gray.astype(np.int64), 8, 8)
+    return _mean_threshold_bits(cells)
+
+
+def ahash64(content: bytes) -> int | None:
+    """64-bit average hash of a REAL-decoded NetPBM image — the classic
+    perceptual fingerprint, in PURE INTEGER arithmetic:
+    gray(y, x) = (r + g + b) // 3 (P5 grayscale passes through), then
+    ``_ahash64_gray``. Returns None for payloads that aren't NetPBM
+    (compressed formats would decode through the import-guarded PIL
+    path first)."""
+    if sniff_format(bytes(content)) not in ("ppm", "pgm"):
+        return None
+    img = decode_pnm(bytes(content))
+    g = img.astype(np.int64)
+    if g.ndim == 3:
+        g = g.sum(axis=2) // 3
+    return _ahash64_gray(g)
+
+
+def audio_ahash64(content: bytes) -> int | None:
+    """64-bit average hash of a REAL-decoded PCM WAV payload — the
+    audio member of the fingerprint family: the sample stream is cut
+    into 64 contiguous windows by integer boundaries (window w covers
+    samples [w*n//64, (w+1)*n//64)), each window's energy is the exact
+    int64 sum of absolute sample values, and the hash is the
+    mean-threshold bit pattern over the 64 energies. Loudness-profile
+    shaped: robust to small edits, pure integer end to end. Returns
+    None for non-WAV payloads or streams shorter than 64 samples."""
+    if sniff_format(bytes(content)) != "wav":
+        return None
+    samples, _rate = decode_wav(bytes(content))
+    n = int(samples.size)
+    if n < 64:
+        return None
+    s = np.abs(samples.astype(np.int64))
+    bounds = [(w * n) // 64 for w in range(65)]
+    energies = np.array(
+        [int(s[bounds[w]:bounds[w + 1]].sum()) for w in range(64)],
+        dtype=np.int64,
+    )
+    return _mean_threshold_bits(energies)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """(media_id, ahash) for every image payload the real decoder
+    recognizes — Arrow-batched mapInPandas, one fingerprint per row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "ahash": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                h = ahash64(content) if content is not None else None
+                if h is None:
+                    continue
+                out["media_id"].append(int(mid))
+                out["ahash"].append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "ahash": pd.array(out["ahash"], dtype="int64"),
+                }
+            )
+
+    imgs = media.filter(F.col("modality") == "image").select(
+        "media_id", "content"
+    )
+    return imgs.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Image near-duplicate pairs by banded Hamming LSH over the 64-bit
+    average hash — the multimodal twin of simhash_near_dup_pairs, with
+    the same pigeonhole guarantee: 4 disjoint 16-bit bands cover all 64
+    bits, so any pair within Hamming distance <= bands - 1 shares at
+    least one identical band and recall is exactly 100%, never
+    probabilistic. Scale shape: one decode pass (mapInPandas), a
+    band-keyed equi-join over bucket collisions (linear + collisions,
+    no all-pairs), exact bit_count verify, DISTINCT to collapse
+    multi-band hits.
+
+    Output: (media_id_a < media_id_b, hamming).
+    """
+    return _hamming_band_pairs(image_ahash(media), max_hamming, bands)
+
+
+def audio_ahash_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Audio near-duplicate pairs by banded Hamming LSH over the 64-bit
+    loudness-profile hash (``audio_ahash64``) — the audio member of the
+    fingerprint dedup family. Default 8 disjoint 8-bit bands: the
+    pigeonhole guarantee covers Hamming distance <= 7, comfortably
+    above the default threshold of 6 (audio energy profiles drift more
+    bits than image gradients under the same edit size, hence the wider
+    ball and finer bands). Output: (media_id_a < media_id_b, hamming).
+    """
+    sigs = _audio_ahash_frame(media)
+    return _hamming_band_pairs(sigs, max_hamming, bands)
+
+
+def _audio_ahash_frame(media: DataFrame) -> DataFrame:
+    """(media_id, ahash) for every audio payload the real WAV decoder
+    recognizes — Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "ahash": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                h = audio_ahash64(content) if content is not None else None
+                if h is None:
+                    continue
+                out["media_id"].append(int(mid))
+                out["ahash"].append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "ahash": pd.array(out["ahash"], dtype="int64"),
+                }
+            )
+
+    auds = media.filter(F.col("modality") == "audio").select(
+        "media_id", "content"
+    )
+    return auds.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def _hamming_band_pairs(
+    sigs: DataFrame, max_hamming: int, bands: int
+) -> DataFrame:
+    """Shared banded-Hamming LSH leg over a (media_id, ahash) frame:
+    explode into ``bands`` disjoint 64//bands-bit band keys, band-keyed
+    self-equi-join, exact bit_count verify <= max_hamming, DISTINCT to
+    collapse multi-band hits. Pigeonhole: recall is exactly 100% for
+    max_hamming <= bands - 1."""
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    band_rows = sigs.select(
+        "media_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("ahash", b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+VIDEO_FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.LongType(), False),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def video_frame_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, frame_no, ahash) for every frame of every Y4M video
+    payload — the same pixel-center 8x8 average hash as the image path
+    (``_ahash64_gray``) applied per luma frame, so image and video
+    fingerprints live in ONE comparable hash space. Arrow-batched
+    mapInPandas; frames explode inside the kernel (a video row yields
+    n_frames output rows)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_no": [], "ahash": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                if sniff_format(data) != "y4m":
+                    continue
+                frames, _fps = decode_y4m(data)
+                for t in range(frames.shape[0]):
+                    out["media_id"].append(int(mid))
+                    out["frame_no"].append(t)
+                    out["ahash"].append(_ahash64_gray(frames[t]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "frame_no": pd.array(out["frame_no"], dtype="int64"),
+                    "ahash": pd.array(out["ahash"], dtype="int64"),
+                }
+            )
+
+    vids = media.filter(F.col("modality") == "video").select(
+        "media_id", "content"
+    )
+    return vids.mapInPandas(batches, schema=VIDEO_FRAME_HASH_SCHEMA)
+
+
+def video_frame_near_dup_pairs(media: DataFrame) -> DataFrame:
+    """Video near-duplicate pairs by EXACT shared frame fingerprints:
+    two videos pair when they share at least one identical frame aHash
+    (re-encodes, trims, and splices keep unedited frames bit-identical
+    under the integer hash — the classic frame-fingerprint containment
+    screen). The join is keyed on the 64-bit hash itself: linear in
+    total frames + hash-bucket collisions, never all-pairs of videos;
+    per-pair shared-frame counts come from one distinct + aggregate.
+    Output: (media_id_a < media_id_b, n_shared_frames)."""
+    fh = video_frame_hashes(media).select("media_id", "ahash").distinct()
+    a, b = fh.alias("a"), fh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ahash") == F.col("b.ahash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+    )

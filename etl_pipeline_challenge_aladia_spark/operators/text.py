@@ -576,3 +576,158 @@ def winnowing_pairs(
             .alias("share_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC): shared by the batch catalog query and the
+# streaming chunk-store ingest, so both sides chunk IDENTICALLY.
+# --------------------------------------------------------------------------
+
+
+def cdc_chunk_frame(
+    docs: DataFrame,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Content-defined chunks of every document: a chunk boundary falls
+    AFTER token ``pos`` when the rolling 4-token fingerprint
+    (engine-exact md5 fold of the space-joined gram) hits 0 mod
+    ``divisor`` — so boundaries are content-anchored and an insertion
+    early in a document shifts only the chunk it lands in, unlike
+    fixed-width segmenting where one added token re-frames every later
+    segment (the rsync/backup-dedup property; expected chunk length =
+    divisor). One posexplode + two doc-partitioned windows (lag-gram and
+    running breakpoint count — never global) + one (doc, chunk)
+    position-ordered string_agg. ``keep_cols`` carries functionally-
+    dependent columns (e.g. source) through the grouping.
+
+    Output: (id_col, *keep_cols, chunk_no, chunk_text, chunk_tokens).
+    The single source of truth for CDC chunking — the batch
+    doc_cdc_chunk_dedup query and the streaming
+    make_cdc_chunk_ingest_processor both call it.
+    """
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
+
+    w = docs.select(
+        id_col, *keep_cols, F.posexplode(tokens_col(text_col)).alias("pos", "tok")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.lag("tok", 3).over(win),
+        F.lag("tok", 2).over(win),
+        F.lag("tok", 1).over(win),
+        F.col("tok"),
+    )
+    h = w.select(
+        id_col,
+        *keep_cols,
+        "pos",
+        "tok",
+        F.when(
+            (F.col("pos") >= 3) & (md5_fold32_col(gram) % divisor == 0), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = h.select(
+        id_col,
+        *keep_cols,
+        "pos",
+        "tok",
+        F.coalesce(F.sum("brk").over(run), F.lit(0)).alias("chunk_no"),
+    )
+    return c.groupBy(id_col, *keep_cols, "chunk_no").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).cast("long").alias("chunk_tokens"),
+    )
+
+
+def cdc_chunk_store(
+    docs: DataFrame,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The STORED form of a corpus for incremental CDC-chunk dedup
+    screening: the distinct set of content-defined chunk texts — the
+    insertion-robust twin of ``segment_fingerprint_store`` (a 100-TB
+    deployment persists 128-bit hashes; kept as text here so the DuckDB
+    oracle joins on the identical key). Output: one ``chunk`` column,
+    distinct."""
+    return (
+        cdc_chunk_frame(docs, divisor, id_col=id_col, text_col=text_col)
+        .select(F.col("chunk_text").alias("chunk"))
+        .distinct()
+    )
+
+
+def cdc_chunk_dedup_from_store(
+    store: DataFrame,
+    delta: DataFrame,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    slice_col: str = "source",
+) -> DataFrame:
+    """Incremental CDC-chunk dedup audit of a DELTA against a
+    PRECOMPUTED chunk store (``cdc_chunk_store``): a delta chunk
+    instance is REMOVED when its exact content-defined text already
+    exists in the store. Because boundaries are content-anchored, a
+    delta document that prepends one sentence to an already-ingested
+    document still matches every unshifted chunk — the
+    insertion-shifted-duplicate case fixed-width segment screening
+    misses by construction. Same rollup shape and cost model as
+    ``segment_dedup_from_store``: the delta's own chunking plus one
+    key-equi join; corpus text never re-read. Within-delta duplicates
+    surface when the NEXT batch screens against the appended store
+    (the streaming ingest's batch-ordering semantics)."""
+    ch = cdc_chunk_frame(
+        delta, divisor, id_col=id_col, text_col=text_col,
+        keep_cols=(slice_col,),
+    )
+    hit = (
+        store.select(F.col("chunk").alias("chunk_text"))
+        .distinct()
+        .withColumn("in_store", F.lit(True))
+    )
+    j = ch.join(hit, "chunk_text", "left").select(
+        slice_col,
+        id_col,
+        F.col("chunk_tokens").alias("n_tok"),
+        F.coalesce(F.col("in_store"), F.lit(False)).alias("removed"),
+    )
+    removed_tok = F.sum(
+        F.when(F.col("removed"), F.col("n_tok")).otherwise(F.lit(0))
+    )
+    kept_tok = F.sum(
+        F.when(~F.col("removed"), F.col("n_tok")).otherwise(F.lit(0))
+    )
+    return j.groupBy(slice_col).agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("removed").cast("long"))
+        .cast("long")
+        .alias("n_removed_chunks"),
+        removed_tok.cast("long").alias("tokens_removed"),
+        kept_tok.cast("long").alias("tokens_kept"),
+        F.expr(
+            "CAST((sum(CASE WHEN removed THEN n_tok ELSE 0 END) * 1000)"
+            " div greatest(sum(n_tok), 1L) AS BIGINT)"
+        ).alias("removed_permille"),
+    )

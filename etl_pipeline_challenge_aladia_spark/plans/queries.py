@@ -1959,6 +1959,172 @@ def q_emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_nprobe_variant_ctes(p: int) -> str:
+    """One unrolled nprobe variant: probed-cell candidate scores and the
+    per-query top-5 at ``pr <= p`` (shared e/cent/q/cand/probes CTEs)."""
+    return f"""s{p} AS (
+  SELECT pr.query_id, cand.neighbor_id,
+         {_s4('list_cosine_similarity(q.qe, cand.ce)')} AS cos_sim
+  FROM probes pr
+  JOIN cand ON cand.label = pr.label
+  JOIN q ON q.query_id = pr.query_id
+  WHERE pr.pr <= {p}
+),
+k{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM s{p}) WHERE rnk <= 5
+),
+r{p} AS (
+  SELECT {p} AS nprobe,
+         (SELECT count(*) FROM s{p}) AS n_candidates,
+         (SELECT count(*) FROM exact x JOIN k{p} USING (query_id, neighbor_id))
+           AS n_hits
+)"""
+
+
+@query(
+    "emb_ivf_nprobe_tradeoff",
+    f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent0 AS (
+  SELECT label, dim, {_IVF_CENT6} AS cv
+  FROM (
+    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings WHERE vec_id >= 5)
+  GROUP BY label, dim
+),
+cent AS (SELECT label, list(cv ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+cand AS (SELECT label, vec_id AS neighbor_id, emb AS ce FROM e WHERE vec_id >= 5),
+probes AS (
+  SELECT q.query_id, c.label,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_s4('list_cosine_similarity(q.qe, c.centroid)')} DESC,
+                    c.label) AS pr
+  FROM q, cent c
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_s4('list_cosine_similarity(q.qe, c.ce)')} DESC,
+                      c.neighbor_id) AS rnk
+    FROM q, cand c) WHERE rnk <= 5
+),
+xn AS (SELECT count(*) AS n FROM exact),
+{', '.join(_ivf_nprobe_variant_ctes(p) for p in (1, 2, 3))}
+SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 1000 // greatest(xn.n, 1) AS BIGINT) AS recall_permille
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3), xn
+""",
+    doc="The nprobe recall/cost curve — the measured decision behind "
+    "every IVF deployment's latency dial, materialized as a query: for "
+    "nprobe in (1, 2, 3), how many candidates the probed cells admit "
+    "(the cost axis: rows scored before top-k) and how much of the "
+    "exact brute-force top-5 the probe set recovers (the quality "
+    "axis, permille, floor division, zero-guarded). Same cell split, "
+    "centroid arithmetic, and deterministic tie-breaks as emb_ivf_topk "
+    "/ emb_ivf_recall_audit, so the 2-probe row of this curve "
+    "reconciles with the audit by construction. The in-engine twin of "
+    "operators/similarity.py:tune_nprobe (which walks this curve to a "
+    "recall target); exposing the whole curve makes the trade "
+    "inspectable instead of implicit. Scale shape: centroids "
+    "broadcast, one cell-keyed candidate join per variant over the "
+    "SAME probe frame, per-query rank windows bounded by probed-cell "
+    "membership; the exact baseline runs over the 5-query sample "
+    "only.",
+)
+def q_emb_ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_similarity_col,
+        label_centroids,
+        to_double_array,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        to_double_array("embedding").alias("qe"),
+    )
+    cands = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("label").alias("cell"),
+        F.col("vec_id").alias("neighbor_id"),
+        to_double_array("embedding").alias("ce"),
+    )
+    cents = label_centroids(emb.filter(F.col("vec_id") >= 5))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.col("cell")
+    )
+    probes_all = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qe",
+            "cell",
+            round_half_up(
+                cosine_similarity_col(F.col("qe"), F.col("centroid")), 4
+            ).alias("cent_sim"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+    )
+    exact = brute_force_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5,
+    ).select("query_id", "neighbor_id")
+    xn = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    out = None
+    for p in (1, 2, 3):
+        probes = probes_all.filter(F.col("pr") <= p).select(
+            "query_id", "qe", "cell"
+        )
+        scored = cands.join(F.broadcast(probes), "cell").select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(
+                cosine_similarity_col(F.col("qe"), F.col("ce")), 4
+            ).alias("cos_sim"),
+        )
+        ncand = scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), "neighbor_id"
+        )
+        topk = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        hits = exact.join(topk, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        row = (
+            ncand.crossJoin(hits)
+            .crossJoin(xn)  # three 1-row frames
+            .select(
+                F.lit(p).cast("long").alias("nprobe"),
+                "n_candidates",
+                "n_hits",
+                F.expr("n_hits * 1000L div greatest(n_exact, 1L)").alias(
+                    "recall_permille"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # --------------------------------------------------------------------------
 # TPC-H-style decision-support queries (adapted to the reduced schema:
 # no partsupp table, no commit/receipt dates -> date predicates use
@@ -2801,6 +2967,206 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decode_media_audit(synthetic_media_real(spark, n=48))
+
+
+def _media_ahash_oracle_sql(n: int = 48) -> str:
+    """Golden 64-bit average hashes for the image members of the real
+    media fixture, recomputed from the closed-form pixel spec in PURE
+    PYTHON INT — independent of the engine's decode/resample/hash code,
+    so the oracle certifies that whole path end-to-end (the
+    media_decode_audit golden-row technique). The pairing itself is the
+    exact all-pairs Hamming baseline: the engine's banded-LSH plan has
+    a pigeonhole guarantee of 100%% recall at distance <= 3, so exact
+    and banded answers are identical by construction."""
+    rows = []
+    for i in range(0, n, 3):  # image members: i %% 3 == 0
+        w, h = 16 + i % 5, 12 + i % 7
+        total, cells = 0, []
+        for yy in range(8):
+            sy = min((2 * yy + 1) * h // 16, h - 1)
+            for xx in range(8):
+                sx = min((2 * xx + 1) * w // 16, w - 1)
+                g = (
+                    sum((3 * sx + 7 * sy + 11 * c + i) % 256 for c in range(3))
+                    // 3
+                )
+                cells.append(g)
+                total += g
+        mean = total // 64
+        hv = 0
+        for j, g in enumerate(cells):
+            if g > mean:
+                hv |= 1 << j
+        if hv >= 1 << 63:
+            hv -= 1 << 64
+        rows.append(f"({i}, {hv})")
+    return (
+        "WITH sig AS (SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, ahash))\n"
+        "SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,\n"
+        "       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming\n"
+        "FROM sig a JOIN sig b ON a.media_id < b.media_id\n"
+        "WHERE bit_count(xor(a.ahash, b.ahash)) <= 3"
+    )
+
+
+@query(
+    "media_ahash_near_dup",
+    _media_ahash_oracle_sql(),
+    doc="Image near-duplicate pairs over REAL-decoded PPM payloads — "
+    "dedup extended to the multimodal column family: 64-bit average "
+    "hash (integer grayscale, pixel-center 8x8 nearest resample, "
+    "mean-threshold bits; operators/multimodal.py:ahash64) computed in "
+    "Arrow-batched mapInPandas over the binary column, then banded "
+    "Hamming LSH (4 disjoint 16-bit bands => pigeonhole-exact recall "
+    "at distance <= 3, the doc_simhash_near_dup guarantee) with exact "
+    "bit_count verification. The hash is pure integer arithmetic, so "
+    "the oracle replays it bit-for-bit from the fixture's closed-form "
+    "pixel spec without touching the engine's decoder — certifying "
+    "decode + resample + hash + pairing end-to-end. Scale shape: one "
+    "decode pass, a band-keyed equi-join (linear + bucket collisions, "
+    "no all-pairs), a 64-cell verify expression.",
+)
+def q_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        synthetic_media_real,
+    )
+
+    return ahash_near_dup_pairs(synthetic_media_real(spark, n=48))
+
+
+def _media_audio_ahash_oracle_sql(n: int = 48) -> str:
+    """Golden 64-bit loudness-profile hashes for the audio members of
+    the real media fixture, recomputed from the closed-form sample spec
+    (sample(j) = (31j + 17i) %% 4001 - 2000, n = 200 + 3i) in PURE
+    PYTHON INT — independent of the engine's WAV decoder and window
+    fold. Pairing is the exact all-pairs Hamming baseline (identical to
+    the engine's 8-band LSH answer by the pigeonhole guarantee at
+    distance <= 6 < 8 bands)."""
+    rows = []
+    for i in range(1, n, 3):  # audio members: i %% 3 == 1
+        ns = 200 + 3 * i
+        s = [abs((31 * j + 17 * i) % 4001 - 2000) for j in range(ns)]
+        en = [
+            sum(s[(w * ns) // 64:((w + 1) * ns) // 64]) for w in range(64)
+        ]
+        mean = sum(en) // 64
+        hv = 0
+        for w, e in enumerate(en):
+            if e > mean:
+                hv |= 1 << w
+        if hv >= 1 << 63:
+            hv -= 1 << 64
+        rows.append(f"({i}, {hv})")
+    return (
+        "WITH sig AS (SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, ahash))\n"
+        "SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,\n"
+        "       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming\n"
+        "FROM sig a JOIN sig b ON a.media_id < b.media_id\n"
+        "WHERE bit_count(xor(a.ahash, b.ahash)) <= 6"
+    )
+
+
+@query(
+    "media_audio_ahash_near_dup",
+    _media_audio_ahash_oracle_sql(),
+    doc="Audio near-duplicate pairs over REAL-decoded PCM WAV payloads "
+    "— the audio member of the multimodal fingerprint-dedup family: "
+    "the sample stream is cut into 64 integer-boundary windows, each "
+    "window's energy is the exact int64 sum of absolute samples, and "
+    "the 64-bit mean-threshold hash (operators/multimodal.py:"
+    "audio_ahash64) is screened by banded Hamming LSH — 8 disjoint "
+    "8-bit bands, pigeonhole-exact recall at the <= 6 threshold "
+    "(loudness profiles drift more bits than image gradients, hence "
+    "the wider ball and finer bands than media_ahash_near_dup). The "
+    "oracle replays the hash from the fixture's closed-form sample "
+    "spec in pure Python int, certifying WAV parse + windowing + hash "
+    "+ pairing end-to-end. Scale shape: one decode pass, a band-keyed "
+    "equi-join, a 64-bit verify expression — no all-pairs.",
+)
+def q_media_audio_ahash_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        audio_ahash_near_dup_pairs,
+        synthetic_media_real,
+    )
+
+    return audio_ahash_near_dup_pairs(synthetic_media_real(spark, n=48))
+
+
+def _media_video_frame_oracle_sql(n: int = 48) -> str:
+    """Golden per-frame 64-bit average hashes for the video members of
+    the real media fixture, recomputed from the closed-form luma spec
+    (luma(t, y, x) = (x + 3y + 5t + i) %% 256, nf = 2 + i %% 3, w = 8 +
+    i %% 4, h = 6 + i %% 5) with the same pixel-center resample map in
+    PURE PYTHON INT. Pairing: videos sharing >= 1 identical frame
+    hash, counted over distinct hashes per video."""
+    rows = []
+    for i in range(2, n, 3):  # video members: i %% 3 == 2
+        nf, w, h = 2 + i % 3, 8 + i % 4, 6 + i % 5
+        for t in range(nf):
+            cells = [
+                (min((2 * xx + 1) * w // 16, w - 1)
+                 + 3 * min((2 * yy + 1) * h // 16, h - 1)
+                 + 5 * t + i) % 256
+                for yy in range(8)
+                for xx in range(8)
+            ]
+            mean = sum(cells) // 64
+            hv = 0
+            for j, c in enumerate(cells):
+                if c > mean:
+                    hv |= 1 << j
+            if hv >= 1 << 63:
+                hv -= 1 << 64
+            rows.append(f"({i}, {t}, {hv})")
+    return (
+        "WITH fh AS (SELECT DISTINCT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, frame_no, ahash))\n"
+        "SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,\n"
+        "       CAST(count(*) AS BIGINT) AS n_shared_frames\n"
+        "FROM fh a JOIN fh b\n"
+        "  ON a.ahash = b.ahash AND a.media_id < b.media_id\n"
+        "GROUP BY 1, 2"
+    )
+
+
+@query(
+    "media_video_frame_near_dup",
+    _media_video_frame_oracle_sql(),
+    doc="Video near-duplicate pairs by EXACT shared frame fingerprints "
+    "over REAL-decoded Y4M payloads: every luma frame gets the same "
+    "pixel-center 8x8 average hash as the image path (one comparable "
+    "hash space across image and video), and two videos pair when "
+    "they share >= 1 identical frame hash — the frame-fingerprint "
+    "containment screen that survives re-encodes, trims, and splices "
+    "of unedited frames (operators/multimodal.py:"
+    "video_frame_near_dup_pairs). The oracle replays every frame hash "
+    "from the fixture's closed-form luma spec in pure Python int, "
+    "certifying Y4M parse + per-frame resample + hash + containment "
+    "join end-to-end. Scale shape: one decode pass exploding frames "
+    "inside the Arrow kernel, a hash-keyed equi-join (linear in total "
+    "frames + collisions, never all-pairs of videos), one pair-grain "
+    "count.",
+)
+def q_media_video_frame_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        synthetic_media_real,
+        video_frame_near_dup_pairs,
+    )
+
+    return video_frame_near_dup_pairs(synthetic_media_real(spark, n=48))
 
 
 @query(
@@ -10586,6 +10952,42 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mutual_topk_pairs(pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Mutual-top-k criterion over a symmetric (vec_id_a < vec_id_b,
+    cos_sim) pair frame: mirror to a directed frame, rank per source
+    (rounded cosine desc, neighbor-id tie-break), keep pairs ranked
+    <= k on BOTH sides. Shared by the exact and the IVF-audit paths."""
+    bidir = pairs.select(
+        F.col("vec_id_a").alias("src"),
+        F.col("vec_id_b").alias("dst"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_id_b").alias("src"),
+            F.col("vec_id_a").alias("dst"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    rk = bidir.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    a = rk.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("vec_id_a"),
+        F.col("dst").alias("vec_id_b"),
+        "cos_sim",
+        F.col("rnk").cast("long").alias("rank_ab"),
+    )
+    b = rk.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("vec_id_a"),
+        F.col("src").alias("vec_id_b"),
+        F.col("rnk").cast("long").alias("rank_ba"),
+    )
+    return a.join(b, ["vec_id_a", "vec_id_b"]).select(
+        "vec_id_a", "vec_id_b", "cos_sim", "rank_ab", "rank_ba"
+    )
+
+
 @query(
     "emb_mutual_knn_pairs",
     f"""
@@ -10629,42 +11031,6 @@ FROM k a JOIN k b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
     "mutuality stages are unchanged; the criterion itself never "
     "needs n^2 materialized, only each vector's candidate list.",
 )
-def _mutual_topk_pairs(pairs: DataFrame, k: int = 5) -> DataFrame:
-    """Mutual-top-k criterion over a symmetric (vec_id_a < vec_id_b,
-    cos_sim) pair frame: mirror to a directed frame, rank per source
-    (rounded cosine desc, neighbor-id tie-break), keep pairs ranked
-    <= k on BOTH sides. Shared by the exact and the IVF-audit paths."""
-    bidir = pairs.select(
-        F.col("vec_id_a").alias("src"),
-        F.col("vec_id_b").alias("dst"),
-        "cos_sim",
-    ).unionByName(
-        pairs.select(
-            F.col("vec_id_b").alias("src"),
-            F.col("vec_id_a").alias("dst"),
-            "cos_sim",
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
-    rk = bidir.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= k
-    )
-    a = rk.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("vec_id_a"),
-        F.col("dst").alias("vec_id_b"),
-        "cos_sim",
-        F.col("rnk").cast("long").alias("rank_ab"),
-    )
-    b = rk.filter(F.col("src") > F.col("dst")).select(
-        F.col("dst").alias("vec_id_a"),
-        F.col("src").alias("vec_id_b"),
-        F.col("rnk").cast("long").alias("rank_ba"),
-    )
-    return a.join(b, ["vec_id_a", "vec_id_b"]).select(
-        "vec_id_a", "vec_id_b", "cos_sim", "rank_ab", "rank_ba"
-    )
-
-
 def q_emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         cosine_pairs_blocked,
@@ -11476,51 +11842,12 @@ def q_doc_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.functions.hashing import (
         md5_fold32_col,
     )
-    from etl_pipeline_challenge_aladia_spark.operators.text import tokens_col
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        cdc_chunk_frame,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(
-        " ",
-        F.lag("tok", 3).over(win),
-        F.lag("tok", 2).over(win),
-        F.lag("tok", 1).over(win),
-        F.col("tok"),
-    )
-    h = w.select(
-        "doc_id",
-        "pos",
-        "tok",
-        F.when(
-            (F.col("pos") >= 3) & (md5_fold32_col(gram) % 8 == 0), 1
-        )
-        .otherwise(0)
-        .alias("brk"),
-    )
-    run = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = h.select(
-        "doc_id",
-        "pos",
-        "tok",
-        F.coalesce(F.sum("brk").over(run), F.lit(0)).alias("chunk_no"),
-    )
-    chunks = c.groupBy("doc_id", "chunk_no").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("chunk_text"),
-        F.count(F.lit(1)).cast("long").alias("chunk_tokens"),
-    )
+    chunks = cdc_chunk_frame(docs, divisor=8)
     dup = chunks.groupBy("chunk_text").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
@@ -11537,6 +11864,86 @@ def q_doc_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash")
         .limit(20)
     )
+
+
+@query(
+    "doc_cdc_chunk_dedup_incremental",
+    f"""
+WITH w AS (
+  SELECT doc_id, source,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, source, pos, tok,
+         CASE WHEN pos >= 3
+              AND ({sql_md5_fold32(_CDC_GRAM_SQL)}) % 8 = 0
+              THEN 1 ELSE 0 END AS brk
+  FROM w WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+c AS (
+  SELECT doc_id, source, pos, tok,
+         coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS chunk_no
+  FROM h
+),
+chunks AS (
+  SELECT doc_id, source, chunk_no,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+         CAST(count(*) AS BIGINT) AS n_tok
+  FROM c GROUP BY doc_id, source, chunk_no
+),
+store AS (SELECT DISTINCT chunk_text FROM chunks WHERE doc_id < 400),
+j AS (
+  SELECT ch.source, ch.doc_id, ch.n_tok,
+         (st.chunk_text IS NOT NULL) AS removed
+  FROM chunks ch LEFT JOIN store st USING (chunk_text)
+  WHERE ch.doc_id >= 400
+)
+SELECT source,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed_chunks,
+  CAST(sum(CASE WHEN removed THEN n_tok ELSE 0 END) AS BIGINT)
+    AS tokens_removed,
+  CAST(sum(CASE WHEN NOT removed THEN n_tok ELSE 0 END) AS BIGINT)
+    AS tokens_kept,
+  CAST((sum(CASE WHEN removed THEN n_tok ELSE 0 END) * 1000)
+       // greatest(sum(n_tok), 1) AS BIGINT) AS removed_permille
+FROM j GROUP BY source
+""",
+    doc="Incremental (delta-vs-store) CDC-chunk dedup "
+    "(operators/text.py:cdc_chunk_dedup_from_store): the corpus "
+    "(doc_id < 400) is precomputed into a distinct content-defined "
+    "chunk store (cdc_chunk_store), and the delta ingest (doc_id >= "
+    "400) is screened against it — the insertion-robust twin of "
+    "doc_segment_dedup_incremental: because chunk boundaries are "
+    "anchored by the rolling 4-token fingerprint, a delta document "
+    "that prepends or inserts a sentence into already-ingested text "
+    "still matches every unshifted chunk, the exact case where "
+    "fixed-width segment screening re-frames all later segments and "
+    "reports nothing removed. Per-source rollup of chunks/tokens the "
+    "screen strips. Cost: the delta's own chunking (two doc-"
+    "partitioned windows) + one chunk-keyed equi-join; corpus text "
+    "never re-read. The streaming twin is "
+    "streaming/docs.py:make_cdc_chunk_ingest_processor.",
+)
+def q_doc_cdc_chunk_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        cdc_chunk_dedup_from_store,
+        cdc_chunk_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    store = cdc_chunk_store(corpus, divisor=8)
+    return cdc_chunk_dedup_from_store(store, delta, divisor=8)
 
 
 @query(

@@ -949,6 +949,118 @@ def compact_segment_store(
     return spark.read.parquet(os.path.join(out_path, COMPACTED_DIR)).count()
 
 
+
+# --------------------------------------------------------------------------
+# CDC-chunk store ingest (insertion-robust incremental dedup)
+# --------------------------------------------------------------------------
+
+CDC_CHUNK_STORE_SCHEMA = "chunk string"
+CDC_CHUNK_REPORT_SCHEMA = (
+    "source string, n_docs long, n_chunks long, n_removed_chunks long,"
+    " tokens_removed long, tokens_kept long, removed_permille long,"
+    " batch_id long"
+)
+
+
+def make_cdc_chunk_ingest_processor(
+    store_path: str,
+    report_path: str,
+    divisor: int = 8,
+    text_col: str = "text",
+):
+    """CDC-CHUNK store ingest — the streaming twin of the batch
+    ``doc_cdc_chunk_dedup_incremental`` query and the insertion-robust
+    sibling of ``make_segment_store_ingest_processor``: the store
+    persists each batch's distinct CONTENT-DEFINED chunk texts
+    (``cdc_chunk_store`` — boundaries anchored by the rolling 4-token
+    fingerprint), and every arriving batch is screened against the
+    stored chunks (``cdc_chunk_dedup_from_store``). Because boundaries
+    are content-anchored, a batch that re-ingests an earlier document
+    with a prepended or inserted sentence still matches every unshifted
+    chunk — the duplicate class fixed-width segment screening misses by
+    construction (one added token re-frames every later segment).
+
+    Both sides of the chunking are ONE definition
+    (operators/text.py:cdc_chunk_frame), so a single batch chunked here
+    equals the batch operator's chunking bit-for-bit (pytest-pinned).
+    Replay-idempotent like the segment ingest: report and store append
+    are batch-keyed overwrites; the screen reads the store EXCLUDING
+    its own batch directory; a compacted history under the reserved
+    ``compacted/`` directory is read unconditionally (``_read_store``)."""
+
+    def process_batch(delta: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from etl_pipeline_challenge_aladia_spark.operators.text import (
+            cdc_chunk_dedup_from_store,
+            cdc_chunk_store,
+        )
+
+        spark = delta.sparkSession
+        delta = delta.localCheckpoint(eager=True)
+        store = _read_store(
+            spark, store_path, CDC_CHUNK_STORE_SCHEMA, exclude_batch=batch_id
+        )
+        report = cdc_chunk_dedup_from_store(
+            store, delta, divisor=divisor, text_col=text_col
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        report.write.mode("overwrite").parquet(
+            os.path.join(report_path, f"batch={batch_id}")
+        )
+        cdc_chunk_store(delta, divisor=divisor, text_col=text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store_path, f"batch={batch_id}"))
+
+    return process_batch
+
+
+def read_cdc_chunk_dedup_report(spark, report_path: str) -> DataFrame:
+    return _read_store(spark, report_path, CDC_CHUNK_REPORT_SCHEMA)
+
+
+def run_cdc_chunk_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    divisor: int = 8,
+) -> None:
+    """Drain currently-available document files through the CDC-chunk
+    ingest (Trigger.AvailableNow; 1 file = 1 micro-batch, so every file
+    is screened against all previously-ingested files\' chunks)."""
+    stream = (
+        spark.readStream.schema(BUDGET_DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(input_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            make_cdc_chunk_ingest_processor(store_path, report_path, divisor)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def compact_cdc_chunk_store(
+    spark: SparkSession, store_path: str, out_path: str
+) -> int:
+    """Consolidate a CDC-chunk store\'s per-batch directories into ONE
+    reserved ``compacted/`` layout at a fresh path — same
+    publish-then-point pattern and fresh-checkpoint batch-0 safety as
+    ``compact_segment_store``, with the same global DISTINCT shrink.
+    Returns the number of stored distinct chunks."""
+    chunks = _read_store(spark, store_path, CDC_CHUNK_STORE_SCHEMA)
+    chunks.distinct().write.mode("overwrite").parquet(
+        os.path.join(out_path, COMPACTED_DIR)
+    )
+    return spark.read.parquet(os.path.join(out_path, COMPACTED_DIR)).count()
+
+
+
 # --------------------------------------------------------------------------
 # Streaming count-min frequency store (heavy-hitter screen at ingest)
 # --------------------------------------------------------------------------

@@ -330,6 +330,9 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "emb_knn_classify",             # 1-row label-prior frame
         "emb_centroid_outliers",        # 1-row threshold frame
         "orders_rfm_segments",          # 1-row boundary frame
+        "emb_mutual_knn_ivf",           # cells-sized centroid broadcast
+        "emb_mutual_knn_ivf_recall_audit",  # centroid broadcast + 1-row counts
+        "emb_ivf_nprobe_tradeoff",      # centroid broadcast + 1-row counts
         "events_weekly_retention",      # 1-row cohort-base frame
         "events_funnel_view_click_purchase",  # 1-row funnel-base frame
         "doc_length_buckets",           # 1-row bucket-bounds frame

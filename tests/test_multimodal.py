@@ -187,3 +187,177 @@ def test_real_mp4_decode_when_pyav_installed():
     feats = real_feature_kernel(buf.getvalue())
     assert feats[0] == 12 and feats[1] == 64 and feats[2] == 48
     assert feats[6] < feats[7]  # brightness ramp: first frame darker
+
+
+def test_ahash_planted_duplicates(spark):
+    """A near-copy (few flipped pixels) pairs with its source at small
+    Hamming distance; a structurally different image does not. Also pins
+    band coverage: a pair at distance exactly 3 MUST be found (pigeonhole
+    over the 4x16-bit bands), and hash values are plain signed longs."""
+    import numpy as np
+
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import encode_ppm
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ahash64,
+        ahash_near_dup_pairs,
+    )
+
+    rng_y, rng_x = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    base = np.stack([(7 * rng_x + 3 * rng_y) % 256] * 3, axis=2).astype(
+        np.uint8
+    )
+    near = base.copy()
+    near[0:2, 0:2, :] = 255  # tiny corner blot -> few aHash cells move
+    anti = np.stack([(255 - (7 * rng_x + 3 * rng_y) % 256)] * 3, axis=2).astype(
+        np.uint8
+    )  # inverted gradient -> complementary bit pattern
+    rows = [
+        (0, "image", "image/x-portable-pixmap", encode_ppm(base), (32, 32, None)),
+        (1, "image", "image/x-portable-pixmap", encode_ppm(near), (32, 32, None)),
+        (2, "image", "image/x-portable-pixmap", encode_ppm(anti), (32, 32, None)),
+        (3, "audio", "audio/wav", b"not-an-image", (None, None, 10)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    # kernel-level ground truth
+    h_base, h_near, h_anti = (
+        ahash64(encode_ppm(img)) for img in (base, near, anti)
+    )
+    d_near = bin((h_base ^ h_near) & ((1 << 64) - 1)).count("1")
+    d_anti = bin((h_base ^ h_anti) & ((1 << 64) - 1)).count("1")
+    assert d_near <= 3 < d_anti
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == d_near
+    assert not any(2 in pair or 3 in pair for pair in got)
+
+
+def test_ahash_recall_is_exact_within_distance_three(spark):
+    """Pigeonhole contract, swept: every planted variant whose KERNEL
+    Hamming distance to the base is <= 3 MUST appear in the operator's
+    output (4 disjoint 16-bit bands guarantee a clean shared band), and
+    nothing farther than 3 may appear. The variants perturb sampled
+    pixels directly, so several land at distances 2-3 across multiple
+    bands."""
+    import itertools
+
+    import numpy as np
+
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import encode_ppm
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ahash64,
+        ahash_near_dup_pairs,
+    )
+
+    rng_y, rng_x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    base = np.stack([(5 * rng_x + 11 * rng_y) % 256] * 3, axis=2).astype(
+        np.uint8
+    )
+    # perturb 1-3 of the 8x8 grid's SAMPLED pixels (odd coordinates on a
+    # 16x16 source) in rows that map to different bands (band = yy // 2)
+    sampled = [(1, 1), (5, 1), (9, 1), (13, 1), (1, 9), (9, 9)]
+    variants = []
+    for k in (1, 2, 3):
+        for combo in itertools.combinations(sampled, k):
+            var = base.copy()
+            for y, x in combo:
+                var[y, x, :] = 255
+            variants.append(var)
+    imgs = [base] + variants
+    hashes = [ahash64(encode_ppm(im)) for im in imgs]
+    dist = {
+        i: bin((hashes[0] ^ hashes[i]) & ((1 << 64) - 1)).count("1")
+        for i in range(1, len(imgs))
+    }
+    assert any(d == 3 for d in dist.values())  # the sweep reaches d=3
+    rows = [
+        (i, "image", "image/x-portable-pixmap", encode_ppm(im), (16, 16, None))
+        for i, im in enumerate(imgs)
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    for i, d in dist.items():
+        if d <= 3:
+            assert got.get((0, i)) == d, f"variant {i} at d={d} missed"
+        else:
+            assert (0, i) not in got
+
+
+def test_audio_ahash_planted_near_copy(spark):
+    """A lightly-edited audio clip (a few samples nudged) pairs with its
+    source at small Hamming distance; a structurally different clip
+    (reversed loudness profile) does not; non-audio rows are ignored."""
+    import numpy as np
+
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import (
+        encode_wav_pcm16,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_ahash64,
+        audio_ahash_near_dup_pairs,
+    )
+
+    j = np.arange(640)
+    base = ((37 * j) % 3001 - 1500).astype(np.int16)
+    near = base.copy()
+    near[5:8] = 0  # tiny edit inside one window
+    anti = base[::-1].copy()  # reversed profile
+    rows = [
+        (0, "audio", "audio/wav", encode_wav_pcm16(base), (None, None, 80)),
+        (1, "audio", "audio/wav", encode_wav_pcm16(near), (None, None, 80)),
+        (2, "audio", "audio/wav", encode_wav_pcm16(anti), (None, None, 80)),
+        (3, "image", "image/x-portable-pixmap", b"P6 junk", (2, 2, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    h0 = audio_ahash64(encode_wav_pcm16(base))
+    h1 = audio_ahash64(encode_wav_pcm16(near))
+    d01 = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
+    assert d01 <= 6
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in audio_ahash_near_dup_pairs(media, max_hamming=6).collect()
+    }
+    assert got.get((0, 1)) == d01
+    assert not any(3 in p for p in got)
+
+
+def test_video_frame_near_dup_spliced_frame(spark):
+    """Two videos that share one spliced-in identical frame pair with
+    n_shared_frames = 1; videos with disjoint frames do not pair; the
+    shared count is over DISTINCT hashes (a frame repeated inside one
+    video counts once)."""
+    import numpy as np
+
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import encode_y4m
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_frame_near_dup_pairs,
+    )
+
+    y, x = np.meshgrid(np.arange(12), np.arange(16), indexing="ij")
+
+    def frame(k):
+        return ((x * (k + 2) + 5 * y) % 256).astype(np.uint8)
+
+    shared = frame(7)
+    v0 = np.stack([frame(1), shared, shared])  # shared frame repeated
+    v1 = np.stack([frame(3), shared])
+    v2 = np.stack([frame(11), frame(13)])
+    rows = [
+        (0, "video", "video/x-yuv4mpeg", encode_y4m(v0), (16, 12, 120)),
+        (1, "video", "video/x-yuv4mpeg", encode_y4m(v1), (16, 12, 80)),
+        (2, "video", "video/x-yuv4mpeg", encode_y4m(v2), (16, 12, 80)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["n_shared_frames"]
+        for r in video_frame_near_dup_pairs(media).collect()
+    }
+    assert got == {(0, 1): 1}

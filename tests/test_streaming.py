@@ -2696,3 +2696,131 @@ def test_countmin_ingest_reports_history_replay_and_compaction(
         for r in read_countmin_report(spark, report2).collect()
     }
     assert r3 == {"alpha": (1, 4), "omega": (1, 0)}
+
+
+def test_cdc_chunk_ingest_insertion_shift_replay_and_compaction(
+    spark, tmp_path
+):
+    """The CDC-chunk store ingest (insertion-robust sibling of the
+    segment ingest): batch 1's report equals the batch operator
+    bit-for-bit on the same split; a re-ingest of an earlier document
+    with a PREPENDED token is still screened (content-anchored
+    boundaries — the case fixed-width segment screening misses by
+    construction); drained reruns and direct micro-batch replays change
+    nothing; a compacted store pointed at by a fresh checkpoint still
+    screens batch 0."""
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        cdc_chunk_dedup_from_store,
+        cdc_chunk_store,
+        segment_dedup_from_store,
+        segment_fingerprint_store,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
+        compact_cdc_chunk_store,
+        make_cdc_chunk_ingest_processor,
+        read_cdc_chunk_dedup_report,
+        run_cdc_chunk_ingest_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    big = " ".join(f"w{i}" for i in range(120))
+    other = " ".join(f"q{i}" for i in range(40))
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    b1 = [
+        {"doc_id": 1, "source": "s1", "text": big},
+        {"doc_id": 2, "source": "s2", "text": other},
+    ]
+    # doc 10 re-ingests doc 1's text with ONE prepended token
+    b2 = [
+        {"doc_id": 10, "source": "s1", "text": "intro " + big},
+        {"doc_id": 11, "source": "s2", "text": " ".join(
+            f"f{i}" for i in range(40))},
+    ]
+    write_batch("b1.jsonl", b1)
+    run_cdc_chunk_ingest_stream(spark, in_dir, store, report, ckpt)
+    r0 = read_cdc_chunk_dedup_report(spark, report).collect()
+    assert {r["source"]: r["n_removed_chunks"] for r in r0} == {
+        "s1": 0,
+        "s2": 0,
+    }  # empty store: nothing removed
+
+    write_batch("b2.jsonl", b2)
+    run_cdc_chunk_ingest_stream(spark, in_dir, store, report, ckpt)
+    got = {
+        tuple(r)
+        for r in read_cdc_chunk_dedup_report(spark, report)
+        .filter("batch_id = 1")
+        .drop("batch_id")
+        .collect()
+    }
+    b1_df = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in b1],
+        "doc_id long, source string, text string",
+    )
+    b2_df = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in b2],
+        "doc_id long, source string, text string",
+    )
+    want = {
+        tuple(r)
+        for r in cdc_chunk_dedup_from_store(
+            cdc_chunk_store(b1_df), b2_df
+        ).collect()
+    }
+    assert got == want  # bit-for-bit the batch operator
+    # insertion robustness: CDC screening strips most of doc 10's
+    # tokens, while fixed-width segment screening of the SAME pair
+    # strips strictly fewer (the prepended token re-frames every
+    # 8-token segment)
+    cdc_s1 = {r[0]: r for r in got}["s1"]
+    seg_s1 = {
+        r["source"]: r
+        for r in segment_dedup_from_store(
+            segment_fingerprint_store(b1_df), b2_df
+        ).collect()
+    }["s1"]
+    assert cdc_s1[4] > 0  # tokens_removed
+    assert cdc_s1[4] > seg_s1["tokens_removed"]
+
+    # drained rerun: no new files -> nothing changes
+    before = {
+        tuple(r) for r in read_cdc_chunk_dedup_report(spark, report).collect()
+    }
+    run_cdc_chunk_ingest_stream(spark, in_dir, store, report, ckpt)
+    after = {
+        tuple(r) for r in read_cdc_chunk_dedup_report(spark, report).collect()
+    }
+    assert after == before
+
+    # direct micro-batch replay (crash-after-write)
+    make_cdc_chunk_ingest_processor(store, report)(b2_df, 1)
+    replayed = {
+        tuple(r) for r in read_cdc_chunk_dedup_report(spark, report).collect()
+    }
+    assert replayed == before
+
+    # compaction + fresh checkpoint: batch 0 still screened against the
+    # consolidated history (batch-0 collision safety)
+    store2 = str(tmp_path / "store2")
+    n = compact_cdc_chunk_store(spark, store, store2)
+    assert n == spark.read.parquet(store).select("chunk").distinct().count()
+    ckpt2 = str(tmp_path / "ckpt2")
+    report2 = str(tmp_path / "report2")
+    in2 = str(tmp_path / "in2")
+    os.makedirs(in2)
+    with open(os.path.join(in2, "b3.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"doc_id": 20, "source": "s1", "text": big}) + "\n")
+    run_cdc_chunk_ingest_stream(spark, in2, store2, report2, ckpt2)
+    r3 = read_cdc_chunk_dedup_report(spark, report2).collect()
+    assert len(r3) == 1 and r3[0]["n_removed_chunks"] > 0
+    assert r3[0]["tokens_kept"] == 0  # exact re-ingest: everything stored

@@ -17,6 +17,16 @@ SF = "/root/testdata/sf0.01"
 PICKS = {
     "cdc_dedup_latest": "single Exchange on the dedup key; WindowGroupLimit "
     "partial+final prunes to rank-1 rows map-side before the shuffle",
+    "emb_mutual_knn_ivf": "cells-sized centroid table broadcast (BNLJ by "
+    "design), cell-keyed equi-join for candidates (partition pruning when "
+    "the corpus is stored by cell), per-source rank window bounded by 2 "
+    "probed cells' membership — never n^2",
+    "media_ahash_near_dup": "one Arrow-batched decode pass (MapInPandas), "
+    "band-keyed self-equi-join over 4x16-bit hash bands (linear + bucket "
+    "collisions, no all-pairs), 64-bit bit_count verify expression",
+    "doc_cdc_chunk_dedup_incremental": "delta-only cost: two doc-partitioned "
+    "windows for content-anchored chunking, one chunk-keyed shuffle join "
+    "against the stored distinct chunks; corpus text never re-read",
     "tpch_q3_shipping_priority": "no forced broadcast of fact-sized inputs: "
     "orders/customer join is AQE-planned from runtime stats; filters pushed "
     "to every scan",
