@@ -1060,3 +1060,58 @@ def video_frame_near_dup_pairs(media: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
     )
+
+
+def hamming_band_pairs_across(
+    delta_sigs: DataFrame,
+    store_sigs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-frame banded-Hamming screen: every DELTA fingerprint
+    against every STORED fingerprint within the Hamming ball — the
+    ingest-time form of ``_hamming_band_pairs`` (delta joins the store,
+    never itself; within-delta twins surface when the next batch
+    screens against the appended store, the standing batch-ordering
+    semantics of the streaming stores). Same pigeonhole guarantee:
+    recall is exactly 100% for max_hamming <= bands - 1.
+
+    Input frames are (media_id, ahash); output is (delta_id, corpus_id,
+    hamming), distinct."""
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "media_id",
+            "ahash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("ahash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("long")
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "key"),
+        )
+
+    a = banded(delta_sigs).alias("a")
+    b = banded(store_sigs).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.media_id").alias("delta_id"),
+            F.col("b.media_id").alias("corpus_id"),
+            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,140 @@
+"""Streaming media-fingerprint ingest: cross-batch near-dup screening,
+batch-operator equality, replay idempotence, and compaction batch-0
+safety — the multimodal member of the streaming store trio."""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import numpy as np
+
+from etl_pipeline_challenge_aladia_spark.operators.codecs import encode_ppm
+
+
+def _img(seed, blot=False):
+    y, x = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+    arr = np.stack([(7 * x + 3 * y + 11 * seed) % 256] * 3, axis=2).astype(
+        np.uint8
+    )
+    if blot:
+        arr[0:2, 0:2, :] = 255
+    return encode_ppm(arr)
+
+
+def _row(mid, payload, modality="image"):
+    return {
+        "media_id": mid,
+        "modality": modality,
+        "content_b64": base64.b64encode(payload).decode(),
+    }
+
+
+def test_media_fingerprint_ingest_screen_replay_compaction(spark, tmp_path):
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        ahash64,
+        hamming_band_pairs_across,
+        image_ahash,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.media import (
+        _delta_media_frame,
+        compact_media_sig_store,
+        make_media_fingerprint_ingest_processor,
+        read_media_near_dup_report,
+        read_media_sig_store,
+        run_media_fingerprint_ingest_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    a, b = _img(0), _img(40)
+    near_a = _img(0, blot=True)  # few cells move vs a
+    fresh = _img(90)
+    d = bin(
+        (ahash64(a) ^ ahash64(near_a)) & ((1 << 64) - 1)
+    ).count("1")
+    assert 0 < d <= 3  # the plant is inside the Hamming ball
+
+    def write_batch(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    b1 = [_row(1, a), _row(2, b)]
+    b2 = [
+        _row(10, near_a),
+        _row(11, fresh),
+        _row(12, b"not an image", modality="audio"),
+    ]
+    write_batch("b1.jsonl", b1)
+    run_media_fingerprint_ingest_stream(spark, in_dir, store, report, ckpt)
+    assert read_media_near_dup_report(spark, report).count() == 0
+
+    write_batch("b2.jsonl", b2)
+    run_media_fingerprint_ingest_stream(spark, in_dir, store, report, ckpt)
+    got = {
+        (r["delta_id"], r["corpus_id"]): r["hamming"]
+        for r in read_media_near_dup_report(spark, report)
+        .filter("batch_id = 1")
+        .collect()
+    }
+    assert got == {(10, 1): d}  # near-copy caught, fresh/audio ignored
+
+    # batch-operator equality on the same split
+    def frame(rows):
+        df = spark.createDataFrame(
+            [(r["media_id"], r["modality"], r["content_b64"]) for r in rows],
+            "media_id long, modality string, content_b64 string",
+        )
+        return _delta_media_frame(df)
+
+    want = {
+        (r["delta_id"], r["corpus_id"]): r["hamming"]
+        for r in hamming_band_pairs_across(
+            image_ahash(frame(b2)), image_ahash(frame(b1))
+        ).collect()
+    }
+    assert got == want
+
+    # drained rerun + direct micro-batch replay: bit-identical state
+    def snapshot():
+        s = sorted(map(tuple, read_media_sig_store(spark, store).collect()))
+        r = sorted(
+            map(tuple, read_media_near_dup_report(spark, report).collect())
+        )
+        return s, r
+
+    before = snapshot()
+    run_media_fingerprint_ingest_stream(spark, in_dir, store, report, ckpt)
+    assert snapshot() == before
+    b2_df = spark.createDataFrame(
+        [(r["media_id"], r["modality"], r["content_b64"]) for r in b2],
+        "media_id long, modality string, content_b64 string",
+    )
+    make_media_fingerprint_ingest_processor(store, report)(b2_df, 1)
+    assert snapshot() == before
+
+    # compaction -> fresh checkpoint: batch 0 still screened against the
+    # consolidated fingerprints (batch-0 collision safety)
+    store2 = str(tmp_path / "store2")
+    n = compact_media_sig_store(spark, store, store2)
+    assert n == 4  # images 1, 2, 10, 11
+    in2 = str(tmp_path / "in2")
+    os.makedirs(in2)
+    with open(os.path.join(in2, "b3.jsonl"), "w") as f:
+        f.write(json.dumps(_row(20, a)) + "\n")  # exact re-ingest of image 1
+    run_media_fingerprint_ingest_stream(
+        spark, in2, store2, str(tmp_path / "report2"), str(tmp_path / "ckpt2")
+    )
+    r3 = {
+        (r["delta_id"], r["corpus_id"]): r["hamming"]
+        for r in read_media_near_dup_report(
+            spark, str(tmp_path / "report2")
+        ).collect()
+    }
+    assert (20, 1) in r3 and r3[(20, 1)] == 0  # exact dup at distance 0
+    assert (20, 10) in r3  # and near the blotted copy too
