@@ -1136,6 +1136,163 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.8)
 
 
+def _lsh_band_tradeoff_oracle_sql(num_perm: int = 64, seed: int = 42) -> str:
+    """Three unrolled banding variants (8/16/32 bands over the SAME
+    64-perm signatures) against the exact-Jaccard baseline — the LSH
+    S-curve as counts."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        _perm_params,
+    )
+
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    params = _perm_params(num_perm, seed)
+    sig_cols = ",\n         ".join(
+        f"min((hv * {a} + {b}) % 2147483647) AS m{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    jexpr = _s4(
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.sh, b.sh)))"
+    )
+    parts = [f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+h AS (SELECT doc_id, CAST({hex2int} AS BIGINT) AS hv FROM ex),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+exact AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+  WHERE {jexpr} >= 0.8
+),
+xn AS (SELECT count(*) AS n FROM exact)"""]
+    for bands in (8, 16, 32):
+        rpb = num_perm // bands
+        arms = "\n  UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+                b=b,
+                key=" || ',' || ".join(
+                    f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+        parts.append(f"""bands{bands} AS (
+  {arms}
+),
+cand{bands} AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands{bands} a JOIN bands{bands} b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+r{bands} AS (
+  SELECT {bands} AS n_bands,
+         (SELECT count(*) FROM cand{bands}) AS n_candidates,
+         (SELECT count(*) FROM cand{bands} c
+          JOIN exact e ON c.doc_id_a = e.ia AND c.doc_id_b = e.ib)
+           AS n_true_pairs
+)""")
+    return (
+        ",\n".join(parts)
+        + """
+SELECT CAST(n_bands AS BIGINT) AS n_bands,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_true_pairs * 1000 // greatest(xn.n, 1) AS BIGINT)
+         AS recall_permille
+FROM (SELECT * FROM r8 UNION ALL SELECT * FROM r16
+      UNION ALL SELECT * FROM r32), xn
+"""
+    )
+
+
+@query(
+    "doc_lsh_band_tradeoff",
+    _lsh_band_tradeoff_oracle_sql(),
+    doc="The LSH banding recall/cost curve — the MinHash twin of "
+    "emb_ivf_nprobe_tradeoff, closing the loop on 'every approximate "
+    "knob ships a measured curve': over the SAME 64-perm signatures, "
+    "band the corpus at 8x8, 16x4, and 32x2 (bands x rows) and count, "
+    "per setting, the candidate pairs the buckets admit (the cost "
+    "axis: every candidate pays an exact-Jaccard verification) and "
+    "how many true >= 0.8 pairs the buckets recover (the quality "
+    "axis, permille of the exact baseline, floor division, "
+    "zero-guarded). P(candidate) = 1 - (1 - j^r)^b, so more/narrower "
+    "bands buy recall with candidate volume — this query is that "
+    "S-curve as data, the measured decision behind "
+    "minhash_near_dup's 16x4 default (its sibling audits: "
+    "minhash_recall_audit fixes the setting and finds the misses; "
+    "minhash_band_stats profiles bucket occupancy). Scale shape: "
+    "signatures computed once and reused by all three variants "
+    "(lazy localCheckpoint), three band-keyed self-joins linear in "
+    "corpus + bucket collisions, verification by joining the exact "
+    "pair set (itself the lossless inverted-index path, not "
+    "all-pairs); counts are 1-row frames.",
+)
+def q_doc_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        _band_rows,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n=3, num_perm=64).localCheckpoint(
+        eager=False
+    )
+    exact = (
+        ngram_jaccard_pairs(docs, threshold=0.8)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=False)
+    )
+    xn = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    out = None
+    for bands in (8, 16, 32):
+        br = _band_rows(sigs, 64, bands)
+        x, y = br.alias("x"), br.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("doc_id_a"),
+                F.col("y.id").alias("doc_id_b"),
+            )
+            .distinct()
+        )
+        ncand = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        hits = cand.join(exact, ["doc_id_a", "doc_id_b"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs")
+        )
+        row = (
+            ncand.crossJoin(hits)
+            .crossJoin(xn)  # three 1-row frames
+            .select(
+                F.lit(bands).cast("long").alias("n_bands"),
+                "n_candidates",
+                "n_true_pairs",
+                F.expr(
+                    "n_true_pairs * 1000L div greatest(n_exact, 1L)"
+                ).alias("recall_permille"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _minhash_incremental_oracle_sql(split_id: int = 400) -> str:
     """The incremental variant of the MinHash oracle: same tok/sig/bands
     CTEs, but candidates pair delta docs (doc_id >= split) against corpus
@@ -9101,6 +9258,166 @@ def q_dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("deviation_permille"),
+        )
+    )
+
+
+@query(
+    "dq_referential_orphans",
+    """
+SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+            AS BIGINT)
+""",
+    doc="Referential-integrity audit across the warehouse's five FK "
+    "edges: for each child->parent edge, total child rows and the "
+    "count of ORPHANS (child keys with no parent row) — the data-"
+    "quality gate every ingest pipeline runs before exposing a "
+    "snapshot, and the dq_profile_orders sibling for cross-table "
+    "invariants. Each edge is one LEFT ANTI join (null-safe: a NULL "
+    "FK is an orphan by definition on the anti side) + a count — "
+    "map-side partials, AQE broadcasts the dimension side where "
+    "small; no windows, no collects. Five 1-row aggregates union to "
+    "the report.",
+)
+def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    out = None
+    for label, child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("_pk")
+        )
+        total = c.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows"))
+        orphans = (
+            c.join(p, c[ck] == p["_pk"], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        row = total.crossJoin(orphans).select(  # two 1-row frames
+            F.lit(label).alias("fk_edge"), "n_child_rows", "n_orphans"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
+    "events_audience_overlap",
+    """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+       FROM ut GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, ta.n_users AS n_users_a, tb.n_users AS n_users_b,
+       i.n_both,
+       CAST(i.n_both * 1000 // (ta.n_users + tb.n_users - i.n_both)
+            AS BIGINT) AS jaccard_permille
+FROM inter i
+JOIN tc ta ON ta.event_type = i.type_a
+JOIN tc tb ON tb.event_type = i.type_b
+""",
+    doc="Audience-overlap matrix between event types: for every type "
+    "pair, the exact user-set Jaccard in permille — the SET view of "
+    "behavior (who does both), complementary to the SEQUENTIAL view "
+    "(events_markov_transitions: what follows what). High overlap "
+    "between a cheap and an expensive action identifies warm "
+    "audiences; near-zero flags disjoint populations a shared funnel "
+    "would mis-model. Exact counts (the type alphabet is small; no "
+    "sketch needed — the HLL twin for unbounded alphabets is "
+    "events_hll_user_audit), one integer floor division. Scale shape: "
+    "one distinct over (user, type), a user-keyed self-join whose "
+    "fan-out is bounded by types-per-user squared (alphabet-bounded, "
+    "never corpus-sized), a pair-grain rollup, two broadcast-sized "
+    "total joins.",
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a = ut.alias("a")
+    b = ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ta = tc.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_users").alias("n_users_a"),
+    )
+    tb = tc.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_users").alias("n_users_b"),
+    )
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_a",
+            "n_users_b",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 1000 div"
+                " (n_users_a + n_users_b - n_both) AS BIGINT)"
+            ).alias("jaccard_permille"),
         )
     )
 
