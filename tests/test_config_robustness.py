@@ -39,6 +39,15 @@ SAMPLE = [
     "doc_cdc_chunk_dedup",             # lag windows + position reassembly
     "doc_vocab_coverage_curve",        # TakeOrdered head + rank window
     "events_mad_outlier_days",         # two quantile frames + top-3 ties
+    # round-8 additions:
+    "orders_rfm_segments",             # 9-value boundary broadcast (rewrite)
+    "emb_mutual_knn_ivf",              # centroid broadcast + cell join + rank
+    "emb_ivf_nprobe_tradeoff",         # probe frames reused across variants
+    "doc_lsh_band_tradeoff",           # shared signatures across variants
+    "doc_cdc_chunk_dedup_incremental", # chunk store anti-shape left join
+    "media_video_frame_near_dup",      # hash-keyed containment join
+    "events_audience_overlap",         # user-keyed self-join + totals
+    "dq_referential_orphans",          # five anti-joins unioned
 ]
 
 
