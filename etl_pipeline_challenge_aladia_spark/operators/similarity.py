@@ -670,27 +670,63 @@ def mutual_knn_ivf(
         .filter(F.col("pr") <= nprobe)
         .select("id", "v", "cell")
     )
-    cand = e.select(
-        F.col("id").alias("dst"),
-        F.col("own_cell").alias("cell"),
-        F.col("v").alias("cv"),
-    )
-    scored = (
-        probes.join(cand, "cell")
-        .filter(F.col("id") != F.col("dst"))
-        .select(
-            F.col("id").alias("src"),
-            "dst",
-            round_half_up(
-                cosine_similarity_col(F.col("v"), F.col("cv")), 4
-            ).alias("cos_sim"),
+    # Score candidates with a PER-CELL GEMM (applyInPandas), not a
+    # per-pair column expression: each cell's (probers x members) dot
+    # products run as one BLAS matmul — identical rounding/threshold to
+    # cosine_pairs_blocked, and the same reason that kernel exists (a
+    # corpus-sized candidate frame through an interpreted 64-dim cosine
+    # expression is ~10x slower than the matmul at fixture scale and
+    # worse at 100 TB). Probers and members union into one cell-keyed
+    # shuffle; roles split inside the kernel.
+    import numpy as np
+    import pandas as pd
+
+    tagged = probes.select(
+        "id", "v", "cell", F.lit(0).alias("role")
+    ).unionByName(
+        e.select(
+            "id",
+            "v",
+            F.col("own_cell").alias("cell"),
+            F.lit(1).alias("role"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+    )
+
+    def score_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        p = pdf[pdf["role"] == 0]
+        m = pdf[pdf["role"] == 1]
+        if len(p) == 0 or len(m) == 0:
+            return empty
+        pa = np.stack(p["v"].to_numpy())
+        mb = np.stack(m["v"].to_numpy())
+        na = np.sqrt((pa * pa).sum(axis=1))
+        nb = np.sqrt((mb * mb).sum(axis=1))
+        denom = np.outer(na, nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom > 0, (pa @ mb.T) / denom, 0.0)
+        sim = np.floor(sim * 1e4 + 0.5) / 1e4  # shared half-up rounding
+        ia, ib = np.where(sim >= threshold)
+        src = p["id"].to_numpy()[ia]
+        dst = m["id"].to_numpy()[ib]
+        keep = src != dst
+        return pd.DataFrame(
+            {"src": src[keep], "dst": dst[keep], "cos_sim": sim[ia, ib][keep]}
+        )
+
+    scored = tagged.groupBy("cell").applyInPandas(
+        score_cell, schema="src long, dst long, cos_sim double"
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     rk = scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
-    )
+    ).localCheckpoint(eager=False)  # feeds both mutuality branches
     a = rk.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("vec_id_a"),
         F.col("dst").alias("vec_id_b"),

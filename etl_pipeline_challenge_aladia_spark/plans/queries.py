@@ -2231,14 +2231,19 @@ def q_emb_ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cent_sim"),
         )
         .withColumn("pr", F.row_number().over(probe_w))
+        .localCheckpoint(eager=False)  # reused by all three variants
     )
-    exact = brute_force_topk(
-        emb.filter(F.col("vec_id") >= 5),
-        emb.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        ),
-        k=5,
-    ).select("query_id", "neighbor_id")
+    exact = (
+        brute_force_topk(
+            emb.filter(F.col("vec_id") >= 5),
+            emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=5,
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # feeds xn + three hit joins
+    )
     xn = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     out = None
     for p in (1, 2, 3):
@@ -2251,7 +2256,7 @@ def q_emb_ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(
                 cosine_similarity_col(F.col("qe"), F.col("ce")), 4
             ).alias("cos_sim"),
-        )
+        ).localCheckpoint(eager=False)  # feeds the count AND the top-k
         ncand = scored.agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates")
         )
@@ -11288,7 +11293,7 @@ def _mutual_topk_pairs(pairs: DataFrame, k: int = 5) -> DataFrame:
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     rk = bidir.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
-    )
+    ).localCheckpoint(eager=False)  # feeds both mutuality branches
     a = rk.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("vec_id_a"),
         F.col("dst").alias("vec_id_b"),
@@ -11487,11 +11492,19 @@ def q_emb_mutual_knn_ivf_recall_audit(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = _mutual_topk_pairs(
-        cosine_pairs_blocked(emb, threshold=0.30), k=5
-    ).select("vec_id_a", "vec_id_b")
-    ivf = mutual_knn_ivf(emb, k=5, nprobe=2, threshold=0.30).select(
-        "vec_id_a", "vec_id_b"
+    # each side feeds TWO aggregates (its count and the intersection);
+    # lazy localCheckpoint materializes the expensive pair frames once
+    # instead of re-running the GEMM / cell scans per aggregate (the
+    # iterative-loop discipline of bpe_merge_rounds / kcenter_select)
+    exact = (
+        _mutual_topk_pairs(cosine_pairs_blocked(emb, threshold=0.30), k=5)
+        .select("vec_id_a", "vec_id_b")
+        .localCheckpoint(eager=False)
+    )
+    ivf = (
+        mutual_knn_ivf(emb, k=5, nprobe=2, threshold=0.30)
+        .select("vec_id_a", "vec_id_b")
+        .localCheckpoint(eager=False)
     )
     xn = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     vn = ivf.agg(F.count(F.lit(1)).cast("long").alias("n_ivf"))
