@@ -636,7 +636,8 @@ def mutual_knn_ivf(
     keep pairs where each side ranks in the other's top-k.
 
     Scale shape: one broadcast cross of centroids (cells-sized), one
-    cell-keyed equi-join (corpus partitioned by cell => partition
+    cell-keyed shuffle into a per-cell applyInPandas BLAS GEMM
+    (probers x members; corpus partitioned by cell => partition
     pruning), and a per-source rank window bounded by nprobe cells'
     membership — never n^2. Each (src, dst) appears at most once
     because a candidate lives in exactly one cell and probed cells are

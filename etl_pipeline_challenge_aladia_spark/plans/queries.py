@@ -3374,6 +3374,59 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_priority_latency_percentiles",
+    f"""
+WITH lag AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS d
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_shipments,
+       {_s2('quantile_cont(d, 0.25)')} AS p25_days,
+       {_s2('quantile_cont(d, 0.50)')} AS p50_days,
+       {_s2('quantile_cont(d, 0.75)')} AS p75_days
+FROM lag GROUP BY o_orderpriority
+""",
+    doc="Fulfillment-latency distribution per order priority: exact "
+    "linear-interpolation quartiles of (ship date - order date) in "
+    "days — the logistics SLA profile (a priority class whose p75 "
+    "runs far ahead of its p50 has a long-tail problem an average "
+    "hides; URGENT should dominate the low quartiles if expediting "
+    "works). Quartiles are GROUPED percentile aggregates (per-class "
+    "partial state, distributed; the 5-value priority alphabet "
+    "bounds the final reduce) — NOT global windows, so the plan is "
+    "one join + one hash aggregate at any scale; lag is an exact "
+    "integer day count and the interpolated quartiles round half-up "
+    "to 2, deterministic cross-engine.",
+)
+def q_orders_priority_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("d"),
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipments"),
+        *[
+            _r2(F.expr(f"percentile(d, {q}D)"), name)
+            for q, name in (
+                (0.25, "p25_days"),
+                (0.50, "p50_days"),
+                (0.75, "p75_days"),
+            )
+        ],
+    )
+
+
+@query(
     "tpch_q16_supplier_count_by_part",
     """
 SELECT p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
@@ -4121,6 +4174,71 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(
                 F.sum("fx").cast("double") / F.lit(100000000.0) / F.count(F.lit(1)), 4
             ).alias("avg_sq_dist"),
+        )
+    )
+
+
+@query(
+    "emb_cluster_label_purity",
+    _kmeans_cte_prefix(8, 3)
+    + """,
+ct AS (
+  SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+  FROM a3 a JOIN embeddings e USING (vec_id)
+  GROUP BY a.cluster, e.label
+),
+best AS (
+  SELECT cluster, max(n) AS n_major, sum(n) AS n_total FROM ct GROUP BY cluster
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(n_total AS BIGINT) AS n_vecs,
+       CAST(n_major AS BIGINT) AS n_majority_label,
+       CAST(n_major * 1000 // n_total AS BIGINT) AS purity_permille
+FROM best
+""",
+    doc="Clustering-quality evaluation against ground truth: per k-means "
+    "cluster (the deterministic kmeans_lite assignment, k=8, 3 rounds), "
+    "how many members the single most common label accounts for — "
+    "purity in permille, the standard external cluster-validity "
+    "measure (1000 = every cluster is label-pure; near 1000/|labels| "
+    "= clustering is label-blind). Complements "
+    "emb_label_separation_audit (distance-based, label-grain) with "
+    "the contingency-based cluster-grain view. Emits the majority "
+    "COUNT, not the label identity, so label-count ties cannot make "
+    "the output ambiguous. Scale shape: the kmeans rounds themselves "
+    "(broadcast-centroid map stages), one (cluster, label) contingency "
+    "aggregate, one cluster-grain max/sum rollup — the contingency "
+    "table is (k x labels)-sized, never corpus-sized.",
+)
+def q_emb_cluster_label_purity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        kmeans_lite,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_lite(emb).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )
+    ct = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        ct.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.max("n").cast("long").alias("n_majority_label"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            "n_majority_label",
+            F.expr(
+                "CAST(n_majority_label * 1000 div n_vecs AS BIGINT)"
+            ).alias("purity_permille"),
         )
     )
 

@@ -18,9 +18,10 @@ PICKS = {
     "cdc_dedup_latest": "single Exchange on the dedup key; WindowGroupLimit "
     "partial+final prunes to rank-1 rows map-side before the shuffle",
     "emb_mutual_knn_ivf": "cells-sized centroid table broadcast (BNLJ by "
-    "design), cell-keyed equi-join for candidates (partition pruning when "
-    "the corpus is stored by cell), per-source rank window bounded by 2 "
-    "probed cells' membership — never n^2",
+    "design), then ONE cell-keyed shuffle into a per-cell applyInPandas "
+    "BLAS GEMM (probers x members) — candidate scoring never runs the "
+    "interpreted per-pair cosine expression; rank window bounded by 2 "
+    "probed cells' membership, never n^2",
     "media_ahash_near_dup": "one Arrow-batched decode pass (MapInPandas), "
     "band-keyed self-equi-join over 4x16-bit hash bands (linear + bucket "
     "collisions, no all-pairs), 64-bit bit_count verify expression",
