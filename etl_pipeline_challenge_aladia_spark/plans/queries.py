@@ -6271,14 +6271,42 @@ o2 AS (SELECT 'orders->customer' AS relationship,
               CAST(sum(CASE WHEN c2.c_custkey IS NULL THEN c ELSE 0 END) AS BIGINT)
                 AS n_orphans
        FROM ok LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c2
-         ON c2.c_custkey = ok.k)
+         ON c2.c_custkey = ok.k),
+pk2 AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+p2 AS (SELECT 'lineitem->part' AS relationship,
+              CAST(sum(c) AS BIGINT) AS n_children,
+              CAST(sum(CASE WHEN pp.p_partkey IS NULL THEN c ELSE 0 END) AS BIGINT)
+                AS n_orphans
+       FROM pk2 LEFT JOIN (SELECT DISTINCT p_partkey FROM part) pp
+         ON pp.p_partkey = pk2.k),
+sk AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+s2 AS (SELECT 'lineitem->supplier' AS relationship,
+              CAST(sum(c) AS BIGINT) AS n_children,
+              CAST(sum(CASE WHEN ss.s_suppkey IS NULL THEN c ELSE 0 END) AS BIGINT)
+                AS n_orphans
+       FROM sk LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) ss
+         ON ss.s_suppkey = sk.k),
+nk AS (SELECT c_nationkey AS k, count(*) AS c FROM customer GROUP BY 1),
+n2 AS (SELECT 'customer->nation' AS relationship,
+              CAST(sum(c) AS BIGINT) AS n_children,
+              CAST(sum(CASE WHEN nn.n_nationkey IS NULL THEN c ELSE 0 END) AS BIGINT)
+                AS n_orphans
+       FROM nk LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) nn
+         ON nn.n_nationkey = nk.k)
 SELECT * FROM l UNION ALL SELECT * FROM o2
+UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM s2
+UNION ALL SELECT * FROM n2
 """,
-    doc="Referential-integrity audit: orphaned lineitems (no parent order) "
-    "and orphaned orders (no parent customer) "
-    "(operators/quality_checks.py:fk_orphans). The child side aggregates "
-    "to (key, count) BEFORE the join so the shuffle carries one row per "
-    "distinct key, not per child row; NULL keys count as orphans.",
+    doc="Referential-integrity audit across all five FK edges of the "
+    "warehouse (lineitem->orders/part/supplier, orders->customer, "
+    "customer->nation): child rows whose key has no parent "
+    "(operators/quality_checks.py:fk_orphans) — the data-quality gate "
+    "an ingest runs before exposing a snapshot. The child side "
+    "aggregates to (key, count) BEFORE the join so the shuffle "
+    "carries one row per distinct key, not per child row; NULL keys "
+    "count as orphans (a fact row that cannot be joined IS unparented "
+    "for every downstream query). Extended from 2 to the full 5 edges "
+    "in round 8.",
 )
 def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.quality_checks import fk_orphans
@@ -6286,8 +6314,19 @@ def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return fk_orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders").unionAll(
-        fk_orphans(o, c, "o_custkey", "c_custkey", "orders->customer")
+    pt = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        fk_orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionAll(fk_orphans(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionAll(fk_orphans(li, pt, "l_partkey", "p_partkey", "lineitem->part"))
+        .unionAll(
+            fk_orphans(li, sup, "l_suppkey", "s_suppkey", "lineitem->supplier")
+        )
+        .unionAll(
+            fk_orphans(c, na, "c_nationkey", "n_nationkey", "customer->nation")
+        )
     )
 
 
@@ -9383,86 +9422,6 @@ def q_dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("deviation_permille"),
         )
     )
-
-
-@query(
-    "dq_referential_orphans",
-    """
-SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
-       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,
-       CAST((SELECT count(*) FROM lineitem l
-             WHERE NOT EXISTS (SELECT 1 FROM orders o
-                               WHERE o.o_orderkey = l.l_orderkey))
-            AS BIGINT) AS n_orphans
-UNION ALL
-SELECT 'orders.o_custkey -> customer',
-       CAST((SELECT count(*) FROM orders) AS BIGINT),
-       CAST((SELECT count(*) FROM orders o
-             WHERE NOT EXISTS (SELECT 1 FROM customer c
-                               WHERE c.c_custkey = o.o_custkey))
-            AS BIGINT)
-UNION ALL
-SELECT 'lineitem.l_partkey -> part',
-       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
-       CAST((SELECT count(*) FROM lineitem l
-             WHERE NOT EXISTS (SELECT 1 FROM part p
-                               WHERE p.p_partkey = l.l_partkey))
-            AS BIGINT)
-UNION ALL
-SELECT 'lineitem.l_suppkey -> supplier',
-       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
-       CAST((SELECT count(*) FROM lineitem l
-             WHERE NOT EXISTS (SELECT 1 FROM supplier s
-                               WHERE s.s_suppkey = l.l_suppkey))
-            AS BIGINT)
-UNION ALL
-SELECT 'customer.c_nationkey -> nation',
-       CAST((SELECT count(*) FROM customer) AS BIGINT),
-       CAST((SELECT count(*) FROM customer c
-             WHERE NOT EXISTS (SELECT 1 FROM nation n
-                               WHERE n.n_nationkey = c.c_nationkey))
-            AS BIGINT)
-""",
-    doc="Referential-integrity audit across the warehouse's five FK "
-    "edges: for each child->parent edge, total child rows and the "
-    "count of ORPHANS (child keys with no parent row) — the data-"
-    "quality gate every ingest pipeline runs before exposing a "
-    "snapshot, and the dq_profile_orders sibling for cross-table "
-    "invariants. Each edge is one LEFT ANTI join (null-safe: a NULL "
-    "FK is an orphan by definition on the anti side) + a count — "
-    "map-side partials, AQE broadcasts the dimension side where "
-    "small; no windows, no collects. Five 1-row aggregates union to "
-    "the report.",
-)
-def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = [
-        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
-         "orders", "o_orderkey"),
-        ("orders.o_custkey -> customer", "orders", "o_custkey",
-         "customer", "c_custkey"),
-        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
-         "part", "p_partkey"),
-        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
-         "supplier", "s_suppkey"),
-        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
-         "nation", "n_nationkey"),
-    ]
-    out = None
-    for label, child, ck, parent, pk in edges:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(
-            F.col(pk).alias("_pk")
-        )
-        total = c.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows"))
-        orphans = (
-            c.join(p, c[ck] == p["_pk"], "left_anti")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
-        )
-        row = total.crossJoin(orphans).select(  # two 1-row frames
-            F.lit(label).alias("fk_edge"), "n_child_rows", "n_orphans"
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
 
 
 @query(

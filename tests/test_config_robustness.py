@@ -47,7 +47,7 @@ SAMPLE = [
     "doc_cdc_chunk_dedup_incremental", # chunk store anti-shape left join
     "media_video_frame_near_dup",      # hash-keyed containment join
     "events_audience_overlap",         # user-keyed self-join + totals
-    "dq_referential_orphans",          # five anti-joins unioned
+    "dq_fk_orphans",                   # five key-grain orphan joins
 ]
 
 

@@ -334,7 +334,6 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "emb_mutual_knn_ivf_recall_audit",  # centroid broadcast + 1-row counts
         "emb_ivf_nprobe_tradeoff",      # centroid broadcast + 1-row counts
         "doc_lsh_band_tradeoff",        # 1-row count frames per variant
-        "dq_referential_orphans",       # two 1-row counts per FK edge
         "emb_cluster_label_purity",     # k-row centroid frames in kmeans
         "events_weekly_retention",      # 1-row cohort-base frame
         "events_funnel_view_click_purchase",  # 1-row funnel-base frame
