@@ -3,14 +3,16 @@ multimodal column family, completing the store trio (text signatures:
 streaming/docs.py sigstore; embeddings: streaming/embeddings.py index;
 media: this module).
 
-Shape: a ``batch=<id>``-keyed store accumulates each micro-batch's image
-aHash fingerprints (operators/multimodal.py:image_ahash — REAL NetPBM
-decode inside Arrow-batched mapInPandas), and every arriving batch is
-screened against the STORED fingerprints with the banded-Hamming
-cross-frame join (``hamming_band_pairs_across`` — pigeonhole-exact
-recall at the <= 3 threshold). Per-batch cost is the delta's own decode
-plus one band-keyed equi-join against the store; stored payload bytes
-are never re-read — only their 64-bit hashes.
+Shape: per-modality ``batch=<id>``-keyed stores accumulate each
+micro-batch's fingerprints — image aHashes (image_ahash: REAL NetPBM
+decode) and audio loudness-profile hashes (audio_ahash64: REAL PCM WAV
+decode), both inside Arrow-batched mapInPandas — and every arriving
+batch is screened against its own modality's STORED fingerprints with
+the banded-Hamming cross-frame join (``hamming_band_pairs_across``,
+pigeonhole-exact recall: 4x16-bit bands <= 3 for images, 8x8-bit
+bands <= 6 for audio, matching the batch operators). Per-batch cost is
+the delta's own decode plus one band-keyed equi-join per modality;
+stored payload bytes are never re-read — only their 64-bit hashes.
 
 Replay-idempotent by the streaming layer's standing contract: report
 and store append are ``batch=<id>`` overwrite directories, the screen
@@ -41,10 +43,14 @@ from etl_pipeline_challenge_aladia_spark.streaming.docs import (
 #: per-batch image fingerprints
 MEDIA_SIG_STORE_SCHEMA = "media_id long, ahash long"
 
-#: per-batch near-dup report (delta image vs stored image)
+#: per-batch near-dup report (delta item vs stored item, same modality)
 MEDIA_NEAR_DUP_REPORT_SCHEMA = (
-    "delta_id long, corpus_id long, hamming long, batch_id long"
+    "delta_id long, corpus_id long, hamming long, modality string,"
+    " batch_id long"
 )
+
+#: modalities the ingest fingerprints (one store directory each)
+FINGERPRINT_MODALITIES = ("image", "audio")
 
 #: minimal media-stream schema for the file-source harness
 MEDIA_STREAM_SCHEMA = "media_id long, modality string, content_b64 string"
@@ -65,34 +71,52 @@ def make_media_fingerprint_ingest_processor(
     report_path: str,
     max_hamming: int = 3,
     bands: int = 4,
+    audio_max_hamming: int = 6,
+    audio_bands: int = 8,
 ):
-    """foreachBatch processor: hash this batch's images, screen them
-    against the accumulated fingerprint store (strictly cross-batch —
-    within-batch twins surface on the next batch, the standing
-    batch-ordering semantics), then append this batch's fingerprints."""
+    """foreachBatch processor: fingerprint this batch's images AND audio
+    (image aHash / audio loudness-profile hash — each modality screens
+    only against its own stored family, with its own Hamming ball and
+    band layout: 4x16 <= 3 for images, 8x8 <= 6 for audio, matching the
+    batch operators), screen them against the accumulated store
+    (strictly cross-batch — within-batch twins surface on the next
+    batch, the standing batch-ordering semantics), then append this
+    batch's fingerprints. The store carries one directory per modality
+    so cross-modality hash collisions can never pair a song with a
+    picture."""
 
     def process_batch(delta: DataFrame, batch_id: int) -> None:
         from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+            _audio_ahash_frame,
             hamming_band_pairs_across,
             image_ahash,
         )
 
         spark = delta.sparkSession
         delta = delta.localCheckpoint(eager=True)
-        sigs = image_ahash(_delta_media_frame(delta)).localCheckpoint(
-            eager=True
-        )
-        store = _read_store(
-            spark, store_path, MEDIA_SIG_STORE_SCHEMA, exclude_batch=batch_id
-        )
-        report = hamming_band_pairs_across(
-            sigs, store, max_hamming=max_hamming, bands=bands
-        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        frame = _delta_media_frame(delta)
+        report = None
+        for modality, hasher, mh, nb in (
+            ("image", image_ahash, max_hamming, bands),
+            ("audio", _audio_ahash_frame, audio_max_hamming, audio_bands),
+        ):
+            sub = os.path.join(store_path, modality)
+            sigs = hasher(frame).localCheckpoint(eager=True)
+            store = _read_store(
+                spark, sub, MEDIA_SIG_STORE_SCHEMA, exclude_batch=batch_id
+            )
+            part = hamming_band_pairs_across(
+                sigs, store, max_hamming=mh, bands=nb
+            ).withColumn("modality", F.lit(modality))
+            report = part if report is None else report.unionByName(part)
+            sigs.write.mode("overwrite").parquet(
+                os.path.join(sub, f"batch={batch_id}")
+            )
+        report = report.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).select("delta_id", "corpus_id", "hamming", "modality", "batch_id")
         report.write.mode("overwrite").parquet(
             os.path.join(report_path, f"batch={batch_id}")
-        )
-        sigs.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch={batch_id}")
         )
 
     return process_batch
@@ -102,8 +126,22 @@ def read_media_near_dup_report(spark: SparkSession, report_path: str) -> DataFra
     return _read_store(spark, report_path, MEDIA_NEAR_DUP_REPORT_SCHEMA)
 
 
-def read_media_sig_store(spark: SparkSession, store_path: str) -> DataFrame:
-    return _read_store(spark, store_path, MEDIA_SIG_STORE_SCHEMA)
+def read_media_sig_store(
+    spark: SparkSession, store_path: str, modality: str | None = None
+) -> DataFrame:
+    """Accumulated fingerprints — one modality's store, or all of them
+    tagged with a ``modality`` column."""
+    if modality is not None:
+        return _read_store(
+            spark, os.path.join(store_path, modality), MEDIA_SIG_STORE_SCHEMA
+        )
+    out = None
+    for m in FINGERPRINT_MODALITIES:
+        part = _read_store(
+            spark, os.path.join(store_path, m), MEDIA_SIG_STORE_SCHEMA
+        ).withColumn("modality", F.lit(m))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def run_media_fingerprint_ingest_stream(
@@ -140,14 +178,18 @@ def run_media_fingerprint_ingest_stream(
 def compact_media_sig_store(
     spark: SparkSession, store_path: str, out_path: str
 ) -> int:
-    """Consolidate a fingerprint store's per-batch directories into ONE
-    reserved ``compacted/`` layout at a fresh path — same
-    publish-then-point pattern and fresh-checkpoint batch-0 safety as
-    the other compactors, with a global DISTINCT shrink (the same image
-    ingested by many batches stores one row). Returns the number of
-    stored distinct fingerprints."""
-    sigs = _read_store(spark, store_path, MEDIA_SIG_STORE_SCHEMA)
-    sigs.distinct().write.mode("overwrite").parquet(
-        os.path.join(out_path, COMPACTED_DIR)
-    )
-    return spark.read.parquet(os.path.join(out_path, COMPACTED_DIR)).count()
+    """Consolidate a fingerprint store's per-batch directories (every
+    modality) into ONE reserved ``compacted/`` layout per modality at a
+    fresh path — same publish-then-point pattern and fresh-checkpoint
+    batch-0 safety as the other compactors, with a global DISTINCT
+    shrink (the same item ingested by many batches stores one row).
+    Returns the total number of stored distinct fingerprints."""
+    total = 0
+    for m in FINGERPRINT_MODALITIES:
+        sigs = _read_store(
+            spark, os.path.join(store_path, m), MEDIA_SIG_STORE_SCHEMA
+        )
+        target = os.path.join(out_path, m, COMPACTED_DIR)
+        sigs.distinct().write.mode("overwrite").parquet(target)
+        total += spark.read.parquet(target).count()
+    return total

@@ -10,7 +10,10 @@ import os
 
 import numpy as np
 
-from etl_pipeline_challenge_aladia_spark.operators.codecs import encode_ppm
+from etl_pipeline_challenge_aladia_spark.operators.codecs import (
+    encode_ppm,
+    encode_wav_pcm16,
+)
 
 
 def _img(seed, blot=False):
@@ -59,16 +62,30 @@ def test_media_fingerprint_ingest_screen_replay_compaction(spark, tmp_path):
         (ahash64(a) ^ ahash64(near_a)) & ((1 << 64) - 1)
     ).count("1")
     assert 0 < d <= 3  # the plant is inside the Hamming ball
+    # audio plant: near-copy inside the audio Hamming ball
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        audio_ahash64,
+    )
+
+    j = np.arange(640)
+    wav = encode_wav_pcm16(((37 * j) % 3001 - 1500).astype(np.int16))
+    near_samples = ((37 * j) % 3001 - 1500).astype(np.int16)
+    near_samples[5:8] = 0
+    near_wav = encode_wav_pcm16(near_samples)
+    da = bin(
+        (audio_ahash64(wav) ^ audio_ahash64(near_wav)) & ((1 << 64) - 1)
+    ).count("1")
+    assert da <= 6
 
     def write_batch(name, rows):
         with open(os.path.join(in_dir, name), "w") as f:
             f.write("\n".join(json.dumps(r) for r in rows) + "\n")
 
-    b1 = [_row(1, a), _row(2, b)]
+    b1 = [_row(1, a), _row(2, b), _row(3, wav, modality="audio")]
     b2 = [
         _row(10, near_a),
         _row(11, fresh),
-        _row(12, b"not an image", modality="audio"),
+        _row(12, near_wav, modality="audio"),
     ]
     write_batch("b1.jsonl", b1)
     run_media_fingerprint_ingest_stream(spark, in_dir, store, report, ckpt)
@@ -76,13 +93,18 @@ def test_media_fingerprint_ingest_screen_replay_compaction(spark, tmp_path):
 
     write_batch("b2.jsonl", b2)
     run_media_fingerprint_ingest_stream(spark, in_dir, store, report, ckpt)
-    got = {
-        (r["delta_id"], r["corpus_id"]): r["hamming"]
-        for r in read_media_near_dup_report(spark, report)
+    rep_rows = (
+        read_media_near_dup_report(spark, report)
         .filter("batch_id = 1")
         .collect()
+    )
+    got = {
+        (r["delta_id"], r["corpus_id"]): (r["hamming"], r["modality"])
+        for r in rep_rows
     }
-    assert got == {(10, 1): d}  # near-copy caught, fresh/audio ignored
+    # image near-copy AND audio near-copy caught, each inside its own
+    # modality family; the fresh image pairs with nothing
+    assert got == {(10, 1): (d, "image"), (12, 3): (da, "audio")}
 
     # batch-operator equality on the same split
     def frame(rows):
@@ -98,7 +120,7 @@ def test_media_fingerprint_ingest_screen_replay_compaction(spark, tmp_path):
             image_ahash(frame(b2)), image_ahash(frame(b1))
         ).collect()
     }
-    assert got == want
+    assert {k: v[0] for k, v in got.items() if v[1] == "image"} == want
 
     # drained rerun + direct micro-batch replay: bit-identical state
     def snapshot():
@@ -122,7 +144,7 @@ def test_media_fingerprint_ingest_screen_replay_compaction(spark, tmp_path):
     # consolidated fingerprints (batch-0 collision safety)
     store2 = str(tmp_path / "store2")
     n = compact_media_sig_store(spark, store, store2)
-    assert n == 4  # images 1, 2, 10, 11
+    assert n == 6  # images 1, 2, 10, 11 + audio 3, 12
     in2 = str(tmp_path / "in2")
     os.makedirs(in2)
     with open(os.path.join(in2, "b3.jsonl"), "w") as f:
@@ -138,3 +160,4 @@ def test_media_fingerprint_ingest_screen_replay_compaction(spark, tmp_path):
     }
     assert (20, 1) in r3 and r3[(20, 1)] == 0  # exact dup at distance 0
     assert (20, 10) in r3  # and near the blotted copy too
+    assert all(k[0] == 20 for k in r3)  # audio history never pairs an image
