@@ -937,3 +937,86 @@ def test_duplicated_span_coverage_within_one_doc(spark, tmp_path):
     got = CATALOG["doc_duplicated_span_coverage"].spark(spark, sf).collect()[0]
     assert got["n_tokens"] == 17
     assert got["covered_tokens"] == 16  # both blocks, 'mid' uncovered
+
+
+def test_bpe_rounds_parameterized_greedy_prefix(spark, tmp_path):
+    """The parameterized engine entry point (round-8): rounds=6 must
+    extend rounds=3 — the greedy merge sequence is a PREFIX property
+    (later rounds never change earlier decisions), and the per-round
+    localCheckpoint materialization must not perturb any decision."""
+    from etl_pipeline_challenge_aladia_spark.plans.queries import (
+        bpe_merge_rounds,
+    )
+
+    rows = [
+        (1, "x y z x y w x y", "en", "A", 5),
+        (2, "p q p q r s", "en", "B", 5),
+        (3, "x y z w r s p q", "en", "A", 3),
+    ]
+    sf = _write(spark, tmp_path, "documents", _docs(spark, rows))
+
+    def table(rounds):
+        return {
+            r["merge_round"]: (r["pair"], r["merged"], r["n_occurrences"])
+            for r in bpe_merge_rounds(spark, sf, rounds=rounds).collect()
+        }
+
+    t3, t6 = table(3), table(6)
+    assert len(t3) == 3 and len(t6) == 6
+    assert all(t6[k] == t3[k] for k in t3)  # greedy prefix preserved
+    # catalog entry == rounds=3 of the parameterized path
+    cat = {
+        r["merge_round"]: (r["pair"], r["merged"], r["n_occurrences"])
+        for r in CATALOG["doc_bpe_merge_rounds"].spark(spark, sf).collect()
+    }
+    assert cat == t3
+
+
+def test_mutual_knn_ivf_recovers_exact_on_separable_cells(spark, tmp_path):
+    """Round-8 IVF mutual-kNN: when every reciprocal pair lives inside
+    one well-separated cell (and each vector's own cell is its nearest
+    probe), the cell-routed result equals the exact blocked-GEMM result
+    bit-for-bit, and the recall audit reports 1000 permille — the
+    planted separable case; what routing misses on MIXED corpora is the
+    audit's whole job."""
+    import numpy as np
+
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        mutual_knn_ivf,
+    )
+    from etl_pipeline_challenge_aladia_spark.plans.queries import (
+        _mutual_topk_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for cell in range(3):
+        base = np.zeros(16)
+        base[cell] = 10.0  # orthogonal cell anchors
+        for _ in range(6):
+            v = base + rng.normal(0, 0.2, 16)
+            rows.append((vid, [float(x) for x in v], cell))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): (
+            r["cos_sim"], r["rank_ab"], r["rank_ba"]
+        )
+        for r in mutual_knn_ivf(emb, k=3, nprobe=1, threshold=0.30).collect()
+    }
+    want = {
+        (r["vec_id_a"], r["vec_id_b"]): (
+            r["cos_sim"], r["rank_ab"], r["rank_ba"]
+        )
+        for r in _mutual_topk_pairs(
+            cosine_pairs_blocked(emb, threshold=0.30), k=3
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # cross-cell cosines sit near 0 (< the 0.30 threshold), so nothing
+    # the exact path finds straddles cells — the separable premise
+    assert all(a // 6 == b // 6 for a, b in got)
