@@ -1020,3 +1020,23 @@ def test_mutual_knn_ivf_recovers_exact_on_separable_cells(spark, tmp_path):
     # cross-cell cosines sit near 0 (< the 0.30 threshold), so nothing
     # the exact path finds straddles cells — the separable premise
     assert all(a // 6 == b // 6 for a, b in got)
+
+
+def test_nprobe_tradeoff_reconciles_with_recall_audit(spark, sf_dir):
+    """The docstring's reconciliation claim, pinned: the nprobe=2 row of
+    emb_ivf_nprobe_tradeoff must equal the emb_ivf_recall_audit summed
+    over queries (same cell split, centroid arithmetic, tie-breaks),
+    and recall must be monotone non-decreasing in nprobe while the
+    candidate count strictly grows."""
+    rows = {
+        r["nprobe"]: r
+        for r in CATALOG["emb_ivf_nprobe_tradeoff"].spark(spark, sf_dir).collect()
+    }
+    audit = CATALOG["emb_ivf_recall_audit"].spark(spark, sf_dir).collect()
+    assert rows[2]["n_hits"] == sum(r["n_hits"] for r in audit)
+    assert (
+        rows[1]["recall_permille"]
+        <= rows[2]["recall_permille"]
+        <= rows[3]["recall_permille"]
+    )
+    assert rows[1]["n_candidates"] < rows[2]["n_candidates"] < rows[3]["n_candidates"]
