@@ -616,6 +616,85 @@ def ivf_topk(
     )
 
 
+def _tile_cell_blocks(tagged: DataFrame, block_cap: int) -> DataFrame:
+    """Skew-bounding tiler for the per-cell GEMM: map a
+    (id, v, cell, role) frame (role 0 = prober, 1 = member) to
+    (id, v, cell, role, pblock, mblock) such that grouping by
+    (cell, pblock, mblock) puts every (prober, member) pair of a cell
+    in EXACTLY one tile with at most ``block_cap`` rows of each role —
+    the distributed-GEMM tiling discipline applied to applyInPandas.
+
+    Per-cell prober/member counts (a tiny two-column aggregate,
+    broadcast) size the grid at ``ceil(n/cap)`` blocks per axis; each
+    row's own block is its id-rank within the cell div cap (a
+    deterministic HARD bound of cap rows per role per tile — hash
+    blocking would only bound the expectation), probers replicating
+    across the cell's mblocks and members across its pblocks. Cells
+    within the cap get a 1x1 grid — identical grouping to the untiled
+    plan, so results never depend on the cap; only the largest
+    single-task matmul does (<= cap^2 scores), whatever the cell-size
+    distribution. Exactly-once per pair: a prober lives in one pblock
+    and appears once per mblock; a member lives in one mblock and
+    appears once per pblock; the (pblock, mblock) pair is unique. The
+    rank windows sort by cell — a skewed SORT spills and stays linear,
+    unlike a skewed pandas group, which is the whole trade."""
+    counts = (
+        tagged.groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("role") == 0, 1).otherwise(0)).alias("n_p"),
+            F.sum(F.when(F.col("role") == 1, 1).otherwise(0)).alias("n_m"),
+        )
+        .select(
+            "cell",
+            F.greatest(F.lit(1), F.ceil(F.col("n_p") / F.lit(block_cap)))
+            .cast("int")
+            .alias("nbp"),
+            F.greatest(F.lit(1), F.ceil(F.col("n_m") / F.lit(block_cap)))
+            .cast("int")
+            .alias("nbm"),
+        )
+    )
+    t = tagged.join(F.broadcast(counts), "cell")
+    rank_w = Window.partitionBy("cell").orderBy("id")
+    # own block BEFORE the explode — in one select the generator runs
+    # first and the rank would count each replicated row. Rows whose own
+    # axis fits the cap (nb == 1, the common case on balanced cells)
+    # bypass the rank window entirely: block 0 by definition, no sort
+    # paid unless a cell actually overflows.
+    own_block = (
+        ((F.row_number().over(rank_w) - 1) / F.lit(block_cap))
+        .cast("int")
+        .alias("own_block")
+    )
+
+    def one_role(role: int, own_nb: str, other_nb: str, own_name: str,
+                 other_name: str) -> DataFrame:
+        r = t.filter(F.col("role") == role)
+        small = r.filter(F.col(own_nb) == 1).select(
+            "id", "v", "cell", "role", other_nb,
+            F.lit(0).alias("own_block"),
+        )
+        big = r.filter(F.col(own_nb) > 1).select(
+            "id", "v", "cell", "role", other_nb, own_block
+        )
+        return small.unionByName(big).select(
+            "id",
+            "v",
+            "cell",
+            "role",
+            F.col("own_block").alias(own_name),
+            F.explode(F.sequence(F.lit(0), F.col(other_nb) - 1)).alias(
+                other_name
+            ),
+        )
+
+    probers = one_role(0, "nbp", "nbm", "pblock", "mblock")
+    members = one_role(1, "nbm", "nbp", "mblock", "pblock")
+    return probers.unionByName(
+        members.select("id", "v", "cell", "role", "pblock", "mblock")
+    )
+
+
 def mutual_knn_ivf(
     embeddings: DataFrame,
     k: int = 5,
@@ -624,6 +703,7 @@ def mutual_knn_ivf(
     cell_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_cap: int = 2048,
 ) -> DataFrame:
     """Reciprocal nearest neighbors on the IVF cell-routed candidate
     generator — the scale path ``emb_mutual_knn_pairs``' docstring
@@ -639,10 +719,28 @@ def mutual_knn_ivf(
     cell-keyed shuffle into a per-cell applyInPandas BLAS GEMM
     (probers x members; corpus partitioned by cell => partition
     pruning), and a per-source rank window bounded by nprobe cells'
-    membership — never n^2. Each (src, dst) appears at most once
-    because a candidate lives in exactly one cell and probed cells are
-    distinct. What cell routing misses (reciprocal pairs split across
-    unprobed cells) is measured by emb_mutual_knn_ivf_recall_audit.
+    membership — never n^2. The GEMM is TILED against cell skew
+    (``_tile_cell_blocks``): any cell larger than ``block_cap`` on
+    either axis splits into id-rank blocks, probers replicating across
+    member blocks and vice versa, so per-task work is HARD-capped at
+    block_cap^2 scores even when one hot cell holds most of the corpus
+    (real embedding corpora are skewed; an untiled hot cell is a
+    single-task near-quadratic matmul that OOMs an executor at 100 TB).
+    The tiling never changes results — every (prober, member) pair
+    lands in exactly one tile — and within-cap cells keep the 1x1 grid.
+    Each (src, dst) appears at most once because a candidate lives in
+    exactly one cell and probed cells are distinct. What cell routing
+    misses (reciprocal pairs split across unprobed cells) is measured
+    by emb_mutual_knn_ivf_recall_audit.
+
+    Rounding note (cross-engine parity): cosines are rounded half-up at
+    4 dp AFTER a BLAS matmul, and BLAS summation order can differ from
+    the oracle's list_cosine_similarity by a last ulp — a cosine landing
+    within ~1 ulp of a .00005 boundary could round differently across
+    engines (the cosine_pairs_blocked lesson). Current fixtures sit
+    clear of boundaries (driver-verified); if a future fixture trips
+    this, use compensated summation in the kernel, never a looser
+    oracle.
 
     Output: (vec_id_a < vec_id_b, cos_sim, rank_ab, rank_ba) — the
     exact operator's schema, directly joinable against it.
@@ -671,26 +769,32 @@ def mutual_knn_ivf(
         .filter(F.col("pr") <= nprobe)
         .select("id", "v", "cell")
     )
-    # Score candidates with a PER-CELL GEMM (applyInPandas), not a
-    # per-pair column expression: each cell's (probers x members) dot
+    # Score candidates with a PER-TILE GEMM (applyInPandas), not a
+    # per-pair column expression: each tile's (probers x members) dot
     # products run as one BLAS matmul — identical rounding/threshold to
     # cosine_pairs_blocked, and the same reason that kernel exists (a
     # corpus-sized candidate frame through an interpreted 64-dim cosine
     # expression is ~10x slower than the matmul at fixture scale and
     # worse at 100 TB). Probers and members union into one cell-keyed
-    # shuffle; roles split inside the kernel.
+    # shuffle; roles split inside the kernel; _tile_cell_blocks caps
+    # any skewed cell at block_cap rows per role per task. tagged feeds
+    # both the tiler's count aggregate and the scoring shuffle, so it
+    # is materialized once (lazy localCheckpoint folded into the first
+    # job) instead of re-running the probe window per consumer.
     import numpy as np
     import pandas as pd
 
-    tagged = probes.select(
-        "id", "v", "cell", F.lit(0).alias("role")
-    ).unionByName(
-        e.select(
-            "id",
-            "v",
-            F.col("own_cell").alias("cell"),
-            F.lit(1).alias("role"),
+    tagged = (
+        probes.select("id", "v", "cell", F.lit(0).alias("role"))
+        .unionByName(
+            e.select(
+                "id",
+                "v",
+                F.col("own_cell").alias("cell"),
+                F.lit(1).alias("role"),
+            )
         )
+        .localCheckpoint(eager=False)
     )
 
     def score_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -721,8 +825,10 @@ def mutual_knn_ivf(
             {"src": src[keep], "dst": dst[keep], "cos_sim": sim[ia, ib][keep]}
         )
 
-    scored = tagged.groupBy("cell").applyInPandas(
-        score_cell, schema="src long, dst long, cos_sim double"
+    scored = (
+        _tile_cell_blocks(tagged, block_cap)
+        .groupBy("cell", "pblock", "mblock")
+        .applyInPandas(score_cell, schema="src long, dst long, cos_sim double")
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     rk = scored.withColumn("rnk", F.row_number().over(w)).filter(

@@ -11494,11 +11494,16 @@ FROM ki a JOIN ki b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
     "mutual-top-5 criterion runs over probed-cell members only — "
     "same threshold (0.30), ranking, and output schema as the exact "
     "operator, so the two are directly joinable. Scale shape: one "
-    "cells-sized broadcast, one cell-keyed equi-join (partition "
-    "pruning when the corpus is stored partitioned by cell), and a "
-    "per-source rank window bounded by 2 cells' membership — never "
-    "n^2. What routing misses is measured by "
-    "emb_mutual_knn_ivf_recall_audit.",
+    "cells-sized broadcast, one cell-keyed shuffle into a per-cell "
+    "BLAS GEMM that is TILED against cell skew (_tile_cell_blocks: "
+    "cells larger than block_cap split into id-rank blocks, so "
+    "per-task work is hard-capped at block_cap^2 scores even when one "
+    "hot cell holds most of a skewed corpus), and a per-source rank "
+    "window bounded by 2 cells' membership — never n^2. The tile "
+    "sizing costs one cells-sized count pass over the probe "
+    "assignment — a fixture-visible constant (~1.3 s at sf0.1) that "
+    "amortizes with data and buys the executor-OOM bound. What "
+    "routing misses is measured by emb_mutual_knn_ivf_recall_audit.",
 )
 def q_emb_mutual_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (

@@ -1,0 +1,111 @@
+"""Round-9 additions: skew-bounded IVF GEMM tiling, sf-parameterized
+media fixture, BPE apply, banding auto-tune, cross-modal contamination,
+and the shared streaming-store contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+
+def _skewed_embeddings(spark, n_hot=32, n_cold=4, dim=12, seed=11):
+    """One mega-cell holding ~80% of vectors plus two small cells —
+    the skewed-corpus shape the GEMM tiler exists for."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for cell, count, axis in ((0, n_hot, 0), (1, n_cold, 1), (2, n_cold, 2)):
+        base = np.zeros(dim)
+        base[axis] = 10.0
+        for _ in range(count):
+            v = base + rng.normal(0, 0.25, dim)
+            rows.append((vid, [float(x) for x in v], cell))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_mutual_knn_ivf_tiling_caps_per_task_work(spark):
+    """The skew bound, pinned: with a planted mega-cell (80% of vectors
+    on one label) and a tiny block_cap, every (cell, pblock, mblock)
+    tile carries at most block_cap probers and block_cap members, the
+    hot cell splits into a >1x1 grid, and every (prober, member) pair
+    of a cell appears in EXACTLY one tile — so per-task work is capped
+    while results cannot depend on the cap."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        _tile_cell_blocks,
+    )
+
+    emb = _skewed_embeddings(spark)
+    cap = 8
+    tagged = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").alias("cell"),
+        F.lit(0).alias("role"),
+    ).unionByName(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.col("label").alias("cell"),
+            F.lit(1).alias("role"),
+        )
+    )
+    tiles = _tile_cell_blocks(tagged, cap)
+    per_tile = (
+        tiles.groupBy("cell", "pblock", "mblock")
+        .agg(
+            F.sum(F.when(F.col("role") == 0, 1).otherwise(0)).alias("n_p"),
+            F.sum(F.when(F.col("role") == 1, 1).otherwise(0)).alias("n_m"),
+        )
+        .collect()
+    )
+    assert all(r["n_p"] <= cap and r["n_m"] <= cap for r in per_tile)
+    hot_tiles = [r for r in per_tile if r["cell"] == 0]
+    assert len(hot_tiles) > 1  # the mega-cell actually split
+    # exactly-once per (prober, member) pair: each prober appears once
+    # per mblock of its cell (one pblock), members mirror => any pair
+    # shares exactly one (pblock, mblock) coordinate
+    pair_tiles = (
+        tiles.filter(F.col("role") == 0)
+        .select("cell", F.col("id").alias("p"), "pblock", "mblock")
+        .join(
+            tiles.filter(F.col("role") == 1).select(
+                "cell", F.col("id").alias("m"), "pblock", "mblock"
+            ),
+            ["cell", "pblock", "mblock"],
+        )
+        .groupBy("cell", "p", "m")
+        .count()
+        .collect()
+    )
+    n_per_cell = {0: 32, 1: 4, 2: 4}
+    assert len(pair_tiles) == sum(c * c for c in n_per_cell.values())
+    assert all(r["count"] == 1 for r in pair_tiles)
+
+
+def test_mutual_knn_ivf_results_invariant_under_block_cap(spark):
+    """mutual_knn_ivf with a cap that forces the mega-cell into many
+    tiles returns bit-identical pairs to the effectively-untiled run."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        mutual_knn_ivf,
+    )
+
+    emb = _skewed_embeddings(spark)
+
+    def run(cap):
+        return {
+            (r["vec_id_a"], r["vec_id_b"]): (
+                r["cos_sim"], r["rank_ab"], r["rank_ba"]
+            )
+            for r in mutual_knn_ivf(
+                emb, k=3, nprobe=1, threshold=0.30, block_cap=cap
+            ).collect()
+        }
+
+    tiled, untiled = run(5), run(1_000_000)
+    assert tiled == untiled and len(tiled) > 0
