@@ -227,7 +227,7 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 (64 + i, 48 + i, 1000 * (1 + i % 5)),
             )
         )
-    n_parts = max(1, min(8, n // 8))
+    n_parts = max(1, min(32, n // 8))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
 
 
@@ -537,27 +537,88 @@ AUDIO_RATE = 8000
 VIDEO_FPS = 25
 
 
+def media_n_for_sf(sf_dir: str, base: int = 48) -> int:
+    """Fixture row count for a scale-factor directory — the hook that
+    puts the media fingerprint family on the honest scale ladder
+    instead of a constant-size payload set (VERDICT r8 #2).
+
+    ``base`` is the count at sf0.01, where the DuckDB oracles enumerate
+    the golden hashes (their VALUES lists are generated with the same
+    default, so the driver's correctness gate is unchanged); the count
+    scales linearly with the sf parsed from the directory name
+    (sf0.1 -> 10x rows, .scaledata/sf1.0 -> 100x), floored at 12 and
+    truncated to a multiple of 3 to keep the image/audio/video rotation
+    balanced. Unparseable paths get ``base`` — oracle-safe by default.
+    """
+    import os
+    import re
+
+    name = os.path.basename(os.path.normpath(sf_dir)) if sf_dir else ""
+    m = re.search(r"sf(\d+(?:\.\d+)?)", name)
+    if not m:
+        return base
+    n = int(round(base * float(m.group(1)) / 0.01))
+    return max(12, n - n % 3)
+
+
+MEDIA_BLOCK = 48  #: ids per gradient block (= the oracle's fixture size)
+
+
+def _media_gradients(i: int) -> tuple[int, int, int, int, int]:
+    """Per-block closed-form gradient coefficients
+    (img_ax, img_ay, aud_mult, vid_ax, vid_ay) for media id ``i``.
+
+    Ids group into blocks of MEDIA_BLOCK; block 0 keeps the original
+    round-8 coefficients (3, 7, 31, 1, 3) so the n=48 golden-hash
+    oracles are byte-identical, and every later block gets DISTINCT
+    multiplicatively-spread coefficients. This is what keeps near-dup
+    CLUSTERS constant-size as the fixture scales with sf: within a
+    block the payloads differ by small shifts (planted near-dups,
+    same structure at every scale); across blocks the gradients differ
+    so fingerprints never collide systematically — pair output grows
+    linearly with n, the make_scale_data.py replication discipline
+    applied to media (naive growth would let every dup cluster grow
+    with n and quadratic pair blowup would test the generator, not the
+    engine)."""
+    blk = i // MEDIA_BLOCK
+    return (
+        (3 + 101 * blk) % 256,
+        (7 + 149 * blk) % 256,
+        31 + (blk * 57) % 1900,
+        (1 + 101 * blk) % 256,
+        (3 + 149 * blk) % 256,
+    )
+
+
 def synthetic_media_real(spark, n: int = 48) -> DataFrame:
     """Deterministic media fixture with REAL container payloads.
 
-    - ``i % 3 == 0`` image: P6 PPM, pixel(c,y,x) = (3x + 7y + 11c + i) % 256
-    - ``i % 3 == 1`` audio: PCM16 WAV, sample(j) = (31j + 17i) % 4001 - 2000
-    - ``i % 3 == 2`` video: Cmono Y4M, luma(t,y,x) = (x + 3y + 5t + i) % 256
+    With blk = i // 48 and (ax, ay, sm, vx, vy) = _media_gradients(i)
+    (block 0: 3, 7, 31, 1, 3 — the original formulas):
+
+    - ``i % 3 == 0`` image: P6 PPM, pixel(c,y,x) = (ax*x + ay*y + 11c + i) % 256
+    - ``i % 3 == 1`` audio: PCM16 WAV, sample(j) = (sm*j + 17i) % 4001 - 2000
+    - ``i % 3 == 2`` video: Cmono Y4M, luma(t,y,x) = (vx*x + vy*y + 5t + i) % 256
+
+    Scale with ``media_n_for_sf``: near-dup structure is planted
+    within gradient blocks, so dup clusters stay constant-size and
+    fingerprint pair output grows linearly as n scales with sf.
     """
     rows = []
     for i in range(n):
+        ax, ay, sm, vx, vy = _media_gradients(i)
         if i % 3 == 0:
             w, h = _real_image_dims(i)
             c, y, x = np.meshgrid(
                 np.arange(3), np.arange(h), np.arange(w), indexing="ij"
             )
-            img = ((3 * x + 7 * y + 11 * c + i) % 256).astype(np.uint8)
+            img = ((ax * x + ay * y + 11 * c + i) % 256).astype(np.uint8)
             payload = encode_ppm(np.moveaxis(img, 0, 2))
             rows.append((i, "image", "image/x-portable-pixmap", payload, (w, h, None)))
         elif i % 3 == 1:
             ns = _real_audio_n(i)
             j = np.arange(ns)
-            samples = ((31 * j + 17 * i) % 4001 - 2000).astype(np.int16)
+            samples = ((sm * j + 17 * i) % 4001 - 2000).astype(np.int16)
             payload = encode_wav_pcm16(samples, AUDIO_RATE)
             dur_ms = ns * 1000 // AUDIO_RATE
             rows.append((i, "audio", "audio/wav", payload, (None, None, dur_ms)))
@@ -566,11 +627,11 @@ def synthetic_media_real(spark, n: int = 48) -> DataFrame:
             t, y, x = np.meshgrid(
                 np.arange(nf), np.arange(h), np.arange(w), indexing="ij"
             )
-            frames = ((x + 3 * y + 5 * t + i) % 256).astype(np.uint8)
+            frames = ((vx * x + vy * y + 5 * t + i) % 256).astype(np.uint8)
             payload = encode_y4m(frames, VIDEO_FPS)
             dur_ms = nf * 1000 // VIDEO_FPS
             rows.append((i, "video", "video/x-yuv4mpeg", payload, (w, h, dur_ms)))
-    n_parts = max(1, min(8, n // 8))
+    n_parts = max(1, min(32, n // 8))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
 
 

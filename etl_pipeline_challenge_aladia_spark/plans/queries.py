@@ -3142,6 +3142,8 @@ def _media_ahash_oracle_sql(n: int = 48) -> str:
     and banded answers are identical by construction."""
     rows = []
     for i in range(0, n, 3):  # image members: i %% 3 == 0
+        blk = i // 48  # gradient block (block 0 == the original formula)
+        ax, ay = (3 + 101 * blk) % 256, (7 + 149 * blk) % 256
         w, h = 16 + i % 5, 12 + i % 7
         total, cells = 0, []
         for yy in range(8):
@@ -3149,7 +3151,7 @@ def _media_ahash_oracle_sql(n: int = 48) -> str:
             for xx in range(8):
                 sx = min((2 * xx + 1) * w // 16, w - 1)
                 g = (
-                    sum((3 * sx + 7 * sy + 11 * c + i) % 256 for c in range(3))
+                    sum((ax * sx + ay * sy + 11 * c + i) % 256 for c in range(3))
                     // 3
                 )
                 cells.append(g)
@@ -3194,24 +3196,30 @@ def _media_ahash_oracle_sql(n: int = 48) -> str:
 def q_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
         ahash_near_dup_pairs,
+        media_n_for_sf,
         synthetic_media_real,
     )
 
-    return ahash_near_dup_pairs(synthetic_media_real(spark, n=48))
+    return ahash_near_dup_pairs(
+        synthetic_media_real(spark, n=media_n_for_sf(sf_dir))
+    )
 
 
 def _media_audio_ahash_oracle_sql(n: int = 48) -> str:
     """Golden 64-bit loudness-profile hashes for the audio members of
     the real media fixture, recomputed from the closed-form sample spec
-    (sample(j) = (31j + 17i) %% 4001 - 2000, n = 200 + 3i) in PURE
-    PYTHON INT — independent of the engine's WAV decoder and window
-    fold. Pairing is the exact all-pairs Hamming baseline (identical to
-    the engine's 8-band LSH answer by the pigeonhole guarantee at
-    distance <= 6 < 8 bands)."""
+    (sample(j) = (sm*j + 17i) %% 4001 - 2000, n = 200 + 3i, sm the
+    block-0 value 31 at the oracle's n=48) in PURE PYTHON INT —
+    independent of the engine's WAV decoder and window fold. Pairing is
+    the exact all-pairs Hamming baseline (identical to the engine's
+    8-band LSH answer by the pigeonhole guarantee at distance <= 6 < 8
+    bands)."""
     rows = []
     for i in range(1, n, 3):  # audio members: i %% 3 == 1
+        blk = i // 48  # gradient block (block 0 == the original formula)
+        sm = 31 + (blk * 57) % 1900
         ns = 200 + 3 * i
-        s = [abs((31 * j + 17 * i) % 4001 - 2000) for j in range(ns)]
+        s = [abs((sm * j + 17 * i) % 4001 - 2000) for j in range(ns)]
         en = [
             sum(s[(w * ns) // 64:((w + 1) * ns) // 64]) for w in range(64)
         ]
@@ -3257,26 +3265,32 @@ def q_media_audio_ahash_near_dup(
 ) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
         audio_ahash_near_dup_pairs,
+        media_n_for_sf,
         synthetic_media_real,
     )
 
-    return audio_ahash_near_dup_pairs(synthetic_media_real(spark, n=48))
+    return audio_ahash_near_dup_pairs(
+        synthetic_media_real(spark, n=media_n_for_sf(sf_dir))
+    )
 
 
 def _media_video_frame_oracle_sql(n: int = 48) -> str:
     """Golden per-frame 64-bit average hashes for the video members of
     the real media fixture, recomputed from the closed-form luma spec
-    (luma(t, y, x) = (x + 3y + 5t + i) %% 256, nf = 2 + i %% 3, w = 8 +
+    (luma(t, y, x) = (vx*x + vy*y + 5t + i) %% 256 with the block-0
+    gradients vx=1, vy=3 at the oracle's n=48; nf = 2 + i %% 3, w = 8 +
     i %% 4, h = 6 + i %% 5) with the same pixel-center resample map in
     PURE PYTHON INT. Pairing: videos sharing >= 1 identical frame
     hash, counted over distinct hashes per video."""
     rows = []
     for i in range(2, n, 3):  # video members: i %% 3 == 2
+        blk = i // 48  # gradient block (block 0 == the original formula)
+        vx, vy = (1 + 101 * blk) % 256, (3 + 149 * blk) % 256
         nf, w, h = 2 + i % 3, 8 + i % 4, 6 + i % 5
         for t in range(nf):
             cells = [
-                (min((2 * xx + 1) * w // 16, w - 1)
-                 + 3 * min((2 * yy + 1) * h // 16, h - 1)
+                (vx * min((2 * xx + 1) * w // 16, w - 1)
+                 + vy * min((2 * yy + 1) * h // 16, h - 1)
                  + 5 * t + i) % 256
                 for yy in range(8)
                 for xx in range(8)
@@ -3324,11 +3338,14 @@ def q_media_video_frame_near_dup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        media_n_for_sf,
         synthetic_media_real,
         video_frame_near_dup_pairs,
     )
 
-    return video_frame_near_dup_pairs(synthetic_media_real(spark, n=48))
+    return video_frame_near_dup_pairs(
+        synthetic_media_real(spark, n=media_n_for_sf(sf_dir))
+    )
 
 
 @query(
@@ -13393,6 +13410,110 @@ def bpe_merge_rounds(
                 )
             ).localCheckpoint(eager=False)
     return out
+
+
+def _bpe_apply_round_ctes(r: int) -> str:
+    """One unrolled BPE APPLY round — the training CTEs of
+    ``_bpe_round_ctes`` with ``doc_id`` carried through the corpus
+    rewrite (the merge decision itself is corpus-global and ignores
+    doc identity, exactly like training)."""
+    return f"""
+c{r} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_transform(range(len(w) - 1),
+                  i -> w[i+1] || ' ' || w[i+2])) AS pair
+    FROM (SELECT string_split(trim(tx), ' ') AS w FROM t{r - 1})
+    WHERE len(w) >= 2
+  ) GROUP BY pair
+),
+m{r} AS (SELECT pair, n FROM c{r} ORDER BY n DESC, pair LIMIT 1),
+t{r} AS (
+  SELECT doc_id, replace(tx, ' ' || pair || ' ',
+                 ' ' || replace(pair, ' ', '+') || ' ') AS tx
+  FROM t0x, m{r}
+)""".replace("t0x", f"t{r - 1}")
+
+
+_BPE_APPLY_ORACLE = (
+    "WITH t0 AS (SELECT doc_id, ' ' || text || ' ' AS tx FROM documents),"
+    + ",".join(_bpe_apply_round_ctes(r).lstrip() for r in (1, 2, 3))
+    + """
+SELECT t0.doc_id,
+       CAST(len(string_split(trim(t0.tx), ' ')) AS BIGINT) AS tokens_before,
+       CAST(len(string_split(trim(t3.tx), ' ')) AS BIGINT) AS tokens_after
+FROM t0 JOIN t3 USING (doc_id)
+"""
+)
+
+
+@query(
+    "doc_bpe_apply",
+    _BPE_APPLY_ORACLE,
+    doc="BPE APPLY — the other half of what a 1000-executor tokenizer "
+    "job does: doc_bpe_merge_rounds trains the greedy merge table; "
+    "this query applies the rounds=3 merge sequence to the corpus "
+    "(same corpus-global merge decisions, same space-padded "
+    "sequential-leftmost replace semantics, doc_id carried through "
+    "the rewrite) and reports per-document token counts before and "
+    "after — the compression measurement that tells a tokenizer "
+    "deployment what the merges bought. Merges MUST apply in training "
+    "order (round r's pair counts reflect rounds 1..r-1's rewrites), "
+    "so the loop reuses the exact training iteration with the "
+    "localCheckpoint-per-round materialization discipline: per-round "
+    "cost is one explode + pair aggregate + a 1-row broadcast merge "
+    "decision + one linear map rewrite, O(rounds * corpus) total. "
+    "At 100 TB the merge table would be trained once and broadcast "
+    "as a literal (k rows); the apply pass itself is embarrassingly "
+    "parallel — one map over documents, no shuffle.",
+)
+def bpe_apply(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """Train-and-apply: re-derives the greedy merge sequence (identical
+    decisions to ``bpe_merge_rounds`` — same counts, tie-breaks, and
+    consumed-separator replace) while carrying ``doc_id`` through the
+    corpus rewrite, then emits (doc_id, tokens_before, tokens_after).
+    Token counts split on single spaces on both engines (empty tokens
+    from repeated spaces count identically cross-engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tx = docs.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("tx"),
+        F.size(F.split(F.trim(F.concat(F.lit(" "), F.col("text"), F.lit(" "))), " "))
+        .cast("long")
+        .alias("tokens_before"),
+    )
+    for _ in range(rounds):
+        top = (
+            tx.select(F.split(F.trim("tx"), " ").alias("w"))
+            .filter(F.size("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(w[i], ' ', w[i+1]))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+        )
+        tx = tx.crossJoin(F.broadcast(top)).select(
+            "doc_id",
+            F.expr(
+                "replace(tx, concat(' ', pair, ' '),"
+                " concat(' ', replace(pair, ' ', '+'), ' ')) AS tx"
+            ).alias("tx"),
+            "tokens_before",
+        ).localCheckpoint(eager=False)
+    return tx.select(
+        "doc_id",
+        "tokens_before",
+        F.size(F.split(F.trim("tx"), " ")).cast("long").alias("tokens_after"),
+    )
 
 
 @query(

