@@ -590,6 +590,22 @@ def _media_gradients(i: int) -> tuple[int, int, int, int, int]:
     )
 
 
+#: how many documents the media fixture's ownership formula spans —
+#: small enough that several media rows share an owner (contamination
+#: exists), always < the smallest testdata documents table (500 rows)
+MEDIA_OWNER_DOCS = 96
+
+
+def media_owner_doc_col(media_id_col: str = "media_id") -> F.Column:
+    """The fixture's media -> document ownership linkage: media row i
+    belongs to document ``(7*i + 3) % MEDIA_OWNER_DOCS`` — the closed
+    form that joins the media island back to the ``documents`` world
+    (cross-modal contamination queries) while staying replayable by a
+    pure-SQL oracle. 7 is coprime to 96, so owners rotate through the
+    whole doc range and every modality lands on every owner class."""
+    return (F.col(media_id_col) * 7 + 3) % MEDIA_OWNER_DOCS
+
+
 def synthetic_media_real(spark, n: int = 48) -> DataFrame:
     """Deterministic media fixture with REAL container payloads.
 
@@ -1131,11 +1147,15 @@ def hamming_band_pairs_across(
 ) -> DataFrame:
     """Cross-frame banded-Hamming screen: every DELTA fingerprint
     against every STORED fingerprint within the Hamming ball — the
-    ingest-time form of ``_hamming_band_pairs`` (delta joins the store,
-    never itself; within-delta twins surface when the next batch
-    screens against the appended store, the standing batch-ordering
-    semantics of the streaming stores). Same pigeonhole guarantee:
-    recall is exactly 100% for max_hamming <= bands - 1.
+    ingest-time form of ``_hamming_band_pairs``. The delta joins the
+    store, NEVER itself: two duplicates arriving in the same delta are
+    not paired by this leg (and later batches screen only against the
+    store, so the pair would be missed permanently unless equivalent
+    content were re-ingested) — an ingest wanting within-batch twins
+    must also run ``_hamming_band_pairs`` on the delta alone, as the
+    media fingerprint ingest does (streaming/media.py). Same
+    pigeonhole guarantee: recall is exactly 100% for max_hamming <=
+    bands - 1.
 
     Input frames are (media_id, ahash); output is (delta_id, corpus_id,
     hamming), distinct."""

@@ -2210,6 +2210,72 @@ def tune_nprobe(
     return max(1, n_cells), int(best)
 
 
+def tune_bands(
+    docs: DataFrame,
+    num_perm: int = 64,
+    candidate_bands: tuple[int, ...] = (4, 8, 16, 32),
+    threshold: float = 0.8,
+    target_recall_permille: int = 900,
+    n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[int, int]:
+    """Recall-driven LSH banding selection — the measured-decision
+    pattern (``tune_nprobe``, ``auto_salted_join``, ``auto_semantic_k``)
+    applied to the MinHash banding knob, closing the loop
+    ``doc_lsh_band_tradeoff`` measures (VERDICT r8 #5): walk the
+    candidate bandings from cheapest to most expensive (fewer bands =
+    coarser buckets = fewer candidate pairs to exact-verify; P(candidate)
+    = 1 - (1 - j^r)^b rises with b) and return the FIRST banding whose
+    measured recall of true >= ``threshold`` pairs meets the target,
+    with its achieved recall_permille. Exhausting the list returns the
+    last banding and its (best-achieved) recall — same contract as
+    tune_nprobe.
+
+    Cost: signatures once (localCheckpoint, reused per candidate), the
+    exact pair baseline once (the lossless inverted-index path, never
+    all-pairs) ON THE TUNING SAMPLE — a deployment tunes on a sample,
+    never the production corpus — then one band-keyed self-join + two
+    count aggregates per candidate banding."""
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n=n,
+        num_perm=num_perm, seed=seed,
+    ).localCheckpoint(eager=True)
+    exact = (
+        ngram_jaccard_pairs(
+            docs, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+        )
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
+    total = exact.count()
+    if total == 0:
+        return candidate_bands[0], 1000
+    best = 0
+    for bands in candidate_bands:
+        br = _band_rows(sigs, num_perm, bands)
+        x, y = br.alias("x"), br.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("doc_id_a"),
+                F.col("y.id").alias("doc_id_b"),
+            )
+            .distinct()
+        )
+        hits = cand.join(exact, ["doc_id_a", "doc_id_b"]).count()
+        best = hits * 1000 // total
+        if best >= target_recall_permille:
+            return bands, int(best)
+    return candidate_bands[-1], int(best)
+
+
 def hard_negative_topk(
     embeddings: DataFrame,
     queries: DataFrame,

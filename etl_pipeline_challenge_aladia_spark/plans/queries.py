@@ -3131,15 +3131,10 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_audit(synthetic_media_real(spark, n=48))
 
 
-def _media_ahash_oracle_sql(n: int = 48) -> str:
-    """Golden 64-bit average hashes for the image members of the real
-    media fixture, recomputed from the closed-form pixel spec in PURE
-    PYTHON INT — independent of the engine's decode/resample/hash code,
-    so the oracle certifies that whole path end-to-end (the
-    media_decode_audit golden-row technique). The pairing itself is the
-    exact all-pairs Hamming baseline: the engine's banded-LSH plan has
-    a pigeonhole guarantee of 100%% recall at distance <= 3, so exact
-    and banded answers are identical by construction."""
+def _media_ahash_sig_rows(n: int = 48) -> list[str]:
+    """VALUES rows ``(media_id, ahash)`` of the golden image hashes —
+    shared by the near-dup oracle and the cross-modal contamination
+    oracle."""
     rows = []
     for i in range(0, n, 3):  # image members: i %% 3 == 0
         blk = i // 48  # gradient block (block 0 == the original formula)
@@ -3164,10 +3159,22 @@ def _media_ahash_oracle_sql(n: int = 48) -> str:
         if hv >= 1 << 63:
             hv -= 1 << 64
         rows.append(f"({i}, {hv})")
+    return rows
+
+
+def _media_ahash_oracle_sql(n: int = 48) -> str:
+    """Golden 64-bit average hashes for the image members of the real
+    media fixture, recomputed from the closed-form pixel spec in PURE
+    PYTHON INT — independent of the engine's decode/resample/hash code,
+    so the oracle certifies that whole path end-to-end (the
+    media_decode_audit golden-row technique). The pairing itself is the
+    exact all-pairs Hamming baseline: the engine's banded-LSH plan has
+    a pigeonhole guarantee of 100%% recall at distance <= 3, so exact
+    and banded answers are identical by construction."""
     return (
         "WITH sig AS (SELECT CAST(media_id AS BIGINT) AS media_id,"
         " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
-        + ", ".join(rows)
+        + ", ".join(_media_ahash_sig_rows(n))
         + ") AS t(media_id, ahash))\n"
         "SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,\n"
         "       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming\n"
@@ -3345,6 +3352,96 @@ def q_media_video_frame_near_dup(
 
     return video_frame_near_dup_pairs(
         synthetic_media_real(spark, n=media_n_for_sf(sf_dir))
+    )
+
+
+def _media_dup_doc_contamination_oracle_sql(n: int = 48) -> str:
+    """Cross-modal contamination oracle: the golden image hashes (the
+    shared ``_media_ahash_sig_rows`` VALUES), the exact Hamming <= 3
+    pairing, the fixture's closed-form ownership (doc = (7*media_id +
+    3) %% 96), and a join into the REAL documents table for the source
+    rollup — byte-for-byte the engine's semantics."""
+    return (
+        "WITH sig AS (SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
+        + ", ".join(_media_ahash_sig_rows(n))
+        + ") AS t(media_id, ahash)),\n"
+        """pr AS (
+  SELECT a.media_id AS ma, b.media_id AS mb,
+         CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+),
+o AS (
+  SELECT (ma * 7 + 3) % 96 AS da, (mb * 7 + 3) % 96 AS db, hamming
+  FROM pr WHERE (ma * 7 + 3) % 96 != (mb * 7 + 3) % 96
+)
+SELECT least(d1.source, d2.source) AS source_a,
+       greatest(d1.source, d2.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_media_pairs,
+       CAST(min(hamming) AS BIGINT) AS min_hamming
+FROM o
+JOIN documents d1 ON d1.doc_id = o.da
+JOIN documents d2 ON d2.doc_id = o.db
+GROUP BY 1, 2"""
+    )
+
+
+@query(
+    "media_dup_doc_contamination",
+    _media_dup_doc_contamination_oracle_sql(),
+    doc="Cross-modal contamination rollup — the media table joined "
+    "back to the documents world (the multimodal twin of "
+    "doc_source_segment_overlap): near-duplicate IMAGE pairs "
+    "(ahash_near_dup_pairs, pigeonhole-exact banded Hamming) are "
+    "mapped to their owning documents via the fixture linkage "
+    "(media_owner_doc_col: doc = (7*media_id + 3) % 96), pairs owned "
+    "by the SAME document drop (self-contamination is not leakage), "
+    "and the document pairs join the real documents table to roll up "
+    "by SOURCE pair — which corpus sources share visually-identical "
+    "assets, the cross-source leakage signal a training-data audit "
+    "wants before mixing sources into one split. Scale shape: the "
+    "banded fingerprint join (linear + collisions), two "
+    "broadcast-sized joins into the doc dimension, one source-pair "
+    "aggregate; owners are a map-side expression, never a shuffle "
+    "key until the final tiny rollup.",
+)
+def q_media_dup_doc_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        media_n_for_sf,
+        media_owner_doc_col,
+        synthetic_media_real,
+    )
+
+    media = synthetic_media_real(spark, n=media_n_for_sf(sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    p = (
+        ahash_near_dup_pairs(media)
+        .withColumn("da", media_owner_doc_col("media_id_a"))
+        .withColumn("db", media_owner_doc_col("media_id_b"))
+        .filter(F.col("da") != F.col("db"))
+    )
+    j = p.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"))),
+        "da",
+    ).join(
+        F.broadcast(docs.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"))),
+        "db",
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "hamming",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_media_pairs"),
+            F.min("hamming").cast("long").alias("min_hamming"),
+        )
     )
 
 

@@ -36,8 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.functions.rounding import round_half_up
-from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+from etl_pipeline_challenge_aladia_spark.streaming.store import (
+    COMPACTED_DIR,
+    append_batch,
+    compact_store,
     read_batch_store,
+    read_store,
 )
 
 #: per-batch day-grain fixed-point deltas (1e6-scaled value sums)
@@ -73,31 +77,23 @@ def _read_day_history(
     spark: SparkSession, store_path: str, batch_id: int
 ) -> DataFrame:
     """Day-grain history a (possibly replayed) batch may see: live
-    ``batch=<id>`` rows with STRICTLY-EARLIER batch ids, plus the
-    reserved ``compacted/`` directory read UNCONDITIONALLY. The
-    strictly-earlier predicate applies only to live rows — compacted
-    history predates every live batch by the compaction contract (the
-    store is quiesced and live directories removed before the pointer
-    swap), so no batch id — not even the 0 a fresh-checkpoint restart
-    replays at — can ever filter it out (the batch=0 collision class,
-    streaming/docs.py COMPACTED_DIR)."""
-    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
-        COMPACTED_DIR,
+    ``batch=<id>`` rows with STRICTLY-EARLIER batch ids (enforced on
+    the directory ids by the shared store contract, streaming/store.py
+    — pruned batches are never even listed), plus the reserved
+    ``compacted/`` directory read UNCONDITIONALLY. The strictly-earlier
+    predicate applies only to live rows — compacted history predates
+    every live batch by the compaction contract (the store is quiesced
+    and live directories removed before the pointer swap), so no batch
+    id — not even the 0 a fresh-checkpoint restart replays at — can
+    ever filter it out (the batch=0 collision class)."""
+    return read_store(
+        spark,
+        store_path,
+        DAY_STORE_SCHEMA,
+        strictly_before=batch_id,
+        live_columns=("day", "fx"),
+        compacted_schema=COMPACTED_DAY_SCHEMA,
     )
-
-    live = (
-        read_batch_store(
-            spark, store_path, DAY_STORE_SCHEMA, exclude_batch=batch_id
-        )
-        .filter(F.col("batch_id") < batch_id)
-        .select("day", "fx")
-    )
-    compacted = os.path.join(store_path, COMPACTED_DIR)
-    if os.path.isdir(compacted):
-        live = live.unionByName(
-            spark.read.schema(COMPACTED_DAY_SCHEMA).parquet(compacted)
-        )
-    return live
 
 
 def mad_day_report(day_totals: DataFrame) -> DataFrame:
@@ -131,19 +127,19 @@ def make_mad_monitor_processor(
         spark = delta.sparkSession
         delta = delta.localCheckpoint(eager=True)
         mine = _day_deltas(delta)
-        mine.withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        ).write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch={batch_id}")
+        append_batch(
+            mine.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            store_path,
+            batch_id,
         )
-        # Strictly-earlier history (live batch_id < mine), NOT merely
+        # Strictly-earlier history (live batch ids < mine), NOT merely
         # "exclude my own directory": a checkpoint-replayed batch must
         # see exactly the history its original run saw, and by the
         # time it replays, LATER batches' directories already exist.
-        # The store rows carry batch_id precisely so this predicate is
-        # expressible; exclude_batch additionally shields the replay
-        # from its own half-written directory. Compacted history is
-        # read unconditionally (_read_day_history).
+        # The predicate lives on the directory ids (streaming/store.py)
+        # so later batches are never even listed; the data-level
+        # batch_id column remains for provenance (read_day_store).
+        # Compacted history is read unconditionally (_read_day_history).
         history = _read_day_history(spark, store_path, batch_id)
         totals = (
             history.unionByName(mine)
@@ -155,9 +151,7 @@ def make_mad_monitor_processor(
             .filter(F.col("robust_z") >= z_threshold)
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
         )
-        report.write.mode("overwrite").parquet(
-            os.path.join(report_path, f"batch={batch_id}")
-        )
+        append_batch(report, report_path, batch_id)
 
     return process_batch
 
@@ -170,10 +164,6 @@ def read_day_store(spark: SparkSession, store_path: str) -> DataFrame:
     """All accumulated day deltas: live ``batch=<id>`` rows plus the
     reserved ``compacted/`` directory (compacted rows carry a NULL
     batch_id — they are consolidated pre-history, not any batch's)."""
-    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
-        COMPACTED_DIR,
-    )
-
     df = read_batch_store(spark, store_path, DAY_STORE_SCHEMA)
     compacted = os.path.join(store_path, COMPACTED_DIR)
     if os.path.isdir(compacted):
@@ -234,18 +224,14 @@ def compact_day_store(
     on quiesced stores whose checkpoints have committed every
     contributing batch (same operational contract as the other
     compactors). Returns the number of compacted day rows."""
-    import os as _os
-
-    from etl_pipeline_challenge_aladia_spark.streaming.docs import (
-        COMPACTED_DIR,
+    return compact_store(
+        spark,
+        store_path,
+        out_path,
+        DAY_STORE_SCHEMA,
+        transform=lambda d: d.groupBy("day").agg(
+            F.sum("fx").cast("long").alias("fx")
+        ),
+        live_columns=("day", "fx"),
+        compacted_schema=COMPACTED_DAY_SCHEMA,
     )
-
-    days = (
-        read_day_store(spark, store_path)
-        .groupBy("day")
-        .agg(F.sum("fx").cast("long").alias("fx"))
-        .select("day", "fx")
-    )
-    target = _os.path.join(out_path, COMPACTED_DIR)
-    days.write.mode("overwrite").parquet(target)
-    return spark.read.parquet(target).count()

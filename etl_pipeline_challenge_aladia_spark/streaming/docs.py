@@ -22,6 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_pipeline_challenge_aladia_spark.operators.similarity import (
     minhash_incremental_pairs,
 )
+from etl_pipeline_challenge_aladia_spark.streaming.store import (
+    COMPACTED_DIR,
+    append_batch,
+    compact_store,
+    read_store as _read_store,
+)
 
 DOC_STREAM_SCHEMA = "doc_id long, text string"
 
@@ -33,35 +39,22 @@ def make_incremental_dedup_processor(
     corpus, then append the delta to the corpus.
 
     Idempotent under replay: both the near-dup report and the corpus
-    append land in ``batch=<id>`` subdirectories written with overwrite,
-    so a checkpoint-replayed batch rewrites its own output instead of
-    duplicating it (the same batch-keyed idempotence contract the CDC
-    sinks get from keyed upserts).
+    append land in ``batch=<id>`` subdirectories written with
+    overwrite, and the corpus read keeps STRICTLY-EARLIER batches only
+    (streaming/store.py), so a checkpoint-replayed batch — even a
+    mid-stream one — rewrites exactly its original output instead of
+    duplicating rows or screening against later batches.
     """
 
     def process_batch(delta: DataFrame, batch_id: int) -> None:
         spark = delta.sparkSession
         delta = delta.localCheckpoint(eager=True)  # one computation per use
-        if os.path.exists(corpus_path):
-            corpus = spark.read.parquet(corpus_path)
-            pairs = minhash_incremental_pairs(
-                corpus, delta, threshold=threshold
-            )
-        else:
-            pairs = (
-                delta.limit(0)
-                .selectExpr(
-                    "doc_id AS delta_id",
-                    "doc_id AS corpus_id",
-                    "CAST(0.0 AS DOUBLE) AS jaccard",
-                )
-            )
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(report_path, f"batch={batch_id}")
+        corpus = _read_store(
+            spark, corpus_path, DOC_STREAM_SCHEMA, strictly_before=batch_id
         )
-        delta.write.mode("overwrite").parquet(
-            os.path.join(corpus_path, f"batch={batch_id}")
-        )
+        pairs = minhash_incremental_pairs(corpus, delta, threshold=threshold)
+        append_batch(pairs, report_path, batch_id)
+        append_batch(delta, corpus_path, batch_id)
 
     return process_batch
 
@@ -96,32 +89,6 @@ SHINGLE_STORE_SCHEMA = "id long, shingles array<string>"
 NEAR_DUP_REPORT_SCHEMA = "delta_id long, corpus_id long, jaccard double"
 
 
-#: reserved directory name for consolidated signature data. Ingest
-#: batches land in ``batch=<id>`` directories, so no batch id — not
-#: even the 0 a fresh checkpoint restarts at — can ever exclude or
-#: overwrite the compacted history (the batch=0 collision class).
-COMPACTED_DIR = "compacted"
-
-
-def _read_store(spark, path: str, schema: str, exclude_batch: int | None = None):
-    """Read a signature-store side: every ``batch=<id>`` directory
-    (minus the replayed batch's own) PLUS the reserved ``compacted/``
-    directory when present. The compacted history is read
-    unconditionally — ``exclude_batch`` only ever names a live
-    micro-batch directory, so a continuing ingest pointed at a
-    compacted store (whose fresh checkpoint restarts at batch_id=0)
-    still screens against the full consolidated corpus."""
-    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
-        read_batch_store,
-    )
-
-    df = read_batch_store(spark, path, schema, exclude_batch)
-    compacted = os.path.join(path, COMPACTED_DIR)
-    if os.path.isdir(compacted):
-        df = df.unionByName(spark.read.schema(schema).parquet(compacted))
-    return df
-
-
 def _screen_against_store(
     spark,
     store_path: str,
@@ -135,16 +102,17 @@ def _screen_against_store(
     text_col: str = "text",
 ) -> DataFrame:
     """Near-dup report of ``delta`` against the persisted signature
-    store, EXCLUDING this batch's own directory (replay safety). The
-    shared screening leg of the sigstore ingest and the composed
-    curation processor."""
+    store, reading STRICTLY-EARLIER batches only (streaming/store.py:
+    a mid-stream checkpoint replay must not screen against batches
+    that ran after the replayed one). The shared screening leg of the
+    sigstore ingest and the composed curation processor."""
     stored_bands = _read_store(
         spark, os.path.join(store_path, "bands"), BAND_STORE_SCHEMA,
-        exclude_batch=batch_id,
+        strictly_before=batch_id,
     )
     stored_shingles = _read_store(
         spark, os.path.join(store_path, "shingles"), SHINGLE_STORE_SCHEMA,
-        exclude_batch=batch_id,
+        strictly_before=batch_id,
     )
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         minhash_pairs_from_store,
@@ -177,12 +145,8 @@ def _append_signatures(
     band_rows, shingle_sets = doc_signature_store(
         delta, text_col=text_col, n=n, num_perm=num_perm, bands=bands, seed=seed
     )
-    band_rows.write.mode("overwrite").parquet(
-        os.path.join(store_path, "bands", f"batch={batch_id}")
-    )
-    shingle_sets.write.mode("overwrite").parquet(
-        os.path.join(store_path, "shingles", f"batch={batch_id}")
-    )
+    append_batch(band_rows, os.path.join(store_path, "bands"), batch_id)
+    append_batch(shingle_sets, os.path.join(store_path, "shingles"), batch_id)
 
 
 def make_sigstore_ingest_processor(
@@ -205,8 +169,9 @@ def make_sigstore_ingest_processor(
     text processing plus bucket matches — corpus text is never re-read.
 
     Replay-idempotent like the embedding ingest: batch-keyed overwrites
-    everywhere, and the screen reads the store EXCLUDING its own batch
-    directory."""
+    everywhere, and the screen reads STRICTLY-EARLIER batches only —
+    a mid-stream checkpoint replay reproduces its original report even
+    though later batches' signatures are already on disk."""
 
     def process_batch(delta: DataFrame, batch_id: int) -> None:
         spark = delta.sparkSession
@@ -215,9 +180,7 @@ def make_sigstore_ingest_processor(
             spark, store_path, delta, batch_id, threshold,
             n, num_perm, bands, seed, text_col,
         )
-        report.write.mode("overwrite").parquet(
-            os.path.join(report_path, f"batch={batch_id}")
-        )
+        append_batch(report, report_path, batch_id)
         _append_signatures(
             delta, store_path, batch_id, n, num_perm, bands, seed, text_col
         )
@@ -281,14 +244,14 @@ def _budget_admit(
         hash_order_col,
     )
     from etl_pipeline_challenge_aladia_spark.operators.text import token_count_col
-    from etl_pipeline_challenge_aladia_spark.streaming.embeddings import (
+    from etl_pipeline_challenge_aladia_spark.streaming.store import (
         read_batch_store,
     )
 
     spark = delta.sparkSession
     consumed = (
         read_batch_store(
-            spark, state_path, BUDGET_STATE_SCHEMA, exclude_batch=batch_id
+            spark, state_path, BUDGET_STATE_SCHEMA, strictly_before=batch_id
         )
         .groupBy(F.col("source").alias(group_col))
         .agg(F.sum("tokens_admitted").alias("_consumed"))
@@ -321,14 +284,13 @@ def _write_admission(
     the per-group token-count state row this batch contributes."""
     from pyspark.sql import functions as F
 
-    admitted.write.mode("overwrite").parquet(
-        os.path.join(admitted_path, f"batch={batch_id}")
-    )
-    (
-        admitted.groupBy(F.col(group_col).alias("source"))
-        .agg(F.sum("n_tokens").cast("long").alias("tokens_admitted"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(state_path, f"batch={batch_id}"))
+    append_batch(admitted, admitted_path, batch_id)
+    append_batch(
+        admitted.groupBy(F.col(group_col).alias("source")).agg(
+            F.sum("n_tokens").cast("long").alias("tokens_admitted")
+        ),
+        state_path,
+        batch_id,
     )
 
 
@@ -357,8 +319,9 @@ def make_budget_admission_processor(
 
     Replay-idempotent by the layer's standard contract: the admitted
     rows and the batch's token-count state both land in ``batch=<id>``
-    overwrite directories, and the state read EXCLUDES the current
-    batch id, so a checkpoint-replayed batch recomputes against exactly
+    overwrite directories, and the state read keeps STRICTLY-EARLIER
+    batch ids only, so a checkpoint-replayed batch — even a mid-stream
+    one with later state already on disk — recomputes against exactly
     the pre-batch state. Scale: the state store is (sources x batches)
     rows — broadcast-joined; the only wide operation is the per-group
     window over the DELTA (one micro-batch), never the history.
@@ -801,21 +764,14 @@ def compact_signature_store(
     and overwrite it on append. ``compacted/`` is read unconditionally
     and can never collide with an ingest batch id. Returns the number
     of stored documents."""
-    bands = _read_store(
-        spark, os.path.join(store_path, "bands"), BAND_STORE_SCHEMA
+    compact_store(
+        spark, os.path.join(store_path, "bands"),
+        os.path.join(out_path, "bands"), BAND_STORE_SCHEMA,
     )
-    shingles = _read_store(
-        spark, os.path.join(store_path, "shingles"), SHINGLE_STORE_SCHEMA
+    return compact_store(
+        spark, os.path.join(store_path, "shingles"),
+        os.path.join(out_path, "shingles"), SHINGLE_STORE_SCHEMA,
     )
-    bands.write.mode("overwrite").parquet(
-        os.path.join(out_path, "bands", COMPACTED_DIR)
-    )
-    shingles.write.mode("overwrite").parquet(
-        os.path.join(out_path, "shingles", COMPACTED_DIR)
-    )
-    return spark.read.parquet(
-        os.path.join(out_path, "shingles", COMPACTED_DIR)
-    ).count()
 
 
 # --------------------------------------------------------------------------
@@ -843,10 +799,12 @@ def _append_segments(
         segment_fingerprint_store,
     )
 
-    segment_fingerprint_store(
-        delta, segment_tokens=segment_tokens, text_col=text_col
-    ).write.mode("overwrite").parquet(
-        os.path.join(store_path, f"batch={batch_id}")
+    append_batch(
+        segment_fingerprint_store(
+            delta, segment_tokens=segment_tokens, text_col=text_col
+        ),
+        store_path,
+        batch_id,
     )
 
 
@@ -868,12 +826,12 @@ def make_segment_store_ingest_processor(
     is never re-read.
 
     Replay-idempotent like the sigstore ingest: the report and the
-    store append are batch-keyed overwrites, and the screen reads the
-    store EXCLUDING its own batch directory (a replayed batch never
-    sees its own half-written output). A compacted history under the
-    reserved ``compacted/`` directory is read unconditionally
-    (``_read_store`` — same fresh-checkpoint batch-0 safety as the
-    signature store)."""
+    store append are batch-keyed overwrites, and the screen reads
+    STRICTLY-EARLIER batches only (a replayed batch sees neither its
+    own half-written output nor later batches' fingerprints). A
+    compacted history under the reserved ``compacted/`` directory is
+    read unconditionally (``_read_store`` — same fresh-checkpoint
+    batch-0 safety as the signature store)."""
 
     def process_batch(delta: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -881,7 +839,7 @@ def make_segment_store_ingest_processor(
         spark = delta.sparkSession
         delta = delta.localCheckpoint(eager=True)
         store = _read_store(
-            spark, store_path, SEGMENT_STORE_SCHEMA, exclude_batch=batch_id
+            spark, store_path, SEGMENT_STORE_SCHEMA, strictly_before=batch_id
         )
         from etl_pipeline_challenge_aladia_spark.operators.text import (
             segment_dedup_from_store,
@@ -890,9 +848,7 @@ def make_segment_store_ingest_processor(
         report = segment_dedup_from_store(
             store, delta, segment_tokens=segment_tokens, text_col=text_col
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-        report.write.mode("overwrite").parquet(
-            os.path.join(report_path, f"batch={batch_id}")
-        )
+        append_batch(report, report_path, batch_id)
         _append_segments(delta, store_path, batch_id, segment_tokens, text_col)
 
     return process_batch
@@ -942,11 +898,10 @@ def compact_segment_store(
     ingested by many batches collapse to one stored row, so compaction
     also shrinks the store, not just the file count. Returns the number
     of stored distinct segments."""
-    segs = _read_store(spark, store_path, SEGMENT_STORE_SCHEMA)
-    segs.distinct().write.mode("overwrite").parquet(
-        os.path.join(out_path, COMPACTED_DIR)
+    return compact_store(
+        spark, store_path, out_path, SEGMENT_STORE_SCHEMA,
+        transform=lambda d: d.distinct(),
     )
-    return spark.read.parquet(os.path.join(out_path, COMPACTED_DIR)).count()
 
 
 
@@ -984,8 +939,8 @@ def make_cdc_chunk_ingest_processor(
     (operators/text.py:cdc_chunk_frame), so a single batch chunked here
     equals the batch operator's chunking bit-for-bit (pytest-pinned).
     Replay-idempotent like the segment ingest: report and store append
-    are batch-keyed overwrites; the screen reads the store EXCLUDING
-    its own batch directory; a compacted history under the reserved
+    are batch-keyed overwrites; the screen reads STRICTLY-EARLIER
+    batches only; a compacted history under the reserved
     ``compacted/`` directory is read unconditionally (``_read_store``)."""
 
     def process_batch(delta: DataFrame, batch_id: int) -> None:
@@ -999,17 +954,17 @@ def make_cdc_chunk_ingest_processor(
         spark = delta.sparkSession
         delta = delta.localCheckpoint(eager=True)
         store = _read_store(
-            spark, store_path, CDC_CHUNK_STORE_SCHEMA, exclude_batch=batch_id
+            spark, store_path, CDC_CHUNK_STORE_SCHEMA, strictly_before=batch_id
         )
         report = cdc_chunk_dedup_from_store(
             store, delta, divisor=divisor, text_col=text_col
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-        report.write.mode("overwrite").parquet(
-            os.path.join(report_path, f"batch={batch_id}")
+        append_batch(report, report_path, batch_id)
+        append_batch(
+            cdc_chunk_store(delta, divisor=divisor, text_col=text_col),
+            store_path,
+            batch_id,
         )
-        cdc_chunk_store(delta, divisor=divisor, text_col=text_col).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(store_path, f"batch={batch_id}"))
 
     return process_batch
 
@@ -1053,11 +1008,10 @@ def compact_cdc_chunk_store(
     publish-then-point pattern and fresh-checkpoint batch-0 safety as
     ``compact_segment_store``, with the same global DISTINCT shrink.
     Returns the number of stored distinct chunks."""
-    chunks = _read_store(spark, store_path, CDC_CHUNK_STORE_SCHEMA)
-    chunks.distinct().write.mode("overwrite").parquet(
-        os.path.join(out_path, COMPACTED_DIR)
+    return compact_store(
+        spark, store_path, out_path, CDC_CHUNK_STORE_SCHEMA,
+        transform=lambda d: d.distinct(),
     )
-    return spark.read.parquet(os.path.join(out_path, COMPACTED_DIR)).count()
 
 
 
@@ -1131,9 +1085,9 @@ def make_countmin_ingest_processor(
     + doc_boilerplate_shingles).
 
     Replay-idempotent like every store in this module: report and
-    cell append are ``batch=<id>`` overwrites, the estimate reads the
-    store EXCLUDING the replayed batch's own directory, and a
-    ``compacted/`` layer is read unconditionally. Count-min's merge
+    cell append are ``batch=<id>`` overwrites, the estimate reads
+    STRICTLY-EARLIER batches only, and a ``compacted/`` layer is read
+    unconditionally. Count-min's merge
     is a plain cell-wise sum, so compaction collapses any number of
     batch directories into one depth*width grid with zero information
     loss — the sketch is the rare store whose compacted form has a
@@ -1153,7 +1107,7 @@ def make_countmin_ingest_processor(
         delta = delta.localCheckpoint(eager=True)
         cells = (
             _read_store(
-                spark, store_path, CM_STORE_SCHEMA, exclude_batch=batch_id
+                spark, store_path, CM_STORE_SCHEMA, strictly_before=batch_id
             )
             .groupBy("rw", "bucket")
             .agg(F.sum("n").cast("long").alias("cell_n"))
@@ -1192,12 +1146,8 @@ def make_countmin_ingest_processor(
             )
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
         )
-        report.write.mode("overwrite").parquet(
-            os.path.join(report_path, f"batch={batch_id}")
-        )
-        _cm_cells(delta, depth, width).write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch={batch_id}")
-        )
+        append_batch(report, report_path, batch_id)
+        append_batch(_cm_cells(delta, depth, width), store_path, batch_id)
 
     return process_batch
 
@@ -1294,12 +1244,9 @@ def compact_countmin_store(
     ingested. Returns the number of non-zero cells."""
     from pyspark.sql import functions as F
 
-    cells = (
-        _read_store(spark, store_path, CM_STORE_SCHEMA)
-        .groupBy("rw", "bucket")
-        .agg(F.sum("n").cast("long").alias("n"))
+    return compact_store(
+        spark, store_path, out_path, CM_STORE_SCHEMA,
+        transform=lambda d: d.groupBy("rw", "bucket").agg(
+            F.sum("n").cast("long").alias("n")
+        ),
     )
-    cells.write.mode("overwrite").parquet(
-        os.path.join(out_path, COMPACTED_DIR)
-    )
-    return spark.read.parquet(os.path.join(out_path, COMPACTED_DIR)).count()

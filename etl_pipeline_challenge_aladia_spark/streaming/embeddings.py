@@ -30,6 +30,15 @@ from etl_pipeline_challenge_aladia_spark.operators.similarity import (
     assign_to_centroids,
 )
 
+# The batch-dir listing and live-store reader live in streaming/store.py
+# (the layer's ONE store contract); re-exported here because every
+# streaming module and test historically imports them from this module.
+from etl_pipeline_challenge_aladia_spark.streaming.store import (
+    COMPACTED_DIR,
+    append_batch,
+    read_batch_store,
+)
+
 EMB_STREAM_SCHEMA = "vec_id long, embedding array<double>"
 
 
@@ -118,51 +127,33 @@ INGEST_STATS_SCHEMA = (
 )
 
 
-def _batch_dirs(path: str, exclude: int | None = None) -> list[str]:
-    try:
-        entries = sorted(
-            e for e in os.listdir(path) if e.startswith("batch=")
-        )
-    except OSError:
-        return []
-    if exclude is not None:
-        entries = [e for e in entries if e != f"batch={exclude}"]
-    return [os.path.join(path, e) for e in entries]
-
-
-def read_batch_store(
-    spark: SparkSession,
-    path: str,
-    schema: str,
-    exclude_batch: int | None = None,
-    base_path: str | None = None,
-) -> DataFrame:
-    """The shared reader for every ``batch=<id>``-keyed store in the
-    streaming layer (index, stats, reports, signature stores): read all
-    batch directories, or an EMPTY frame with the declared schema when
-    nothing has been ingested yet (never a path-not-found
-    AnalysisException). ``exclude_batch`` skips one directory — what a
-    replayed micro-batch passes so it never reads its own half-written
-    output (checkpoint-replay idempotence). ``base_path`` turns on
-    partition-column discovery (batch/cell directory columns)."""
-    dirs = _batch_dirs(path, exclude_batch)
-    if not dirs:
-        return spark.createDataFrame([], schema)
-    reader = spark.read
-    if base_path is not None:
-        reader = reader.option("basePath", base_path)
-    return reader.parquet(*dirs)
-
-
 def read_index(
-    spark: SparkSession, index_path: str, exclude_batch: int | None = None
+    spark: SparkSession,
+    index_path: str,
+    exclude_batch: int | None = None,
+    strictly_before: int | None = None,
 ) -> DataFrame:
-    """The accumulated cell-partitioned index across all ingested
-    batches; a probe for cells [c1, c2] prunes the scan to those
-    ``cell=`` directories (partition pruning on the read path)."""
-    return read_batch_store(
-        spark, index_path, INDEX_SCHEMA, exclude_batch, base_path=index_path
+    """The accumulated cell-partitioned index: live ``batch=<id>``
+    layouts (pruned per ``exclude_batch`` / ``strictly_before`` — the
+    shared store contract) plus the reserved ``compacted/`` layout a
+    ``rebuild_index`` publishes, read UNCONDITIONALLY with a NULL batch
+    id (consolidated pre-history is no batch's output — the batch-0
+    collision safety, streaming/store.py). A probe for cells [c1, c2]
+    prunes the scan to those ``cell=`` directories (partition pruning
+    on the read path, live and compacted alike)."""
+    live = read_batch_store(
+        spark, index_path, INDEX_SCHEMA, exclude_batch,
+        base_path=index_path, strictly_before=strictly_before,
     )
+    compacted = os.path.join(index_path, COMPACTED_DIR)
+    if os.path.isdir(compacted):
+        live = live.unionByName(
+            spark.read.option("basePath", compacted)
+            .parquet(compacted)
+            .withColumn("batch", F.lit(None).cast("int"))
+            .select("vec_id", "embedding", "dist_fx", "batch", "cell")
+        )
+    return live
 
 
 def read_ingest_stats(spark: SparkSession, stats_path: str) -> DataFrame:
@@ -191,9 +182,10 @@ def make_semantic_dedup_ingest_processor(
     surface one batch later).
 
     Replay-idempotent: both writes are ``batch=<id>``-keyed overwrites,
-    and the screen reads the index EXCLUDING its own batch directory,
-    so a checkpoint-replayed batch sees exactly the corpus the original
-    run saw."""
+    and the screen reads STRICTLY-EARLIER batches only (streaming/
+    store.py — a mid-stream checkpoint replay must not screen against
+    batches that ran after the replayed one), so a checkpoint-replayed
+    batch sees exactly the corpus the original run saw."""
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         semantic_dedup_screen,
     )
@@ -203,15 +195,13 @@ def make_semantic_dedup_ingest_processor(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
-        corpus = read_index(spark, index_path, exclude_batch=batch_id).select(
-            "vec_id", "embedding", "cell"
-        )
+        corpus = read_index(
+            spark, index_path, strictly_before=batch_id
+        ).select("vec_id", "embedding", "cell")
         report = semantic_dedup_screen(
             corpus, batch, cents, threshold=threshold
         )
-        report.write.mode("overwrite").parquet(
-            os.path.join(report_path, f"batch={batch_id}")
-        )
+        append_batch(report, report_path, batch_id)
         routed = (
             assign_to_centroids(batch, cents)
             .join(batch.select(F.col("vec_id").alias("id"), "embedding"), "id")
@@ -222,9 +212,7 @@ def make_semantic_dedup_ingest_processor(
                 "dist_fx",
             )
         )
-        routed.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(index_path, f"batch={batch_id}")
-        )
+        append_batch(routed, index_path, batch_id, partition_by=("cell",))
 
     return process_batch
 
@@ -557,7 +545,14 @@ def rebuild_index(
     The rewrite never blocks ingest — it reads a snapshot of the batch
     directories and writes to a fresh path; serving flips to
     ``out_path`` when done (same publish-then-point pattern as the
-    quantizer store). Returns the number of vectors re-indexed."""
+    quantizer store). The consolidated layout lives under the reserved
+    ``compacted/`` directory, NOT a ``batch=<id>`` one: a continuing
+    ingest repointed at ``out_path`` restarts its fresh checkpoint at
+    batch_id 0, and a ``batch=0`` layout would let that first batch
+    both exclude the entire consolidated history from its screen and
+    overwrite it on append (the batch-0 collision class the document
+    stores solved with COMPACTED_DIR; read_index folds ``compacted/``
+    in unconditionally). Returns the number of vectors re-indexed."""
     cents, _baseline, _ver = load_quantizer(spark, store_path)
     data = read_index(spark, index_path).select(id_col, vec_col)
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
@@ -576,6 +571,6 @@ def rebuild_index(
         .localCheckpoint(eager=True)
     )
     routed.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(out_path, "batch=0")
+        os.path.join(out_path, COMPACTED_DIR)
     )
     return routed.count()

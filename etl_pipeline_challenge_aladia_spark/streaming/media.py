@@ -3,23 +3,28 @@ multimodal column family, completing the store trio (text signatures:
 streaming/docs.py sigstore; embeddings: streaming/embeddings.py index;
 media: this module).
 
-Shape: per-modality ``batch=<id>``-keyed stores accumulate each
-micro-batch's fingerprints — image aHashes (image_ahash: REAL NetPBM
-decode) and audio loudness-profile hashes (audio_ahash64: REAL PCM WAV
-decode), both inside Arrow-batched mapInPandas — and every arriving
-batch is screened against its own modality's STORED fingerprints with
-the banded-Hamming cross-frame join (``hamming_band_pairs_across``,
+Shape: per-modality batch-keyed stores accumulate each micro-batch's
+fingerprints — image aHashes (image_ahash: REAL NetPBM decode) and
+audio loudness-profile hashes (audio_ahash64: REAL PCM WAV decode),
+both inside Arrow-batched mapInPandas — and every arriving batch is
+screened against its own modality's STORED fingerprints with the
+banded-Hamming cross-frame join (``hamming_band_pairs_across``,
 pigeonhole-exact recall: 4x16-bit bands <= 3 for images, 8x8-bit
-bands <= 6 for audio, matching the batch operators). Per-batch cost is
-the delta's own decode plus one band-keyed equi-join per modality;
-stored payload bytes are never re-read — only their 64-bit hashes.
+bands <= 6 for audio, matching the batch operators) PLUS the
+within-batch self-screen (``_hamming_band_pairs`` on the delta alone
+— two duplicates arriving in the SAME batch would otherwise never
+pair: both are stored, and the cross screen only looks backward).
+Per-batch cost is the delta's own decode plus one band-keyed
+equi-join per modality per leg; stored payload bytes are never
+re-read — only their 64-bit hashes.
 
-Replay-idempotent by the streaming layer's standing contract: report
-and store append are ``batch=<id>`` overwrite directories, the screen
-reads the store EXCLUDING the replayed batch's own directory, and a
+Replay-idempotent by the shared store contract (streaming/store.py):
+report and store append are ``batch=<id>`` overwrite directories, the
+screen reads STRICTLY-EARLIER batches only (enforced on directory ids
+— a mid-stream checkpoint replay reproduces its original report even
+though later batches' fingerprints are already on disk), and a
 compacted history under the reserved ``compacted/`` directory is read
-unconditionally (the fresh-checkpoint batch-0 collision safety of
-streaming/docs.py:COMPACTED_DIR).
+unconditionally (the fresh-checkpoint batch-0 collision safety).
 
 The file-stream harness carries payloads base64-encoded (JSON has no
 binary type); the processor decodes with ``unbase64`` before hashing.
@@ -35,15 +40,18 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_challenge_aladia_spark.streaming.docs import (
-    COMPACTED_DIR,
-    _read_store,
+from etl_pipeline_challenge_aladia_spark.streaming.store import (
+    append_batch,
+    compact_store,
+    read_store as _read_store,
 )
 
 #: per-batch image fingerprints
 MEDIA_SIG_STORE_SCHEMA = "media_id long, ahash long"
 
-#: per-batch near-dup report (delta item vs stored item, same modality)
+#: per-batch near-dup report. ``corpus_id`` is the already-stored side
+#: for cross-batch hits; for within-batch twins it is the batch-mate
+#: with the smaller media_id (stored by the same append).
 MEDIA_NEAR_DUP_REPORT_SCHEMA = (
     "delta_id long, corpus_id long, hamming long, modality string,"
     " batch_id long"
@@ -79,8 +87,11 @@ def make_media_fingerprint_ingest_processor(
     only against its own stored family, with its own Hamming ball and
     band layout: 4x16 <= 3 for images, 8x8 <= 6 for audio, matching the
     batch operators), screen them against the accumulated store
-    (strictly cross-batch — within-batch twins surface on the next
-    batch, the standing batch-ordering semantics), then append this
+    (strictly-earlier batches) AND against the batch itself (within-
+    batch twins pair immediately; the larger media_id reports as
+    delta_id, its batch-mate as corpus_id — without this leg a
+    same-batch duplicate pair would be stored unpaired forever unless
+    equivalent content happened to be re-ingested), then append this
     batch's fingerprints. The store carries one directory per modality
     so cross-modality hash collisions can never pair a song with a
     picture."""
@@ -88,6 +99,7 @@ def make_media_fingerprint_ingest_processor(
     def process_batch(delta: DataFrame, batch_id: int) -> None:
         from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
             _audio_ahash_frame,
+            _hamming_band_pairs,
             hamming_band_pairs_across,
             image_ahash,
         )
@@ -103,21 +115,27 @@ def make_media_fingerprint_ingest_processor(
             sub = os.path.join(store_path, modality)
             sigs = hasher(frame).localCheckpoint(eager=True)
             store = _read_store(
-                spark, sub, MEDIA_SIG_STORE_SCHEMA, exclude_batch=batch_id
+                spark, sub, MEDIA_SIG_STORE_SCHEMA, strictly_before=batch_id
             )
-            part = hamming_band_pairs_across(
+            cross = hamming_band_pairs_across(
                 sigs, store, max_hamming=mh, bands=nb
-            ).withColumn("modality", F.lit(modality))
-            report = part if report is None else report.unionByName(part)
-            sigs.write.mode("overwrite").parquet(
-                os.path.join(sub, f"batch={batch_id}")
             )
+            within = _hamming_band_pairs(
+                sigs, max_hamming=mh, bands=nb
+            ).select(
+                F.col("media_id_b").alias("delta_id"),
+                F.col("media_id_a").alias("corpus_id"),
+                "hamming",
+            )
+            part = cross.unionByName(within).withColumn(
+                "modality", F.lit(modality)
+            )
+            report = part if report is None else report.unionByName(part)
+            append_batch(sigs, sub, batch_id)
         report = report.withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         ).select("delta_id", "corpus_id", "hamming", "modality", "batch_id")
-        report.write.mode("overwrite").parquet(
-            os.path.join(report_path, f"batch={batch_id}")
-        )
+        append_batch(report, report_path, batch_id)
 
     return process_batch
 
@@ -152,11 +170,15 @@ def run_media_fingerprint_ingest_stream(
     checkpoint_dir: str,
     max_hamming: int = 3,
     bands: int = 4,
+    audio_max_hamming: int = 6,
+    audio_bands: int = 8,
 ) -> None:
     """Drain currently-available media files through the fingerprint
     ingest (Trigger.AvailableNow; 1 file = 1 micro-batch, so every
-    file's images are screened against all previously-ingested
-    fingerprints)."""
+    file's images AND audio are screened against all previously-
+    ingested fingerprints of their own modality, plus the within-file
+    self-screen). Image and audio Hamming ball / band layouts are each
+    tunable end-to-end."""
     stream = (
         spark.readStream.schema(MEDIA_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -165,7 +187,12 @@ def run_media_fingerprint_ingest_stream(
     (
         stream.writeStream.foreachBatch(
             make_media_fingerprint_ingest_processor(
-                store_path, report_path, max_hamming, bands
+                store_path,
+                report_path,
+                max_hamming,
+                bands,
+                audio_max_hamming,
+                audio_bands,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -180,16 +207,17 @@ def compact_media_sig_store(
 ) -> int:
     """Consolidate a fingerprint store's per-batch directories (every
     modality) into ONE reserved ``compacted/`` layout per modality at a
-    fresh path — same publish-then-point pattern and fresh-checkpoint
-    batch-0 safety as the other compactors, with a global DISTINCT
-    shrink (the same item ingested by many batches stores one row).
-    Returns the total number of stored distinct fingerprints."""
-    total = 0
-    for m in FINGERPRINT_MODALITIES:
-        sigs = _read_store(
-            spark, os.path.join(store_path, m), MEDIA_SIG_STORE_SCHEMA
+    fresh path — the shared compactor (streaming/store.py) with a
+    global DISTINCT shrink (the same item ingested by many batches
+    stores one row). Returns the total number of stored distinct
+    fingerprints."""
+    return sum(
+        compact_store(
+            spark,
+            os.path.join(store_path, m),
+            os.path.join(out_path, m),
+            MEDIA_SIG_STORE_SCHEMA,
+            transform=lambda d: d.distinct(),
         )
-        target = os.path.join(out_path, m, COMPACTED_DIR)
-        sigs.distinct().write.mode("overwrite").parquet(target)
-        total += spark.read.parquet(target).count()
-    return total
+        for m in FINGERPRINT_MODALITIES
+    )

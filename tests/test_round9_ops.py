@@ -144,6 +144,127 @@ def test_media_fixture_dup_clusters_stay_constant_size(spark):
     assert n480 <= 3 * n48  # linear-ish, never the quadratic blowup
 
 
+def test_tune_bands_picks_cheapest_sufficient_banding(spark):
+    """The banding auto-tune switches on measured recall (the
+    auto_salted_join proof pattern): a corpus of planted ~0.65-Jaccard
+    near-dup pairs sits on the S-curve where coarse bandings miss pairs
+    and fine ones recover them — a trivial recall target selects the
+    cheapest banding outright, a strict target forces a finer banding
+    whose achieved recall actually meets it."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        tune_bands,
+    )
+
+    rows = []
+    did = 0
+    for g in range(8):
+        toks = [f"g{g}tok{j}" for j in range(30)]
+        rows.append((did, " ".join(toks)))
+        did += 1
+        # near-dup partner: last 4 tokens replaced -> J ~ 22/34 ~ 0.647
+        rows.append((did, " ".join(toks[:-4] + [f"g{g}alt{j}" for j in range(4)])))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lax_bands, lax_rec = tune_bands(
+        docs, threshold=0.6, target_recall_permille=0
+    )
+    strict_bands, strict_rec = tune_bands(
+        docs, threshold=0.6, target_recall_permille=900
+    )
+    assert lax_bands == 4  # any recall meets target 0 -> cheapest wins
+    assert strict_bands > lax_bands  # the selection actually switched
+    assert strict_rec >= 900  # and the pick meets the target it was given
+
+
+def test_store_contract_prunes_strictly_earlier(spark, tmp_path):
+    """streaming/store.py unit semantics: batch-dir listing honors
+    exclude and strictly_before at LISTING time, compacted/ is read
+    unconditionally, and live_columns/compacted_schema reconcile
+    provenance-column mismatches."""
+    import os
+
+    from etl_pipeline_challenge_aladia_spark.streaming.store import (
+        append_batch,
+        batch_dirs,
+        compact_store,
+        read_store,
+    )
+
+    p = str(tmp_path / "store")
+    for b in range(4):
+        append_batch(
+            spark.createDataFrame([(b, b * 10)], "k long, v long"), p, b
+        )
+    assert len(batch_dirs(p)) == 4
+    assert len(batch_dirs(p, exclude=2)) == 3
+    assert [os.path.basename(d) for d in batch_dirs(p, before=2)] == [
+        "batch=0", "batch=1"
+    ]
+    got = read_store(spark, p, "k long, v long", strictly_before=2)
+    assert sorted(r["k"] for r in got.collect()) == [0, 1]
+    # compact, then point a fresh store at it: batch 0 of a fresh
+    # checkpoint (strictly_before=0) still sees the whole history
+    out = str(tmp_path / "store2")
+    n = compact_store(spark, p, out, "k long, v long")
+    assert n == 4
+    fresh = read_store(spark, out, "k long, v long", strictly_before=0)
+    assert sorted(r["k"] for r in fresh.collect()) == [0, 1, 2, 3]
+
+
+def test_media_ingest_midstream_replay_is_idempotent(spark, tmp_path):
+    """The ADVICE r8 fix, pinned end-to-end: a MID-STREAM checkpoint
+    replay (batch 1 re-runs after batch 2 already wrote its
+    fingerprints) must reproduce batch 1's original report — the
+    strictly-earlier store read means later batches' fingerprints are
+    invisible to the replay. Within-batch twins also pair immediately
+    (the delta self-screen leg)."""
+    import base64
+
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import (
+        encode_ppm,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.media import (
+        make_media_fingerprint_ingest_processor,
+        read_media_near_dup_report,
+    )
+
+    def img_row(mid, shade):
+        img = np.full((8, 8, 3), shade, dtype=np.uint8)
+        img[0, 0, 0] = 255  # one hot pixel so the hash is non-trivial
+        b64 = base64.b64encode(encode_ppm(img)).decode()
+        return (mid, "image", b64)
+
+    schema = "media_id long, modality string, content_b64 string"
+    proc = make_media_fingerprint_ingest_processor(
+        str(tmp_path / "store"), str(tmp_path / "report")
+    )
+    # batch 0: two identical images IN THE SAME BATCH (within-batch twin)
+    proc(spark.createDataFrame([img_row(1, 10), img_row(2, 10)], schema), 0)
+    # batch 1: a dup of batch 0's content
+    proc(spark.createDataFrame([img_row(3, 10)], schema), 1)
+    # batch 2: another dup — its store dir now exists
+    proc(spark.createDataFrame([img_row(4, 10)], schema), 2)
+
+    def report_rows(batch):
+        return sorted(
+            (r["delta_id"], r["corpus_id"], r["hamming"])
+            for r in read_media_near_dup_report(
+                spark, str(tmp_path / "report")
+            )
+            .filter(F.col("batch_id") == batch)
+            .collect()
+        )
+
+    # within-batch twin paired immediately in batch 0
+    assert report_rows(0) == [(2, 1, 0)]
+    original_b1 = report_rows(1)
+    assert original_b1 == [(3, 1, 0), (3, 2, 0)]  # never media 4
+    # MID-STREAM REPLAY of batch 1, with batch 2's fingerprints on disk
+    proc(spark.createDataFrame([img_row(3, 10)], schema), 1)
+    assert report_rows(1) == original_b1
+
+
 def test_bpe_apply_compresses_and_matches_training(spark, sf_dir):
     """doc_bpe_apply emits one row per document, never grows a
     document, strictly compresses the corpus, and its total token

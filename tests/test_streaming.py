@@ -1875,10 +1875,15 @@ def test_rebuild_index_consolidates_onto_current_generation(spark, tmp_path):
     assert n == 300
     rebuilt = read_index(spark, out)
     assert rebuilt.count() == 300
-    # one consolidated batch directory, one subdirectory per cell
-    assert sorted(
-        e for e in os.listdir(out) if e.startswith("batch=")
-    ) == ["batch=0"]
+    # the consolidated layout lives in the reserved compacted/ dir (one
+    # subdirectory per cell), NEVER a batch=<id> one: a continuing
+    # ingest repointed here restarts its fresh checkpoint at batch 0,
+    # and a batch=0 layout would let that batch exclude the entire
+    # history from its screen and overwrite it on append
+    assert [e for e in os.listdir(out) if e.startswith("batch=")] == []
+    assert os.path.isdir(os.path.join(out, "compacted"))
+    # a fresh-checkpoint batch 0 (strictly_before=0) still sees all of it
+    assert read_index(spark, out, strictly_before=0).count() == 300
     # assignments equal the batch operator against generation 2
     all_vecs = read_index(spark, idx).select("vec_id", "embedding")
     want = {
