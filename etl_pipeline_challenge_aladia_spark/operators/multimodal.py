@@ -544,11 +544,13 @@ def media_n_for_sf(sf_dir: str, base: int = 48) -> int:
 
     ``base`` is the count at sf0.01, where the DuckDB oracles enumerate
     the golden hashes (their VALUES lists are generated with the same
-    default, so the driver's correctness gate is unchanged); the count
-    scales linearly with the sf parsed from the directory name
-    (sf0.1 -> 10x rows, .scaledata/sf1.0 -> 100x), floored at 12 and
-    truncated to a multiple of 3 to keep the image/audio/video rotation
-    balanced. Unparseable paths get ``base`` — oracle-safe by default.
+    default); the count scales linearly with the sf parsed from the
+    directory name (sf0.1 -> 10x rows, .scaledata/sf1.0 -> 100x),
+    FLOORED AT ``base`` — the oracle-parity gates also run at sf0.001,
+    and any sub-oracle size would diverge from the fixed golden rows —
+    and truncated to a multiple of 3 to keep the image/audio/video
+    rotation balanced. Unparseable paths get ``base`` — oracle-safe by
+    default.
     """
     import os
     import re
@@ -558,7 +560,7 @@ def media_n_for_sf(sf_dir: str, base: int = 48) -> int:
     if not m:
         return base
     n = int(round(base * float(m.group(1)) / 0.01))
-    return max(12, n - n % 3)
+    return max(base, n - n % 3)
 
 
 MEDIA_BLOCK = 48  #: ids per gradient block (= the oracle's fixture size)

@@ -114,7 +114,7 @@ def test_mutual_knn_ivf_results_invariant_under_block_cap(spark):
 def test_media_n_for_sf_parses_scale_dirs():
     """The media fixture scales with the sf directory: base count at
     sf0.01 (the oracle's golden-row count), linear with sf, floored at
-    a modality-balanced 12, base on unparseable paths."""
+    the oracle base, base on unparseable paths."""
     from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
         media_n_for_sf,
     )
@@ -122,7 +122,9 @@ def test_media_n_for_sf_parses_scale_dirs():
     assert media_n_for_sf("/root/testdata/sf0.01") == 48
     assert media_n_for_sf("/root/testdata/sf0.1") == 480
     assert media_n_for_sf(".scaledata/sf1.0") == 4800
-    assert media_n_for_sf("/root/testdata/sf0.001") == 12
+    # never BELOW the oracle base: parity gates also run at sf0.001,
+    # where a sub-oracle fixture would diverge from the golden rows
+    assert media_n_for_sf("/root/testdata/sf0.001") == 48
     assert media_n_for_sf("/tmp/nodirhint") == 48
 
 

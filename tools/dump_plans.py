@@ -18,10 +18,19 @@ PICKS = {
     "cdc_dedup_latest": "single Exchange on the dedup key; WindowGroupLimit "
     "partial+final prunes to rank-1 rows map-side before the shuffle",
     "emb_mutual_knn_ivf": "cells-sized centroid table broadcast (BNLJ by "
-    "design), then ONE cell-keyed shuffle into a per-cell applyInPandas "
-    "BLAS GEMM (probers x members) — candidate scoring never runs the "
-    "interpreted per-pair cosine expression; rank window bounded by 2 "
-    "probed cells' membership, never n^2",
+    "design), then a (cell, pblock, mblock)-keyed shuffle into a per-TILE "
+    "applyInPandas BLAS GEMM — candidate scoring never runs the "
+    "interpreted per-pair cosine expression, and the tile grid "
+    "(_tile_cell_blocks, sized by a broadcast cells-count frame) "
+    "hard-caps any skewed cell's single-task matmul at block_cap^2; "
+    "rank window bounded by 2 probed cells' membership, never n^2",
+    "media_dup_doc_contamination": "banded fingerprint self-join (linear + "
+    "collisions), ownership as a map-side expression, two broadcast joins "
+    "into the documents dim, one tiny source-pair rollup",
+    "doc_bpe_apply": "per-round: one explode + pair aggregate + 1-row "
+    "TakeOrdered merge decision broadcast into a linear map rewrite over "
+    "the localCheckpoint-materialized corpus; the apply pass itself is "
+    "shuffle-free",
     "media_ahash_near_dup": "one Arrow-batched decode pass (MapInPandas), "
     "band-keyed self-equi-join over 4x16-bit hash bands (linear + bucket "
     "collisions, no all-pairs), 64-bit bit_count verify expression",
