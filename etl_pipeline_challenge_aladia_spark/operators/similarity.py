@@ -2174,16 +2174,28 @@ def tune_nprobe(
     """Recall-driven nprobe selection — the measured-decision pattern
     (``auto_salted_join``, ``auto_semantic_k``) applied to ANN serving:
     audit recall@k of ``ivf_topk`` against the exact brute-force
-    baseline ON A QUERY SAMPLE, increasing nprobe until the target is
-    met, and return (nprobe, achieved recall_permille). This is how a
-    deployment picks its latency/recall point from data instead of a
-    guessed constant; recall estimation needs only the sample, never
-    the production query stream.
+    baseline ON A QUERY SAMPLE and return the SMALLEST nprobe meeting
+    the target with its achieved recall_permille (exhaustion: the full
+    cell count with its recall). This is how a deployment picks its
+    latency/recall point from data instead of a guessed constant;
+    recall estimation needs only the sample, never the production
+    query stream.
+
+    The search is BINARY, not a linear walk: recall@k is monotone
+    non-decreasing in nprobe because probe sets are nested and a
+    true-top-k member already ranked into the approximate top-k can
+    never be displaced by widening the candidate set — any candidate
+    outranking it under the shared (rounded cosine desc, neighbor id)
+    total order would itself belong to the exact top-k
+    (pytest-pinned monotonicity on the tradeoff curve). So minimality
+    is preserved at O(log n_cells) probed searches instead of
+    O(n_cells) — the difference between ~12 and ~4000 cells is what
+    makes tuning affordable on a real index.
 
     Cost: the exact baseline once (|sample| x corpus, broadcast-query
-    shape) plus one probed search per candidate nprobe — the loop is
-    bounded by the cell count, and each decision is a tiny count
-    aggregate (queries x k rows), not a data collect."""
+    shape) plus one probed search per bisection step — each decision
+    is a tiny count aggregate (queries x k rows), not a data
+    collect."""
     exact = (
         brute_force_topk(
             embeddings, queries, k=k, id_col=id_col, vec_col=vec_col,
@@ -2193,21 +2205,31 @@ def tune_nprobe(
         .localCheckpoint(eager=True)  # one scan, reused per candidate nprobe
     )
     total = exact.count()
-    n_cells = embeddings.select(cell_col).distinct().count()
+    n_cells = max(1, embeddings.select(cell_col).distinct().count())
     if total == 0:
         return 1, 1000
-    best = 0
-    for nprobe in range(1, max(1, n_cells) + 1):
+
+    def recall_at(nprobe: int) -> int:
         approx = ivf_topk(
             embeddings, queries, dim=dim, k=k, nprobe=nprobe,
             cell_col=cell_col, id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col,
         ).select("query_id", "neighbor_id")
         hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
-        best = hits * 1000 // total
-        if best >= target_recall_permille:
-            return nprobe, int(best)
-    return max(1, n_cells), int(best)
+        return int(hits * 1000 // total)
+
+    hi_recall = recall_at(n_cells)
+    if hi_recall < target_recall_permille:
+        return n_cells, hi_recall
+    lo, hi, best = 1, n_cells, hi_recall  # invariant: recall(hi) = best >= target
+    while lo < hi:
+        mid = (lo + hi) // 2
+        r = recall_at(mid)
+        if r >= target_recall_permille:
+            hi, best = mid, r
+        else:
+            lo = mid + 1
+    return hi, best
 
 
 def tune_bands(

@@ -1136,10 +1136,13 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.8)
 
 
-def _lsh_band_tradeoff_oracle_sql(num_perm: int = 64, seed: int = 42) -> str:
-    """Three unrolled banding variants (8/16/32 bands over the SAME
-    64-perm signatures) against the exact-Jaccard baseline — the LSH
-    S-curve as counts."""
+def _lsh_band_curve_parts(
+    bands_list: tuple[int, ...], num_perm: int = 64, seed: int = 42
+) -> list[str]:
+    """The shared CTE stack of the banding-curve oracles: tokenize,
+    hash, 64-perm signatures, the exact >= 0.8 baseline, then one
+    bands/cand/r CTE triple per requested banding — used by both the
+    tradeoff curve and the autotune pick."""
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         _perm_params,
     )
@@ -1174,7 +1177,7 @@ exact AS (
   WHERE {jexpr} >= 0.8
 ),
 xn AS (SELECT count(*) AS n FROM exact)"""]
-    for bands in (8, 16, 32):
+    for bands in bands_list:
         rpb = num_perm // bands
         arms = "\n  UNION ALL ".join(
             "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
@@ -1200,6 +1203,14 @@ r{bands} AS (
           JOIN exact e ON c.doc_id_a = e.ia AND c.doc_id_b = e.ib)
            AS n_true_pairs
 )""")
+    return parts
+
+
+def _lsh_band_tradeoff_oracle_sql(num_perm: int = 64, seed: int = 42) -> str:
+    """Three unrolled banding variants (8/16/32 bands over the SAME
+    64-perm signatures) against the exact-Jaccard baseline — the LSH
+    S-curve as counts."""
+    parts = _lsh_band_curve_parts((8, 16, 32), num_perm, seed)
     return (
         ",\n".join(parts)
         + """
@@ -1210,6 +1221,43 @@ SELECT CAST(n_bands AS BIGINT) AS n_bands,
          AS recall_permille
 FROM (SELECT * FROM r8 UNION ALL SELECT * FROM r16
       UNION ALL SELECT * FROM r32), xn
+"""
+    )
+
+
+def _lsh_band_autotune_oracle_sql(
+    target_permille: int = 900, num_perm: int = 64, seed: int = 42
+) -> str:
+    """The tune_bands decision rule unrolled in SQL: walk the candidate
+    bandings cheapest-first (fewest bands) over the same curve CTEs and
+    pick the FIRST whose measured recall meets the target; exhausting
+    the list returns the last banding with its achieved recall — the
+    exact contract of operators/similarity.py:tune_bands."""
+    parts = _lsh_band_curve_parts((4, 8, 16, 32), num_perm, seed)
+    return (
+        ",\n".join(parts)
+        + f""",
+curve AS (
+  SELECT n_bands,
+         n_true_pairs * 1000 // greatest(xn.n, 1) AS recall_permille
+  FROM (SELECT * FROM r4 UNION ALL SELECT * FROM r8
+        UNION ALL SELECT * FROM r16 UNION ALL SELECT * FROM r32), xn
+),
+pick AS (
+  SELECT n_bands, recall_permille FROM curve
+  WHERE recall_permille >= {target_permille}
+  ORDER BY n_bands LIMIT 1
+),
+fallback AS (
+  SELECT n_bands, recall_permille FROM curve
+  ORDER BY n_bands DESC LIMIT 1
+)
+SELECT CAST(coalesce((SELECT n_bands FROM pick),
+                     (SELECT n_bands FROM fallback)) AS BIGINT)
+         AS chosen_bands,
+       CAST(coalesce((SELECT recall_permille FROM pick),
+                     (SELECT recall_permille FROM fallback)) AS BIGINT)
+         AS recall_permille
 """
     )
 
@@ -1291,6 +1339,38 @@ def q_doc_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "doc_lsh_band_autotune",
+    _lsh_band_autotune_oracle_sql(),
+    doc="The banding knob as a MEASURED DECISION, not a curve to "
+    "eyeball: operators/similarity.py:tune_bands walks the candidate "
+    "bandings (4/8/16/32 over the same 64-perm signatures) cheapest-"
+    "first — fewer bands admit fewer candidate pairs, so every "
+    "admitted pair's exact-Jaccard verification is cheaper — and "
+    "returns the first banding whose measured recall of true >= 0.8 "
+    "pairs meets the 900-permille target (exhaustion falls back to "
+    "the finest banding with its achieved recall). This pairs with "
+    "doc_lsh_band_tradeoff the way tune_nprobe pairs with "
+    "emb_ivf_nprobe_tradeoff: the curve is the evidence, this query "
+    "is the decision a deployment actually ships, and the oracle "
+    "unrolls the same walk in SQL so the decision RULE is "
+    "hash-checked, not just the curve. The selection loop is bounded "
+    "by the candidate list; each step is a band-keyed self-join plus "
+    "two count aggregates over localCheckpoint-shared signatures — "
+    "tuning runs on a corpus sample at 100 TB, never the full corpus.",
+)
+def q_doc_lsh_band_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        tune_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands, recall = tune_bands(docs, target_recall_permille=900)
+    return spark.createDataFrame(
+        [(bands, recall)], "chosen_bands long, recall_permille long"
+    )
 
 
 def _minhash_incremental_oracle_sql(split_id: int = 400) -> str:
@@ -2141,10 +2221,9 @@ r{p} AS (
 )"""
 
 
-@query(
-    "emb_ivf_nprobe_tradeoff",
-    f"""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+#: shared oracle prefix of the IVF nprobe curve/decision queries:
+#: centroids, the 5-query sample, probe ranks, the exact top-5, its count
+_IVF_NPROBE_PREFIX = f"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 cent0 AS (
   SELECT label, dim, {_IVF_CENT6} AS cv
   FROM (
@@ -2173,7 +2252,52 @@ exact AS (
                       c.neighbor_id) AS rnk
     FROM q, cand c) WHERE rnk <= 5
 ),
-xn AS (SELECT count(*) AS n FROM exact),
+xn AS (SELECT count(*) AS n FROM exact),"""
+
+
+def _ivf_nprobe_autotune_oracle_sql(
+    target_permille: int = 900, n_cells: int = 10
+) -> str:
+    """The tune_nprobe decision rule unrolled in SQL: the full
+    1..n_cells walk over the shared curve CTEs, picking the SMALLEST
+    nprobe whose recall meets the target (exhaustion falls back to the
+    full probe count with its achieved recall) — the exact contract of
+    operators/similarity.py:tune_nprobe. ``n_cells`` matches the
+    testdata fixture's 10 labels; the engine side derives it from the
+    data."""
+    variants = ",\n".join(_ivf_nprobe_variant_ctes(p) for p in range(1, n_cells + 1))
+    union = " UNION ALL ".join(f"SELECT * FROM r{p}" for p in range(1, n_cells + 1))
+    return (
+        _IVF_NPROBE_PREFIX
+        + "\n"
+        + variants
+        + f""",
+curve AS (
+  SELECT nprobe, n_hits * 1000 // greatest(xn.n, 1) AS recall_permille
+  FROM ({union}), xn
+),
+pick AS (
+  SELECT nprobe, recall_permille FROM curve
+  WHERE recall_permille >= {target_permille}
+  ORDER BY nprobe LIMIT 1
+),
+fallback AS (
+  SELECT nprobe, recall_permille FROM curve ORDER BY nprobe DESC LIMIT 1
+)
+SELECT CAST(coalesce((SELECT nprobe FROM pick),
+                     (SELECT nprobe FROM fallback)) AS BIGINT)
+         AS chosen_nprobe,
+       CAST(coalesce((SELECT recall_permille FROM pick),
+                     (SELECT recall_permille FROM fallback)) AS BIGINT)
+         AS recall_permille
+"""
+    )
+
+
+@query(
+    "emb_ivf_nprobe_tradeoff",
+    f"""
+{_IVF_NPROBE_PREFIX}
 {', '.join(_ivf_nprobe_variant_ctes(p) for p in (1, 2, 3))}
 SELECT CAST(nprobe AS BIGINT) AS nprobe,
        CAST(n_candidates AS BIGINT) AS n_candidates,
@@ -2285,6 +2409,44 @@ def q_emb_ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "emb_ivf_nprobe_autotune",
+    _ivf_nprobe_autotune_oracle_sql(),
+    doc="The nprobe knob as a MEASURED DECISION — the vector-search "
+    "twin of doc_lsh_band_autotune and the catalog exposure of "
+    "operators/similarity.py:tune_nprobe: walk nprobe upward from 1 "
+    "over the same centroid/probe/exact CTEs as "
+    "emb_ivf_nprobe_tradeoff and return the SMALLEST probe count "
+    "whose measured recall@5 against the exact brute-force sample "
+    "meets the 900-permille target (exhaustion falls back to probing "
+    "every cell with its achieved recall). The oracle unrolls the "
+    "full 1..10-cell walk in SQL, so the decision RULE — not just the "
+    "curve — is hash-checked. Cost shape: the exact baseline once "
+    "over the 5-query sample (localCheckpoint-reused per candidate), "
+    "then one probed-cell candidate join + a tiny count per step; "
+    "the loop is bounded by the cell count and each decision is a "
+    "(queries x k)-row aggregate, never a data collect.",
+)
+def q_emb_ivf_nprobe_autotune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        tune_nprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    nprobe, recall = tune_nprobe(
+        cands, queries_df, dim=64, k=5, target_recall_permille=900
+    )
+    return spark.createDataFrame(
+        [(nprobe, recall)], "chosen_nprobe long, recall_permille long"
+    )
 
 
 # --------------------------------------------------------------------------

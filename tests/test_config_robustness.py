@@ -48,6 +48,11 @@ SAMPLE = [
     "media_video_frame_near_dup",      # hash-keyed containment join
     "events_audience_overlap",         # user-keyed self-join + totals
     "dq_fk_orphans",                   # five key-grain orphan joins
+    # round-9 additions:
+    "doc_bpe_apply",                   # per-round 1-row merge broadcast
+    "media_dup_doc_contamination",     # banded self-join + doc-dim joins
+    "doc_lsh_band_autotune",           # measured-decision walk (counts)
+    "emb_ivf_nprobe_autotune",         # bounded nprobe walk + exact sample
 ]
 
 
