@@ -3374,15 +3374,10 @@ def q_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_audio_ahash_oracle_sql(n: int = 48) -> str:
-    """Golden 64-bit loudness-profile hashes for the audio members of
-    the real media fixture, recomputed from the closed-form sample spec
-    (sample(j) = (sm*j + 17i) %% 4001 - 2000, n = 200 + 3i, sm the
-    block-0 value 31 at the oracle's n=48) in PURE PYTHON INT —
-    independent of the engine's WAV decoder and window fold. Pairing is
-    the exact all-pairs Hamming baseline (identical to the engine's
-    8-band LSH answer by the pigeonhole guarantee at distance <= 6 < 8
-    bands)."""
+def _media_audio_sig_rows(n: int = 48) -> list[str]:
+    """VALUES rows ``(media_id, ahash)`` of the golden audio
+    loudness-profile hashes — shared by the near-dup oracle and the
+    cross-modal leakage oracle."""
     rows = []
     for i in range(1, n, 3):  # audio members: i %% 3 == 1
         blk = i // 48  # gradient block (block 0 == the original formula)
@@ -3400,10 +3395,22 @@ def _media_audio_ahash_oracle_sql(n: int = 48) -> str:
         if hv >= 1 << 63:
             hv -= 1 << 64
         rows.append(f"({i}, {hv})")
+    return rows
+
+
+def _media_audio_ahash_oracle_sql(n: int = 48) -> str:
+    """Golden 64-bit loudness-profile hashes for the audio members of
+    the real media fixture, recomputed from the closed-form sample spec
+    (sample(j) = (sm*j + 17i) %% 4001 - 2000, n = 200 + 3i, sm the
+    block-0 value 31 at the oracle's n=48) in PURE PYTHON INT —
+    independent of the engine's WAV decoder and window fold. Pairing is
+    the exact all-pairs Hamming baseline (identical to the engine's
+    8-band LSH answer by the pigeonhole guarantee at distance <= 6 < 8
+    bands)."""
     return (
         "WITH sig AS (SELECT CAST(media_id AS BIGINT) AS media_id,"
         " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
-        + ", ".join(rows)
+        + ", ".join(_media_audio_sig_rows(n))
         + ") AS t(media_id, ahash))\n"
         "SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,\n"
         "       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming\n"
@@ -3443,14 +3450,10 @@ def q_media_audio_ahash_near_dup(
     )
 
 
-def _media_video_frame_oracle_sql(n: int = 48) -> str:
-    """Golden per-frame 64-bit average hashes for the video members of
-    the real media fixture, recomputed from the closed-form luma spec
-    (luma(t, y, x) = (vx*x + vy*y + 5t + i) %% 256 with the block-0
-    gradients vx=1, vy=3 at the oracle's n=48; nf = 2 + i %% 3, w = 8 +
-    i %% 4, h = 6 + i %% 5) with the same pixel-center resample map in
-    PURE PYTHON INT. Pairing: videos sharing >= 1 identical frame
-    hash, counted over distinct hashes per video."""
+def _media_video_frame_rows(n: int = 48) -> list[str]:
+    """VALUES rows ``(media_id, frame_no, ahash)`` of the golden
+    per-frame video hashes — shared by the near-dup oracle and the
+    cross-modal leakage oracle."""
     rows = []
     for i in range(2, n, 3):  # video members: i %% 3 == 2
         blk = i // 48  # gradient block (block 0 == the original formula)
@@ -3472,6 +3475,18 @@ def _media_video_frame_oracle_sql(n: int = 48) -> str:
             if hv >= 1 << 63:
                 hv -= 1 << 64
             rows.append(f"({i}, {t}, {hv})")
+    return rows
+
+
+def _media_video_frame_oracle_sql(n: int = 48) -> str:
+    """Golden per-frame 64-bit average hashes for the video members of
+    the real media fixture, recomputed from the closed-form luma spec
+    (luma(t, y, x) = (vx*x + vy*y + 5t + i) %% 256 with the block-0
+    gradients vx=1, vy=3 at the oracle's n=48; nf = 2 + i %% 3, w = 8 +
+    i %% 4, h = 6 + i %% 5) with the same pixel-center resample map in
+    PURE PYTHON INT. Pairing: videos sharing >= 1 identical frame
+    hash, counted over distinct hashes per video."""
+    rows = _media_video_frame_rows(n)
     return (
         "WITH fh AS (SELECT DISTINCT CAST(media_id AS BIGINT) AS media_id,"
         " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
@@ -3604,6 +3619,127 @@ def q_media_dup_doc_contamination(
             F.count(F.lit(1)).cast("long").alias("n_dup_media_pairs"),
             F.min("hamming").cast("long").alias("min_hamming"),
         )
+    )
+
+
+def _media_cross_source_leakage_oracle_sql(n: int = 48) -> str:
+    """All three fingerprint families' golden hashes (shared VALUES
+    builders), each modality's own pairing rule (image Hamming <= 3,
+    audio Hamming <= 6, video shared-frame), the closed-form ownership,
+    and the documents join — one source-pair leakage rollup per
+    modality."""
+    return (
+        "WITH isig AS (SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
+        + ", ".join(_media_ahash_sig_rows(n))
+        + ") AS t(media_id, ahash)),\n"
+        "asig AS (SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
+        + ", ".join(_media_audio_sig_rows(n))
+        + ") AS t(media_id, ahash)),\n"
+        "fh AS (SELECT DISTINCT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
+        + ", ".join(_media_video_frame_rows(n))
+        + ") AS t(media_id, frame_no, ahash)),\n"
+        """pr AS (
+  SELECT 'image' AS modality, a.media_id AS ma, b.media_id AS mb
+  FROM isig a JOIN isig b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+  UNION ALL
+  SELECT 'audio', a.media_id, b.media_id
+  FROM asig a JOIN asig b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+  UNION ALL
+  SELECT DISTINCT 'video', a.media_id, b.media_id
+  FROM fh a JOIN fh b
+    ON a.ahash = b.ahash AND a.media_id < b.media_id
+),
+o AS (
+  SELECT modality, (ma * 7 + 3) % 96 AS da, (mb * 7 + 3) % 96 AS db
+  FROM pr WHERE (ma * 7 + 3) % 96 != (mb * 7 + 3) % 96
+)
+SELECT o.modality,
+       least(d1.source, d2.source) AS source_a,
+       greatest(d1.source, d2.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_media_pairs
+FROM o
+JOIN documents d1 ON d1.doc_id = o.da
+JOIN documents d2 ON d2.doc_id = o.db
+GROUP BY 1, 2, 3"""
+    )
+
+
+@query(
+    "media_cross_source_leakage",
+    _media_cross_source_leakage_oracle_sql(),
+    doc="The full cross-modal leakage audit — media_dup_doc_"
+    "contamination generalized to EVERY fingerprint family: image "
+    "near-dup pairs (banded Hamming <= 3), audio near-dup pairs "
+    "(banded Hamming <= 6), and video shared-frame pairs all map "
+    "through the fixture ownership (media_owner_doc_col) to document "
+    "pairs, drop self-owned pairs, and roll up per (modality, "
+    "source_a, source_b) — which corpus sources share "
+    "visually/acoustically identical assets, per asset family. This "
+    "is the report a training-data audit reads before declaring two "
+    "sources independent: text overlap (doc_source_segment_overlap) "
+    "can be clean while the SAME imagery or audio circulates across "
+    "both. Scale shape: three banded/hash-keyed fingerprint joins "
+    "(each linear + collisions, never all-pairs of assets), "
+    "map-side ownership, two broadcast joins into the doc dimension, "
+    "one tiny rollup.",
+)
+def q_media_cross_source_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        audio_ahash_near_dup_pairs,
+        media_n_for_sf,
+        media_owner_doc_col,
+        synthetic_media_real,
+        video_frame_near_dup_pairs,
+    )
+
+    media = synthetic_media_real(spark, n=media_n_for_sf(sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = (
+        ahash_near_dup_pairs(media)
+        .select("media_id_a", "media_id_b", F.lit("image").alias("modality"))
+        .unionByName(
+            audio_ahash_near_dup_pairs(media).select(
+                "media_id_a", "media_id_b", F.lit("audio").alias("modality")
+            )
+        )
+        .unionByName(
+            video_frame_near_dup_pairs(media).select(
+                "media_id_a", "media_id_b", F.lit("video").alias("modality")
+            )
+        )
+    )
+    p = (
+        pairs.withColumn("da", media_owner_doc_col("media_id_a"))
+        .withColumn("db", media_owner_doc_col("media_id_b"))
+        .filter(F.col("da") != F.col("db"))
+    )
+    j = p.join(
+        F.broadcast(
+            docs.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"))
+        ),
+        "da",
+    ).join(
+        F.broadcast(
+            docs.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"))
+        ),
+        "db",
+    )
+    return (
+        j.select(
+            "modality",
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("modality", "source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_media_pairs"))
     )
 
 

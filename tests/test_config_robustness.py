@@ -53,6 +53,7 @@ SAMPLE = [
     "media_dup_doc_contamination",     # banded self-join + doc-dim joins
     "doc_lsh_band_autotune",           # measured-decision walk (counts)
     "emb_ivf_nprobe_autotune",         # bounded nprobe walk + exact sample
+    "media_cross_source_leakage",      # 3-family fingerprint union + dims
 ]
 
 
