@@ -267,6 +267,28 @@ def test_media_ingest_midstream_replay_is_idempotent(spark, tmp_path):
     assert report_rows(1) == original_b1
 
 
+def test_band_autotune_reconciles_with_tradeoff_curve(spark, sf_dir):
+    """The decision query and the curve query must agree (the
+    nprobe-reconciliation pattern): when doc_lsh_band_autotune picks a
+    banding the tradeoff curve also measures (8/16/32), its reported
+    recall equals that curve row's recall_permille, every coarser
+    measured banding must MISS the 900 target (else the pick wasn't
+    minimal), and the pick itself meets the target unless it's the
+    exhaustion fallback (32 bands)."""
+    pick = CATALOG["doc_lsh_band_autotune"].spark(spark, sf_dir).collect()[0]
+    curve = {
+        r["n_bands"]: r["recall_permille"]
+        for r in CATALOG["doc_lsh_band_tradeoff"].spark(spark, sf_dir).collect()
+    }
+    chosen, recall = pick["chosen_bands"], pick["recall_permille"]
+    if chosen in curve:
+        assert curve[chosen] == recall
+    for b, r in curve.items():
+        if b < chosen:
+            assert r < 900  # minimality: every cheaper measured banding misses
+    assert recall >= 900 or chosen == 32
+
+
 def test_bpe_apply_compresses_and_matches_training(spark, sf_dir):
     """doc_bpe_apply emits one row per document, never grows a
     document, strictly compresses the corpus, and its total token
