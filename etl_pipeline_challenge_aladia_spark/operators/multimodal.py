@@ -565,6 +565,23 @@ def media_n_for_sf(sf_dir: str, base: int = 48) -> int:
 
 MEDIA_BLOCK = 48  #: ids per gradient block (= the oracle's fixture size)
 
+_M64 = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — a full-period 64-bit integer mix (public
+    constants from Steele et al.'s SplitMix), used to spread gradient-
+    block ids so coefficient tuples never cycle within any reachable
+    fixture size (a linear ``k*blk % 256`` recurrence repeats every 256
+    blocks, re-growing dup clusters above n ~ 12288 / sf ~ 2.6)."""
+    x = (x * 0x9E3779B97F4A7C15) & _M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    x ^= x >> 31
+    return x
+
 
 def _media_gradients(i: int) -> tuple[int, int, int, int, int]:
     """Per-block closed-form gradient coefficients
@@ -572,23 +589,35 @@ def _media_gradients(i: int) -> tuple[int, int, int, int, int]:
 
     Ids group into blocks of MEDIA_BLOCK; block 0 keeps the original
     round-8 coefficients (3, 7, 31, 1, 3) so the n=48 golden-hash
-    oracles are byte-identical, and every later block gets DISTINCT
-    multiplicatively-spread coefficients. This is what keeps near-dup
-    CLUSTERS constant-size as the fixture scales with sf: within a
-    block the payloads differ by small shifts (planted near-dups,
-    same structure at every scale); across blocks the gradients differ
-    so fingerprints never collide systematically — pair output grows
-    linearly with n, the make_scale_data.py replication discipline
-    applied to media (naive growth would let every dup cluster grow
-    with n and quadratic pair blowup would test the generator, not the
-    engine)."""
+    oracles are byte-identical, and every later block draws its
+    coefficients from disjoint byte lanes of a splitmix64 hash of the
+    block id — a full-period sequence, so no two blocks within any
+    reachable n share a coefficient tuple systematically (the previous
+    ``k*blk % 256`` linear spread cycled every 256 blocks, letting
+    blocks 256 apart collide payload-for-payload once dims aligned).
+    Residual RANDOM coincidence of a (vx, vy) pair across blocks is
+    ~2^-16 per block pair and non-aligned in the ``+ i`` phase term, so
+    it cannot re-grow clusters. Gradient lanes are mapped into
+    [1, 255]: a zero video gradient pair would make every frame
+    constant, hash 0 — a manufactured hub frame. This is what keeps
+    near-dup CLUSTERS constant-size as the fixture scales with sf:
+    within a block the payloads differ by small shifts (planted
+    near-dups, same structure at every scale); across blocks the
+    gradients differ so fingerprints never collide systematically —
+    pair output grows linearly with n, the make_scale_data.py
+    replication discipline applied to media. The DuckDB oracle
+    row-builders (plans/queries.py:_media_ahash_sig_rows and siblings)
+    call THIS function, so engine and oracle can never drift."""
     blk = i // MEDIA_BLOCK
+    if blk == 0:
+        return (3, 7, 31, 1, 3)
+    z = _mix64(blk)
     return (
-        (3 + 101 * blk) % 256,
-        (7 + 149 * blk) % 256,
-        31 + (blk * 57) % 1900,
-        (1 + 101 * blk) % 256,
-        (3 + 149 * blk) % 256,
+        1 + (z & 0xFF) % 255,
+        1 + ((z >> 8) & 0xFF) % 255,
+        31 + ((z >> 16) & 0xFFFF) % 1900,
+        1 + ((z >> 32) & 0xFF) % 255,
+        1 + ((z >> 40) & 0xFF) % 255,
     )
 
 

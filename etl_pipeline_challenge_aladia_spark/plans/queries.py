@@ -3297,10 +3297,13 @@ def _media_ahash_sig_rows(n: int = 48) -> list[str]:
     """VALUES rows ``(media_id, ahash)`` of the golden image hashes —
     shared by the near-dup oracle and the cross-modal contamination
     oracle."""
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        _media_gradients,
+    )
+
     rows = []
     for i in range(0, n, 3):  # image members: i %% 3 == 0
-        blk = i // 48  # gradient block (block 0 == the original formula)
-        ax, ay = (3 + 101 * blk) % 256, (7 + 149 * blk) % 256
+        ax, ay, _, _, _ = _media_gradients(i)  # one source of truth
         w, h = 16 + i % 5, 12 + i % 7
         total, cells = 0, []
         for yy in range(8):
@@ -3378,10 +3381,13 @@ def _media_audio_sig_rows(n: int = 48) -> list[str]:
     """VALUES rows ``(media_id, ahash)`` of the golden audio
     loudness-profile hashes — shared by the near-dup oracle and the
     cross-modal leakage oracle."""
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        _media_gradients,
+    )
+
     rows = []
     for i in range(1, n, 3):  # audio members: i %% 3 == 1
-        blk = i // 48  # gradient block (block 0 == the original formula)
-        sm = 31 + (blk * 57) % 1900
+        _, _, sm, _, _ = _media_gradients(i)  # one source of truth
         ns = 200 + 3 * i
         s = [abs((sm * j + 17 * i) % 4001 - 2000) for j in range(ns)]
         en = [
@@ -3454,10 +3460,13 @@ def _media_video_frame_rows(n: int = 48) -> list[str]:
     """VALUES rows ``(media_id, frame_no, ahash)`` of the golden
     per-frame video hashes — shared by the near-dup oracle and the
     cross-modal leakage oracle."""
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        _media_gradients,
+    )
+
     rows = []
     for i in range(2, n, 3):  # video members: i %% 3 == 2
-        blk = i // 48  # gradient block (block 0 == the original formula)
-        vx, vy = (1 + 101 * blk) % 256, (3 + 149 * blk) % 256
+        _, _, _, vx, vy = _media_gradients(i)  # one source of truth
         nf, w, h = 2 + i % 3, 8 + i % 4, 6 + i % 5
         for t in range(nf):
             cells = [

@@ -62,24 +62,29 @@ def batch_dirs(
     minus ``exclude``'s own directory (replay never reads its own
     half-written output) and, with ``before``, minus every id >=
     ``before`` (the strictly-earlier contract, applied at listing
-    time)."""
+    time). Only ``append_batch``-written NUMERIC ids are live batches:
+    a stray non-numeric ``batch=*`` entry (a partial copy, an editor
+    dropping) is skipped outright rather than read as history — under
+    ``before`` it would otherwise masquerade as strictly-earlier data
+    in every replay screen."""
     try:
-        entries = sorted(
-            e for e in os.listdir(path) if e.startswith("batch=")
-        )
+        entries = []
+        for e in sorted(os.listdir(path)):
+            if not e.startswith("batch="):
+                continue
+            try:
+                int(e.split("=", 1)[1])
+            except ValueError:
+                continue
+            entries.append(e)
     except OSError:
         return []
     if exclude is not None:
         entries = [e for e in entries if e != f"batch={exclude}"]
     if before is not None:
-        kept = []
-        for e in entries:
-            try:
-                if int(e.split("=", 1)[1]) < before:
-                    kept.append(e)
-            except ValueError:
-                kept.append(e)  # non-numeric dir: not a live batch id
-        entries = kept
+        entries = [
+            e for e in entries if int(e.split("=", 1)[1]) < before
+        ]
     return [os.path.join(path, e) for e in entries]
 
 

@@ -31,6 +31,11 @@ def main() -> None:
     names = set(runs[0]["queries"])
     for r in runs[1:]:
         assert set(r["queries"]) == names, "runs cover different catalogs"
+    unknown = sorted(changed - names)
+    assert not unknown, (
+        f"--changed names not in the run catalog: {unknown} — a typo here"
+        " would silently let the query inherit a stale pre-change minimum"
+    )
 
     merged = {}
     for q in sorted(names):
