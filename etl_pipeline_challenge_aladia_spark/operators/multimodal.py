@@ -1145,18 +1145,43 @@ def video_frame_hashes(media: DataFrame) -> DataFrame:
     return vids.mapInPandas(batches, schema=VIDEO_FRAME_HASH_SCHEMA)
 
 
-def video_frame_near_dup_pairs(media: DataFrame) -> DataFrame:
+def video_frame_near_dup_pairs(
+    media: DataFrame,
+    frame_df_cap: int | None = 16,
+    min_shared_frames: int = 1,
+) -> DataFrame:
     """Video near-duplicate pairs by EXACT shared frame fingerprints:
-    two videos pair when they share at least one identical frame aHash
-    (re-encodes, trims, and splices keep unedited frames bit-identical
-    under the integer hash — the classic frame-fingerprint containment
-    screen). The join is keyed on the 64-bit hash itself: linear in
-    total frames + hash-bucket collisions, never all-pairs of videos;
-    per-pair shared-frame counts come from one distinct + aggregate.
-    Output: (media_id_a < media_id_b, n_shared_frames)."""
+    two videos pair when they share at least ``min_shared_frames``
+    identical frame aHashes (re-encodes, trims, and splices keep
+    unedited frames bit-identical under the integer hash — the classic
+    frame-fingerprint containment screen). The join is keyed on the
+    64-bit hash itself: linear in total frames + hash-bucket
+    collisions, never all-pairs of videos; per-pair shared-frame counts
+    come from one distinct + aggregate.
+
+    ``frame_df_cap`` is the hub-frame guard (the ``df_cap`` discipline
+    of ``containment_pairs``/``shared_span_pairs`` applied to frames):
+    a fingerprint shared by H videos emits H^2/2 rows through the
+    skewed join key, and the hub frames of a real corpus — black
+    frames, title cards, logo bumpers — are shared by THOUSANDS of
+    videos while carrying zero discriminative signal (a shared black
+    frame is no evidence of duplication). Frames whose video-frequency
+    exceeds the cap are dropped from BOTH join sides before pairing,
+    bounding any single hash bucket's output at cap^2/2 rows. The
+    frequency pass groups on the same key the join shuffles on, so the
+    partitioning is reused. Output: (media_id_a < media_id_b,
+    n_shared_frames), counted over cap-surviving frames only."""
     fh = video_frame_hashes(media).select("media_id", "ahash").distinct()
+    if frame_df_cap is not None:
+        rare = (
+            fh.groupBy("ahash")
+            .agg(F.count(F.lit(1)).alias("n_videos"))
+            .filter(F.col("n_videos") <= frame_df_cap)
+            .select("ahash")
+        )
+        fh = fh.join(rare, "ahash")
     a, b = fh.alias("a"), fh.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.ahash") == F.col("b.ahash"))
@@ -1168,6 +1193,9 @@ def video_frame_near_dup_pairs(media: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
     )
+    if min_shared_frames > 1:
+        out = out.filter(F.col("n_shared_frames") >= min_shared_frames)
+    return out
 
 
 def hamming_band_pairs_across(

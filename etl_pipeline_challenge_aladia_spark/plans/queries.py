@@ -3494,13 +3494,18 @@ def _media_video_frame_oracle_sql(n: int = 48) -> str:
     gradients vx=1, vy=3 at the oracle's n=48; nf = 2 + i %% 3, w = 8 +
     i %% 4, h = 6 + i %% 5) with the same pixel-center resample map in
     PURE PYTHON INT. Pairing: videos sharing >= 1 identical frame
-    hash, counted over distinct hashes per video."""
+    hash, counted over distinct hashes per video, with the engine's
+    hub-frame cap mirrored (QUALIFY drops hashes shared by > 16
+    videos — a no-op on this fixture, which plants no hub frames, but
+    the oracle states the full semantics)."""
     rows = _media_video_frame_rows(n)
     return (
-        "WITH fh AS (SELECT DISTINCT CAST(media_id AS BIGINT) AS media_id,"
+        "WITH fh0 AS (SELECT DISTINCT CAST(media_id AS BIGINT) AS media_id,"
         " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
         + ", ".join(rows)
-        + ") AS t(media_id, frame_no, ahash))\n"
+        + ") AS t(media_id, frame_no, ahash)),\n"
+        "fh AS (SELECT media_id, ahash FROM fh0\n"
+        "       QUALIFY count(*) OVER (PARTITION BY ahash) <= 16)\n"
         "SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,\n"
         "       CAST(count(*) AS BIGINT) AS n_shared_frames\n"
         "FROM fh a JOIN fh b\n"
@@ -3519,13 +3524,20 @@ def _media_video_frame_oracle_sql(n: int = 48) -> str:
     "they share >= 1 identical frame hash — the frame-fingerprint "
     "containment screen that survives re-encodes, trims, and splices "
     "of unedited frames (operators/multimodal.py:"
-    "video_frame_near_dup_pairs). The oracle replays every frame hash "
-    "from the fixture's closed-form luma spec in pure Python int, "
-    "certifying Y4M parse + per-frame resample + hash + containment "
-    "join end-to-end. Scale shape: one decode pass exploding frames "
-    "inside the Arrow kernel, a hash-keyed equi-join (linear in total "
-    "frames + collisions, never all-pairs of videos), one pair-grain "
-    "count.",
+    "video_frame_near_dup_pairs). Hub frames — black frames, title "
+    "cards, logo bumpers, the norm in real video corpora — are "
+    "dropped before the join by a frame-frequency cap (hashes in > 16 "
+    "videos, the df_cap discipline of containment_pairs): a shared "
+    "hub frame carries no duplication signal and would emit H^2 pair "
+    "rows through the skewed join key. The oracle replays every frame "
+    "hash from the fixture's closed-form luma spec in pure Python int "
+    "and mirrors the cap, certifying Y4M parse + per-frame resample + "
+    "hash + cap + containment join end-to-end. Scale shape: one "
+    "decode pass exploding frames inside the Arrow kernel, one "
+    "frequency aggregate on the join key (partitioning reused), a "
+    "hash-keyed equi-join (linear in total frames + collisions, "
+    "bounded per bucket by the cap, never all-pairs of videos), one "
+    "pair-grain count.",
 )
 def q_media_video_frame_near_dup(
     spark: SparkSession, sf_dir: str
@@ -3646,10 +3658,12 @@ def _media_cross_source_leakage_oracle_sql(n: int = 48) -> str:
         " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
         + ", ".join(_media_audio_sig_rows(n))
         + ") AS t(media_id, ahash)),\n"
-        "fh AS (SELECT DISTINCT CAST(media_id AS BIGINT) AS media_id,"
+        "fh0 AS (SELECT DISTINCT CAST(media_id AS BIGINT) AS media_id,"
         " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
         + ", ".join(_media_video_frame_rows(n))
         + ") AS t(media_id, frame_no, ahash)),\n"
+        "fh AS (SELECT media_id, ahash FROM fh0\n"
+        "       QUALIFY count(*) OVER (PARTITION BY ahash) <= 16),\n"
         """pr AS (
   SELECT 'image' AS modality, a.media_id AS ma, b.media_id AS mb
   FROM isig a JOIN isig b ON a.media_id < b.media_id
@@ -3693,9 +3707,10 @@ GROUP BY 1, 2, 3"""
     "sources independent: text overlap (doc_source_segment_overlap) "
     "can be clean while the SAME imagery or audio circulates across "
     "both. Scale shape: three banded/hash-keyed fingerprint joins "
-    "(each linear + collisions, never all-pairs of assets), "
-    "map-side ownership, two broadcast joins into the doc dimension, "
-    "one tiny rollup.",
+    "(each linear + collisions, never all-pairs of assets; the video "
+    "leg inherits video_frame_near_dup_pairs' hub-frame cap, so no "
+    "title-card hash can emit H^2 rows), map-side ownership, two "
+    "broadcast joins into the doc dimension, one tiny rollup.",
 )
 def q_media_cross_source_leakage(
     spark: SparkSession, sf_dir: str
