@@ -26,7 +26,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1196,6 +1196,129 @@ def video_frame_near_dup_pairs(
     if min_shared_frames > 1:
         out = out.filter(F.col("n_shared_frames") >= min_shared_frames)
     return out
+
+
+#: video-clip fixture geometry — fixed across all clips so every frame
+#: lives in ONE comparable hash space (matching dims are what make
+#: trimmed/spliced copies hash-identical frame-for-frame)
+CLIP_W, CLIP_H = 16, 12
+CLIP_AX, CLIP_AY, CLIP_AT = 5, 3, 9
+
+
+def clip_spec(j: int) -> list[int]:
+    """Master-frame indices of clip ``j`` in the video-clip fixture:
+    most clips are TRIMS — a contiguous window [3j, 3j + 8 + j%5) of
+    the shared master sequence, so neighboring clips overlap in a run
+    of >= 2 consecutive frames (the planted trimmed-copy structure) —
+    and every 7th clip (j % 7 == 3) is a SPLICE of two 4-frame cuts
+    [3j, 3j+4) ++ [3j+40, 3j+44), whose second segment re-surfaces
+    ~13 clips later in the corpus (the re-used-footage structure).
+    Density is constant per clip, so pair output grows linearly with
+    n — the media-fixture scaling discipline."""
+    s = 3 * j
+    if j % 7 == 3:
+        return list(range(s, s + 4)) + list(range(s + 40, s + 44))
+    return list(range(s, s + 8 + j % 5))
+
+
+def clip_master_frame(m: int) -> np.ndarray:
+    """Frame ``m`` of the fixture's shared master sequence:
+    luma(y, x) = (CLIP_AX*x + CLIP_AY*y + CLIP_AT*m) % 256 at the fixed
+    CLIP_W x CLIP_H geometry — a closed form a pure-SQL oracle replays
+    through the same pixel-center resample + mean-threshold hash."""
+    y, x = np.meshgrid(
+        np.arange(CLIP_H), np.arange(CLIP_W), indexing="ij"
+    )
+    return ((CLIP_AX * x + CLIP_AY * y + CLIP_AT * m) % 256).astype(
+        np.uint8
+    )
+
+
+def synthetic_video_clips(spark, n: int = 48) -> DataFrame:
+    """Deterministic video-clip fixture with REAL Y4M payloads: ``n``
+    clips cut from one shared master frame sequence per ``clip_spec``
+    (trims + splices), the corpus shape sequence-aware video dedup
+    exists for. Scale with ``media_n_for_sf``: overlap structure is
+    planted between NEIGHBORING clips only, so duplicate-pair output
+    grows linearly with n."""
+    rows = []
+    for j in range(n):
+        frames = np.stack([clip_master_frame(m) for m in clip_spec(j)])
+        rows.append((j, "video", bytearray(encode_y4m(frames, VIDEO_FPS))))
+    return spark.createDataFrame(
+        rows, "media_id long, modality string, content binary"
+    )
+
+
+def video_sequence_near_dup_pairs(
+    media: DataFrame,
+    min_run: int = 3,
+    frame_df_cap: int | None = 16,
+) -> DataFrame:
+    """Sequence-aware video near-duplicates: two videos pair when they
+    share a run of >= ``min_run`` CONSECUTIVE identical frame hashes,
+    consecutive in BOTH videos — order-aware containment, the criterion
+    a real video dedup ships (``video_frame_near_dup_pairs``' any-
+    single-shared-frame predicate is a weak screen: one coincident
+    frame is not a duplicated clip; a preserved run of frames is).
+
+    Plan: per-frame hashes (one Arrow decode pass), the hub-frame cap
+    (``frame_df_cap``, same df_cap discipline — hub frames cannot be
+    part of an honest run anyway since their matches align at arbitrary
+    offsets), a hash-keyed equi-join producing frame matches (ma < mb,
+    fa, fb), then gaps-and-islands per (ma, mb, diff = fa - fb): with
+    the alignment offset fixed, consecutive fa means consecutive fb, so
+    ``fa - row_number()`` over (ma, mb, diff | order fa) labels each
+    maximal aligned run, one count per island measures it, and a
+    pair-grain aggregate keeps pairs whose longest run clears
+    ``min_run``. Every stage is an equi-join or a window over
+    pair-grain partitions — linear in matches, never all-pairs of
+    videos, no driver state. Output: (media_id_a < media_id_b,
+    longest_run, n_runs) with n_runs counting maximal runs >= min_run.
+    """
+    fh = video_frame_hashes(media)
+    if frame_df_cap is not None:
+        rare = (
+            fh.select("media_id", "ahash")
+            .distinct()
+            .groupBy("ahash")
+            .agg(F.count(F.lit(1)).alias("n_videos"))
+            .filter(F.col("n_videos") <= frame_df_cap)
+            .select("ahash")
+        )
+        fh = fh.join(rare, "ahash")
+    a, b = fh.alias("a"), fh.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.ahash") == F.col("b.ahash"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).select(
+        F.col("a.media_id").alias("ma"),
+        F.col("b.media_id").alias("mb"),
+        F.col("a.frame_no").alias("fa"),
+        (F.col("a.frame_no") - F.col("b.frame_no")).alias("diff"),
+    )
+    w = Window.partitionBy("ma", "mb", "diff").orderBy("fa")
+    runs = (
+        matches.withColumn(
+            "island", F.col("fa") - F.row_number().over(w)
+        )
+        .groupBy("ma", "mb", "diff", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy(
+            F.col("ma").alias("media_id_a"),
+            F.col("mb").alias("media_id_b"),
+        )
+        .agg(
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.sum(
+                (F.col("run_len") >= min_run).cast("long")
+            ).cast("long").alias("n_runs"),
+        )
+        .filter(F.col("longest_run") >= min_run)
+    )
 
 
 def hamming_band_pairs_across(

@@ -3553,6 +3553,123 @@ def q_media_video_frame_near_dup(
     )
 
 
+def _video_clip_frame_rows(n: int = 48) -> list[str]:
+    """VALUES rows ``(media_id, frame_no, ahash)`` of the golden frame
+    hashes of the video-CLIP fixture (synthetic_video_clips), replayed
+    from the closed-form master spec in pure Python int through the
+    same pixel-center resample + mean-threshold hash."""
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        CLIP_AT,
+        CLIP_AX,
+        CLIP_AY,
+        CLIP_H,
+        CLIP_W,
+        clip_spec,
+    )
+
+    rows = []
+    for j in range(n):
+        for fno, m in enumerate(clip_spec(j)):
+            cells = [
+                (
+                    CLIP_AX * ((2 * xx + 1) * CLIP_W // 16)
+                    + CLIP_AY * ((2 * yy + 1) * CLIP_H // 16)
+                    + CLIP_AT * m
+                ) % 256
+                for yy in range(8)
+                for xx in range(8)
+            ]
+            mean = sum(cells) // 64
+            hv = 0
+            for i, c in enumerate(cells):
+                if c > mean:
+                    hv |= 1 << i
+            if hv >= 1 << 63:
+                hv -= 1 << 64
+            rows.append(f"({j}, {fno}, {hv})")
+    return rows
+
+
+def _video_sequence_near_dup_oracle_sql(
+    n: int = 48, min_run: int = 3, cap: int = 16
+) -> str:
+    """The sequence-dedup decision replayed in SQL: golden frame hashes,
+    the hub-frame cap, the hash-keyed frame-match join, gaps-and-islands
+    per (pair, alignment offset), and the longest-run aggregate —
+    byte-for-byte the engine's semantics."""
+    return (
+        "WITH fh0 AS (SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(frame_no AS BIGINT) AS frame_no,"
+        " CAST(ahash AS BIGINT) AS ahash FROM (VALUES "
+        + ", ".join(_video_clip_frame_rows(n))
+        + ") AS t(media_id, frame_no, ahash)),\n"
+        + f"""rare AS (
+  SELECT ahash FROM (SELECT DISTINCT media_id, ahash FROM fh0)
+  GROUP BY ahash HAVING count(*) <= {cap}
+),
+fh AS (SELECT fh0.* FROM fh0 JOIN rare USING (ahash)),
+m AS (
+  SELECT a.media_id AS ma, b.media_id AS mb, a.frame_no AS fa,
+         a.frame_no - b.frame_no AS diff
+  FROM fh a JOIN fh b
+    ON a.ahash = b.ahash AND a.media_id < b.media_id
+),
+isl AS (
+  SELECT ma, mb, diff,
+         fa - row_number() OVER (PARTITION BY ma, mb, diff ORDER BY fa)
+           AS island
+  FROM m
+),
+runs AS (
+  SELECT ma, mb, count(*) AS run_len
+  FROM isl GROUP BY ma, mb, diff, island
+)
+SELECT ma AS media_id_a, mb AS media_id_b,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       CAST(sum(CASE WHEN run_len >= {min_run} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs
+FROM runs GROUP BY 1, 2 HAVING max(run_len) >= {min_run}"""
+    )
+
+
+@query(
+    "media_video_sequence_near_dup",
+    _video_sequence_near_dup_oracle_sql(),
+    doc="Sequence-AWARE video near-duplicates — the operator a real "
+    "video dedup ships, upgrading media_video_frame_near_dup's weak "
+    "any-single-shared-frame predicate to order-aware containment: "
+    "two clips pair only when they share a run of >= 3 consecutive "
+    "identical frame hashes, consecutive in BOTH clips "
+    "(operators/multimodal.py:video_sequence_near_dup_pairs). The "
+    "fixture (synthetic_video_clips) cuts REAL Y4M clips from one "
+    "closed-form master sequence — trims overlapping their neighbors "
+    "plus 2-segment splices whose footage re-surfaces later — and the "
+    "oracle replays every frame hash in pure Python int, then unrolls "
+    "the same hub-cap + match-join + gaps-and-islands "
+    "(fa - row_number per (pair, alignment diff) labels each maximal "
+    "aligned run) + longest-run decision in SQL. Hub frames are "
+    "capped before the join (df_cap discipline) and cannot fake a "
+    "run: run membership requires a FIXED alignment offset, which "
+    "arbitrary hub matches do not share. Scale shape: one Arrow "
+    "decode pass, a frequency aggregate + equi-join on the frame "
+    "hash, one window + two aggregates at pair grain — linear in "
+    "frame matches, never all-pairs of videos.",
+)
+def q_media_video_sequence_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        media_n_for_sf,
+        synthetic_video_clips,
+        video_sequence_near_dup_pairs,
+    )
+
+    return video_sequence_near_dup_pairs(
+        synthetic_video_clips(spark, n=media_n_for_sf(sf_dir)),
+        min_run=3,
+    )
+
+
 def _media_dup_doc_contamination_oracle_sql(n: int = 48) -> str:
     """Cross-modal contamination oracle: the golden image hashes (the
     shared ``_media_ahash_sig_rows`` VALUES), the exact Hamming <= 3

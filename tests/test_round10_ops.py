@@ -87,3 +87,55 @@ def test_video_near_dup_min_shared_frames(spark):
     assert (
         video_frame_near_dup_pairs(media, min_shared_frames=3).count() == 0
     )
+
+
+def _onehot(v):
+    """16x16 frame whose ahash is exactly 1 << v (one bright 2x2 block
+    on one pixel-center sample)."""
+    f = np.full((16, 16), 1, np.uint8)
+    r, c = divmod(v, 8)
+    f[2 * r : 2 * r + 2, 2 * c : 2 * c + 2] = 255
+    return f
+
+
+def test_video_sequence_runs_are_order_aware(spark):
+    """Run semantics pinned on hand-built clips: a contiguous trim
+    pairs at its overlap length; a splice breaks the run at the edit
+    point (two runs, neither bridging); scrambled frame ORDER kills the
+    pair entirely even though the frame SET is identical."""
+    from etl_pipeline_challenge_aladia_spark.operators.codecs import (
+        encode_y4m,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.multimodal import (
+        video_sequence_near_dup_pairs,
+    )
+
+    A, B, C, D, E, Q = (_onehot(v) for v in range(6))
+    clips = {
+        0: [A, B, C, D, E],        # the original
+        1: [B, C, D],              # trim -> run 3 with clip 0
+        2: [A, B, Q, D, E],        # splice -> runs 2 and 2 with clip 0
+        3: [E, C, A, D, B],        # same frame SET, scrambled order
+    }
+    media = spark.createDataFrame(
+        [
+            (k, "video", bytearray(encode_y4m(np.stack(fs), 25)))
+            for k, fs in clips.items()
+        ],
+        "media_id long, modality string, content binary",
+    )
+
+    at3 = {
+        (r.media_id_a, r.media_id_b): (r.longest_run, r.n_runs)
+        for r in video_sequence_near_dup_pairs(media, min_run=3).collect()
+    }
+    assert at3[(0, 1)] == (3, 1)
+    assert (0, 2) not in at3  # the splice broke the 5-run
+    assert (0, 3) not in at3  # identical set, wrong order -> no run
+
+    at2 = {
+        (r.media_id_a, r.media_id_b): (r.longest_run, r.n_runs)
+        for r in video_sequence_near_dup_pairs(media, min_run=2).collect()
+    }
+    assert at2[(0, 2)] == (2, 2)  # both splice segments, not bridged
+    assert (0, 3) not in at2
