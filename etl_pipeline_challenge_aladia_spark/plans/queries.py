@@ -1137,12 +1137,18 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_band_curve_parts(
-    bands_list: tuple[int, ...], num_perm: int = 64, seed: int = 42
+    bands_list: tuple[int, ...],
+    num_perm: int = 64,
+    seed: int = 42,
+    pre_ctes: str = "",
+    from_docs: str = "documents",
 ) -> list[str]:
     """The shared CTE stack of the banding-curve oracles: tokenize,
     hash, 64-perm signatures, the exact >= 0.8 baseline, then one
     bands/cand/r CTE triple per requested banding — used by both the
-    tradeoff curve and the autotune pick."""
+    tradeoff curve and the autotune pick. ``pre_ctes``/``from_docs``
+    let a caller tokenize a SAMPLE CTE instead of the full corpus (the
+    autotune's sample discipline)."""
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         _perm_params,
     )
@@ -1161,17 +1167,20 @@ def _lsh_band_curve_parts(
         "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
         " / len(list_distinct(list_concat(a.sh, b.sh)))"
     )
+    # multi-referenced CTEs are MATERIALIZED: DuckDB otherwise re-inlines
+    # tok into every banding arm and sig into every band CTE, re-running
+    # the 64-min-hash aggregate per candidate banding (measured 8x)
     parts = [f"""
-WITH tok AS (
+WITH {pre_ctes}tok AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
                                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {from_docs})
 ),
 ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
-h AS (SELECT doc_id, CAST({hex2int} AS BIGINT) AS hv FROM ex),
-sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
-exact AS (
+h AS MATERIALIZED (SELECT doc_id, CAST({hex2int} AS BIGINT) AS hv FROM ex),
+sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+exact AS MATERIALIZED (
   SELECT a.doc_id AS ia, b.doc_id AS ib
   FROM tok a JOIN tok b ON a.doc_id < b.doc_id
   WHERE {jexpr} >= 0.8
@@ -1188,10 +1197,10 @@ xn AS (SELECT count(*) AS n FROM exact)"""]
             )
             for b in range(bands)
         )
-        parts.append(f"""bands{bands} AS (
+        parts.append(f"""bands{bands} AS MATERIALIZED (
   {arms}
 ),
-cand{bands} AS (
+cand{bands} AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM bands{bands} a JOIN bands{bands} b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -1226,14 +1235,27 @@ FROM (SELECT * FROM r8 UNION ALL SELECT * FROM r16
 
 
 def _lsh_band_autotune_oracle_sql(
-    target_permille: int = 900, num_perm: int = 64, seed: int = 42
+    target_permille: int = 900,
+    num_perm: int = 64,
+    seed: int = 42,
+    sample_n: int = 256,
 ) -> str:
-    """The tune_bands decision rule unrolled in SQL: walk the candidate
-    bandings cheapest-first (fewest bands) over the same curve CTEs and
-    pick the FIRST whose measured recall meets the target; exhausting
-    the list returns the last banding with its achieved recall — the
-    exact contract of operators/similarity.py:tune_bands."""
-    parts = _lsh_band_curve_parts((4, 8, 16, 32), num_perm, seed)
+    """The tune_bands decision rule unrolled in SQL: over the SAME
+    deterministic hash-priority sample the engine tunes on (the
+    doc_weighted_sample discipline — md5-fold priority order, smallest
+    ``sample_n``), walk the candidate bandings cheapest-first (fewest
+    bands) and pick the FIRST whose measured recall meets the target;
+    exhausting the list returns the last banding with its achieved
+    recall — the exact contract of operators/similarity.py:tune_bands
+    applied at sample discipline."""
+    fold = sql_md5_fold32("CAST(doc_id AS VARCHAR)")
+    samp = (
+        f"samp AS MATERIALIZED (SELECT doc_id, text FROM documents"
+        f" ORDER BY {fold}, doc_id LIMIT {sample_n}),\n"
+    )
+    parts = _lsh_band_curve_parts(
+        (4, 8, 16, 32), num_perm, seed, pre_ctes=samp, from_docs="samp"
+    )
     return (
         ",\n".join(parts)
         + f""",
@@ -1356,18 +1378,32 @@ def q_doc_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_ivf_nprobe_tradeoff: the curve is the evidence, this query "
     "is the decision a deployment actually ships, and the oracle "
     "unrolls the same walk in SQL so the decision RULE is "
-    "hash-checked, not just the curve. The selection loop is bounded "
-    "by the candidate list; each step is a band-keyed self-join plus "
-    "two count aggregates over localCheckpoint-shared signatures — "
-    "tuning runs on a corpus sample at 100 TB, never the full corpus.",
+    "hash-checked, not just the curve. Tuning runs on a DETERMINISTIC "
+    "HASH-PRIORITY SAMPLE (md5-fold priority order, smallest 256 — "
+    "the doc_weighted_sample discipline, same as the nprobe twin's "
+    "query sample): the exact-verification side of tuning grows with "
+    "its input, so at 100 TB the knob is measured on a fixed-size "
+    "sample, never the full corpus — the sample is one "
+    "TakeOrderedAndProject (per-partition top-k, k-row driver merge), "
+    "then the selection loop is bounded by the candidate list; each "
+    "step is a band-keyed self-join plus two count aggregates over "
+    "localCheckpoint-shared signatures.",
 )
 def q_doc_lsh_band_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         tune_bands,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    bands, recall = tune_bands(docs, target_recall_permille=900)
+    sample = (
+        docs.select("doc_id", "text")
+        .orderBy(md5_fold32_col(F.col("doc_id").cast("string")), "doc_id")
+        .limit(256)
+    )
+    bands, recall = tune_bands(sample, target_recall_permille=900)
     return spark.createDataFrame(
         [(bands, recall)], "chosen_bands long, recall_permille long"
     )
