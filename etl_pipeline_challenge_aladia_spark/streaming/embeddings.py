@@ -36,6 +36,9 @@ from etl_pipeline_challenge_aladia_spark.operators.similarity import (
 from etl_pipeline_challenge_aladia_spark.streaming.store import (
     COMPACTED_DIR,
     append_batch,
+    apply_erasure,
+    carry_erasure,
+    erase_keys,
     read_batch_store,
 )
 
@@ -147,12 +150,13 @@ def read_index(
     )
     compacted = os.path.join(index_path, COMPACTED_DIR)
     if os.path.isdir(compacted):
-        live = live.unionByName(
+        comp = (
             spark.read.option("basePath", compacted)
             .parquet(compacted)
             .withColumn("batch", F.lit(None).cast("int"))
             .select("vec_id", "embedding", "dist_fx", "batch", "cell")
         )
+        live = live.unionByName(apply_erasure(spark, comp, index_path))
     return live
 
 
@@ -573,4 +577,23 @@ def rebuild_index(
     routed.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(out_path, COMPACTED_DIR)
     )
+    carry_erasure(spark, index_path, out_path)
     return routed.count()
+
+
+def erase_index_keys(
+    spark: SparkSession, index_path: str, vec_ids
+) -> int:
+    """Right-to-be-forgotten for the embedding index (VERDICT r9 #2):
+    physically rewrite every batch/compacted layout without the keyed
+    vectors — preserving the ``cell=`` partition pruning layout — and
+    denylist the ids so checkpoint replays cannot resurrect them
+    (streaming/store.py:erase_keys). Post-erase, probes, dedup screens,
+    and rebuilds behave as if the vectors were never ingested. The
+    per-batch ingest STATS store is an aggregate (per-cell counts and
+    error sums) — erased vectors' contributions are rebuilt, not
+    subtracted: re-run rebuild_index / the stats pass after bulk
+    erasure if cell-grain counts must also forget."""
+    return erase_keys(
+        spark, index_path, "vec_id", vec_ids, partition_by=["cell"]
+    )

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_challenge_aladia_spark.streaming.store import (
     append_batch,
     compact_store,
+    erase_keys,
     read_store as _read_store,
 )
 
@@ -218,6 +219,23 @@ def compact_media_sig_store(
             os.path.join(out_path, m),
             MEDIA_SIG_STORE_SCHEMA,
             transform=lambda d: d.distinct(),
+        )
+        for m in FINGERPRINT_MODALITIES
+    )
+
+
+def erase_media_sig_keys(
+    spark: SparkSession, store_path: str, media_ids
+) -> int:
+    """Right-to-be-forgotten for the media fingerprint stores (VERDICT
+    r9 #2): physically rewrite every modality sub-store without the
+    keyed fingerprints and denylist the ids against replay
+    (streaming/store.py:erase_keys) — post-erase, ingest screens behave
+    as if the assets were never fingerprinted. Returns total physical
+    rows removed across modalities."""
+    return sum(
+        erase_keys(
+            spark, os.path.join(store_path, m), "media_id", media_ids
         )
         for m in FINGERPRINT_MODALITIES
     )

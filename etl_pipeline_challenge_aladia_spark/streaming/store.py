@@ -36,21 +36,48 @@ protocol, stated once:
   contract (the store is quiesced and live directories removed before
   the pointer swap).
 
+- **Key erasure** (``erase_keys``): a right-to-be-forgotten request
+  against a 100-TB corpus must scrub the DERIVED artifacts too — the
+  signature, segment, chunk, fingerprint, and embedding-index stores
+  all retain per-key rows forever, and a pipeline that erases only its
+  warehouse (sinks.py:erase_warehouse_keys) has not honored the
+  request. Erasure is two layers: a PHYSICAL rewrite of every live
+  batch directory and the compacted layer without the keyed rows (data
+  at rest no longer contains them), plus a PERMANENT reserved
+  ``erased/`` denylist that every reader anti-joins unconditionally —
+  the replay shield: a checkpoint-replayed batch lawfully OVERWRITES
+  its own directory from source (the idempotence contract) and would
+  otherwise resurrect the rows; the read-path denylist keeps them
+  logically erased until the next maintenance rewrite drops them
+  physically again. Compaction carries the denylist to the fresh path
+  (its output data is already erasure-filtered, but post-compaction
+  replays still need the shield). Aggregate/sketch stores are the
+  honest exception — a count-min cell cannot subtract one key's
+  contribution; such stores document a rebuild-from-live-corpus path
+  instead of pretending deletion composes.
+
 Reference analog: none (the reference pipeline keeps no cross-message
 state, SURVEY.md §2.12); this is the north-star streaming layer's
 storage discipline, factored out after five processors had each
-restated it (VERDICT r8 #4).
+restated it (VERDICT r8 #4). Key erasure added per VERDICT r9 #2.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: reserved directory name for consolidated history (see module doc)
 COMPACTED_DIR = "compacted"
+
+#: reserved directory name for the permanent erasure denylist
+ERASED_DIR = "erased"
+
+ERASED_SCHEMA = "key string, key_col string"
 
 
 def batch_dirs(
@@ -88,6 +115,65 @@ def batch_dirs(
     return [os.path.join(path, e) for e in entries]
 
 
+def _erased_epoch_dirs(path: str) -> list[str]:
+    """The denylist's ``epoch=<n>`` directories under a store's
+    reserved ``erased/`` layer, sorted by numeric id."""
+    root = os.path.join(path, ERASED_DIR)
+    try:
+        entries = []
+        for e in os.listdir(root):
+            if not e.startswith("epoch="):
+                continue
+            try:
+                entries.append((int(e.split("=", 1)[1]), e))
+            except ValueError:
+                continue
+        return [os.path.join(root, e) for _, e in sorted(entries)]
+    except OSError:
+        return []
+
+
+def read_erased_keys(spark: SparkSession, path: str) -> DataFrame:
+    """The store's full erasure denylist (``key``/``key_col`` string
+    rows, empty if no erasure has ever run)."""
+    dirs = _erased_epoch_dirs(path)
+    if not dirs:
+        return spark.createDataFrame([], ERASED_SCHEMA)
+    return spark.read.schema(ERASED_SCHEMA).parquet(*dirs)
+
+
+def apply_erasure(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Anti-join a frame against the store's denylist — the read-path
+    erasure shield every reader applies unconditionally. Zero cost when
+    the store has never erased (no ``erased/`` layer, no job). The
+    denylist is request-grain (human-issued erasure keys), so the
+    per-key-column collect is bounded and the anti-join side is
+    broadcast."""
+    dirs = _erased_epoch_dirs(path)
+    if not dirs:
+        return df
+    er = spark.read.schema(ERASED_SCHEMA).parquet(*dirs)
+    key_cols = [
+        r.key_col
+        for r in er.select("key_col").distinct().collect()  # request-grain
+        if r.key_col in df.columns
+    ]
+    for kc in key_cols:
+        keys = F.broadcast(
+            er.filter(F.col("key_col") == kc).select(
+                F.col("key").alias("__erased_key")
+            ).distinct()
+        )
+        df = df.join(
+            keys,
+            F.col(kc).cast("string") == F.col("__erased_key"),
+            "left_anti",
+        )
+    return df
+
+
 def read_batch_store(
     spark: SparkSession,
     path: str,
@@ -100,14 +186,16 @@ def read_batch_store(
     an EMPTY frame with the declared schema when nothing has been
     ingested yet (never a path-not-found AnalysisException).
     ``base_path`` turns on partition-column discovery (batch/cell
-    directory columns)."""
+    directory columns). The erasure denylist, when present, is applied
+    unconditionally — a replayed batch lawfully rewrites erased rows
+    into its directory; the read path keeps them invisible."""
     dirs = batch_dirs(path, exclude_batch, strictly_before)
     if not dirs:
         return spark.createDataFrame([], schema)
     reader = spark.read
     if base_path is not None:
         reader = reader.option("basePath", base_path)
-    return reader.parquet(*dirs)
+    return apply_erasure(spark, reader.parquet(*dirs), path)
 
 
 def read_store(
@@ -134,9 +222,10 @@ def read_store(
         df = df.select(*live_columns)
     compacted = os.path.join(path, COMPACTED_DIR)
     if os.path.isdir(compacted):
-        df = df.unionByName(
-            spark.read.schema(compacted_schema or schema).parquet(compacted)
+        comp = spark.read.schema(compacted_schema or schema).parquet(
+            compacted
         )
+        df = df.unionByName(apply_erasure(spark, comp, path))
     return df
 
 
@@ -166,7 +255,11 @@ def compact_store(
     cell-wise sums for sketches); identity by default.
     ``live_columns``/``compacted_schema`` forward to ``read_store``
     for stores whose live rows carry provenance columns the compacted
-    layout drops. Returns the compacted row count."""
+    layout drops. The erasure denylist, when present, is consolidated
+    into the fresh path's ``erased/epoch=0`` — the compacted DATA is
+    already erasure-filtered (read_store applies the shield), but a
+    post-compaction replay of an old batch still needs the read-path
+    guard. Returns the compacted row count."""
     data = read_store(
         spark,
         store_path,
@@ -181,4 +274,105 @@ def compact_store(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(target)
+    carry_erasure(spark, store_path, out_path)
     return spark.read.parquet(target).count()
+
+
+def carry_erasure(
+    spark: SparkSession, src_path: str, out_path: str
+) -> None:
+    """Consolidate a store's denylist into a fresh path's
+    ``erased/epoch=0`` — called by every publish-then-point rewrite
+    (compact_store, rebuild_index): the rewritten DATA is already
+    erasure-filtered, but post-repoint replays of old batches still
+    need the read-path shield."""
+    if _erased_epoch_dirs(src_path):
+        read_erased_keys(spark, src_path).distinct().coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, ERASED_DIR, "epoch=0")
+        )
+
+
+def erase_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: Sequence,
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Erase every row keyed by ``keys`` from a store — the derived-
+    artifact half of the GDPR contract (the warehouse half is
+    sinks.py:erase_warehouse_keys). Two layers, both applied:
+
+    1. PHYSICAL rewrite: every live ``batch=<id>`` directory and the
+       ``compacted/`` layer containing matches is rewritten without
+       them (filter -> fresh directory -> atomic swap), so data at
+       rest no longer holds the keys. ``partition_by`` preserves a
+       partitioned layout (the embedding index's ``cell=`` dirs).
+       Like compaction, the rewrite assumes the store is quiesced.
+    2. The keys are appended to the PERMANENT ``erased/`` denylist
+       (``epoch=<n>`` directories, one per request), which every
+       reader anti-joins unconditionally — the replay shield: a
+       checkpoint replay lawfully overwrites its batch directory from
+       source and would otherwise resurrect the rows. Erasure is
+       therefore also an ADMISSION bar: re-ingesting an erased key is
+       suppressed until the denylist entry is deliberately removed —
+       the conservative reading of a removal request.
+
+    Keys are matched on their string form (``CAST(key_col AS STRING)``),
+    so one denylist schema serves long-keyed (doc/media/vec ids) and
+    content-keyed (segment/chunk) stores alike. ``keys`` is either a
+    driver list (an erasure request is human-grain) or a single-column
+    DataFrame (derived content-key sets stay distributed end-to-end).
+    Aggregate/sketch stores (count-min) must NOT use this — a sketch
+    cell cannot subtract one key's contribution; rebuild from the
+    erased live corpus instead (docs.py:rebuild_countmin_store over
+    post-erasure data). Returns the number of physical rows removed."""
+    if isinstance(keys, DataFrame):
+        kdf = (
+            keys.select(
+                F.col(keys.columns[0]).cast("string").alias("__erased_key")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)  # reused per directory + denylist
+        )
+    else:
+        skeys = sorted({str(k) for k in keys})
+        kdf = spark.createDataFrame(
+            [(k,) for k in skeys], "__erased_key string"
+        )
+    removed = 0
+    targets = list(batch_dirs(path))
+    compacted = os.path.join(path, COMPACTED_DIR)
+    if os.path.isdir(compacted):
+        targets.append(compacted)
+    for d in targets:
+        df = spark.read.parquet(d)
+        if key_col not in df.columns:
+            continue
+        cond = F.col(key_col).cast("string") == F.col("__erased_key")
+        n = df.join(F.broadcast(kdf), cond, "left_semi").count()
+        if n == 0:
+            continue
+        kept = df.join(F.broadcast(kdf), cond, "left_anti")
+        tmp = d + ".erasing"
+        writer = kept.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        shutil.rmtree(d)
+        os.rename(tmp, d)
+        removed += n
+    epochs = _erased_epoch_dirs(path)
+    nxt = (
+        int(os.path.basename(epochs[-1]).split("=", 1)[1]) + 1
+        if epochs
+        else 0
+    )
+    kdf.select(
+        F.col("__erased_key").alias("key"), F.lit(key_col).alias("key_col")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, ERASED_DIR, f"epoch={nxt}")
+    )
+    return removed
