@@ -14089,6 +14089,58 @@ def bpe_apply(
 
 
 @query(
+    "doc_bpe_apply_stored",
+    _BPE_APPLY_ORACLE,
+    doc="BPE apply from a STORED merge table — the shape a "
+    "1000-executor tokenizer job actually has: doc_bpe_apply re-trains "
+    "the merge sequence inline on every run; this query SPLITS train "
+    "from apply. Training (the exact bpe_merge_rounds loop — same "
+    "counts, tie-breaks, consumed-separator replace) yields the k-row "
+    "merge table, which is collected to the driver (k = rounds = 3 "
+    "rows — bounded driver state by construction, the broadcast-as-"
+    "literal a deployment persists once and reuses) and composed into "
+    "ONE nested replace projection applied in training order (inner "
+    "replace first). The apply pass is therefore a SINGLE map over "
+    "documents — no per-round jobs, no shuffle, no localCheckpoint "
+    "chain; at 100 TB that is the difference between rounds x corpus "
+    "scans and one. The oracle is BYTE-IDENTICAL to doc_bpe_apply's "
+    "(same unrolled training CTEs), so the driver hash-checks that "
+    "the stored path is decision-identical to the retrain path — the "
+    "point of the split.",
+)
+def bpe_apply_stored(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """Train-once-apply-once: ``bpe_merge_rounds`` produces the merge
+    table; its ``rounds`` rows (bounded driver state — the merge table
+    IS k rows by definition) become one composed replace expression
+    (training order preserved by nesting), applied as a single
+    projection. Output — and oracle — identical to ``bpe_apply``."""
+    merges = [
+        (r.pair, r.merged)
+        for r in bpe_merge_rounds(spark, sf_dir, rounds=rounds)
+        .orderBy("merge_round")
+        .collect()  # k = rounds rows
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    col = padded
+    for pair, merged in merges:
+        col = F.replace(
+            col, F.lit(f" {pair} "), F.lit(f" {merged} ")
+        )
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(padded), " ")).cast("long").alias(
+            "tokens_before"
+        ),
+        F.size(F.split(F.trim(col), " ")).cast("long").alias(
+            "tokens_after"
+        ),
+    )
+
+
+@query(
     "part_price_dispersion_by_type",
     f"""
 WITH x AS (

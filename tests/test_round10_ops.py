@@ -139,3 +139,19 @@ def test_video_sequence_runs_are_order_aware(spark):
     }
     assert at2[(0, 2)] == (2, 2)  # both splice segments, not bridged
     assert (0, 3) not in at2
+
+
+def test_bpe_apply_stored_is_decision_identical(spark):
+    """The stored-merge apply path (train once, collect the k-row merge
+    table, ONE composed replace projection) produces byte-identical
+    output to the retrain-inline path — the decision-identity the split
+    must preserve."""
+    from etl_pipeline_challenge_aladia_spark.plans.queries import (
+        bpe_apply,
+        bpe_apply_stored,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = bpe_apply(spark, sf).orderBy("doc_id").collect()
+    b = bpe_apply_stored(spark, sf).orderBy("doc_id").collect()
+    assert a == b
