@@ -2170,6 +2170,7 @@ def tune_nprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    trace: list | None = None,
 ) -> tuple[int, int]:
     """Recall-driven nprobe selection — the measured-decision pattern
     (``auto_salted_join``, ``auto_semantic_k``) applied to ANN serving:
@@ -2216,7 +2217,10 @@ def tune_nprobe(
             query_id_col=query_id_col,
         ).select("query_id", "neighbor_id")
         hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
-        return int(hits * 1000 // total)
+        r = int(hits * 1000 // total)
+        if trace is not None:
+            trace.append((nprobe, r))  # decision provenance (tuning.py)
+        return r
 
     hi_recall = recall_at(n_cells)
     if hi_recall < target_recall_permille:
@@ -2242,6 +2246,7 @@ def tune_bands(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    trace: list | None = None,
 ) -> tuple[int, int]:
     """Recall-driven LSH banding selection — the measured-decision
     pattern (``tune_nprobe``, ``auto_salted_join``, ``auto_semantic_k``)
@@ -2293,6 +2298,8 @@ def tune_bands(
         )
         hits = cand.join(exact, ["doc_id_a", "doc_id_b"]).count()
         best = hits * 1000 // total
+        if trace is not None:
+            trace.append((bands, int(best)))  # decision provenance
         if best >= target_recall_permille:
             return bands, int(best)
     return candidate_bands[-1], int(best)

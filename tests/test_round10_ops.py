@@ -141,6 +141,92 @@ def test_video_sequence_runs_are_order_aware(spark):
     assert (0, 3) not in at2
 
 
+def _tune_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before sunset tonight"
+    )
+    alt = (
+        "completely different content about spark engines and analytics "
+        "pipelines running at very large scale with many executors"
+    )
+    rows = [
+        (0, base),
+        (1, base + " extra"),            # near-dup of 0
+        (2, alt),
+        (3, alt + " indeed"),            # near-dup of 2
+        (4, "short unrelated text one"),
+        (5, "another unrelated text two"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tuning_report_replay_is_idempotent_and_tracks_drift(
+    spark, tmp_path
+):
+    """The decision-provenance loop: a replayed tune (same batch id,
+    same corpus) overwrites its own report — one row, same decision;
+    a drifted corpus at the next batch appends a second report with a
+    DIFFERENT fingerprint; the stored curve snapshot contains the
+    chosen point."""
+    import json
+
+    from etl_pipeline_challenge_aladia_spark.streaming.tuning import (
+        read_tuning_reports,
+        tune_bands_and_report,
+    )
+
+    docs = _tune_docs(spark)
+    path = str(tmp_path / "tuning")
+    b1, r1 = tune_bands_and_report(spark, docs, path, batch_id=0)
+    b2, r2 = tune_bands_and_report(spark, docs, path, batch_id=0)  # replay
+    assert (b1, r1) == (b2, r2)
+    reps = read_tuning_reports(spark, path).collect()
+    assert len(reps) == 1  # overwrite, not duplicate
+    rep = reps[0]
+    assert (rep.knob, rep.chosen, rep.achieved_recall_permille) == (
+        "lsh_bands", b1, r1,
+    )
+    curve = json.loads(rep.curve)
+    assert [b1, r1] in curve  # the decision is on its own curve
+
+    drifted = docs.filter("doc_id != 5")
+    tune_bands_and_report(spark, drifted, path, batch_id=1)
+    reps = {r.batch_id: r for r in read_tuning_reports(spark, path).collect()}
+    assert len(reps) == 2
+    assert reps[0].corpus_fingerprint != reps[1].corpus_fingerprint
+    assert reps[0].n_inputs == 6 and reps[1].n_inputs == 5
+
+
+def test_tune_nprobe_report_records_bisection_trace(spark, tmp_path):
+    """The ANN twin: the report lands under the store contract and the
+    trace records the bisection's evaluated (nprobe, recall) points,
+    ending at a recall meeting the target."""
+    import json
+
+    from etl_pipeline_challenge_aladia_spark.streaming.tuning import (
+        read_tuning_reports,
+        tune_nprobe_and_report,
+    )
+
+    from tests.test_round9_ops import _skewed_embeddings
+
+    emb = _skewed_embeddings(spark)
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter("vec_id >= 3")
+    path = str(tmp_path / "tuning")
+    nprobe, recall = tune_nprobe_and_report(
+        spark, cands, queries, path, batch_id=0, dim=12, k=3,
+    )
+    rep = read_tuning_reports(spark, path).collect()[0]
+    assert rep.knob == "ivf_nprobe" and rep.chosen == nprobe
+    trace = json.loads(rep.curve)
+    assert trace and any(p == nprobe and r == recall for p, r in trace)
+    assert recall >= 900 or nprobe == rep.chosen  # exhaustion keeps contract
+
+
 def test_bpe_apply_stored_is_decision_identical(spark):
     """The stored-merge apply path (train once, collect the k-row merge
     table, ONE composed replace projection) produces byte-identical
