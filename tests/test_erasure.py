@@ -28,6 +28,26 @@ def _mk_store(spark, path):
         )
 
 
+def test_stray_nonnumeric_batch_dir_is_never_read(spark, tmp_path):
+    """r9 ADVICE #1: a malformed batch=* directory (partial copy,
+    editor droppings) is not an append_batch-written live batch — it
+    must be skipped outright, not read as strictly-earlier history by
+    replay screens."""
+    p = str(tmp_path / "s")
+    _mk_store(spark, p)
+    spark.createDataFrame([(999, "stray")], "k long, v string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(p, "batch=tmp"))
+    for kwargs in ({}, {"strictly_before": 1}, {"exclude_batch": 0}):
+        got = {
+            r.k
+            for r in read_store(
+                spark, p, "k long, v string", **kwargs
+            ).collect()
+        }
+        assert 999 not in got
+
+
 def test_erase_keys_physical_and_logical(spark, tmp_path):
     """Erase -> no trace through the reader AND no bytes at rest; other
     rows untouched; the denylist directory exists and is reserved."""

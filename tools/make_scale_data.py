@@ -107,7 +107,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--out", default=".scaledata/sf1.0")
+    ap.add_argument(
+        "--tables", default="",
+        help="comma list; default all (an embeddings-only 100x rung"
+        " doesn't need 60M lineitem rows)",
+    )
     args = ap.parse_args()
+    only = {t for t in args.tables.split(",") if t}
+    global COPY_TABLES, OFFSET_KEYS
+    if only:
+        COPY_TABLES = [t for t in COPY_TABLES if t in only]
+        OFFSET_KEYS = {t: c for t, c in OFFSET_KEYS.items() if t in only}
     strides = key_strides()
 
     for table in COPY_TABLES:
