@@ -17,6 +17,15 @@ SF = "/root/testdata/sf0.01"
 PICKS = {
     "cdc_dedup_latest": "single Exchange on the dedup key; WindowGroupLimit "
     "partial+final prunes to rank-1 rows map-side before the shuffle",
+    "media_video_sequence_near_dup": "one Arrow decode pass exploding frames "
+    "in the kernel, frame-frequency aggregate + equi-join both keyed on the "
+    "hash (partitioning reused; hub buckets capped before the join emits "
+    "them), then ONE window + two aggregates at (pair, alignment-offset) "
+    "grain — run detection never sorts more than a pair's own matches",
+    "doc_bpe_apply_stored": "train once (the k-row merge table), then the "
+    "apply pass is a SINGLE shuffle-free projection: all merges composed "
+    "into one nested replace in training order — rounds x corpus scans "
+    "collapse to one map over documents",
     "emb_mutual_knn_ivf": "cells-sized centroid table broadcast (BNLJ by "
     "design), then a (cell, pblock, mblock)-keyed shuffle into a per-TILE "
     "applyInPandas BLAS GEMM — candidate scoring never runs the "
