@@ -1000,36 +1000,52 @@ def image_ahash(media: DataFrame) -> DataFrame:
 
 
 def ahash_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 3, bands: int = 4
+    media: DataFrame,
+    max_hamming: int = 3,
+    blocks: int = 6,
+    key_blocks: int = 3,
 ) -> DataFrame:
-    """Image near-duplicate pairs by banded Hamming LSH over the 64-bit
-    average hash — the multimodal twin of simhash_near_dup_pairs, with
-    the same pigeonhole guarantee: 4 disjoint 16-bit bands cover all 64
-    bits, so any pair within Hamming distance <= bands - 1 shares at
-    least one identical band and recall is exactly 100%, never
-    probabilistic. Scale shape: one decode pass (mapInPandas), a
-    band-keyed equi-join over bucket collisions (linear + collisions,
-    no all-pairs), exact bit_count verify, DISTINCT to collapse
-    multi-band hits.
+    """Image near-duplicate pairs by block-combination Hamming LSH over
+    the 64-bit average hash — the multimodal twin of
+    simhash_near_dup_pairs. Manku-layout candidates (operators/
+    hamming.py): C(6,3) = 20 tables keyed on 3-block subsets (~32-bit
+    keys), so recall at Hamming <= blocks - key_blocks = 3 is exactly
+    100% by pigeonhole while random band collisions shrink from 2^-16
+    (the old disjoint-16-bit-band layout, quadratic past ~65k images)
+    to 2^-32. Scale shape: one decode pass (mapInPandas), a table+key
+    equi-join over bucket collisions (linear + collisions, no
+    all-pairs), exact bit_count verify, DISTINCT to collapse
+    multi-table hits.
 
     Output: (media_id_a < media_id_b, hamming).
     """
-    return _hamming_band_pairs(image_ahash(media), max_hamming, bands)
+    return _hamming_band_pairs(
+        image_ahash(media), max_hamming, blocks, key_blocks
+    )
 
 
 def audio_ahash_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 6, bands: int = 8
+    media: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    key_blocks: int = 2,
 ) -> DataFrame:
-    """Audio near-duplicate pairs by banded Hamming LSH over the 64-bit
-    loudness-profile hash (``audio_ahash64``) — the audio member of the
-    fingerprint dedup family. Default 8 disjoint 8-bit bands: the
-    pigeonhole guarantee covers Hamming distance <= 7, comfortably
-    above the default threshold of 6 (audio energy profiles drift more
-    bits than image gradients under the same edit size, hence the wider
-    ball and finer bands). Output: (media_id_a < media_id_b, hamming).
+    """Audio near-duplicate pairs by block-combination Hamming LSH over
+    the 64-bit loudness-profile hash (``audio_ahash64``) — the audio
+    member of the fingerprint dedup family. Default C(8,2) = 28 tables
+    keyed on 2-block (16-bit) subsets: the pigeonhole guarantee covers
+    Hamming distance <= blocks - key_blocks = 6 exactly (audio energy
+    profiles drift more bits than image gradients under the same edit
+    size, hence the wider ball), with 16-bit keys instead of the old
+    8-bit disjoint bands — 256x less random-collision noise for the
+    widest ball this family screens. A d=6 ball at 64 bits is
+    intrinsically collision-heavy (wider subset keys would need
+    C(9,3)=84+ tables); past ~10M audio items the honest next step is a
+    128-bit fingerprint, not more tables. Output: (media_id_a <
+    media_id_b, hamming).
     """
     sigs = _audio_ahash_frame(media)
-    return _hamming_band_pairs(sigs, max_hamming, bands)
+    return _hamming_band_pairs(sigs, max_hamming, blocks, key_blocks)
 
 
 def _audio_ahash_frame(media: DataFrame) -> DataFrame:
@@ -1059,46 +1075,30 @@ def _audio_ahash_frame(media: DataFrame) -> DataFrame:
 
 
 def _hamming_band_pairs(
-    sigs: DataFrame, max_hamming: int, bands: int
+    sigs: DataFrame,
+    max_hamming: int,
+    blocks: int = 6,
+    key_blocks: int = 3,
 ) -> DataFrame:
-    """Shared banded-Hamming LSH leg over a (media_id, ahash) frame:
-    explode into ``bands`` disjoint 64//bands-bit band keys, band-keyed
-    self-equi-join, exact bit_count verify <= max_hamming, DISTINCT to
-    collapse multi-band hits. Pigeonhole: recall is exactly 100% for
-    max_hamming <= bands - 1."""
-    band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
-    band_rows = sigs.select(
-        "media_id",
-        "ahash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("ahash", b * band_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .cast("long")
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "key"),
+    """Shared Hamming-LSH leg over a (media_id, ahash) frame — the
+    block-combination layout of operators/hamming.py (Manku WWW'07):
+    C(blocks, key_blocks) tables keyed on block subsets, table+key
+    equi-join, exact bit_count verify <= max_hamming, DISTINCT to
+    collapse multi-table hits. Recall is exactly 100% for max_hamming
+    <= blocks - key_blocks (enforced); the verified output is the exact
+    Hamming ball, independent of the table layout."""
+    from etl_pipeline_challenge_aladia_spark.operators.hamming import (
+        hamming_block_pairs,
     )
-    a, b = band_rows.alias("a"), band_rows.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_id_a"),
-            F.col("b.media_id").alias("media_id_b"),
-            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
-            .cast("long")
-            .alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+
+    return hamming_block_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="ahash",
+        max_hamming=max_hamming,
+        bits=64,
+        blocks=blocks,
+        key_blocks=key_blocks,
     )
 
 
@@ -1325,56 +1325,34 @@ def hamming_band_pairs_across(
     delta_sigs: DataFrame,
     store_sigs: DataFrame,
     max_hamming: int = 3,
-    bands: int = 4,
+    blocks: int = 6,
+    key_blocks: int = 3,
 ) -> DataFrame:
-    """Cross-frame banded-Hamming screen: every DELTA fingerprint
-    against every STORED fingerprint within the Hamming ball — the
-    ingest-time form of ``_hamming_band_pairs``. The delta joins the
-    store, NEVER itself: two duplicates arriving in the same delta are
-    not paired by this leg (and later batches screen only against the
-    store, so the pair would be missed permanently unless equivalent
-    content were re-ingested) — an ingest wanting within-batch twins
-    must also run ``_hamming_band_pairs`` on the delta alone, as the
-    media fingerprint ingest does (streaming/media.py). Same
-    pigeonhole guarantee: recall is exactly 100% for max_hamming <=
-    bands - 1.
+    """Cross-frame Hamming screen: every DELTA fingerprint against
+    every STORED fingerprint within the Hamming ball — the ingest-time
+    form of ``_hamming_band_pairs`` (same block-combination layout,
+    operators/hamming.py). The delta joins the store, NEVER itself:
+    two duplicates arriving in the same delta are not paired by this
+    leg (and later batches screen only against the store, so the pair
+    would be missed permanently unless equivalent content were
+    re-ingested) — an ingest wanting within-batch twins must also run
+    ``_hamming_band_pairs`` on the delta alone, as the media
+    fingerprint ingest does (streaming/media.py). Recall is exactly
+    100% for max_hamming <= blocks - key_blocks (enforced).
 
     Input frames are (media_id, ahash); output is (delta_id, corpus_id,
     hamming), distinct."""
-    band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
+    from etl_pipeline_challenge_aladia_spark.operators.hamming import (
+        hamming_block_pairs_across,
+    )
 
-    def banded(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            "media_id",
-            "ahash",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftright("ahash", b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .cast("long")
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "key"),
-        )
-
-    a = banded(delta_sigs).alias("a")
-    b = banded(store_sigs).alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key")),
-        )
-        .select(
-            F.col("a.media_id").alias("delta_id"),
-            F.col("b.media_id").alias("corpus_id"),
-            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
-            .cast("long")
-            .alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return hamming_block_pairs_across(
+        delta_sigs,
+        store_sigs,
+        id_col="media_id",
+        sig_col="ahash",
+        max_hamming=max_hamming,
+        bits=64,
+        blocks=blocks,
+        key_blocks=key_blocks,
     )

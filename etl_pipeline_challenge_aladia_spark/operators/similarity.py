@@ -472,56 +472,107 @@ def simhash_col_agg(
     return sums.select("id", simhash.cast("long").alias("simhash"))
 
 
+def simhash64_col_agg(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """doc -> 64-bit SimHash of its distinct word-n-gram shingle set —
+    the corpus-scale signature (``doc_simhash64_near_dup``): 32 bits of
+    key space per block-combination table instead of 16, and a
+    fingerprint whose own birthday bound outlives a 10^9-document
+    corpus (the 32-bit signature of ``simhash_col_agg`` starts
+    colliding whole UNRELATED documents past ~10^5).
+
+    Bit source: bits 0-31 from the engine-independent md5-fold of the
+    shingle, bits 32-63 from the same fold of the 'simhash64:'-salted
+    shingle — two independent 32-bit hash functions, each bit an
+    independent sign vote, which is exactly the simhash construction
+    (and lets the DuckDB oracle replay all 64 bits with the same
+    8-hex-digit fold it already uses). Bit 63 contributes -(2^63) so
+    the packed value is the two's-complement long with that bit set —
+    addition never overflows because contributions occupy disjoint
+    bits. Same plan shape as the 32-bit aggregate: one explode + one
+    groupBy with 64 columnar sums.
+    """
+    exploded = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col(text_col), n))
+            ).alias("t"),
+        )
+        .withColumn("h1", shingle_hash_col(F.col("t")))
+        .withColumn(
+            "h2",
+            shingle_hash_col(F.concat(F.lit("simhash64:"), F.col("t"))),
+        )
+    )
+    sums = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h1" if j < 32 else "h2"), j % 32)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    simhash = None
+    for j in range(64):
+        bit_value = -(2**63) if j == 63 else 2**j
+        term = F.when(F.col(f"b{j}") > 0, F.lit(bit_value)).otherwise(
+            F.lit(0)
+        )
+        simhash = term if simhash is None else simhash + term
+    return sums.select("id", simhash.cast("long").alias("simhash"))
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
-    bands: int = 4,
+    blocks: int = 6,
+    key_blocks: int = 3,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash LSH: banded candidate generation + exact Hamming verification.
+    """SimHash LSH: block-combination candidate generation + exact
+    Hamming verification (operators/hamming.py, Manku WWW'07 layout).
 
-    Pigeonhole guarantee: with 4 bands of 8 bits, any pair within Hamming
-    distance 3 shares at least one *identical* band — so recall at
-    ``max_hamming <= bands - 1`` is exactly 100%, not probabilistic. The
-    join is linear in corpus size + band-bucket collisions (no all-pairs).
+    Pigeonhole guarantee: a pair within Hamming distance d <= blocks -
+    key_blocks has some key_blocks-sized subset of identical blocks, so
+    its table catches it — recall is exactly 100%, not probabilistic.
+    C(6,3) = 20 tables with 16-bit keys replace the old 4 disjoint
+    8-bit bands, whose 256-value key space went quadratic from random
+    collisions past a few hundred documents per band bucket; the
+    verified output (the exact Hamming ball) is identical under either
+    layout, so the swap is oracle-neutral. The join is linear in corpus
+    size + bucket collisions (no all-pairs). The 64-bit signature
+    (``simhash64_col_agg`` / doc_simhash64_near_dup) is the corpus-
+    scale path: at 32 bits even a perfect layout caps keys at 16 bits.
     """
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
+    from etl_pipeline_challenge_aladia_spark.operators.hamming import (
+        hamming_block_pairs,
+    )
+
     sigs = simhash_col_agg(docs, id_col, text_col, bits)
-    band_rows = sigs.select(
-        "id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", b * band_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .cast("long")
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "key"),
+    return hamming_block_pairs(
+        sigs,
+        id_col="id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        bits=bits,
+        blocks=blocks,
+        key_blocks=key_blocks,
+    ).select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        "hamming",
     )
-    a, b = band_rows.alias("a"), band_rows.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("doc_id_a"),
-            F.col("b.id").alias("doc_id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-            .cast("long")
-            .alias("hamming"),
-        )
-        .distinct()
-    )
-    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def label_centroids(

@@ -2074,10 +2074,18 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
-    doc="SimHash near-dup pairs via 4x8-bit LSH bands + exact Hamming "
-    "verify <= 3 (operators/similarity.py:simhash_near_dup_pairs). "
-    "Pigeonhole: distance <= 3 cannot dirty all 4 bands, so recall is "
-    "exactly 100% — linear-scale, no all-pairs join.",
+    doc="SimHash near-dup pairs: block-combination LSH candidates "
+    "(operators/hamming.py, Manku WWW'07 — C(6,3)=20 tables keyed on "
+    "3-block subsets of the 32-bit signature) + exact Hamming verify "
+    "<= 3 (operators/similarity.py:simhash_near_dup_pairs). Pigeonhole: "
+    "distance <= 3 leaves some 3 blocks untouched, so that exact subset's "
+    "table catches the pair — recall exactly 100%, no all-pairs join. The "
+    "r10 layout replaced 4 disjoint 8-bit bands whose 256-value key space "
+    "admitted ~n^2/256 random candidate pairs (quadratic past a few "
+    "hundred docs per bucket at corpus scale); the verified output is the "
+    "exact Hamming ball either way, so the oracle (which unrolls the old "
+    "disjoint banding — an equivalent spec of the same set) is unchanged. "
+    "doc_simhash64_near_dup is the corpus-scale signature-width twin.",
 )
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
@@ -2086,6 +2094,268 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs)
+
+
+_SIMHASH64_HEX2INT_SALTED = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5('simhash64:' || t), {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+_SIMHASH64_BITSUMS = ",\n       ".join(
+    (
+        f"sum(CASE WHEN (hv1 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        if j < 32
+        else f"sum(CASE WHEN (hv2 >> {j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    )
+    for j in range(64)
+)
+_SIMHASH64_COMBINE = " + ".join(
+    (
+        f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)"
+        if j < 63
+        else "(CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END)"
+    )
+    for j in range(64)
+)
+
+
+@query(
+    "doc_simhash64_near_dup",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sh) AS t FROM tok),
+h AS (SELECT doc_id, CAST({_SIMHASH_HEX2INT} AS BIGINT) AS hv1,
+             CAST({_SIMHASH64_HEX2INT_SALTED} AS BIGINT) AS hv2 FROM ex),
+s AS (
+  SELECT doc_id,
+       {_SIMHASH64_BITSUMS}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({_SIMHASH64_COMBINE} AS BIGINT) AS simhash FROM s)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    doc="64-bit SimHash near-dup pairs — the signature width a 100-TB "
+    "corpus needs (operators/similarity.py:simhash64_col_agg + "
+    "operators/hamming.py:hamming_block_pairs). Two failure modes cap the "
+    "32-bit baseline at corpus scale: whole unrelated DOCUMENTS birthday-"
+    "collide on the full signature past ~10^5 docs, and even the Manku "
+    "layout can only cut 16-bit keys from 32 bits, leaving ~n^2/2^16 "
+    "random candidates. At 64 bits the C(6,3)=20 tables key on ~32 bits "
+    "each — random collisions at 2^-32 — while the pigeonhole recall "
+    "guarantee at Hamming <= 3 is unchanged. Bits 0-31 vote with the "
+    "md5-fold of each shingle, bits 32-63 with the fold of the "
+    "'simhash64:'-salted shingle (two independent 32-bit hash functions "
+    "== one 64-bit simhash; the oracle replays both folds digit-for-"
+    "digit), bit 63 packing as -(2^63) two's-complement. The oracle "
+    "verifies against the brute-force all-pairs Hamming ball — the "
+    "clean SPEC of the output set, cheap at oracle scale — so the "
+    "engine's candidate layout is checked against banding-independent "
+    "ground truth, not against a replay of itself. Plan: one explode + "
+    "one 64-column groupBy for signatures, 20-way posexplode, table+key "
+    "equi-join, bit_count verify, distinct.",
+)
+def q_simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.hamming import (
+        hamming_block_pairs,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        simhash64_col_agg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash64_col_agg(docs)
+    return hamming_block_pairs(
+        sigs,
+        id_col="id",
+        sig_col="simhash",
+        max_hamming=3,
+        bits=64,
+        blocks=6,
+        key_blocks=3,
+    ).select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        "hamming",
+    )
+
+
+def _simhash_layout_arms() -> tuple[tuple[int, int], ...]:
+    """The compared Hamming-LSH table layouts over the 32-bit SimHash,
+    all with the d <= 3 pigeonhole guarantee: (4,1) IS the pre-r10
+    disjoint-band scheme (key_blocks=1 reduces block-combination to
+    one-band keys), (6,3) is the shipped Manku layout, (8,5) the
+    wider-key/more-tables point."""
+    return ((4, 1), (6, 3), (8, 5))
+
+
+def _simhash_layout_tradeoff_oracle_sql() -> str:
+    """Per layout: DISTINCT candidate pairs the subset-keyed tables
+    admit, and how many survive exact Hamming <= 3 — replayed block
+    arithmetic, MATERIALIZED signature CTE so DuckDB computes the
+    64-bitsum aggregate once, not once per arm."""
+    from itertools import combinations
+
+    from etl_pipeline_challenge_aladia_spark.operators.hamming import (
+        block_bounds,
+    )
+
+    ctes = [
+        f"""tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sh) AS t FROM tok),
+h AS (SELECT doc_id, CAST({_SIMHASH_HEX2INT} AS BIGINT) AS hv FROM ex),
+s AS (
+  SELECT doc_id,
+       {_SIMHASH_BITSUMS}
+  FROM h GROUP BY doc_id
+),
+sig AS MATERIALIZED (SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM s)"""
+    ]
+    selects = []
+    for li, (blocks, key_blocks) in enumerate(_simhash_layout_arms()):
+        bounds = block_bounds(32, blocks)
+        arms = []
+        for t, combo in enumerate(combinations(range(blocks), key_blocks)):
+            pieces, shift = [], 0
+            for bi in combo:
+                off, w = bounds[bi]
+                pieces.append(
+                    f"((simhash >> {off}) & {(1 << w) - 1}) * {1 << shift}"
+                )
+                shift += w
+            arms.append(
+                f"SELECT doc_id, simhash, {t} AS tbl, "
+                f"{' + '.join(pieces)} AS key FROM sig"
+            )
+        key_bits = sum(
+            sorted(w for _, w in bounds)[:key_blocks]
+        )
+        n_tables = len(arms)
+        ctes.append(f"k{li} AS ({' UNION ALL '.join(arms)})")
+        ctes.append(
+            f"""c{li} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.simhash AS sa, b.simhash AS sb
+  FROM k{li} a JOIN k{li} b
+    ON a.tbl = b.tbl AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({blocks} AS BIGINT) AS blocks,
+       CAST({key_blocks} AS BIGINT) AS key_blocks,
+       CAST({n_tables} AS BIGINT) AS n_tables,
+       CAST({key_bits} AS BIGINT) AS key_bits,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(CASE WHEN bit_count(xor(sa, sb)) <= 3
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_verified
+FROM c{li}"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@query(
+    "doc_simhash_layout_tradeoff",
+    _simhash_layout_tradeoff_oracle_sql(),
+    doc="The r10 Hamming-LSH layout rewrite as MEASURED data, not a "
+    "claim: over ONE shared 32-bit SimHash signature frame, index the "
+    "corpus under three table layouts with the identical d <= 3 "
+    "pigeonhole guarantee — (4,1), which IS the pre-r10 disjoint-band "
+    "scheme (8-bit keys), the shipped Manku (6,3) (C(6,3)=20 tables, "
+    "~16-bit subset keys), and (8,5) (56 tables, 20-bit keys) — and "
+    "count per layout the DISTINCT candidate pairs the tables admit "
+    "(the cost axis: every candidate pays a bit_count verification and "
+    "a shuffle row) and how many survive exact Hamming <= 3. "
+    "n_verified is IDENTICAL across rows — the in-data proof that the "
+    "verified ball is layout-invariant (why the r10 swap was "
+    "oracle-neutral) — while n_candidates falls by orders of magnitude "
+    "as keys widen: the 8-bit key space admits ~n^2/256 hash-noise "
+    "pairs (already visible at oracle scale, catastrophic at corpus "
+    "scale), the 16+-bit layouts admit ~none beyond the true ball. "
+    "Scale shape: signatures once (lazy localCheckpoint), per-layout "
+    "posexplode + table-keyed self-join + two count aggregates; "
+    "output is 3 rows.",
+)
+def q_doc_simhash_layout_tradeoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from math import comb
+
+    from etl_pipeline_challenge_aladia_spark.operators.hamming import (
+        block_bounds,
+        explode_block_keys,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        simhash_col_agg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_col_agg(docs).localCheckpoint(eager=False)
+    out = None
+    for blocks, key_blocks in _simhash_layout_arms():
+        rows = explode_block_keys(sigs, "id", "simhash", 32, blocks, key_blocks)
+        a, b = rows.alias("a"), rows.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("da"),
+                F.col("b.id").alias("db"),
+                F.col("a.simhash").alias("sa"),
+                F.col("b.simhash").alias("sb"),
+            )
+            .distinct()
+        )
+        key_bits = sum(
+            sorted(w for _, w in block_bounds(32, blocks))[:key_blocks]
+        )
+        row = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.bit_count(
+                            F.col("sa").bitwiseXOR(F.col("sb"))
+                        )
+                        <= 3,
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_verified"),
+        ).select(
+            F.lit(blocks).cast("long").alias("blocks"),
+            F.lit(key_blocks).cast("long").alias("key_blocks"),
+            F.lit(comb(blocks, key_blocks)).cast("long").alias("n_tables"),
+            F.lit(key_bits).cast("long").alias("key_bits"),
+            "n_candidates",
+            "n_verified",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 _IVF_CENT6 = sql_round_half_up(sql_avg_fixed_point("val"), 6)

@@ -79,15 +79,18 @@ def make_media_fingerprint_ingest_processor(
     store_path: str,
     report_path: str,
     max_hamming: int = 3,
-    bands: int = 4,
+    blocks: int = 6,
+    key_blocks: int = 3,
     audio_max_hamming: int = 6,
-    audio_bands: int = 8,
+    audio_blocks: int = 8,
+    audio_key_blocks: int = 2,
 ):
     """foreachBatch processor: fingerprint this batch's images AND audio
     (image aHash / audio loudness-profile hash — each modality screens
     only against its own stored family, with its own Hamming ball and
-    band layout: 4x16 <= 3 for images, 8x8 <= 6 for audio, matching the
-    batch operators), screen them against the accumulated store
+    block-combination table layout: C(6,3) tables <= 3 for images,
+    C(8,2) tables <= 6 for audio, matching the batch operators;
+    operators/hamming.py), screen them against the accumulated store
     (strictly-earlier batches) AND against the batch itself (within-
     batch twins pair immediately; the larger media_id reports as
     delta_id, its batch-mate as corpus_id — without this leg a
@@ -109,9 +112,15 @@ def make_media_fingerprint_ingest_processor(
         delta = delta.localCheckpoint(eager=True)
         frame = _delta_media_frame(delta)
         report = None
-        for modality, hasher, mh, nb in (
-            ("image", image_ahash, max_hamming, bands),
-            ("audio", _audio_ahash_frame, audio_max_hamming, audio_bands),
+        for modality, hasher, mh, nb, kb in (
+            ("image", image_ahash, max_hamming, blocks, key_blocks),
+            (
+                "audio",
+                _audio_ahash_frame,
+                audio_max_hamming,
+                audio_blocks,
+                audio_key_blocks,
+            ),
         ):
             sub = os.path.join(store_path, modality)
             sigs = hasher(frame).localCheckpoint(eager=True)
@@ -119,10 +128,10 @@ def make_media_fingerprint_ingest_processor(
                 spark, sub, MEDIA_SIG_STORE_SCHEMA, strictly_before=batch_id
             )
             cross = hamming_band_pairs_across(
-                sigs, store, max_hamming=mh, bands=nb
+                sigs, store, max_hamming=mh, blocks=nb, key_blocks=kb
             )
             within = _hamming_band_pairs(
-                sigs, max_hamming=mh, bands=nb
+                sigs, max_hamming=mh, blocks=nb, key_blocks=kb
             ).select(
                 F.col("media_id_b").alias("delta_id"),
                 F.col("media_id_a").alias("corpus_id"),
@@ -170,15 +179,17 @@ def run_media_fingerprint_ingest_stream(
     report_path: str,
     checkpoint_dir: str,
     max_hamming: int = 3,
-    bands: int = 4,
+    blocks: int = 6,
+    key_blocks: int = 3,
     audio_max_hamming: int = 6,
-    audio_bands: int = 8,
+    audio_blocks: int = 8,
+    audio_key_blocks: int = 2,
 ) -> None:
     """Drain currently-available media files through the fingerprint
     ingest (Trigger.AvailableNow; 1 file = 1 micro-batch, so every
     file's images AND audio are screened against all previously-
     ingested fingerprints of their own modality, plus the within-file
-    self-screen). Image and audio Hamming ball / band layouts are each
+    self-screen). Image and audio Hamming ball / table layouts are each
     tunable end-to-end."""
     stream = (
         spark.readStream.schema(MEDIA_STREAM_SCHEMA)
@@ -191,9 +202,11 @@ def run_media_fingerprint_ingest_stream(
                 store_path,
                 report_path,
                 max_hamming,
-                bands,
+                blocks,
+                key_blocks,
                 audio_max_hamming,
-                audio_bands,
+                audio_blocks,
+                audio_key_blocks,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
