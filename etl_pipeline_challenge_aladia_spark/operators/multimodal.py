@@ -1019,9 +1019,8 @@ def ahash_near_dup_pairs(
 
     Output: (media_id_a < media_id_b, hamming).
     """
-    return _hamming_band_pairs(
-        image_ahash(media), max_hamming, blocks, key_blocks
-    )
+    sigs = image_ahash(media).localCheckpoint(eager=False)
+    return _hamming_band_pairs(sigs, max_hamming, blocks, key_blocks)
 
 
 def audio_ahash_near_dup_pairs(
@@ -1044,7 +1043,7 @@ def audio_ahash_near_dup_pairs(
     128-bit fingerprint, not more tables. Output: (media_id_a <
     media_id_b, hamming).
     """
-    sigs = _audio_ahash_frame(media)
+    sigs = _audio_ahash_frame(media).localCheckpoint(eager=False)
     return _hamming_band_pairs(sigs, max_hamming, blocks, key_blocks)
 
 
@@ -1171,7 +1170,12 @@ def video_frame_near_dup_pairs(
     frequency pass groups on the same key the join shuffles on, so the
     partitioning is reused. Output: (media_id_a < media_id_b,
     n_shared_frames), counted over cap-surviving frames only."""
-    fh = video_frame_hashes(media).select("media_id", "ahash").distinct()
+    fh = (
+        video_frame_hashes(media)
+        .select("media_id", "ahash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if frame_df_cap is not None:
         rare = (
             fh.groupBy("ahash")
@@ -1276,7 +1280,7 @@ def video_sequence_near_dup_pairs(
     videos, no driver state. Output: (media_id_a < media_id_b,
     longest_run, n_runs) with n_runs counting maximal runs >= min_run.
     """
-    fh = video_frame_hashes(media)
+    fh = video_frame_hashes(media).localCheckpoint(eager=False)
     if frame_df_cap is not None:
         rare = (
             fh.select("media_id", "ahash")

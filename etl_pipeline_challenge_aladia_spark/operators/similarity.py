@@ -559,7 +559,9 @@ def simhash_near_dup_pairs(
         hamming_block_pairs,
     )
 
-    sigs = simhash_col_agg(docs, id_col, text_col, bits)
+    sigs = simhash_col_agg(docs, id_col, text_col, bits).localCheckpoint(
+        eager=False
+    )
     return hamming_block_pairs(
         sigs,
         id_col="id",

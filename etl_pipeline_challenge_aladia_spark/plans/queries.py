@@ -2171,7 +2171,7 @@ def q_simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = simhash64_col_agg(docs)
+    sigs = simhash64_col_agg(docs).localCheckpoint(eager=False)
     return hamming_block_pairs(
         sigs,
         id_col="id",
