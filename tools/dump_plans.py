@@ -17,6 +17,17 @@ SF = "/root/testdata/sf0.01"
 PICKS = {
     "cdc_dedup_latest": "single Exchange on the dedup key; WindowGroupLimit "
     "partial+final prunes to rank-1 rows map-side before the shuffle",
+    "doc_simhash64_near_dup": "one explode + ONE 64-column partial+final "
+    "hash aggregate builds the signatures (no per-bit passes), lazy "
+    "localCheckpoint so the self-join reads the 2-column signature frame "
+    "twice instead of re-running the aggregate; 20-way posexplode then a "
+    "(table, key)-keyed SortMergeJoin over ~32-bit subset keys — candidate "
+    "volume is collisions-only, no all-pairs anywhere",
+    "doc_simhash_layout_tradeoff": "ONE checkpointed signature frame fans "
+    "into three layout arms; each arm is posexplode + self-join + a single "
+    "count/conditional-sum aggregate — the (4,1) arm deliberately measures "
+    "the pre-r10 layout's quadratic candidate join, so its Exchange volume "
+    "IS the exhibit, not a defect",
     "media_video_sequence_near_dup": "one Arrow decode pass exploding frames "
     "in the kernel, frame-frequency aggregate + equi-join both keyed on the "
     "hash (partitioning reused; hub buckets capped before the join emits "
