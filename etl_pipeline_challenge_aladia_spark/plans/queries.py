@@ -6513,13 +6513,24 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rp_oracle_sql(
-    bits: int = 48, bands: int = 4, dim: int = 64, seed: int = 7, threshold: float = 0.999
+    bits: int = 48,
+    blocks: int = 8,
+    key_blocks: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    threshold: float = 0.999,
 ) -> str:
     """DuckDB twin of the duplicate-injection audit over
     rp_lsh_near_dup_pairs: embeds the IDENTICAL hyperplane float literals
-    (similarity.py:rp_planes) and mirrors the left-to-right dot-product
-    fold, so sign bits — and therefore candidates — match Spark
-    bit-for-bit."""
+    (similarity.py:rp_planes), mirrors the left-to-right dot-product
+    fold, and unrolls the same C(blocks, key_blocks) block-combination
+    tables (operators/hamming.py layout), so sign bits — and therefore
+    candidates — match Spark bit-for-bit."""
+    from itertools import combinations
+
+    from etl_pipeline_challenge_aladia_spark.operators.hamming import (
+        block_bounds,
+    )
     from etl_pipeline_challenge_aladia_spark.operators.similarity import rp_planes
 
     planes = rp_planes(bits, dim, seed)
@@ -6528,8 +6539,18 @@ def _rp_oracle_sql(
         chain = " + ".join(f"emb[{j + 1}] * ({c!r})" for j, c in enumerate(plane))
         terms.append(f"(CASE WHEN ({chain}) >= 0 THEN {2**i} ELSE 0 END)")
     sig = "\n       + ".join(terms)
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
+    bounds = block_bounds(bits, blocks)
+    arms = []
+    for t, combo in enumerate(combinations(range(blocks), key_blocks)):
+        pieces, shift = [], 0
+        for bi in combo:
+            off, w = bounds[bi]
+            pieces.append(f"((sg >> {off}) & {(1 << w) - 1}) * {1 << shift}")
+            shift += w
+        arms.append(
+            f"SELECT vec_id, {t} AS tbl, {' + '.join(pieces)} AS key FROM sig"
+        )
+    tables = "\n  UNION ALL ".join(arms)
     fold_vec = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
     return f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -6538,14 +6559,14 @@ e AS (
   UNION ALL
   SELECT vec_id + 100000 AS vec_id, emb FROM base WHERE {fold_vec} % 1000 < 100
 ),
-sig AS (SELECT vec_id, {sig} AS sg FROM e),
-bands AS (
-  SELECT vec_id, t.b AS b, (sg >> ({band_bits} * t.b)) & {mask} AS key
-  FROM sig, range({bands}) t(b)
+sig AS MATERIALIZED (SELECT vec_id, {sig} AS sg FROM e),
+tables AS (
+  {tables}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id
+  FROM tables a JOIN tables b
+    ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
 ),
 scored AS (
   SELECT c.ia AS vec_id_a, c.ib AS vec_id_b,
@@ -6563,14 +6584,21 @@ SELECT * FROM scored WHERE cos_sim >= {threshold}
     "(operators/similarity.py:rp_lsh_near_dup_pairs): the corpus is "
     "unioned with a deterministic 10% hash-sample of itself (ids shifted "
     "+100000 — the re-crawl / second-snapshot scenario), then sign-bit "
-    "signatures against 48 seed-derived hyperplanes, a 4x12-bit banded "
-    "candidate join, and exact cosine rerank >= 0.999 recover the "
-    "injected duplicates. Identical vectors have identical signatures, so "
-    "recall on exact dups is 1.0 by construction; a random pair collides "
-    "on a band w.p. 2^-12, so ~0.1% of pairs reach the rerank — linear "
-    "cost, never all-pairs. Training-free (no centroid pass), so it "
+    "signatures against 48 seed-derived hyperplanes, block-combination "
+    "candidate tables (operators/hamming.py: C(8,4)=70 tables keyed on "
+    "4-block 24-bit subsets — a pair is a candidate iff >= 4 of 8 "
+    "independent six-bit blocks match), and exact cosine rerank >= 0.999 "
+    "recover the injected duplicates. Identical vectors have identical "
+    "signatures, so recall on exact dups is 1.0 by construction; recall "
+    "at cosine t is exactly P(Binomial(8, p^6) >= 4) with p = "
+    "1-acos(t)/pi — ~0.9998 at t=0.999, above the pre-r10 4x12 disjoint "
+    "banding's 0.9994 — while a RANDOM pair is a candidate w.p. ~4e-6, "
+    "117x below the old 2^-12 noise floor that let ~0.1% of ALL pairs "
+    "reach the rerank (the quadratic-damped class the r10 layout rewrite "
+    "eliminates engine-wide). Training-free (no centroid pass), so it "
     "composes with streaming ingest; the mid-similarity regime belongs to "
-    "ivf_topk instead (see operator docstring for the regime math).",
+    "ivf_topk instead (see operator docstring for the regime math). The "
+    "oracle unrolls the same 70 tables, so candidates match bit-for-bit.",
 )
 def q_emb_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.sampling import (
