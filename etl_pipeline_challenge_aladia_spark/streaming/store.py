@@ -303,22 +303,27 @@ def erase_keys(
 ) -> int:
     """Erase every row keyed by ``keys`` from a store — the derived-
     artifact half of the GDPR contract (the warehouse half is
-    sinks.py:erase_warehouse_keys). Two layers, both applied:
+    sinks.py:erase_warehouse_keys). Two layers, applied in this order:
 
-    1. PHYSICAL rewrite: every live ``batch=<id>`` directory and the
-       ``compacted/`` layer containing matches is rewritten without
-       them (filter -> fresh directory -> atomic swap), so data at
-       rest no longer holds the keys. ``partition_by`` preserves a
-       partitioned layout (the embedding index's ``cell=`` dirs).
-       Like compaction, the rewrite assumes the store is quiesced.
-    2. The keys are appended to the PERMANENT ``erased/`` denylist
-       (``epoch=<n>`` directories, one per request), which every
-       reader anti-joins unconditionally — the replay shield: a
+    1. The keys are appended FIRST to the PERMANENT ``erased/``
+       denylist (``epoch=<n>`` directories, one per request), which
+       every reader anti-joins unconditionally — the replay shield: a
        checkpoint replay lawfully overwrites its batch directory from
-       source and would otherwise resurrect the rows. Erasure is
-       therefore also an ADMISSION bar: re-ingesting an erased key is
-       suppressed until the denylist entry is deliberately removed —
-       the conservative reading of a removal request.
+       source and would otherwise resurrect the rows. The denylist is
+       the durable statement of intent, so erasure is LOGICALLY
+       complete at the first durable write: a crash mid-rewrite leaves
+       partially scrubbed storage but no readable trace. Erasure is
+       also an ADMISSION bar: re-ingesting an erased key is suppressed
+       until the denylist entry is deliberately removed — the
+       conservative reading of a removal request.
+    2. PHYSICAL rewrite (pure reclamation once the denylist is down):
+       every live ``batch=<id>`` directory and the ``compacted/``
+       layer containing matches is rewritten without them (filter ->
+       fresh directory -> atomic swap), so data at rest no longer
+       holds the keys. ``partition_by`` preserves a partitioned layout
+       (the embedding index's ``cell=`` dirs). Like compaction, the
+       rewrite assumes the store is quiesced; it is safely re-runnable
+       after a crash.
 
     Keys are matched on their string form (``CAST(key_col AS STRING)``),
     so one denylist schema serves long-keyed (doc/media/vec ids) and
@@ -342,6 +347,24 @@ def erase_keys(
         kdf = spark.createDataFrame(
             [(k,) for k in skeys], "__erased_key string"
         )
+    # Denylist epoch FIRST: it is the durable statement of intent. Every
+    # reader anti-joins it unconditionally, so the keys are LOGICALLY
+    # erased the moment this write lands — a crash anywhere in the
+    # physical loop below leaves some directories scrubbed and others
+    # not, but no read or checkpoint replay can resurrect the rows. The
+    # rewrite loop is thereafter pure storage reclamation, safely
+    # re-runnable.
+    epochs = _erased_epoch_dirs(path)
+    nxt = (
+        int(os.path.basename(epochs[-1]).split("=", 1)[1]) + 1
+        if epochs
+        else 0
+    )
+    kdf.select(
+        F.col("__erased_key").alias("key"), F.lit(key_col).alias("key_col")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, ERASED_DIR, f"epoch={nxt}")
+    )
     removed = 0
     targets = list(batch_dirs(path))
     compacted = os.path.join(path, COMPACTED_DIR)
@@ -364,15 +387,4 @@ def erase_keys(
         shutil.rmtree(d)
         os.rename(tmp, d)
         removed += n
-    epochs = _erased_epoch_dirs(path)
-    nxt = (
-        int(os.path.basename(epochs[-1]).split("=", 1)[1]) + 1
-        if epochs
-        else 0
-    )
-    kdf.select(
-        F.col("__erased_key").alias("key"), F.lit(key_col).alias("key_col")
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, ERASED_DIR, f"epoch={nxt}")
-    )
     return removed

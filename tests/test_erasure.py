@@ -261,3 +261,54 @@ def test_rebuild_countmin_store_is_the_sketch_erasure_path(spark, tmp_path):
         for r in _cm_cells(retained, 4, 256).collect()
     }
     assert rebuilt == expect and n == len(expect)
+
+
+def test_erase_crash_mid_rewrite_leaves_no_readable_trace(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 #2 (crash ordering): the denylist epoch is written
+    BEFORE the physical rewrite loop, so a crash that scrubs some
+    directories but not others still leaves the keys logically erased —
+    invisible to readers AND to checkpoint replays — and a re-run of
+    erase_keys finishes the reclamation."""
+    from etl_pipeline_challenge_aladia_spark.streaming import store as st
+
+    p = str(tmp_path / "s")
+    _mk_store(spark, p)
+    real_rmtree, calls = st.shutil.rmtree, []
+
+    def dying_rmtree(d, *a, **kw):
+        calls.append(d)
+        if len(calls) >= 2:
+            raise OSError("simulated crash mid-erase")
+        return real_rmtree(d, *a, **kw)
+
+    monkeypatch.setattr(st.shutil, "rmtree", dying_rmtree)
+    # keys live in BOTH batch dirs: dir 1 scrubs, dir 2 crashes
+    try:
+        erase_keys(spark, p, "k", [1, 12])
+        raise AssertionError("crash did not propagate")
+    except OSError:
+        pass
+    monkeypatch.setattr(st.shutil, "rmtree", real_rmtree)
+    # partially scrubbed at rest: batch=1 still physically holds 12...
+    raw1 = {r.k for r in spark.read.parquet(os.path.join(p, "batch=1")).collect()}
+    assert 12 in raw1
+    # ...but the denylist landed first, so no reader shows either key
+    got = {r.k for r in read_store(spark, p, "k long, v string").collect()}
+    assert got.isdisjoint({1, 12})
+    # and a checkpoint replay of the unscrubbed batch changes nothing
+    append_batch(
+        spark.createDataFrame(
+            [(10 + i, f"v{10 + i}") for i in range(5)], "k long, v string"
+        ),
+        p,
+        1,
+    )
+    got = {r.k for r in read_store(spark, p, "k long, v string").collect()}
+    assert got.isdisjoint({1, 12})
+    # the rewrite loop is pure reclamation: a re-run finishes the job
+    erase_keys(spark, p, "k", [1, 12])
+    for b in ("batch=0", "batch=1"):
+        raw = {r.k for r in spark.read.parquet(os.path.join(p, b)).collect()}
+        assert raw.isdisjoint({1, 12})
