@@ -2007,6 +2007,36 @@ def auto_semantic_k(n: int, iters: int = 3) -> int:
     return int(math.floor(math.sqrt(n / float(iters))))
 
 
+#: Measured flat->hier routing crossover for the semantic-dedup family
+#: (corpus vectors, injection included). The two-level-routed assignment
+#: carries fixed per-round overhead (the inner centroid k-means + the
+#: extra routing stage) but a lower exponent — measured at n^1.13 vs the
+#: flat plan's n^1.34 over the 10x->100x ladder (SCALING.md, BENCH_
+#: scaling_100x.json). The bench rungs bracket the crossover: at 2.2k
+#: vectors flat wins on constants (7.2 s vs 9.3 s), at 22k hier already
+#: dominates (19.6 s vs 25.0 s); log-log interpolation of those two
+#: rungs crosses at ~7k vectors, and 8192 is the power of two inside
+#: the measured bracket. Above it, picking the flat plan is a mistake
+#: that GROWS per decade — so ``route="auto"`` refuses to make it.
+SEMANTIC_ROUTE_THRESHOLD = 8192
+
+
+def resolve_semantic_route(
+    route: str, n: int, threshold: int = SEMANTIC_ROUTE_THRESHOLD
+) -> str:
+    """Resolve ``route="auto"`` to a physical assignment strategy from
+    the corpus size — the measured-decision pattern (``auto_semantic_k``,
+    ``auto_salted_join``, ``tune_nprobe``) applied to plan routing:
+    below the measured crossover the flat argmin's cheaper constants
+    win; at or above it the two-level router's lower growth exponent
+    does, and the gap widens every decade (n^1.13 vs n^1.34 — SCALING.md
+    100x ladder). Explicit routes pass through untouched, so
+    ``route="flat"`` remains the exact audit variant at any scale."""
+    if route != "auto":
+        return route
+    return "hier" if n >= threshold else "flat"
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int | None = None,
@@ -2014,7 +2044,8 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    route: str = "flat",
+    route: str = "auto",
+    route_threshold: int = SEMANTIC_ROUTE_THRESHOLD,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: k-means cells bound the
     pairwise comparison, then within each cell a vector is a DUPLICATE if
@@ -2050,17 +2081,30 @@ def semantic_dedup(
     round instead of n*k) — with auto-k that cuts total assignment from
     Θ(n^1.5) to ~Θ(n^1.25), the right shape at 10^9+ vectors; still
     deterministic and SQL-oracle-unrollable at both levels.
+
+    ``route="auto"`` (the default) picks the physical strategy from the
+    same corpus count that prices k: flat below
+    ``SEMANTIC_ROUTE_THRESHOLD`` vectors (cheaper constants), two-level
+    routed at or above it (lower measured exponent — n^1.13 vs n^1.34,
+    SCALING.md 100x ladder). The threshold sits inside the measured
+    bench bracket (flat wins at 2.2k, loses at 22k), so a caller can no
+    longer silently default onto the super-linear curve at corpus
+    scale; ``route="flat"`` stays available as the explicit exact-audit
+    variant.
     """
     from etl_pipeline_challenge_aladia_spark.functions.vectors import (
         dot_col,
         l2_normalize_col,
     )
 
-    if k is None:
+    if k is None or route == "auto":
         # one cheap count (parquet footer metadata when unfiltered) buys
-        # the right k for THIS corpus; formula mirrored by the SQL oracle
+        # the right k AND the right physical route for THIS corpus; the
+        # k formula is mirrored by the SQL oracle
         n = embeddings.count()
-        k = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
+        if k is None:
+            k = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
+        route = resolve_semantic_route(route, n, route_threshold)
     cells = kmeans_lite(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         route=route,
@@ -2175,6 +2219,7 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     route: str = "flat",
+    route_threshold: int = SEMANTIC_ROUTE_THRESHOLD,
 ) -> DataFrame:
     """Incremental semantic dedup — the delta-vs-corpus form 100-TB
     pipelines actually run at ingest time: train the coarse quantizer
@@ -2190,9 +2235,11 @@ def semantic_dedup_incremental(
     training on the corpus, one extra argmin for the delta, and the
     in-cell sweep. Output: (vec_id [delta ids], canonical_id, max_cos).
     """
-    if k is None:
+    if k is None or route == "auto":
         n = corpus.count()
-        k = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
+        if k is None:
+            k = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
+        route = resolve_semantic_route(route, n, route_threshold)
     assigned, centroids = kmeans_with_centroids(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, route=route
     )

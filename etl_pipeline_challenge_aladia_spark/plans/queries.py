@@ -4767,16 +4767,45 @@ GROUP BY dup_id"""
     "group — recovering exactly the injected twins (organic max cosine "
     "here is ~0.51). k AUTO-SCALES with the corpus "
     "(auto_semantic_k: max(32, floor(sqrt(n/iters))), the argmin of "
-    "iters*n*k + n^2/k), so total work is Θ(n^1.5) at every scale — "
-    "never corpus-squared, with no caller-tuned knob. The oracle replays "
-    "injection + unrolled fixed-point k-means (shared _kmeans_cte_prefix "
-    "with the SAME auto-k as a dynamic LIMIT subquery) + the in-cell "
-    "sweep.",
+    "iters*n*k + n^2/k) and so does the PHYSICAL ROUTE "
+    "(resolve_semantic_route: flat argmin below "
+    "SEMANTIC_ROUTE_THRESHOLD=8192 vectors, two-level-routed assignment "
+    "at or above it — the measured crossover where hier's n^1.13 "
+    "exponent beats flat's n^1.34 constants, SCALING.md 100x ladder), "
+    "so the shipped default can no longer land on the super-linear flat "
+    "curve at corpus scale. The oracle replays injection + the unrolled "
+    "FLAT fixed-point k-means (shared _kmeans_cte_prefix with the SAME "
+    "auto-k as a dynamic LIMIT subquery) + the in-cell sweep — exact "
+    "below the route threshold where the correctness gate runs. ABOVE "
+    "the threshold the entry is bit-for-bit the hier plan, whose exact "
+    "unroll is emb_semantic_dedup_hier's oracle (at-scale parity checks "
+    "of the routed entry go there). The two strategies' outputs differ "
+    "only where a true near-pair straddles a flat cell boundary — "
+    "measured at the 22k-vector rung: hier returned a strict SUPERSET "
+    "(one additional injected twin recovered, 1971 vs 1970 rows), i.e. "
+    "the router's coarser super-cell boundaries lost no duplicates "
+    "there.",
 )
 def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the re-embedding scenario: 10% of the corpus re-appears under new ids
     # with a tiny deterministic per-dimension tilt (cosine ~0.999997 to the
     # original — semantically identical, not byte-identical)
+    return _semantic_dedup_injected(spark, sf_dir, route="auto")
+
+
+@query(
+    "emb_semantic_dedup_flat",
+    _semantic_dedup_oracle_sql(),
+    doc="The explicit FLAT audit variant of emb_semantic_dedup: exact "
+    "single-level argmin assignment at any scale, pinned to the same "
+    "unrolled-flat oracle. Kept cataloged so the exact plan stays "
+    "externally exercisable after the default entry auto-routes to the "
+    "two-level router above SEMANTIC_ROUTE_THRESHOLD — this is the "
+    "plan you run to AUDIT the router (its measured exponent, n^1.34, "
+    "is the documented super-linear-by-design exception; the routed "
+    "default refuses it at corpus scale).",
+)
+def q_emb_semantic_dedup_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_dedup_injected(spark, sf_dir, route="flat")
 
 
