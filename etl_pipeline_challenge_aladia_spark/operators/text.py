@@ -731,3 +731,70 @@ def cdc_chunk_dedup_from_store(
             " div greatest(sum(n_tok), 1L) AS BIGINT)"
         ).alias("removed_permille"),
     )
+
+
+def bpe_train(
+    docs: DataFrame, rounds: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Greedy BPE merge-table training, ``rounds`` rounds — the engine
+    body behind the cataloged doc_bpe_merge_rounds (see that query's
+    doc for the full semantics contract): per round, count adjacent
+    token pairs over the CURRENT corpus, pick the most frequent (count
+    DESC, pair ASC tie-break), and rewrite the corpus joining that pair
+    with '+' via one space-padded sequential-leftmost replace. The
+    rewritten corpus is MATERIALIZED between rounds (lazy
+    localCheckpoint folded into the next round's pair-count job — the
+    pagerank_fixed_point iterative discipline): without it round r's
+    scan would re-execute rounds 1..r-1's rewrites, O(rounds^2) text
+    rewrites total; with it per-round cost is flat, O(rounds * corpus)
+    with 1-row merge state at any ``rounds``. Output: the merge table
+    (merge_round, pair, merged, n_occurrences) — k = rounds rows."""
+    tx = docs.select(
+        F.concat(F.lit(" "), F.col(text_col), F.lit(" ")).alias("tx")
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        pairs = (
+            tx.select(F.split(F.trim("tx"), " ").alias("w"))
+            .filter(F.size("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(w[i], ' ', w[i+1]))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "pair").limit(1)
+        rec = top.select(
+            F.lit(r).cast("long").alias("merge_round"),
+            "pair",
+            F.regexp_replace("pair", " ", "+").alias("merged"),
+            F.col("n").alias("n_occurrences"),
+        )
+        out = rec if out is None else out.unionByName(rec)
+        if r < rounds:
+            tx = tx.crossJoin(F.broadcast(top)).select(
+                F.expr(
+                    "replace(tx, concat(' ', pair, ' '),"
+                    " concat(' ', replace(pair, ' ', '+'), ' ')) AS tx"
+                )
+            ).localCheckpoint(eager=False)
+    return out
+
+
+def bpe_composed_replace_col(
+    col: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """The trained merge table as ONE nested replace projection: merges
+    MUST compose in training order (round r's pair literals contain
+    rounds 1..r-1's '+'-joined symbols), so the first merge is the
+    innermost replace. ``col`` must already be space-padded. k = rounds
+    literals by definition — the broadcast-as-literal shape a tokenizer
+    deployment applies as a single shuffle-free map over documents."""
+    for pair, merged in merges:
+        col = F.replace(col, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return col

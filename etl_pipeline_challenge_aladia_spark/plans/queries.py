@@ -14264,51 +14264,15 @@ SELECT * FROM (
 def bpe_merge_rounds(
     spark: SparkSession, sf_dir: str, rounds: int = 3
 ) -> DataFrame:
-    """Greedy BPE merge table for ``rounds`` rounds. The rewritten
-    corpus is MATERIALIZED between rounds (lazy localCheckpoint folded
-    into the next round's pair-count job — the pagerank_fixed_point /
-    kcenter_select iterative discipline): without it, ``tx`` is an
-    unmaterialized replace() chain and round r's scan re-executes
-    rounds 1..r-1's corpus rewrites, O(rounds^2) text rewrites total.
-    With it, per-round cost is flat — one explode + pair aggregate +
-    a 1-row merge decision + one linear replace over the CHECKPOINTED
-    corpus, O(rounds * corpus) whatever ``rounds`` is."""
-    docs = load_table(spark, sf_dir, "documents")
-    tx = docs.select(
-        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("tx")
-    )
-    out = None
-    for r in range(1, rounds + 1):
-        pairs = (
-            tx.select(F.split(F.trim("tx"), " ").alias("w"))
-            .filter(F.size("w") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(w) - 2),"
-                        " i -> concat(w[i], ' ', w[i+1]))"
-                    )
-                ).alias("pair")
-            )
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        )
-        top = pairs.orderBy(F.desc("n"), "pair").limit(1)
-        rec = top.select(
-            F.lit(r).cast("long").alias("merge_round"),
-            "pair",
-            F.regexp_replace("pair", " ", "+").alias("merged"),
-            F.col("n").alias("n_occurrences"),
-        )
-        out = rec if out is None else out.unionByName(rec)
-        if r < rounds:
-            tx = tx.crossJoin(F.broadcast(top)).select(
-                F.expr(
-                    "replace(tx, concat(' ', pair, ' '),"
-                    " concat(' ', replace(pair, ' ', '+'), ' ')) AS tx"
-                )
-            ).localCheckpoint(eager=False)
-    return out
+    """Greedy BPE merge table for ``rounds`` rounds — the catalog face
+    of ``operators/text.py:bpe_train`` (the loop body lives there so
+    the persisted-store writer, streaming/bpe.py, trains through the
+    identical code): per round one explode + pair aggregate + a 1-row
+    merge decision + one linear replace over the localCheckpoint-
+    materialized corpus, O(rounds * corpus) whatever ``rounds`` is."""
+    from etl_pipeline_challenge_aladia_spark.operators.text import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), rounds=rounds)
 
 
 def _bpe_apply_round_ctes(r: int) -> str:
@@ -14421,13 +14385,17 @@ def bpe_apply(
     doc="BPE apply from a STORED merge table — the shape a "
     "1000-executor tokenizer job actually has: doc_bpe_apply re-trains "
     "the merge sequence inline on every run; this query SPLITS train "
-    "from apply. Training (the exact bpe_merge_rounds loop — same "
-    "counts, tie-breaks, consumed-separator replace) yields the k-row "
-    "merge table, which is collected to the driver (k = rounds = 3 "
-    "rows — bounded driver state by construction, the broadcast-as-"
-    "literal a deployment persists once and reuses) and composed into "
-    "ONE nested replace projection applied in training order (inner "
-    "replace first). The apply pass is therefore a SINGLE map over "
+    "from apply THROUGH A PERSISTED STORE (streaming/bpe.py). Training "
+    "(the exact bpe_train loop — same counts, tie-breaks, consumed-"
+    "separator replace) writes the k-row merge table as a "
+    "batch=<epoch> directory under the shared batch-keyed store "
+    "contract (idempotent replay, latest-epoch reads, rebuild-from-"
+    "live as its erasure path — a merge table is a corpus-derived "
+    "aggregate like count-min, not row-erasable); the apply side reads "
+    "it back (k = rounds = 3 rows — bounded driver state by "
+    "construction) and composes ONE nested replace projection applied "
+    "in training order (inner replace first). The apply pass is "
+    "therefore a SINGLE map over "
     "documents — no per-round jobs, no shuffle, no localCheckpoint "
     "chain; at 100 TB that is the difference between rounds x corpus "
     "scans and one. The oracle is BYTE-IDENTICAL to doc_bpe_apply's "
@@ -14438,33 +14406,27 @@ def bpe_apply(
 def bpe_apply_stored(
     spark: SparkSession, sf_dir: str, rounds: int = 3
 ) -> DataFrame:
-    """Train-once-apply-once: ``bpe_merge_rounds`` produces the merge
-    table; its ``rounds`` rows (bounded driver state — the merge table
-    IS k rows by definition) become one composed replace expression
-    (training order preserved by nesting), applied as a single
-    projection. Output — and oracle — identical to ``bpe_apply``."""
-    merges = [
-        (r.pair, r.merged)
-        for r in bpe_merge_rounds(spark, sf_dir, rounds=rounds)
-        .orderBy("merge_round")
-        .collect()  # k = rounds rows
-    ]
-    docs = load_table(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    col = padded
-    for pair, merged in merges:
-        col = F.replace(
-            col, F.lit(f" {pair} "), F.lit(f" {merged} ")
-        )
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(padded), " ")).cast("long").alias(
-            "tokens_before"
-        ),
-        F.size(F.split(F.trim(col), " ")).cast("long").alias(
-            "tokens_after"
-        ),
+    """Literally train-once / persist / apply-from-store
+    (streaming/bpe.py): one training run writes the k-row merge table
+    as a ``batch=<epoch>`` store directory under the shared batch-keyed
+    contract, then the apply side reads it back and composes one nested
+    replace projection (training order preserved by nesting) — no
+    training jobs on the apply path, a single shuffle-free map over
+    documents. The store lands in a per-run scratch directory (a
+    deployment points this at a durable path and SKIPS the training
+    call on every subsequent job — the cost split the query doc
+    describes). Output — and oracle — identical to ``bpe_apply``."""
+    import tempfile
+
+    from etl_pipeline_challenge_aladia_spark.streaming.bpe import (
+        bpe_apply_from_store,
+        train_and_save_bpe_merges,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="bpe_merges_store_")
+    train_and_save_bpe_merges(docs, store, rounds=rounds)
+    return bpe_apply_from_store(spark, docs, store)
 
 
 @query(

@@ -1,0 +1,112 @@
+"""Persisted BPE merge-table store (VERDICT r10 missing #1): train once
+under the batch-keyed store contract, apply from the stored k-row table
+across jobs — decision-identical to the retrain path, idempotent under
+replay, superseded (not unioned) by retrain epochs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_pipeline_challenge_aladia_spark.streaming.bpe import (
+    bpe_apply_from_store,
+    latest_bpe_epoch,
+    read_bpe_merges,
+    train_and_save_bpe_merges,
+)
+
+DOCS = [
+    (1, "a b a b c d"),
+    (2, "a b c d c d"),
+    (3, "a b x y a b"),
+]
+
+
+def _docs(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_apply_from_store_matches_retrain_path(spark, tmp_path):
+    """The stored path is decision-identical to train-inline: same merge
+    table, same per-doc token counts as recomputing the composed apply
+    against a freshly trained table."""
+    from etl_pipeline_challenge_aladia_spark.operators.text import bpe_train
+
+    p = str(tmp_path / "bpe")
+    docs = _docs(spark)
+    saved = train_and_save_bpe_merges(docs, p, rounds=2)
+    stored = read_bpe_merges(spark, p).orderBy("merge_round").collect()
+    fresh = bpe_train(docs, rounds=2).orderBy("merge_round").collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in fresh]
+    assert [tuple(r) for r in saved.orderBy("merge_round").collect()] == [
+        tuple(r) for r in fresh
+    ]
+    # 'a b' is the most frequent pair (4), then 'c d' over the rewritten
+    # corpus (3) — the greedy sequence, not a static top-2
+    assert [(r.pair, r.merged) for r in stored] == [
+        ("a b", "a+b"),
+        ("c d", "c+d"),
+    ]
+    got = {
+        r.doc_id: (r.tokens_before, r.tokens_after)
+        for r in bpe_apply_from_store(spark, docs, p).collect()
+    }
+    # consumed-separator semantics: in 'a b a b' the first ' a b '
+    # eats its trailing space, so only one occurrence merges per pass —
+    # doc 1: 'a b a b c d' -> 'a+b a b c+d' (6 -> 4); same for doc 2's
+    # 'c d c d' and doc 3's 'a b ... a b'
+    assert got == {1: (6, 4), 2: (6, 4), 3: (6, 4)}
+
+
+def test_training_replay_is_idempotent(spark, tmp_path):
+    """A checkpoint-replayed training job rewrites its own epoch
+    directory with identical content — one live epoch, same reads."""
+    p = str(tmp_path / "bpe")
+    docs = _docs(spark)
+    train_and_save_bpe_merges(docs, p, rounds=2, epoch=0)
+    first = [
+        tuple(r)
+        for r in read_bpe_merges(spark, p).orderBy("merge_round").collect()
+    ]
+    train_and_save_bpe_merges(docs, p, rounds=2, epoch=0)  # replay
+    again = [
+        tuple(r)
+        for r in read_bpe_merges(spark, p).orderBy("merge_round").collect()
+    ]
+    assert again == first
+    assert latest_bpe_epoch(p) == 0
+    dirs = [e for e in os.listdir(p) if e.startswith("batch=")]
+    assert dirs == ["batch=0"]
+
+
+def test_retrain_epoch_supersedes_not_unions(spark, tmp_path):
+    """A retrain (new epoch — the rebuild-from-live erasure path)
+    replaces the decision sequence outright: readers see ONLY the
+    latest epoch's k rows, and pinned-epoch reads still reach the old
+    table for audits."""
+    p = str(tmp_path / "bpe")
+    train_and_save_bpe_merges(_docs(spark), p, rounds=2, epoch=0)
+    # the post-erasure corpus: doc 1 removed, so 'c d' now dominates
+    survivors = _docs(spark, [r for r in DOCS if r[0] != 1])
+    train_and_save_bpe_merges(survivors, p, rounds=2, epoch=1)
+    assert latest_bpe_epoch(p) == 1
+    latest = read_bpe_merges(spark, p).orderBy("merge_round").collect()
+    assert len(latest) == 2  # k rows, never a union of epochs
+    assert [(r.pair, r.merged) for r in latest] == [
+        ("a b", "a+b"),
+        ("c d", "c+d"),
+    ]
+    pinned = read_bpe_merges(spark, p, epoch=0).collect()
+    assert len(pinned) == 2
+    # apply now tokenizes with the surviving-corpus decisions
+    got = {
+        r.doc_id: r.tokens_after
+        for r in bpe_apply_from_store(spark, survivors, p).collect()
+    }
+    assert got == {2: 4, 3: 4}
+
+
+def test_empty_store_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_bpe_merges(spark, str(tmp_path / "nope"))
