@@ -1281,6 +1281,51 @@ def video_sequence_near_dup_pairs(
     longest_run, n_runs) with n_runs counting maximal runs >= min_run.
     """
     fh = video_frame_hashes(media).localCheckpoint(eager=False)
+    return video_sequence_pairs_from_frames(
+        fh, min_run=min_run, frame_df_cap=frame_df_cap
+    )
+
+
+def _sequence_runs(matches: DataFrame, min_run: int) -> DataFrame:
+    """Gaps-and-islands over aligned frame matches: ``matches`` is
+    (ma, mb, fa, diff) with diff the alignment offset; with diff fixed,
+    consecutive fa means consecutive fb, so ``fa - row_number()`` over
+    (ma, mb, diff | order fa) labels each maximal aligned run. Output:
+    pair-grain (ma, mb, longest_run, n_runs), runs >= ``min_run``
+    only. Window partitions are pair-grain, never global."""
+    w = Window.partitionBy("ma", "mb", "diff").orderBy("fa")
+    runs = (
+        matches.withColumn(
+            "island", F.col("fa") - F.row_number().over(w)
+        )
+        .groupBy("ma", "mb", "diff", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy(
+            F.col("ma").alias("media_id_a"),
+            F.col("mb").alias("media_id_b"),
+        )
+        .agg(
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.sum(
+                (F.col("run_len") >= min_run).cast("long")
+            ).cast("long").alias("n_runs"),
+        )
+        .filter(F.col("longest_run") >= min_run)
+    )
+
+
+def video_sequence_pairs_from_frames(
+    fh: DataFrame,
+    min_run: int = 3,
+    frame_df_cap: int | None = 16,
+) -> DataFrame:
+    """The frames-level core of ``video_sequence_near_dup_pairs``:
+    ``fh`` is an already-computed (media_id, frame_no, ahash) table —
+    the shape the streaming sequence store persists, so ingest-time
+    screening (streaming/media.py) runs the IDENTICAL logic without
+    re-decoding stored payloads."""
     if frame_df_cap is not None:
         rare = (
             fh.select("media_id", "ahash")
@@ -1302,26 +1347,59 @@ def video_sequence_near_dup_pairs(
         F.col("a.frame_no").alias("fa"),
         (F.col("a.frame_no") - F.col("b.frame_no")).alias("diff"),
     )
-    w = Window.partitionBy("ma", "mb", "diff").orderBy("fa")
-    runs = (
-        matches.withColumn(
-            "island", F.col("fa") - F.row_number().over(w)
+    return _sequence_runs(matches, min_run)
+
+
+def video_sequence_pairs_across(
+    delta_frames: DataFrame,
+    store_frames: DataFrame,
+    min_run: int = 3,
+    frame_df_cap: int | None = 16,
+) -> DataFrame:
+    """Ingest-time sequence screen: every DELTA clip's frame sequence
+    against every STORED frame sequence — the across-form of
+    ``video_sequence_pairs_from_frames`` (VERDICT r10 missing #2: the
+    per-frame hash screen admitted trimmed copies the batch operator
+    catches, because runs were never computed against stored
+    sequences). The delta joins the store, never itself — within-batch
+    twins are the within-leg's job, exactly like the fingerprint
+    ingest's split.
+
+    The hub-frame cap counts distinct videos per hash over delta AND
+    store COMBINED (a frame ubiquitous across the corpus must not
+    become a join hub just because the delta is small); capped hashes
+    drop from both sides. Islands are keyed per (delta, corpus,
+    alignment diff) — hub frames can't fake a run (no fixed
+    alignment). Output: (delta_id, corpus_id, longest_run, n_runs),
+    runs of >= ``min_run`` frames consecutive in BOTH clips."""
+    if frame_df_cap is not None:
+        rare = (
+            delta_frames.select("media_id", "ahash")
+            .unionByName(store_frames.select("media_id", "ahash"))
+            .distinct()
+            .groupBy("ahash")
+            .agg(F.count(F.lit(1)).alias("n_videos"))
+            .filter(F.col("n_videos") <= frame_df_cap)
+            .select("ahash")
         )
-        .groupBy("ma", "mb", "diff", "island")
-        .agg(F.count(F.lit(1)).alias("run_len"))
+        delta_frames = delta_frames.join(rare, "ahash")
+        store_frames = store_frames.join(rare, "ahash")
+    d, s = delta_frames.alias("d"), store_frames.alias("s")
+    matches = d.join(
+        s,
+        (F.col("d.ahash") == F.col("s.ahash"))
+        & (F.col("d.media_id") != F.col("s.media_id")),
+    ).select(
+        F.col("d.media_id").alias("ma"),
+        F.col("s.media_id").alias("mb"),
+        F.col("d.frame_no").alias("fa"),
+        (F.col("d.frame_no") - F.col("s.frame_no")).alias("diff"),
     )
-    return (
-        runs.groupBy(
-            F.col("ma").alias("media_id_a"),
-            F.col("mb").alias("media_id_b"),
-        )
-        .agg(
-            F.max("run_len").cast("long").alias("longest_run"),
-            F.sum(
-                (F.col("run_len") >= min_run).cast("long")
-            ).cast("long").alias("n_runs"),
-        )
-        .filter(F.col("longest_run") >= min_run)
+    return _sequence_runs(matches, min_run).select(
+        F.col("media_id_a").alias("delta_id"),
+        F.col("media_id_b").alias("corpus_id"),
+        "longest_run",
+        "n_runs",
     )
 
 
