@@ -1363,6 +1363,24 @@ def q_doc_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def band_autotune_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-size hash-priority tuning sample the band autotune
+    walks (256 docs by md5-fold priority — corpus-size-independent
+    tuning cost). Shared by the cataloged query and the provenance-
+    writing maintenance twin (streaming/tuning.py:
+    band_autotune_maintenance) so both tune on the SAME input."""
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "text")
+        .orderBy(md5_fold32_col(F.col("doc_id").cast("string")), "doc_id")
+        .limit(256)
+    )
+
+
 @query(
     "doc_lsh_band_autotune",
     _lsh_band_autotune_oracle_sql(),
@@ -1390,20 +1408,13 @@ def q_doc_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "localCheckpoint-shared signatures.",
 )
 def q_doc_lsh_band_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
-        md5_fold32_col,
-    )
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         tune_bands,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    sample = (
-        docs.select("doc_id", "text")
-        .orderBy(md5_fold32_col(F.col("doc_id").cast("string")), "doc_id")
-        .limit(256)
+    bands, recall = tune_bands(
+        band_autotune_sample(spark, sf_dir), target_recall_permille=900
     )
-    bands, recall = tune_bands(sample, target_recall_permille=900)
     return spark.createDataFrame(
         [(bands, recall)], "chosen_bands long, recall_permille long"
     )
@@ -2717,6 +2728,20 @@ def q_emb_ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def nprobe_autotune_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(index corpus, query sample) the nprobe autotune measures —
+    shared by the cataloged query and the provenance-writing
+    maintenance twin (streaming/tuning.py:nprobe_autotune_maintenance)
+    so both tune on the SAME inputs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb.filter(F.col("vec_id") >= 5), queries_df
+
+
 @query(
     "emb_ivf_nprobe_autotune",
     _ivf_nprobe_autotune_oracle_sql(),
@@ -2742,11 +2767,7 @@ def q_emb_ivf_nprobe_autotune(
         tune_nprobe,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    cands = emb.filter(F.col("vec_id") >= 5)
+    cands, queries_df = nprobe_autotune_inputs(spark, sf_dir)
     nprobe, recall = tune_nprobe(
         cands, queries_df, dim=64, k=5, target_recall_permille=900
     )

@@ -151,3 +151,57 @@ def tune_nprobe_and_report(
         target_recall_permille, fp, n, trace,
     )
     return nprobe, recall
+
+
+def band_autotune_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    report_path: str,
+    batch_id: int = 0,
+    target_recall_permille: int = 900,
+) -> tuple[int, int]:
+    """The deployment form of the cataloged doc_lsh_band_autotune
+    (VERDICT r10 missing #3): SAME fixed-size hash-priority sample,
+    SAME recall walk — but the decision leaves a report behind
+    (chosen banding, achieved recall, curve trace, corpus
+    fingerprint). The catalog entry stays report-free so its oracle
+    hash never touches the filesystem; a deployment runs THIS."""
+    from etl_pipeline_challenge_aladia_spark.plans.queries import (
+        band_autotune_sample,
+    )
+
+    return tune_bands_and_report(
+        spark,
+        band_autotune_sample(spark, sf_dir),
+        report_path,
+        batch_id,
+        target_recall_permille=target_recall_permille,
+    )
+
+
+def nprobe_autotune_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    report_path: str,
+    batch_id: int = 0,
+    target_recall_permille: int = 900,
+) -> tuple[int, int]:
+    """The deployment form of the cataloged emb_ivf_nprobe_autotune:
+    same index corpus and query sample, decision recorded. The
+    fingerprint covers the INDEX side — the corpus whose drift
+    invalidates the knob."""
+    from etl_pipeline_challenge_aladia_spark.plans.queries import (
+        nprobe_autotune_inputs,
+    )
+
+    cands, queries = nprobe_autotune_inputs(spark, sf_dir)
+    return tune_nprobe_and_report(
+        spark,
+        cands,
+        queries,
+        report_path,
+        batch_id,
+        dim=64,
+        k=5,
+        target_recall_permille=target_recall_permille,
+    )
