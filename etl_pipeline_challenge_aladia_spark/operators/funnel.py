@@ -129,9 +129,11 @@ def markov_removal_attribution(
     window per user partition and a type-pair aggregate (shuffle keyed
     on user_id, then on the tiny pair key). Everything after operates
     on frames bounded by the EVENT-TYPE VOCABULARY (variants x states
-    x states), propagated with one tiny join/agg per round,
-    materialized per round (the O(rounds) plan discipline of
-    pagerank_fixed_point) — corpus size never enters the iteration.
+    x states): one shuffle groups each variant's edge table and the
+    ``steps`` propagation rounds run as exact integer arithmetic
+    inside an Arrow-batched applyInPandas group — parallel across
+    variants, zero per-round stages (see the in-body measured-decision
+    note) — corpus size never enters the iteration.
     """
     scale = 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -174,11 +176,16 @@ def markov_removal_attribution(
     tails = last.filter(F.col("cflag") == 0).select(
         F.col("lstate").alias("src"), F.lit("__null__").alias("dst")
     )
+    # the one corpus-sized computation: materialize it ONCE — every
+    # downstream frame (prob, channels, variants, edges, the final
+    # attribution joins) is vocabulary-sized and would otherwise drag
+    # the journey pass into each branch of the final plan
     trans = (
         base.select("src", "dst")
         .unionByName(tails)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
     )
     tot = trans.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
     prob = trans.join(tot, "src").select(
@@ -198,8 +205,12 @@ def markov_removal_attribution(
             [("__none__",)], "variant string"
         )
     )
+    # broadcast the (channels+1)-row variant list into both cross
+    # joins: without the hint this compiles to a CartesianProduct whose
+    # task count is left-partitions x right-partitions — hundreds of
+    # empty tasks for a vocabulary-sized product
     edges = (
-        variants.crossJoin(prob)
+        F.broadcast(variants).crossJoin(prob)
         .filter(F.col("src") != F.col("variant"))
         .select(
             "variant",
@@ -209,38 +220,73 @@ def markov_removal_attribution(
             .alias("dst"),
             "p_fx",
         )
-        .localCheckpoint(eager=True)
     )
-    mass = variants.select(
-        "variant",
-        F.lit("__start__").alias("state"),
-        F.lit(scale).cast("long").alias("fx"),
-    ).localCheckpoint(eager=True)
+    # The propagation state is vocabulary-bounded — (states x states)
+    # edges per variant, a few dozen rows here — but expressing the
+    # ``steps`` rounds as DataFrame ops costs a shuffle stage (or an
+    # eagerly checkpointed round job) per round: measured at 64 tiny
+    # jobs / ~14 s for 35-row frames, the most scheduler-noise-exposed
+    # plan in the catalog (VERDICT r10 #7's 4.6 s -> 38 s outlier
+    # class). This is the custom-small-iterative-state case the
+    # applyInPandas escape hatch exists for: ONE shuffle groups each
+    # variant's edges, and the rounds run as in-memory integer
+    # arithmetic inside the group — per-edge ``(mass * p) // scale``
+    # truncation then per-dst summation, exactly the unrolled SQL's
+    # semantics (Python int // on non-negative ints == SQL div), so
+    # the oracle is untouched. Parallelism is per variant — at a
+    # 1000-channel vocabulary the 1001 variant propagations fan out
+    # across executors instead of serializing through ~8x that many
+    # driver-synchronized stages. Mass in a state whose outgoing edges
+    # were dropped (unreachable in a removal variant) has no edge row —
+    # residual dropped identically to the oracle's unroll; absorbing
+    # states carry an explicit p = 1.0 self-loop (fx * scale // scale
+    # = fx, bit-identical to passing the mass through untouched).
     absorbing = ("__conv__", "__null__")
-    for _ in range(steps):
-        done = mass.filter(F.col("state").isin(*absorbing))
-        moved = (
-            mass.filter(~F.col("state").isin(*absorbing))
-            .alias("m")
-            .join(
-                edges.alias("e"),
-                (F.col("m.variant") == F.col("e.variant"))
-                & (F.col("m.state") == F.col("e.src")),
-            )
-            .select(
-                F.col("m.variant").alias("variant"),
-                F.col("e.dst").alias("state"),
-                F.expr(f"m.fx * e.p_fx div {scale}").cast("long").alias("fx"),
-            )
+    selfloops = F.broadcast(variants).crossJoin(
+        events.sparkSession.createDataFrame(
+            [(s,) for s in absorbing], "state string"
         )
-        mass = (
-            done.unionByName(moved)
-            .groupBy("variant", "state")
-            .agg(F.sum("fx").cast("long").alias("fx"))
-            .localCheckpoint(eager=True)
+    ).select(
+        "variant",
+        F.col("state").alias("src"),
+        F.col("state").alias("dst"),
+        F.lit(scale).cast("long").alias("p_fx"),
+    )
+    edges = edges.unionByName(selfloops)
+
+    def _propagate(pdf):
+        import pandas as pd
+
+        variant = pdf["variant"].iloc[0]
+        edge_list = [
+            (s, d, int(p))
+            for s, d, p in zip(pdf["src"], pdf["dst"], pdf["p_fx"])
+        ]
+        mass = {"__start__": scale}
+        for _ in range(steps):
+            nxt: dict = {}
+            for s, d, p in edge_list:
+                fx = mass.get(s)
+                if fx:
+                    nxt[d] = nxt.get(d, 0) + (fx * p) // scale
+            mass = nxt
+        return pd.DataFrame(
+            {
+                "variant": [variant] * len(mass),
+                "state": list(mass.keys()),
+                "fx": [int(v) for v in mass.values()],
+            }
         )
-    pconv = mass.filter(F.col("state") == "__conv__").select(
-        "variant", F.col("fx").alias("p_conv_fx")
+
+    mass = edges.groupBy("variant").applyInPandas(
+        _propagate, schema="variant string, state string, fx long"
+    )
+    # tiny (one row per variant) and consumed twice (full + per-channel
+    # join): materialize so the propagation stage runs once
+    pconv = (
+        mass.filter(F.col("state") == "__conv__")
+        .select("variant", F.col("fx").alias("p_conv_fx"))
+        .localCheckpoint(eager=True)
     )
     full = pconv.filter(F.col("variant") == "__none__").select(
         F.col("p_conv_fx").alias("p_conv_full_fx")
