@@ -1804,10 +1804,11 @@ def rp_lsh_near_dup_pairs(
     BETTER than the old 4x12 disjoint banding's 0.9994, and exactly 1.0
     for exact duplicates (identical vectors have identical signatures) —
     while an UNRELATED pair (p ~ 0.5) is a candidate w.p.
-    P(Binomial(8, 2^-6) >= 4) ~ 4e-6, 117x below the old layout's 2^-12
-    noise floor that made candidate volume quadratic-damped-by-4096
-    (visible as ~0.1% of ALL pairs reaching the rerank — real money at
-    10^8 vectors). This pruning argument holds ONLY in the
+    P(Binomial(8, 2^-6) >= 4) ~ 3.9e-6 — ~250x below the old 4x12
+    layout's aggregate candidate rate 1-(1-2^-12)^4 ~ 9.8e-4 (and ~62x
+    below even a single band's 2^-12), the noise floor that made
+    candidate volume quadratic-damped-by-4096 (visible as ~0.1% of ALL
+    pairs reaching the rerank — real money at 10^8 vectors). This pruning argument holds ONLY in the
     high-threshold (true near-duplicate) regime: at mid thresholds
     (t <~ 0.7) the signal bit-match rate ~0.65 is too close to the 0.5
     noise floor, and any layout loose enough to recall also admits most
@@ -1831,7 +1832,12 @@ def rp_lsh_near_dup_pairs(
     sigs = vecs.select(
         "id", rp_signature_col("v", rp_planes(bits, dim, seed)).alias("sig")
     ).localCheckpoint(eager=True)
-    rows = explode_block_keys(sigs, "id", "sig", bits, blocks, key_blocks)
+    # the candidate join needs only (id, table, key): drop the sig the
+    # exploder carries for Hamming verification — with C(8,4) = 70 rows
+    # per vector it would otherwise ride the shuffle 70x per input
+    rows = explode_block_keys(
+        sigs, "id", "sig", bits, blocks, key_blocks
+    ).select("id", "table", "key")
     a, b = rows.alias("a"), rows.alias("b")
     cand = (
         a.join(

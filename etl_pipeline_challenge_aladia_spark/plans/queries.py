@@ -6642,8 +6642,9 @@ SELECT * FROM scored WHERE cos_sim >= {threshold}
     "signatures, so recall on exact dups is 1.0 by construction; recall "
     "at cosine t is exactly P(Binomial(8, p^6) >= 4) with p = "
     "1-acos(t)/pi — ~0.9998 at t=0.999, above the pre-r10 4x12 disjoint "
-    "banding's 0.9994 — while a RANDOM pair is a candidate w.p. ~4e-6, "
-    "117x below the old 2^-12 noise floor that let ~0.1% of ALL pairs "
+    "banding's 0.9994 — while a RANDOM pair is a candidate w.p. "
+    "~3.9e-6, ~250x below the old 4-table layout's aggregate "
+    "1-(1-2^-12)^4 ~ 9.8e-4 rate that let ~0.1% of ALL pairs "
     "reach the rerank (the quadratic-damped class the r10 layout rewrite "
     "eliminates engine-wide). Training-free (no centroid pass), so it "
     "composes with streaming ingest; the mid-similarity regime belongs to "

@@ -141,9 +141,14 @@ def test_layout_tradeoff_invariant_ball_decreasing_noise(spark):
     )
     assert [(r.blocks, r.key_blocks) for r in rows] == [(4, 1), (6, 3), (8, 5)]
     assert len({r.n_verified for r in rows}) == 1
-    assert (
-        rows[0].n_candidates >= rows[1].n_candidates >= rows[2].n_candidates
-    )
+    # (4,1)'s 16-bit keys are the loosest admission rule by a wide
+    # margin, so it should dominate the tighter-key layouts on ANY
+    # fixture. The (6,3)-vs-(8,5) ordering, by contrast, is NOT implied
+    # by the pigeonhole guarantee (different block partitions don't nest
+    # their candidate sets), so it is deliberately not asserted — a
+    # regenerated fixture could legitimately flip it (r10 ADVICE #3).
+    assert rows[0].n_candidates >= rows[1].n_candidates
+    assert rows[0].n_candidates >= rows[2].n_candidates
     assert all(r.n_candidates >= r.n_verified for r in rows)
 
 
