@@ -4830,6 +4830,56 @@ def q_emb_semantic_dedup_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_dedup_injected(spark, sf_dir, route="flat")
 
 
+def _semantic_route_decision_oracle_sql() -> str:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        SEMANTIC_ROUTE_THRESHOLD as _T,
+    )
+
+    fold_vec = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH v AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 FROM embeddings WHERE {fold_vec} % 1000 < 100
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST({_T} AS BIGINT) AS route_threshold,
+       CASE WHEN count(*) >= {_T} THEN 'hier' ELSE 'flat' END AS route
+FROM v"""
+
+
+@query(
+    "emb_semantic_route_decision",
+    _semantic_route_decision_oracle_sql(),
+    doc="The semantic-dedup ROUTING decision as auditable data (the "
+    "doc_simhash_layout_tradeoff pattern applied to plan routing): the "
+    "corpus size emb_semantic_dedup's route=\"auto\" prices (the same "
+    "base-plus-injected count that prices auto-k), the measured "
+    "8192-vector crossover threshold "
+    "(operators/similarity.py:SEMANTIC_ROUTE_THRESHOLD — bracketed by "
+    "the bench rungs: flat wins at 2.2k vectors, loses at 22k; "
+    "exponents n^1.34 vs n^1.13 on the 100x ladder), and the route the "
+    "engine therefore ships. The oracle replays the count and the "
+    "CASE, so the driver hash-checks that the decision rule itself — "
+    "not just the dedup output — is what the docs claim at every "
+    "scale factor.",
+)
+def q_emb_semantic_route_decision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        SEMANTIC_ROUTE_THRESHOLD,
+        resolve_semantic_route,
+    )
+
+    base, injected = _injection_scenario(spark, sf_dir)
+    n = base.unionByName(injected).count()
+    return spark.createDataFrame(
+        [(n, SEMANTIC_ROUTE_THRESHOLD, resolve_semantic_route("auto", n))],
+        "n_vectors long, route_threshold long, route string",
+    )
+
+
 def _injection_scenario(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
