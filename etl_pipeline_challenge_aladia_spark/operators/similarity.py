@@ -2028,7 +2028,7 @@ SEMANTIC_ROUTE_THRESHOLD = 8192
 
 
 def resolve_semantic_route(
-    route: str, n: int, threshold: int = SEMANTIC_ROUTE_THRESHOLD
+    route: str, n: int, threshold: int | None = None
 ) -> str:
     """Resolve ``route="auto"`` to a physical assignment strategy from
     the corpus size — the measured-decision pattern (``auto_semantic_k``,
@@ -2037,9 +2037,14 @@ def resolve_semantic_route(
     win; at or above it the two-level router's lower growth exponent
     does, and the gap widens every decade (n^1.13 vs n^1.34 — SCALING.md
     100x ladder). Explicit routes pass through untouched, so
-    ``route="flat"`` remains the exact audit variant at any scale."""
+    ``route="flat"`` remains the exact audit variant at any scale.
+    ``threshold=None`` reads the module constant at CALL time, so a
+    deployment (or test) overriding ``SEMANTIC_ROUTE_THRESHOLD`` moves
+    every auto-routed caller together."""
     if route != "auto":
         return route
+    if threshold is None:
+        threshold = SEMANTIC_ROUTE_THRESHOLD
     return "hier" if n >= threshold else "flat"
 
 
@@ -2051,7 +2056,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     route: str = "auto",
-    route_threshold: int = SEMANTIC_ROUTE_THRESHOLD,
+    route_threshold: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: k-means cells bound the
     pairwise comparison, then within each cell a vector is a DUPLICATE if
@@ -2225,7 +2230,7 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     route: str = "flat",
-    route_threshold: int = SEMANTIC_ROUTE_THRESHOLD,
+    route_threshold: int | None = None,
 ) -> DataFrame:
     """Incremental semantic dedup — the delta-vs-corpus form 100-TB
     pipelines actually run at ingest time: train the coarse quantizer

@@ -336,15 +336,25 @@ def train_and_save_quantizer(
     version: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    route: str = "auto",
 ) -> None:
     """Train the deterministic coarse quantizer and publish it with its
-    occupancy baseline — the bootstrap step of the monitored ingest."""
+    occupancy baseline — the bootstrap step of the monitored ingest.
+    ``route="auto"`` (default) applies the same measured routing rule
+    as batch semantic dedup (operators/similarity.py:
+    resolve_semantic_route): flat Lloyd assignment below the
+    8192-vector crossover, two-level-routed at or above it — a
+    retrain-after-drift at corpus scale should not silently pay the
+    flat plan's measured n^1.34 curve."""
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         kmeans_with_centroids,
+        resolve_semantic_route,
     )
 
+    if route == "auto":
+        route = resolve_semantic_route("auto", embeddings.count())
     assigned, cents = kmeans_with_centroids(
-        embeddings, k=k, id_col=id_col, vec_col=vec_col
+        embeddings, k=k, id_col=id_col, vec_col=vec_col, route=route
     )
     baseline = assigned.groupBy(
         F.col("cluster").cast("int").alias("cell")

@@ -122,3 +122,33 @@ def test_incremental_auto_routes_on_corpus_count(spark, monkeypatch):
         corpus, delta, vec_col="e", route="auto", route_threshold=41
     )
     assert seen == ["flat", "hier"]
+
+
+def test_quantizer_bootstrap_auto_routes(spark, tmp_path, monkeypatch):
+    """The streaming ingest's training bootstrap applies the same
+    measured routing rule as batch semantic dedup: flat below the
+    crossover, two-level-routed above (spied via the assignment call's
+    route argument with the module constant patched around the fixture
+    size)."""
+    from etl_pipeline_challenge_aladia_spark.streaming import (
+        embeddings as se,
+    )
+
+    corpus = _corpus(spark)  # 61 vectors
+    seen: list[str] = []
+    real = sim.kmeans_with_centroids
+
+    def spy(*a, **kw):
+        seen.append(kw.get("route", "flat"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "kmeans_with_centroids", spy)
+    monkeypatch.setattr(sim, "SEMANTIC_ROUTE_THRESHOLD", 61)
+    se.train_and_save_quantizer(
+        corpus, k=4, store_path=str(tmp_path / "q1"), vec_col="e"
+    )
+    monkeypatch.setattr(sim, "SEMANTIC_ROUTE_THRESHOLD", 62)
+    se.train_and_save_quantizer(
+        corpus, k=4, store_path=str(tmp_path / "q2"), vec_col="e"
+    )
+    assert seen == ["hier", "flat"]
