@@ -37,6 +37,21 @@ PICKS = {
     "apply pass is a SINGLE shuffle-free projection: all merges composed "
     "into one nested replace in training order — rounds x corpus scans "
     "collapse to one map over documents",
+    "events_markov_removal_attribution": "ONE corpus-sized segment (the "
+    "user-partitioned journey windows into the checkpointed transition "
+    "aggregate); everything after is vocabulary-bounded — the variant "
+    "edge tables build through BROADCAST nested-loop products (never a "
+    "partitions-squared CartesianProduct) and the entire 8-round mass "
+    "propagation is a single (variant)-grouped applyInPandas stage "
+    "(exact integer arithmetic in-group), so the plan has no per-round "
+    "jobs to absorb scheduler noise — the r10 38 s session-outlier "
+    "class closed by construction (measured 64 jobs -> 21, "
+    "14.9 -> 3.4 s min-of-3 at identical config)",
+    "emb_rp_lsh_near_dup": "skinny (id, sig) checkpoint feeds a "
+    "posexplode projected to (id, table, key) — the 70-rows-per-vector "
+    "index never carries the signature payload through the candidate "
+    "shuffle; candidates dedup as bare id-pairs BEFORE the wide vectors "
+    "rejoin for the exact cosine rerank",
     "emb_mutual_knn_ivf": "cells-sized centroid table broadcast (BNLJ by "
     "design), then a (cell, pblock, mblock)-keyed shuffle into a per-TILE "
     "applyInPandas BLAS GEMM — candidate scoring never runs the "
