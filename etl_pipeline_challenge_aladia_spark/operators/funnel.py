@@ -267,7 +267,13 @@ def markov_removal_attribution(
             nxt: dict = {}
             for s, d, p in edge_list:
                 fx = mass.get(s)
-                if fx:
+                # `is not None`, NOT truthiness: the unrolled oracle
+                # carries fx=0 rows through every round (its absorbing
+                # pass-through has no fx>0 filter), so a zero-mass state
+                # must keep propagating zeros — otherwise a graph whose
+                # __conv__ mass truncates to exactly 0 mid-walk returns
+                # no row where the oracle returns an all-zero row.
+                if fx is not None:
                     nxt[d] = nxt.get(d, 0) + (fx * p) // scale
             mass = nxt
         return pd.DataFrame(

@@ -4776,9 +4776,57 @@ GROUP BY dup_id"""
     )
 
 
+def _semantic_dedup_route_aware_oracle_sql(
+    iters: int = 3,
+    threshold: float = 0.95,
+    route_threshold: int | None = None,
+) -> str:
+    """The AUTO-ROUTED twin of ``_semantic_dedup_oracle_sql``: replays
+    ``resolve_semantic_route`` itself. Both exact unrolls (flat and
+    two-level hier) are emitted as derived tables, each gated on the
+    SAME widened-corpus count the engine prices (base + injected twins),
+    with the engine's exact comparison (``n >= threshold`` routes hier)
+    — so the driver's hash-check on the route="auto" catalog entry is
+    exact on BOTH sides of the crossover at every scale factor, not
+    just below it (closes ADVICE r11 high: the static flat oracle
+    diverged from the routed plan at or above 8192 vectors). DuckDB
+    evaluates the branch whose gate is false as an empty scan of the
+    same unroll, so the oracle pays up to 2x the single-route cost —
+    an oracle-side-only price; the engine runs exactly one route."""
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        sql_md5_fold32 as _fold,
+    )
+
+    if route_threshold is None:
+        from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+            SEMANTIC_ROUTE_THRESHOLD,
+        )
+
+        route_threshold = SEMANTIC_ROUTE_THRESHOLD
+    fold_vec = _fold("CAST(vec_id AS VARCHAR)")
+    n_sql = f"""(SELECT count(*) FROM (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 FROM embeddings WHERE {fold_vec} % 1000 < 100))"""
+    flat_sql = _semantic_dedup_oracle_sql(
+        iters=iters, threshold=threshold, route="flat"
+    )
+    hier_sql = _semantic_dedup_oracle_sql(
+        iters=iters, threshold=threshold, route="hier"
+    )
+    return f"""
+SELECT * FROM (
+{flat_sql}
+) WHERE {n_sql} < {route_threshold}
+UNION ALL
+SELECT * FROM (
+{hier_sql}
+) WHERE {n_sql} >= {route_threshold}"""
+
+
 @query(
     "emb_semantic_dedup",
-    _semantic_dedup_oracle_sql(),
+    _semantic_dedup_route_aware_oracle_sql(),
     doc="SemDeDup-shaped semantic deduplication "
     "(operators/similarity.py:semantic_dedup) as a duplicate-injection "
     "audit: 10% of the corpus re-appears under new ids with a tiny "
@@ -4794,18 +4842,18 @@ GROUP BY dup_id"""
     "at or above it — the measured crossover where hier's n^1.13 "
     "exponent beats flat's n^1.34 constants, SCALING.md 100x ladder), "
     "so the shipped default can no longer land on the super-linear flat "
-    "curve at corpus scale. The oracle replays injection + the unrolled "
-    "FLAT fixed-point k-means (shared _kmeans_cte_prefix with the SAME "
-    "auto-k as a dynamic LIMIT subquery) + the in-cell sweep — exact "
-    "below the route threshold where the correctness gate runs. ABOVE "
-    "the threshold the entry is bit-for-bit the hier plan, whose exact "
-    "unroll is emb_semantic_dedup_hier's oracle (at-scale parity checks "
-    "of the routed entry go there). The two strategies' outputs differ "
-    "only where a true near-pair straddles a flat cell boundary — "
-    "measured at the 22k-vector rung: hier returned a strict SUPERSET "
-    "(one additional injected twin recovered, 1971 vs 1970 rows), i.e. "
-    "the router's coarser super-cell boundaries lost no duplicates "
-    "there.",
+    "curve at corpus scale. The oracle is ROUTE-AWARE "
+    "(_semantic_dedup_route_aware_oracle_sql): it replays injection + "
+    "resolve_semantic_route itself — both exact unrolls (flat and "
+    "two-level hier, each with the SAME auto-k as a dynamic LIMIT "
+    "subquery) gated on the same widened-corpus count the engine "
+    "prices, n >= 8192 routing hier — so the driver hash-check is "
+    "exact on BOTH sides of the crossover at every scale factor, not "
+    "just below it. The two strategies' outputs differ only where a "
+    "true near-pair straddles a flat cell boundary — measured at the "
+    "22k-vector rung: hier returned a strict SUPERSET (one additional "
+    "injected twin recovered, 1971 vs 1970 rows), i.e. the router's "
+    "coarser super-cell boundaries lost no duplicates there.",
 )
 def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the re-embedding scenario: 10% of the corpus re-appears under new ids
@@ -14488,6 +14536,7 @@ def bpe_apply_stored(
     deployment points this at a durable path and SKIPS the training
     call on every subsequent job — the cost split the query doc
     describes). Output — and oracle — identical to ``bpe_apply``."""
+    import shutil
     import tempfile
 
     from etl_pipeline_challenge_aladia_spark.streaming.bpe import (
@@ -14497,8 +14546,15 @@ def bpe_apply_stored(
 
     docs = load_table(spark, sf_dir, "documents")
     store = tempfile.mkdtemp(prefix="bpe_merges_store_")
-    train_and_save_bpe_merges(docs, store, rounds=rounds)
-    return bpe_apply_from_store(spark, docs, store)
+    try:
+        train_and_save_bpe_merges(docs, store, rounds=rounds)
+        # bpe_apply_from_store reads the store EAGERLY (the bounded
+        # k-row driver collect) and the returned plan references only
+        # ``docs``, so the scratch store is safe to reclaim here — no
+        # leaked per-run directory.
+        return bpe_apply_from_store(spark, docs, store)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 @query(

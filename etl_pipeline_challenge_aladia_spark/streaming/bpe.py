@@ -66,11 +66,18 @@ def train_and_save_bpe_merges(
 
 
 def latest_bpe_epoch(store_path: str) -> int:
-    """The newest trained epoch id, or -1 for an empty store."""
+    """The newest trained epoch id, or -1 for an empty store. Computed
+    as the NUMERIC max — ``batch_dirs`` sorts directory names
+    lexicographically, where ``batch=10`` sorts before ``batch=2``, so
+    taking ``[-1]`` would silently pin readers to epoch 9 forever from
+    the 10th retrain on (breaking both the epoch-supersede contract and
+    the rebuild-from-live erasure path)."""
     dirs = batch_dirs(store_path)
     if not dirs:
         return -1
-    return int(os.path.basename(dirs[-1]).split("=", 1)[1])
+    return max(
+        int(os.path.basename(d).split("=", 1)[1]) for d in dirs
+    )
 
 
 def read_bpe_merges(

@@ -110,3 +110,50 @@ def test_retrain_epoch_supersedes_not_unions(spark, tmp_path):
 def test_empty_store_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_bpe_merges(spark, str(tmp_path / "nope"))
+
+
+def test_latest_epoch_is_numeric_not_lexicographic(spark, tmp_path):
+    """ADVICE r11 medium: ``batch=10`` sorts lexicographically BEFORE
+    ``batch=2``, so a name-sorted ``[-1]`` pins readers to epoch 9
+    forever from the 10th retrain on — latest_bpe_epoch must take the
+    NUMERIC max, and reads must reach the double-digit epoch (the
+    rebuild-from-live erasure path depends on it: a post-erasure
+    retrain that is never read is an erasure that never happened)."""
+    from etl_pipeline_challenge_aladia_spark.streaming.store import (
+        append_batch,
+    )
+    from etl_pipeline_challenge_aladia_spark.streaming.bpe import (
+        BPE_MERGES_SCHEMA,
+    )
+
+    p = str(tmp_path / "bpe")
+    # raw store appends (training is irrelevant to the ordering bug):
+    # each epoch's table carries its own id in `merged` so reads are
+    # attributable
+    for ep in range(11):
+        tbl = spark.createDataFrame(
+            [(1, "a b", f"epoch{ep}", 1)], BPE_MERGES_SCHEMA
+        )
+        append_batch(tbl, p, ep)
+    assert latest_bpe_epoch(p) == 10
+    got = read_bpe_merges(spark, p).collect()
+    assert [r.merged for r in got] == ["epoch10"]
+
+
+def test_cataloged_stored_apply_reclaims_scratch_store(spark):
+    """ADVICE r11 low: the cataloged doc_bpe_apply_stored entry lands
+    its store in a per-run scratch directory; that directory (and its
+    parquet contents) must be reclaimed before the query returns — the
+    apply side reads the store eagerly (bounded k-row collect), so the
+    returned plan no longer references it."""
+    import glob
+    import tempfile
+
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+    from tests.conftest import SF_DIR
+
+    pat = os.path.join(tempfile.gettempdir(), "bpe_merges_store_*")
+    before = set(glob.glob(pat))
+    df = CATALOG["doc_bpe_apply_stored"].spark(spark, SF_DIR)
+    assert set(glob.glob(pat)) == before  # no leaked scratch store
+    assert df.count() > 0  # and the plan still evaluates after cleanup

@@ -152,3 +152,58 @@ def test_quantizer_bootstrap_auto_routes(spark, tmp_path, monkeypatch):
         corpus, k=4, store_path=str(tmp_path / "q2"), vec_col="e"
     )
     assert seen == ["hier", "flat"]
+
+
+def test_route_aware_oracle_follows_the_routing_rule():
+    """ADVICE r11 high: the cataloged emb_semantic_dedup entry runs
+    route="auto", so its DuckDB oracle must replay the routing rule
+    rather than pin the flat unroll (above the crossover the engine runs
+    the hier plan, whose output provably differs — 1971 vs 1970 rows at
+    the 22k rung). The route-aware SQL gates BOTH exact unrolls on the
+    same widened-corpus count the engine prices: below the threshold it
+    reproduces the flat oracle bit-for-bit, and with the threshold
+    generated at 1 (every corpus routes hier) it reproduces the hier
+    oracle bit-for-bit — on the same embeddings table DuckDB run."""
+    import duckdb
+
+    from etl_pipeline_challenge_aladia_spark.plans.queries import (
+        _semantic_dedup_oracle_sql,
+        _semantic_dedup_route_aware_oracle_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+
+    def run(sql):
+        df = con.execute(sql).fetchdf()
+        return df[sorted(df.columns)].sort_values(
+            by=sorted(df.columns), ignore_index=True
+        )
+
+    flat = run(_semantic_dedup_oracle_sql(route="flat"))
+    hier = run(_semantic_dedup_oracle_sql(route="hier"))
+    # sf0.001's widened corpus is far below the 8192 crossover: the
+    # route-aware oracle must take the flat branch here
+    assert run(_semantic_dedup_route_aware_oracle_sql()).equals(flat)
+    # threshold 1 => every corpus routes hier: the same SQL shape must
+    # reproduce the hier unroll exactly
+    assert run(
+        _semantic_dedup_route_aware_oracle_sql(route_threshold=1)
+    ).equals(hier)
+
+
+def test_cataloged_default_oracle_is_route_aware():
+    """The shipped catalog entry must carry the route-aware oracle: both
+    branch gates and the module threshold appear in the SQL the driver
+    runs (a regression back to the static flat unroll re-opens the
+    at-or-above-crossover hash mismatch)."""
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    sql = CATALOG["emb_semantic_dedup"].oracle
+    assert f"< {SEMANTIC_ROUTE_THRESHOLD}" in sql
+    assert f">= {SEMANTIC_ROUTE_THRESHOLD}" in sql
+    assert "UNION ALL" in sql
