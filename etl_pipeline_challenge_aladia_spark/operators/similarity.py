@@ -2269,6 +2269,54 @@ def semantic_dedup_incremental(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    k: int | None = None,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    route: str = "auto",
+    route_threshold: int | None = None,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the paraphrase-leakage
+    screen the n-gram decontaminator (operators/text.py:
+    contamination_overlap, cataloged as doc_decontaminate) structurally
+    misses: a training document that restates an eval/benchmark item in
+    different words shares no 4-gram but sits at near-identical
+    EMBEDDING cosine. Cluster the eval set once (it is the small,
+    frozen side — thousands of rows against a 100 TB train corpus),
+    route every train vector onto the frozen eval quantizer (one
+    broadcast argmin, linear in train), and compare each train vector
+    only against its routed cell's eval members — exactly the
+    ``semantic_dedup_incremental`` screen with corpus=eval, delta=train,
+    so cost is |train| x (k + avg cell size), never |train| x |eval|.
+
+    Output: one row per LEAKED train vector —
+    ``(id_col, matched_eval_id = min matching eval id, cosine = max
+    cosine over matching eval rows)``. Reference analog: none (the
+    reference has no similarity machinery, SURVEY.md §2); this is the
+    embedding-side half of the decontamination story LLM data pipelines
+    run before training."""
+    out = semantic_dedup_incremental(
+        eval_set,
+        train,
+        k=k,
+        iters=iters,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        route=route,
+        route_threshold=route_threshold,
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("canonical_id").alias("matched_eval_id"),
+        F.col("max_cos").alias("cosine"),
+    )
+
+
 def tune_nprobe(
     embeddings: DataFrame,
     queries: DataFrame,

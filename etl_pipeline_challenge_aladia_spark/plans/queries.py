@@ -5114,6 +5114,250 @@ def q_emb_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     return semantic_dedup_incremental(base, injected, vec_col="e", route="hier")
 
 
+def _decontamination_scenario(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The planted-paraphrase fixture of the semantic-decontamination
+    family: (train corpus, eval set) where eval = the deterministic
+    id-hash 10% tail (bucket >= 900), train = the other 90% PLUS planted
+    paraphrases — the eval rows in bucket >= 950 re-appearing in train
+    under ids +200000 with the 1±0.001 per-dimension tilt (the
+    _injection_scenario re-embedding twin: cosine ~0.999997 to the eval
+    original, i.e. a restatement the n-gram screen cannot see)."""
+    from etl_pipeline_challenge_aladia_spark.functions.hashing import (
+        md5_fold32_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+        to_double_array,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("e")
+    )
+    bucket = md5_fold32_col(F.col("vec_id").cast("string")) % 1000
+    eval_set = base.filter(bucket >= 900)
+    planted = base.filter(bucket >= 950).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        "label",
+        F.transform(
+            "e",
+            lambda x, i: x
+            * (F.lit(1.0) + F.lit(0.001) * ((i % F.lit(3)) - F.lit(1)).cast("double")),
+        ).alias("e"),
+    )
+    train = base.filter(bucket < 900).unionByName(planted)
+    return train, eval_set
+
+
+def _semantic_decontaminate_oracle_sql(
+    iters: int = 3, threshold: float = 0.95, route: str = "flat",
+) -> str:
+    """Unrolled twin of ``semantic_decontaminate`` on the planted-
+    paraphrase fixture: k-means trains on the EVAL split only (auto-k
+    from the eval count), every train vector gets one flat argmin
+    against the frozen routing table c{iters-1}, and the in-cell sweep
+    keeps train-eval pairs at cosine >= threshold — the
+    ``_semantic_dedup_incremental_oracle_sql`` shape with corpus=eval,
+    delta=train and leak-speaking output names."""
+    fold_vec = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
+    v_ctes = f"""allv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {fold_vec} % 1000 AS bkt
+  FROM embeddings
+),
+v AS (SELECT vec_id, e FROM allv WHERE bkt >= 900),
+vd AS (
+  SELECT vec_id, e FROM allv WHERE bkt < 900
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id,
+         list_transform(range(len(e)), i -> e[i+1] * (1 + 0.001 * ((i % 3) - 1))) AS e
+  FROM allv WHERE bkt >= 950
+)"""
+    k_expr = (
+        "(SELECT greatest(32, least(count(*), CAST(floor(sqrt(count(*) "
+        f"/ {float(iters)})) AS BIGINT))) FROM v)"
+    )
+    fxd = (
+        "sum(CAST(floor((evd.val - c.cv) * (evd.val - c.cv) * 100000000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    prefix = (
+        _kmeans_cte_prefix_hier if route == "hier" else _kmeans_cte_prefix
+    )
+    return (
+        prefix(k_expr, iters, v_ctes=v_ctes)
+        + f""",
+evd AS (SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM vd),
+dd AS (
+  SELECT evd.vec_id, c.cluster, {fxd} AS fx
+  FROM evd JOIN c{iters - 1} c USING (dim) GROUP BY evd.vec_id, c.cluster
+),
+ad AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fx, cluster) AS rn
+    FROM dd) WHERE rn = 1
+),
+mc AS (SELECT a.vec_id, a.cluster, v.e FROM a{iters} a JOIN v USING (vec_id)),
+md AS (SELECT ad.vec_id, ad.cluster, vd.e FROM ad JOIN vd USING (vec_id)),
+p AS (
+  SELECT d.vec_id AS dup_id, c.vec_id AS keep_id,
+         {_s4('list_cosine_similarity(d.e, c.e)')} AS cos_sim
+  FROM md d JOIN mc c ON d.cluster = c.cluster
+)
+SELECT dup_id AS vec_id,
+       CAST(min(keep_id) AS BIGINT) AS matched_eval_id,
+       max(cos_sim) AS cosine
+FROM p WHERE cos_sim >= {threshold}
+GROUP BY dup_id"""
+    )
+
+
+def _semantic_decontaminate_route_aware_oracle_sql(
+    iters: int = 3,
+    threshold: float = 0.95,
+    route_threshold: int | None = None,
+) -> str:
+    """Route-aware wrapper for the decontamination oracle — same
+    contract as ``_semantic_dedup_route_aware_oracle_sql``, gated on the
+    EVAL-set count (the corpus the quantizer trains on, hence the count
+    ``resolve_semantic_route`` prices in the engine)."""
+    if route_threshold is None:
+        from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+            SEMANTIC_ROUTE_THRESHOLD,
+        )
+
+        route_threshold = SEMANTIC_ROUTE_THRESHOLD
+    fold_vec = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
+    n_sql = (
+        f"(SELECT count(*) FROM embeddings WHERE {fold_vec} % 1000 >= 900)"
+    )
+    flat_sql = _semantic_decontaminate_oracle_sql(
+        iters=iters, threshold=threshold, route="flat"
+    )
+    hier_sql = _semantic_decontaminate_oracle_sql(
+        iters=iters, threshold=threshold, route="hier"
+    )
+    return f"""
+SELECT * FROM (
+{flat_sql}
+) WHERE {n_sql} < {route_threshold}
+UNION ALL
+SELECT * FROM (
+{hier_sql}
+) WHERE {n_sql} >= {route_threshold}"""
+
+
+@query(
+    "emb_semantic_decontaminate",
+    _semantic_decontaminate_route_aware_oracle_sql(),
+    doc="SEMANTIC benchmark decontamination (operators/similarity.py:"
+    "semantic_decontaminate) — the paraphrase-leakage screen "
+    "doc_decontaminate's n-gram join structurally misses: training "
+    "items that RESTATE an eval/benchmark row share no 4-gram but sit "
+    "at near-identical embedding cosine. Fixture: eval = the id-hash "
+    "10% tail, train = the other 90% plus planted paraphrase twins of "
+    "half the eval rows (ids +200000, the 1±0.001 tilt — cosine "
+    "~0.999997 to their eval originals; organic train-eval cosine tops "
+    "out ~0.51, so threshold 0.95 recovers exactly the planted rows). "
+    "Shape: the EVAL side is the small frozen one — cluster it once "
+    "(auto-k, auto-ROUTE from the eval count; the oracle is "
+    "route-aware like emb_semantic_dedup's), broadcast-argmin every "
+    "train vector onto the frozen cells, compare only in-cell — "
+    "|train| x (k + cell size), so the 100 TB train corpus streams "
+    "through one linear screen against a benchmark index that fits in "
+    "executor memory. Output: (vec_id, matched_eval_id, cosine) per "
+    "leaked train row.",
+)
+def q_emb_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    train, eval_set = _decontamination_scenario(spark, sf_dir)
+    return semantic_decontaminate(
+        train.select("vec_id", "e"),
+        eval_set.select("vec_id", "e"),
+        vec_col="e",
+        route="auto",
+    )
+
+
+def _leakage_rate_oracle_sql() -> str:
+    """The decontamination screen re-used as a leaked-id set, joined
+    back to the train split and rolled up by label: per label, how much
+    of the training corpus is benchmark leakage. Rate in integer
+    permille (floor division on non-negatives, engine-identical)."""
+    fold_vec = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
+    inner = _semantic_decontaminate_route_aware_oracle_sql()
+    return f"""
+WITH lab AS (
+  SELECT vec_id, label, {fold_vec} % 1000 AS bkt FROM embeddings
+),
+trn AS (
+  SELECT vec_id, label FROM lab WHERE bkt < 900
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id, label FROM lab WHERE bkt >= 950
+),
+leaked AS (SELECT vec_id FROM (
+{inner}
+))
+SELECT trn.label,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(count(leaked.vec_id) AS BIGINT) AS n_leaked,
+       CAST(count(leaked.vec_id) * 1000 // count(*) AS BIGINT)
+         AS leak_permille
+FROM trn LEFT JOIN leaked USING (vec_id)
+GROUP BY trn.label"""
+
+
+@query(
+    "emb_leakage_rate_by_label",
+    _leakage_rate_oracle_sql(),
+    doc="Leakage-rate rollup over the semantic-decontamination screen: "
+    "per label (the corpus' source/domain axis), the share of training "
+    "rows flagged as benchmark paraphrases — the go/no-go report a "
+    "data curator reads before training (a label leaking at 100 "
+    "permille is a collection-pipeline bug, not noise). Same screen as "
+    "emb_semantic_decontaminate (route-aware oracle), left-joined back "
+    "to the train split and aggregated; rate is integer permille "
+    "(floor div on non-negatives, engine-identical). Scale shape: the "
+    "screen's linear pass + one label-grain aggregate with map-side "
+    "partials.",
+)
+def q_emb_leakage_rate_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    train, eval_set = _decontamination_scenario(spark, sf_dir)
+    leaked = semantic_decontaminate(
+        train.select("vec_id", "e"),
+        eval_set.select("vec_id", "e"),
+        vec_col="e",
+        route="auto",
+    ).select("vec_id", F.lit(1).alias("leak"))
+    return (
+        train.join(leaked, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.sum(F.coalesce("leak", F.lit(0))).cast("long").alias("n_leaked"),
+        )
+        .select(
+            "label",
+            "n_train",
+            "n_leaked",
+            F.expr("n_leaked * 1000 div n_train")
+            .cast("long")
+            .alias("leak_permille"),
+        )
+    )
+
+
 @query(
     "emb_hard_negatives",
     f"""
