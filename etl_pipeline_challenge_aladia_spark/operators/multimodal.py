@@ -526,7 +526,20 @@ def _real_image_dims(i: int) -> tuple[int, int]:
 
 
 def _real_audio_n(i: int) -> int:
-    return 200 + 3 * i
+    """Audio sample count for media id ``i`` — BOUNDED past the golden
+    block: block 0 keeps the original ``200 + 3*i`` ramp (the n=48
+    oracle VALUES are generated from it), later blocks reuse the same
+    within-block ramp plus a per-block jitter lane from the splitmix64
+    spread. The original formula let the payload grow with the id, so
+    total fixture bytes were O(n^2) — at the 100x ladder rung (48k
+    rows) the audio side alone was ~2.3 GB and made every media
+    query's input build super-linear. Bounded lengths keep fixture
+    bytes linear in n, which is how a real corpus scales: more clips,
+    not ever-longer ones."""
+    blk = i // MEDIA_BLOCK
+    if blk == 0:
+        return 200 + 3 * i
+    return 200 + 3 * (i % MEDIA_BLOCK) + (_mix64(blk) >> 48) % 101
 
 
 def _real_video_dims(i: int) -> tuple[int, int, int]:
@@ -650,9 +663,15 @@ def synthetic_media_real(spark, n: int = 48) -> DataFrame:
     Scale with ``media_n_for_sf``: near-dup structure is planted
     within gradient blocks, so dup clusters stay constant-size and
     fingerprint pair output grows linearly as n scales with sf.
+
+    Generation is DISTRIBUTED (mapInPandas over the id range): each
+    task encodes only its own ids, so fixture build cost parallelizes
+    like a real scan instead of serializing through a driver loop —
+    at the 100x ladder rung (48k payloads) the driver-side build was
+    the bottleneck, not the operator under test.
     """
-    rows = []
-    for i in range(n):
+
+    def _media_row(i: int) -> tuple:
         ax, ay, sm, vx, vy = _media_gradients(i)
         if i % 3 == 0:
             w, h = _real_image_dims(i)
@@ -661,25 +680,47 @@ def synthetic_media_real(spark, n: int = 48) -> DataFrame:
             )
             img = ((ax * x + ay * y + 11 * c + i) % 256).astype(np.uint8)
             payload = encode_ppm(np.moveaxis(img, 0, 2))
-            rows.append((i, "image", "image/x-portable-pixmap", payload, (w, h, None)))
-        elif i % 3 == 1:
+            return (i, "image", "image/x-portable-pixmap", payload,
+                    {"width": w, "height": h, "duration_ms": None})
+        if i % 3 == 1:
             ns = _real_audio_n(i)
             j = np.arange(ns)
             samples = ((sm * j + 17 * i) % 4001 - 2000).astype(np.int16)
             payload = encode_wav_pcm16(samples, AUDIO_RATE)
-            dur_ms = ns * 1000 // AUDIO_RATE
-            rows.append((i, "audio", "audio/wav", payload, (None, None, dur_ms)))
-        else:
-            nf, w, h = _real_video_dims(i)
-            t, y, x = np.meshgrid(
-                np.arange(nf), np.arange(h), np.arange(w), indexing="ij"
+            return (i, "audio", "audio/wav", payload,
+                    {"width": None, "height": None,
+                     "duration_ms": ns * 1000 // AUDIO_RATE})
+        nf, w, h = _real_video_dims(i)
+        t, y, x = np.meshgrid(
+            np.arange(nf), np.arange(h), np.arange(w), indexing="ij"
+        )
+        frames = ((vx * x + vy * y + 5 * t + i) % 256).astype(np.uint8)
+        payload = encode_y4m(frames, VIDEO_FPS)
+        return (i, "video", "video/x-yuv4mpeg", payload,
+                {"width": w, "height": h,
+                 "duration_ms": nf * 1000 // VIDEO_FPS})
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = [_media_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in recs],
+                    "modality": [r[1] for r in recs],
+                    "mime_type": [r[2] for r in recs],
+                    "content": [r[3] for r in recs],
+                    "meta": [r[4] for r in recs],
+                }
             )
-            frames = ((vx * x + vy * y + 5 * t + i) % 256).astype(np.uint8)
-            payload = encode_y4m(frames, VIDEO_FPS)
-            dur_ms = nf * 1000 // VIDEO_FPS
-            rows.append((i, "video", "video/x-yuv4mpeg", payload, (w, h, dur_ms)))
+
     n_parts = max(1, min(32, n // 8))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
+    return (
+        spark.range(n)
+        .repartition(n_parts)
+        .mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    )
 
 
 DECODE_AUDIT_SCHEMA = T.StructType(
@@ -1244,13 +1285,39 @@ def synthetic_video_clips(spark, n: int = 48) -> DataFrame:
     (trims + splices), the corpus shape sequence-aware video dedup
     exists for. Scale with ``media_n_for_sf``: overlap structure is
     planted between NEIGHBORING clips only, so duplicate-pair output
-    grows linearly with n."""
-    rows = []
-    for j in range(n):
-        frames = np.stack([clip_master_frame(m) for m in clip_spec(j)])
-        rows.append((j, "video", bytearray(encode_y4m(frames, VIDEO_FPS))))
-    return spark.createDataFrame(
-        rows, "media_id long, modality string, content binary"
+    grows linearly with n. Generation is DISTRIBUTED like
+    ``synthetic_media_real``'s — each task encodes its own clips."""
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(j) for j in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": ["video"] * len(ids),
+                    "content": [
+                        bytearray(
+                            encode_y4m(
+                                np.stack(
+                                    [clip_master_frame(m) for m in clip_spec(j)]
+                                ),
+                                VIDEO_FPS,
+                            )
+                        )
+                        for j in ids
+                    ],
+                }
+            )
+
+    n_parts = max(1, min(32, n // 8))
+    return (
+        spark.range(n)
+        .repartition(n_parts)
+        .mapInPandas(
+            _gen, schema="media_id long, modality string, content binary"
+        )
     )
 
 
