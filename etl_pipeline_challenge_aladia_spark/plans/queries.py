@@ -10734,28 +10734,51 @@ JOIN tc tb ON tb.event_type = i.type_b
     "would mis-model. Exact counts (the type alphabet is small; no "
     "sketch needed — the HLL twin for unbounded alphabets is "
     "events_hll_user_audit), one integer floor division. Scale shape: "
-    "one distinct over (user, type), a user-keyed self-join whose "
-    "fan-out is bounded by types-per-user squared (alphabet-bounded, "
-    "never corpus-sized), a pair-grain rollup, two broadcast-sized "
+    "ONE corpus pass builds per-user sorted distinct type sets "
+    "(checkpointed, read by both branches); pairs come from IN-ROW "
+    "i<j combination expansion over the set — fan-out bounded by "
+    "types-per-user squared (alphabet-bounded, never corpus-sized), "
+    "no self-join — then a pair-grain rollup and two broadcast-sized "
     "total joins.",
 )
 def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    tc = ut.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
+    # ONE corpus pass: per-user sorted distinct type set, eagerly
+    # checkpointed so the totals branch and the pairs branch both read
+    # the user-count-sized result instead of each re-running the
+    # corpus-wide distinct (the r11 plan instantiated that subtree
+    # THREE times — totals + both self-join sides — the many-tiny-jobs
+    # scheduler-noise class VERDICT r11 flagged on this query). The
+    # user-keyed self-join is replaced by IN-ROW pair expansion over
+    # the sorted set (i < j combinations — identical to the a < b join
+    # predicate), so pair counting is an alphabet-bounded explode +
+    # rollup, no join at all.
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+        .localCheckpoint(eager=True)
     )
-    a = ut.alias("a")
-    b = ut.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+    tc = (
+        per_user.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    pair_col = F.flatten(
+        F.transform(
+            "ts",
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + F.lit(2), F.size("ts")),
+                lambda y: F.struct(
+                    x.alias("type_a"), y.alias("type_b")
+                ),
+            ),
         )
+    )
+    inter = (
+        per_user.select(F.explode(pair_col).alias("p"))
         .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
+            F.col("p.type_a").alias("type_a"),
+            F.col("p.type_b").alias("type_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
