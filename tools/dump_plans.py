@@ -216,6 +216,27 @@ PICKS = {
     "Exchange; chunk reassembly is an in-group array_sort (no second "
     "shuffle at the same key), and the dedup aggregate keys on the "
     "chunk text with map-side partials",
+    "doc_dedup_clusters_distributed": "the forced-distributed CC loop "
+    "after the r12 de-noise: per round the changed? flag is computed "
+    "inside the round's own plan over a LAZY localCheckpoint, so one "
+    "aggregate job materializes the labels AND answers the "
+    "convergence probe (34 -> 24 scheduled jobs per run measured "
+    "A/B); double-hop pointer doubling shows as two label-keyed "
+    "self-joins per round — 4x label-distance shrink per "
+    "driver-synchronized barrier",
+    "events_audience_overlap": "ONE corpus pass (user-keyed "
+    "collect_set, eagerly checkpointed) feeds BOTH the totals branch "
+    "and the pair branch — the r11 plan instantiated the corpus "
+    "distinct three times; pairs come from in-row i<j combination "
+    "expansion (alphabet-bounded explode), so there is no self-join "
+    "Exchange at all, just a pair-grain rollup and two broadcast "
+    "total joins",
+    "emb_semantic_decontaminate": "the eval side (the SMALL frozen "
+    "benchmark index) trains the quantizer and lands cell-keyed; the "
+    "train side takes one broadcast-argmin projection onto the frozen "
+    "centroid table and an in-cell hash join — |train| never pairs "
+    "with |eval| outside a shared cell, and nothing in the plan "
+    "scales with the pair product",
 }
 
 
