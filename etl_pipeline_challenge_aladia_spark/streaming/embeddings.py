@@ -257,6 +257,131 @@ def run_semantic_dedup_ingest_stream(
 
 
 # ---------------------------------------------------------------------------
+# Ingest-time benchmark decontamination: screen against a FROZEN eval index
+# ---------------------------------------------------------------------------
+
+DECON_REPORT_SCHEMA = "vec_id long, matched_eval_id long, cosine double"
+
+
+def build_eval_index(
+    eval_set: DataFrame,
+    k: int | None = None,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    route: str = "auto",
+) -> tuple[DataFrame, DataFrame]:
+    """Cluster the eval/benchmark set once into the frozen index the
+    decontamination screen routes against: (eval_cells (vec_id,
+    embedding, cell), centroids (cluster, c)). Same auto-k /
+    auto-route pricing as ``semantic_dedup_incremental`` (the batch
+    twin), both checkpointed — the eval side is small and read by
+    every micro-batch."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        auto_semantic_k,
+        kmeans_with_centroids,
+        resolve_semantic_route,
+    )
+
+    if k is None or route == "auto":
+        n = eval_set.count()
+        if k is None:
+            k = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
+        route = resolve_semantic_route(route, n)
+    assigned, centroids = kmeans_with_centroids(
+        eval_set, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        route=route,
+    )
+    cells = (
+        assigned.select(
+            F.col("id").alias(id_col), F.col("cluster").alias("cell")
+        )
+        .join(eval_set.select(id_col, vec_col), id_col)
+        .localCheckpoint(eager=True)
+    )
+    return cells, centroids.localCheckpoint(eager=True)
+
+
+def make_decontamination_ingest_processor(
+    eval_cells: DataFrame,
+    centroids: DataFrame,
+    report_path: str,
+    threshold: float = 0.95,
+):
+    """Ingest-time benchmark decontamination — the streaming twin of
+    ``operators/similarity.py:semantic_decontaminate``: every arriving
+    training micro-batch is screened against the FROZEN eval index
+    (one broadcast argmin + in-cell compare, linear in the batch) and
+    leaked rows land in a ``batch=<id>``-keyed report.
+
+    Contrast with the dedup ingest (``make_semantic_dedup_ingest_
+    processor``): the index NEVER accumulates stream content — an eval
+    set changes by re-publication, not by what flows past it — so
+    there is no index append and no strictly-earlier read discipline.
+    A checkpoint-replayed batch rescreens against the identical index
+    and overwrites its own report: idempotent by construction, and a
+    train-train near-pair is deliberately NOT flagged (that is the
+    dedup screen's job, not decontamination's)."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        semantic_dedup_screen,
+    )
+
+    cells = eval_cells.localCheckpoint(eager=True)
+    cents = centroids.localCheckpoint(eager=True)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        report = semantic_dedup_screen(
+            cells, batch.localCheckpoint(eager=True), cents,
+            threshold=threshold,
+        ).select(
+            "vec_id",
+            F.col("canonical_id").alias("matched_eval_id"),
+            F.col("max_cos").alias("cosine"),
+        )
+        append_batch(report, report_path, batch_id)
+
+    return process_batch
+
+
+def read_decontamination_report(
+    spark: SparkSession, report_path: str
+) -> DataFrame:
+    return read_batch_store(spark, report_path, DECON_REPORT_SCHEMA)
+
+
+def run_decontamination_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    eval_cells: DataFrame,
+    centroids: DataFrame,
+    report_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain currently-available training-embedding files through the
+    decontamination screen (Trigger.AvailableNow; 1 file = 1 batch
+    under ``max_files_per_trigger`` so tests can pin batch grain)."""
+    reader = spark.readStream.schema(EMB_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(input_dir)
+    (
+        stream.writeStream.foreachBatch(
+            make_decontamination_ingest_processor(
+                eval_cells, centroids, report_path, threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Drift-monitored ingest: versioned quantizer store + retrain loop
 # ---------------------------------------------------------------------------
 
