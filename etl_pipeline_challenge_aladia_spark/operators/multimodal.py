@@ -578,6 +578,14 @@ def media_n_for_sf(sf_dir: str, base: int = 48) -> int:
 
 MEDIA_BLOCK = 48  #: ids per gradient block (= the oracle's fixture size)
 
+#: fixture-generation size gate (the dedup_clusters adaptive pattern):
+#: at or below this many payloads the driver builds rows directly —
+#: spinning Python workers costs more than encoding a few hundred tiny
+#: payloads (~1 s at the sf0.1 bench grain) — above it, generation is
+#: distributed via mapInPandas (the 100x-rung shape, where the driver
+#: loop was the bottleneck)
+MEDIA_DRIVER_BUILD_MAX = 1536
+
 _M64 = (1 << 64) - 1
 
 
@@ -664,11 +672,16 @@ def synthetic_media_real(spark, n: int = 48) -> DataFrame:
     within gradient blocks, so dup clusters stay constant-size and
     fingerprint pair output grows linearly as n scales with sf.
 
-    Generation is DISTRIBUTED (mapInPandas over the id range): each
-    task encodes only its own ids, so fixture build cost parallelizes
-    like a real scan instead of serializing through a driver loop —
-    at the 100x ladder rung (48k payloads) the driver-side build was
-    the bottleneck, not the operator under test.
+    Generation is SIZE-GATED, the dedup_clusters adaptive pattern: at
+    or below ``MEDIA_DRIVER_BUILD_MAX`` payloads the driver builds the
+    rows directly (one createDataFrame — cheaper than spinning Python
+    workers for a few hundred tiny payloads, the bench-visible grain at
+    sf <= 0.1); above it, generation runs DISTRIBUTED (mapInPandas over
+    the id range — each task encodes only its own ids), so fixture
+    build cost parallelizes like a real scan instead of serializing
+    through a driver loop. At the 100x ladder rung (48k payloads) the
+    driver-side build was the bottleneck, not the operator under test.
+    Both paths emit identical rows.
     """
 
     def _media_row(i: int) -> tuple:
@@ -700,6 +713,17 @@ def synthetic_media_real(spark, n: int = 48) -> DataFrame:
                 {"width": w, "height": h,
                  "duration_ms": nf * 1000 // VIDEO_FPS})
 
+    n_parts = max(1, min(32, n // 8))
+    if n <= MEDIA_DRIVER_BUILD_MAX:
+        rows = [
+            (i, m, mt, payload,
+             (meta["width"], meta["height"], meta["duration_ms"]))
+            for i, m, mt, payload, meta in map(_media_row, range(n))
+        ]
+        return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(
+            n_parts
+        )
+
     def _gen(batches):
         import pandas as pd
 
@@ -715,7 +739,6 @@ def synthetic_media_real(spark, n: int = 48) -> DataFrame:
                 }
             )
 
-    n_parts = max(1, min(32, n // 8))
     return (
         spark.range(n)
         .repartition(n_parts)
@@ -1285,8 +1308,23 @@ def synthetic_video_clips(spark, n: int = 48) -> DataFrame:
     (trims + splices), the corpus shape sequence-aware video dedup
     exists for. Scale with ``media_n_for_sf``: overlap structure is
     planted between NEIGHBORING clips only, so duplicate-pair output
-    grows linearly with n. Generation is DISTRIBUTED like
-    ``synthetic_media_real``'s — each task encodes its own clips."""
+    grows linearly with n. Generation is SIZE-GATED like
+    ``synthetic_media_real``'s — driver build at bench grain,
+    distributed mapInPandas above ``MEDIA_DRIVER_BUILD_MAX``."""
+
+    def _clip(j: int) -> bytearray:
+        return bytearray(
+            encode_y4m(
+                np.stack([clip_master_frame(m) for m in clip_spec(j)]),
+                VIDEO_FPS,
+            )
+        )
+
+    schema = "media_id long, modality string, content binary"
+    if n <= MEDIA_DRIVER_BUILD_MAX:
+        return spark.createDataFrame(
+            [(j, "video", _clip(j)) for j in range(n)], schema
+        )
 
     def _gen(batches):
         import pandas as pd
@@ -1297,28 +1335,12 @@ def synthetic_video_clips(spark, n: int = 48) -> DataFrame:
                 {
                     "media_id": ids,
                     "modality": ["video"] * len(ids),
-                    "content": [
-                        bytearray(
-                            encode_y4m(
-                                np.stack(
-                                    [clip_master_frame(m) for m in clip_spec(j)]
-                                ),
-                                VIDEO_FPS,
-                            )
-                        )
-                        for j in ids
-                    ],
+                    "content": [_clip(j) for j in ids],
                 }
             )
 
     n_parts = max(1, min(32, n // 8))
-    return (
-        spark.range(n)
-        .repartition(n_parts)
-        .mapInPandas(
-            _gen, schema="media_id long, modality string, content binary"
-        )
-    )
+    return spark.range(n).repartition(n_parts).mapInPandas(_gen, schema)
 
 
 def video_sequence_near_dup_pairs(
