@@ -7069,6 +7069,19 @@ GROUP BY 1, 2
     "engines so the kept set is hash-stable.",
 )
 def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = _curation_kept(spark, sf_dir)
+    return kept.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def _curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared quality + dedup-survivor + split stage of the curation
+    pipeline family: per-doc (doc_id, lang, q4, rep2, n_tokens, split)
+    after the quality/repetition thresholds and near-dup non-survivor
+    removal — v1 rolls it up directly; the decontaminated variant
+    anti-joins the leak screens first."""
     from etl_pipeline_challenge_aladia_spark.operators.dedup import (
         canonical_per_cluster,
         dedup_clusters,
@@ -7113,10 +7126,175 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") != F.col("canonical_id"))
         .select(F.col("id").alias("doc_id"))
     )
-    kept = stats.filter((F.col("q4") >= 0.35) & (F.col("rep2") <= 0.1)).join(
+    return stats.filter((F.col("q4") >= 0.35) & (F.col("rep2") <= 0.1)).join(
         non_survivors, "doc_id", "left_anti"
     )
-    return kept.groupBy("split", "lang").agg(
+
+
+def _semantic_screen_fixed_oracle_sql(
+    k: int = 8, iters: int = 3, threshold: float = 0.95
+) -> str:
+    """The organic train-vs-test semantic screen as SQL: k-means over the
+    TEST split's embeddings at a FIXED small k (benchmark/eval sets are
+    bounded-size in production, so auto-scaling k with sf is the wrong
+    model here — both engines clamp via the init LIMIT when the split is
+    smaller than k), one flat argmin per train vector, the in-cell
+    cosine sweep, leaked train ids out. Split = the same id-hash
+    percent buckets as hash_split_col (train < 80, test >= 90)."""
+    fold_vec = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
+    v_ctes = f"""allv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {fold_vec} % 100 AS bkt
+  FROM embeddings
+),
+v AS (SELECT vec_id, e FROM allv WHERE bkt >= 90),
+vd AS (SELECT vec_id, e FROM allv WHERE bkt < 80)"""
+    fxd = (
+        "sum(CAST(floor((evd.val - c.cv) * (evd.val - c.cv) * 100000000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    return (
+        _kmeans_cte_prefix(k, iters, v_ctes=v_ctes)
+        + f""",
+evd AS (SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM vd),
+dd AS (
+  SELECT evd.vec_id, c.cluster, {fxd} AS fx
+  FROM evd JOIN c{iters - 1} c USING (dim) GROUP BY evd.vec_id, c.cluster
+),
+ad AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fx, cluster) AS rn
+    FROM dd) WHERE rn = 1
+),
+mc AS (SELECT a.vec_id, a.cluster, v.e FROM a{iters} a JOIN v USING (vec_id)),
+md AS (SELECT ad.vec_id, ad.cluster, vd.e FROM ad JOIN vd USING (vec_id)),
+p AS (
+  SELECT d.vec_id AS dup_id, c.vec_id AS keep_id,
+         {_s4('list_cosine_similarity(d.e, c.e)')} AS cos_sim
+  FROM md d JOIN mc c ON d.cluster = c.cluster
+)
+SELECT dup_id AS doc_id FROM p WHERE cos_sim >= {threshold} GROUP BY dup_id"""
+    )
+
+
+def _curation_decon_oracle_sql() -> str:
+    """The v1 curation oracle with a decontamination stage appended: the
+    leaked-id set is the UNION of the n-gram screen (doc_decontaminate's
+    oracle, verbatim — 4-gram overlap between the hash-split train and
+    test docs) and the fixed-k semantic screen over the aligned
+    embeddings (vec_id == doc_id in the fixture); kept train rows
+    anti-join it before the rollup. Both screens run as self-contained
+    subqueries (their own WITH scopes), so the v1 CTE namespace is
+    untouched."""
+    ngram_sql = CATALOG["doc_decontaminate"].oracle
+    sem_sql = _semantic_screen_fixed_oracle_sql()
+    return (
+        _minhash_oracle_sql(prefix_only=True).replace(
+            "WITH tok", "WITH RECURSIVE tok", 1
+        )
+        + _CLUSTER_LABELS_SQL
+        + f""",
+t0 AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+         (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+         {sql_md5_fold32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+),
+t1 AS (
+  SELECT doc_id, lang, n_tokens, bucket, {_Q4_SQL} AS q4,
+         list_transform(range(greatest(len(w) - 1, 0)),
+                        i -> w[i+1] || ' ' || w[i+2]) AS g2
+  FROM t0
+),
+stats AS (
+  SELECT doc_id, lang, n_tokens, bucket, q4,
+         CASE WHEN len(g2) > 0 THEN {_s4(_REP2_RAW)} ELSE 0.0 END AS rep2
+  FROM t1
+),
+ranked AS (
+  SELECT l.id, row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY s.q4 DESC, l.id) AS rn
+  FROM labels l JOIN stats s ON s.doc_id = l.id
+),
+kept AS (
+  SELECT s.* FROM stats s
+  LEFT JOIN (SELECT id FROM ranked WHERE rn > 1) d ON d.id = s.doc_id
+  WHERE d.id IS NULL AND s.q4 >= 0.35 AND s.rep2 <= 0.1
+),
+leaked AS (
+  SELECT doc_id FROM (
+{ngram_sql}
+  )
+  UNION
+  SELECT doc_id FROM (
+{sem_sql}
+  )
+),
+kept2 AS (
+  SELECT k.* FROM kept k
+  LEFT JOIN leaked l ON l.doc_id = k.doc_id
+  WHERE l.doc_id IS NULL
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM kept2
+GROUP BY 1, 2"""
+    )
+
+
+@query(
+    "doc_curation_pipeline_decontaminated",
+    _curation_decon_oracle_sql(),
+    doc="The curation pipeline WITH its decontamination stage — what a "
+    "real pre-training data job ships: quality + repetition thresholds, "
+    "near-dup survivor selection, deterministic split, and then leaked "
+    "TRAIN documents dropped before the token-budget rollup, where "
+    "leaked = the UNION of both screens — n-gram (4-gram overlap with "
+    "the test split, doc_decontaminate's exact semantics) and SEMANTIC "
+    "(embedding cosine >= 0.95 against the test split's fixed-k "
+    "clustered index — the paraphrase channel; organically empty on "
+    "this corpus, which is itself the honest result, and the planted-"
+    "fixture twins prove the leg catches real leaks). Composition "
+    "stays one declarative plan: the leak set is a skinny id frame "
+    "anti-joined into the kept stats; the screens reuse the linear "
+    "inverted-index and broadcast-argmin shapes of their standalone "
+    "entries. At 100 TB the train side crosses each screen exactly "
+    "once and nothing pairs outside a shared shingle/cell.",
+)
+def q_doc_curation_pipeline_decontaminated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_pipeline_challenge_aladia_spark.operators.sampling import (
+        hash_split_col,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from etl_pipeline_challenge_aladia_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    kept = _curation_kept(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    dsplit = hash_split_col("doc_id")
+    ngram = contamination_overlap(
+        docs.filter(dsplit == "train"), docs.filter(dsplit == "test"), n=4
+    ).select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    esplit = hash_split_col("vec_id")
+    sem = semantic_decontaminate(
+        emb.filter(esplit == "train"),
+        emb.filter(esplit == "test"),
+        k=8,
+        route="flat",
+    ).select(F.col("vec_id").alias("doc_id"))
+    leaked = ngram.unionByName(sem).distinct()
+    kept2 = kept.join(leaked, "doc_id", "left_anti")
+    return kept2.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )

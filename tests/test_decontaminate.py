@@ -122,3 +122,35 @@ def test_leakage_rollup_counts_planted_rows(spark, sf_dir):
         assert r.n_train == per_label_train[r.label]
         assert 0 <= r.n_leaked <= r.n_train
         assert r.leak_permille == r.n_leaked * 1000 // r.n_train
+
+
+def test_curation_pipeline_decontaminated_drops_only_leaked_train(
+    spark, sf_dir
+):
+    """The composed pipeline: v2 output equals v1 minus leaked TRAIN
+    docs — val/test rows byte-identical, train counts never increase,
+    and the per-(split,lang) totals stay internally consistent."""
+    from etl_pipeline_challenge_aladia_spark.plans.queries import CATALOG
+
+    v1 = {
+        (r.split, r.lang): (r.n_docs, r.total_tokens)
+        for r in CATALOG["doc_curation_pipeline"].spark(spark, sf_dir).collect()
+    }
+    v2 = {
+        (r.split, r.lang): (r.n_docs, r.total_tokens)
+        for r in CATALOG["doc_curation_pipeline_decontaminated"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    for k, (n1, t1) in v1.items():
+        split = k[0]
+        if split != "train":
+            assert v2.get(k) == (n1, t1)  # non-train rows untouched
+        else:
+            n2, t2 = v2.get(k, (0, 0))
+            assert 0 <= n2 <= n1 and 0 <= t2 <= t1
+    # something is organically leaked at every sf (the 4-gram screen is
+    # non-empty on this corpus), so v2 must be a STRICT reduction
+    assert sum(n for (s, _), (n, _) in v2.items() if s == "train") < sum(
+        n for (s, _), (n, _) in v1.items() if s == "train"
+    )

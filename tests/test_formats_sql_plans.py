@@ -329,6 +329,8 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "emb_semantic_dedup_incremental",   # 1-row auto-k count frame
         "emb_semantic_decontaminate",   # k x dim centroid-table broadcast
         "emb_leakage_rate_by_label",    # same screen + label rollup
+        "doc_curation_pipeline_decontaminated",  # same centroid broadcast
+                                        # in the composed semantic leg
         "emb_knn_classify",             # 1-row label-prior frame
         "emb_centroid_outliers",        # 1-row threshold frame
         "orders_rfm_segments",          # 1-row boundary frame
