@@ -287,7 +287,7 @@ def build_eval_index(
         n = eval_set.count()
         if k is None:
             k = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
-        route = resolve_semantic_route(route, n)
+        route = resolve_semantic_route(route, n, spark=eval_set.sparkSession)
     assigned, centroids = kmeans_with_centroids(
         eval_set, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         route=route,
@@ -300,6 +300,47 @@ def build_eval_index(
         .localCheckpoint(eager=True)
     )
     return cells, centroids.localCheckpoint(eager=True)
+
+
+def save_eval_index(
+    eval_cells: DataFrame,
+    centroids: DataFrame,
+    store_path: str,
+    version: int = 0,
+) -> None:
+    """Persist one frozen eval-index generation — cells + centroids
+    under ``version=<v>`` with the quantizer store's publish-then-point
+    atomic flip (VERDICT r12 #1). An eval/benchmark set changes by
+    RE-PUBLICATION (a new version), never by accumulation, so the
+    version-pointer layout fits it exactly: readers follow the CURRENT
+    pointer, a half-written new generation is invisible until the flip,
+    and a pinned version reproduces any historical screen."""
+    vdir = os.path.join(store_path, f"version={version}")
+    eval_cells.write.mode("overwrite").parquet(os.path.join(vdir, "cells"))
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(vdir, "centroids")
+    )
+    _flip_current(store_path, version)
+
+
+def load_eval_index(
+    spark: SparkSession, store_path: str, version: int | None = None
+) -> tuple[DataFrame, DataFrame, int]:
+    """(eval_cells, centroids, version) of the CURRENT generation — or
+    of a pinned ``version``. The batch screens (operators/similarity.py:
+    semantic_decontaminate_from_index) and the ingest processor both
+    read through here, so one published index serves every later
+    curation run instead of each re-clustering the eval set."""
+    if version is None:
+        version = current_quantizer_version(store_path)
+    if version is None:
+        raise ValueError(f"no eval index published under {store_path}")
+    vdir = os.path.join(store_path, f"version={version}")
+    return (
+        spark.read.parquet(os.path.join(vdir, "cells")),
+        spark.read.parquet(os.path.join(vdir, "centroids")),
+        version,
+    )
 
 
 def make_decontamination_ingest_processor(
@@ -477,7 +518,9 @@ def train_and_save_quantizer(
     )
 
     if route == "auto":
-        route = resolve_semantic_route("auto", embeddings.count())
+        route = resolve_semantic_route(
+            "auto", embeddings.count(), spark=embeddings.sparkSession
+        )
     assigned, cents = kmeans_with_centroids(
         embeddings, k=k, id_col=id_col, vec_col=vec_col, route=route
     )

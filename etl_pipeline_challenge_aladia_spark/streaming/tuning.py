@@ -261,6 +261,15 @@ def interpolate_route_crossover(
             if f1 <= h1
             else (0.0, ROUTE_THRESHOLD_MIN)
         )
+    if f1 >= h1 and f2 <= h2:
+        # INVERTED orientation (hier wins the small rung, flat the large
+        # one — a_h > a_f): a crossover exists, but the routing rule
+        # resolve_semantic_route consumes is "hier when n >= threshold",
+        # which cannot express "flat above n*" — emitting n* here would
+        # route BOTH sides to the measured-slower plan (ADVICE r12).
+        # Cap to flat-everywhere: correctness of the large-n side (where
+        # absolute cost lives) dominates the forfeited small-n hier edge.
+        return float("inf"), ROUTE_THRESHOLD_MAX
     ln_cf = math.log(f1) - a_f * ln_n1
     ln_ch = math.log(h1) - a_h * ln_n1
     n_star = math.exp((ln_ch - ln_cf) / (a_f - a_h))
@@ -299,7 +308,16 @@ def tune_route_threshold(
         base = embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e")
         ).localCheckpoint(eager=True)
-        n_base = base.count()
+        # one cheap agg on the checkpointed base buys both the rung
+        # replication count and a COLLISION-FREE tile stride: a fixed
+        # 10M offset would alias vec_ids across tiles on a corpus whose
+        # ids reach 10M, silently shrinking the rung after orderBy/limit
+        # and skewing the measured crossover (ADVICE r12)
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"), F.max("vec_id").alias("mx")
+        ).collect()[0]  # 1-row rung-sizing stats
+        n_base = int(stats["n"])
+        stride = int(stats["mx"] or 0) + 1
 
         def timer(n: int, route: str) -> float:
             import time as _time
@@ -309,7 +327,7 @@ def tune_route_threshold(
             for r in range(1, reps):
                 tiled = tiled.unionByName(
                     base.select(
-                        (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                        (F.col("vec_id") + r * stride).alias("vec_id"),
                         "e",
                     )
                 )

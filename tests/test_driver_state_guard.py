@@ -28,6 +28,8 @@ ALLOWED_COLLECTS = {
         "distinct key_col of human-issued erasure requests",
     ("streaming/tuning.py", ').collect()[0]'):
         "1-row corpus fingerprint for tuning provenance",
+    ("streaming/tuning.py", ').collect()[0]  # 1-row rung-sizing stats'):
+        "1-row count+max agg sizing the tuning rungs' tile stride",
     ("streaming/tuning.py", 'row = reports.orderBy(F.desc("batch_id")).limit(1).collect()'):
         "limit(1) — the latest stored route-threshold decision",
     ("operators/dedup.py", ').collect()[0]["n"]'):

@@ -328,9 +328,14 @@ def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
         "emb_semantic_dedup_hier",      # 1-row auto-k count frame
         "emb_semantic_dedup_incremental",   # 1-row auto-k count frame
         "emb_semantic_decontaminate",   # k x dim centroid-table broadcast
+        "emb_semantic_decontaminate_stored",  # same screen; centroids read
+                                        # from the persisted eval index
         "emb_leakage_rate_by_label",    # same screen + label rollup
         "doc_curation_pipeline_decontaminated",  # same centroid broadcast
                                         # in the composed semantic leg
+        "doc_curation_pipeline_decontaminated_stored",  # same centroid
+                                        # broadcast; denylist read from the
+                                        # leakage store (skinny id frame)
         "emb_knn_classify",             # 1-row label-prior frame
         "emb_centroid_outliers",        # 1-row threshold frame
         "orders_rfm_segments",          # 1-row boundary frame

@@ -361,3 +361,47 @@ def test_video_frame_near_dup_spliced_frame(spark):
         for r in video_frame_near_dup_pairs(media).collect()
     }
     assert got == {(0, 1): 1}
+
+
+def test_distributed_media_build_matches_driver_build(spark, monkeypatch):
+    """The mapInPandas generation branch above MEDIA_DRIVER_BUILD_MAX
+    must emit byte-identical rows to the driver-side build — lower the
+    gate so the distributed path runs at unit-test size instead of only
+    on the 100x bench ladder (ADVICE r12)."""
+    from etl_pipeline_challenge_aladia_spark.operators import multimodal as mm
+
+    def rows(df):
+        return sorted(
+            (
+                r["media_id"],
+                r["modality"],
+                r["mime_type"],
+                bytes(r["content"]),
+                (r["meta"]["width"], r["meta"]["height"], r["meta"]["duration_ms"]),
+            )
+            for r in df.collect()
+        )
+
+    n = 24
+    driver = rows(mm.synthetic_media_real(spark, n=n))
+    monkeypatch.setattr(mm, "MEDIA_DRIVER_BUILD_MAX", 4)
+    distributed = rows(mm.synthetic_media_real(spark, n=n))
+    assert distributed == driver
+    assert len(driver) == n
+
+
+def test_distributed_clip_build_matches_driver_build(spark, monkeypatch):
+    from etl_pipeline_challenge_aladia_spark.operators import multimodal as mm
+
+    def rows(df):
+        return sorted(
+            (r["media_id"], r["modality"], bytes(r["content"]))
+            for r in df.collect()
+        )
+
+    n = 12
+    driver = rows(mm.synthetic_video_clips(spark, n=n))
+    monkeypatch.setattr(mm, "MEDIA_DRIVER_BUILD_MAX", 4)
+    distributed = rows(mm.synthetic_video_clips(spark, n=n))
+    assert distributed == driver
+    assert len(driver) == n

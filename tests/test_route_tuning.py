@@ -52,6 +52,23 @@ def test_interpolation_dominance_caps():
     assert interpolate_route_crossover(list(reversed(R11_RUNGS)))[1] == 8192
 
 
+def test_interpolation_inverted_orientation_caps_to_flat():
+    """Inverted crossover (hier cheaper at the SMALL rung, flat cheaper
+    at the LARGE one — a_h > a_f): the 'hier when n >= threshold' rule
+    cannot express 'flat above n*', so emitting the interpolated n*
+    would route BOTH sides to the measured-slower plan (ADVICE r12).
+    The guard must cap to flat-everywhere instead."""
+    inverted = [(1000, 2.0, 1.0), (10000, 4.0, 8.0)]
+    n_star, threshold = interpolate_route_crossover(inverted)
+    assert threshold == ROUTE_THRESHOLD_MAX
+    assert math.isinf(n_star)
+    # and the resolver consequently never routes hier on such hardware
+    assert resolve_semantic_route("auto", 10**9, threshold) == "flat"
+    assert interpolate_route_crossover(list(reversed(inverted)))[1] == (
+        ROUTE_THRESHOLD_MAX
+    )
+
+
 def _fake_timer_from(rungs):
     """timer(n, route) replaying a measured table — the injection seam
     that keeps the maintenance test deterministic and fast."""
@@ -122,6 +139,48 @@ def test_resolver_honors_the_stored_override(spark, sf_dir, tmp_path):
         timer=_fake_timer_from(R11_RUNGS),
     )
     assert route_threshold_from_store(spark, p) == 8192
+
+
+def test_env_seam_routes_from_the_store_without_plumbing(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r12 #6: a deployment that has run route_threshold_
+    maintenance and exported SEMANTIC_ROUTE_STORE gets its OWN measured
+    crossover on every route='auto' call — no per-call threshold
+    plumbing — and an unset seam falls back to the module constant."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        SEMANTIC_ROUTE_STORE_ENV,
+        deployment_route_threshold,
+    )
+
+    p = str(tmp_path / "route_reports")
+    shifted = [(2200, 7.2, 19.0), (22000, 25.0, 33.0)]  # crossover ~4x up
+    route_threshold_maintenance(
+        spark, sf_dir, p, batch_id=0, rung_sizes=(2200, 22000),
+        timer=_fake_timer_from(shifted),
+    )
+    stored = route_threshold_from_store(spark, p)
+    assert stored is not None and stored > SEMANTIC_ROUTE_THRESHOLD
+    n = SEMANTIC_ROUTE_THRESHOLD + 1
+
+    # seam unset: the constant routes (the correctness-driver state)
+    monkeypatch.delenv(SEMANTIC_ROUTE_STORE_ENV, raising=False)
+    assert deployment_route_threshold(spark) is None
+    assert resolve_semantic_route("auto", n, spark=spark) == "hier"
+
+    # seam set: the deployment's stored decision routes
+    monkeypatch.setenv(SEMANTIC_ROUTE_STORE_ENV, p)
+    assert deployment_route_threshold(spark) == stored
+    assert resolve_semantic_route("auto", n, spark=spark) == "flat"
+    assert resolve_semantic_route("auto", stored, spark=spark) == "hier"
+    # an explicit per-call threshold still wins over the seam
+    assert resolve_semantic_route("auto", n, threshold=n, spark=spark) == (
+        "hier"
+    )
+    # seam pointing at an EMPTY store: constant fallback, no error
+    monkeypatch.setenv(SEMANTIC_ROUTE_STORE_ENV, str(tmp_path / "empty"))
+    assert deployment_route_threshold(spark) is None
+    assert resolve_semantic_route("auto", n, spark=spark) == "hier"
 
 
 def test_real_timer_path_runs_end_to_end(spark, sf_dir, tmp_path):
