@@ -753,10 +753,12 @@ def mutual_knn_ivf(
     k: int = 5,
     nprobe: int = 2,
     threshold: float = 0.30,
-    cell_col: str = "label",
+    cell_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_cap: int = 2048,
+    iters: int = 3,
+    route: str = "auto",
 ) -> DataFrame:
     """Reciprocal nearest neighbors on the IVF cell-routed candidate
     generator — the scale path ``emb_mutual_knn_pairs``' docstring
@@ -797,31 +799,83 @@ def mutual_knn_ivf(
 
     Output: (vec_id_a < vec_id_b, cos_sim, rank_ab, rank_ba) — the
     exact operator's schema, directly joinable against it.
+
+    ``cell_col=None`` replaces the fixed label vocabulary with an
+    AUTO-k k-means coarse quantizer (max(32, floor(sqrt(n/iters)))
+    cells, deterministic ``kmeans_with_centroids``, flat/hier routing
+    via ``resolve_semantic_route``) and probes the ``nprobe`` nearest
+    cells by the SAME exact fixed-point distance the assignment uses
+    (fx asc, cluster tie-break — rank-1 probe IS the assignment cell).
+    This is the shipped scale path: a fixed cell vocabulary makes
+    per-cell population grow linearly with the corpus, so the per-cell
+    GEMM is Θ(n²/L) — measured SUPER-LINEAR (24x per 10x data) at the
+    100x rung before this change (r13 catch, SCALING.md). With cells
+    scaling as sqrt(n/iters), total candidate work is Θ(n^1.5) and the
+    probe ranking pays one n x k flat pass — the measured semantic-
+    family exponent. A column name keeps the vocabulary-celled
+    behavior (bounded label alphabets, the recall-audit fixture).
     """
-    cents = label_centroids(embeddings, None, cell_col, vec_col)
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(cell_col).alias("own_cell"),
-        to_double_array(vec_col).alias("v"),
-    )
-    probe_w = Window.partitionBy("id").orderBy(
-        F.desc("cent_sim"), F.col("cell")
-    )
-    probes = (
-        e.select("id", "v")
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "id",
-            "v",
-            "cell",
-            round_half_up(
-                cosine_similarity_col(F.col("v"), F.col("centroid")), 4
-            ).alias("cent_sim"),
+    if cell_col is None:
+        n = embeddings.count()
+        kq = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
+        route = resolve_semantic_route(
+            route, n, spark=embeddings.sparkSession
         )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= nprobe)
-        .select("id", "v", "cell")
-    )
+        assigned, km_cents = kmeans_with_centroids(
+            embeddings, k=kq, iters=iters, id_col=id_col, vec_col=vec_col,
+            route=route,
+        )
+        raw = embeddings.select(
+            F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+        )
+        # members carry their assignment cell; probes need only (id, v) —
+        # keep the assignment join off the probe branch's lineage
+        e = raw.join(
+            assigned.select("id", F.col("cluster").alias("own_cell")), "id"
+        )
+        probe_w = Window.partitionBy("id").orderBy("fx", F.col("cell"))
+        probes = (
+            raw
+            .crossJoin(
+                F.broadcast(
+                    km_cents.select(F.col("cluster").alias("cell"), "c")
+                )
+            )
+            .select(
+                "id",
+                "v",
+                "cell",
+                _fx_sq_dist(F.col("v"), F.col("c"), None).alias("fx"),
+            )
+            .withColumn("pr", F.row_number().over(probe_w))
+            .filter(F.col("pr") <= nprobe)
+            .select("id", "v", "cell")
+        )
+    else:
+        cents = label_centroids(embeddings, None, cell_col, vec_col)
+        e = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(cell_col).alias("own_cell"),
+            to_double_array(vec_col).alias("v"),
+        )
+        probe_w = Window.partitionBy("id").orderBy(
+            F.desc("cent_sim"), F.col("cell")
+        )
+        probes = (
+            e.select("id", "v")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "id",
+                "v",
+                "cell",
+                round_half_up(
+                    cosine_similarity_col(F.col("v"), F.col("centroid")), 4
+                ).alias("cent_sim"),
+            )
+            .withColumn("pr", F.row_number().over(probe_w))
+            .filter(F.col("pr") <= nprobe)
+            .select("id", "v", "cell")
+        )
     # Score candidates with a PER-TILE GEMM (applyInPandas), not a
     # per-pair column expression: each tile's (probers x members) dot
     # products run as one BLAS matmul — identical rounding/threshold to

@@ -7185,15 +7185,23 @@ def _curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_screen_fixed_oracle_sql(
-    k: int = 8, iters: int = 3, threshold: float = 0.95
+    k=None, iters: int = 3, threshold: float = 0.95
 ) -> str:
     """The organic train-vs-test semantic screen as SQL: k-means over the
-    TEST split's embeddings at a FIXED small k (benchmark/eval sets are
-    bounded-size in production, so auto-scaling k with sf is the wrong
-    model here — both engines clamp via the init LIMIT when the split is
-    smaller than k), one flat argmin per train vector, the in-cell
-    cosine sweep, leaked train ids out. Split = the same id-hash
-    percent buckets as hash_split_col (train < 80, test >= 90)."""
+    TEST split's embeddings at AUTO-k (the same max(32, floor(sqrt(n/3)))
+    formula as every corpus-facing clustering entry, priced from the test
+    split's count), one flat argmin per train vector, the in-cell cosine
+    sweep, leaked train ids out. Split = the same id-hash percent buckets
+    as hash_split_col (train < 80, test >= 90).
+
+    k MUST scale with the eval split here: a production benchmark set is
+    bounded-size (auto-k clamps to 32 and behaves like a constant), but
+    the fixture's test split grows with sf, and a pinned k=8 makes the
+    in-cell sweep |train| x |eval|/8 — measured SUPER-LINEAR
+    (18.7x per 10x data) at the 100x rung before this fix (r13 catch;
+    SCALING.md). ``k=None`` (default) emits the dynamic-k expression;
+    an int pins it (both engines clamp via the init LIMIT when the
+    split is smaller than k)."""
     fold_vec = sql_md5_fold32("CAST(vec_id AS VARCHAR)")
     v_ctes = f"""allv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -7202,6 +7210,11 @@ def _semantic_screen_fixed_oracle_sql(
 ),
 v AS (SELECT vec_id, e FROM allv WHERE bkt >= 90),
 vd AS (SELECT vec_id, e FROM allv WHERE bkt < 80)"""
+    if k is None:
+        k = (
+            "(SELECT greatest(32, least(count(*), CAST(floor(sqrt(count(*) "
+            f"/ {float(iters)})) AS BIGINT))) FROM v)"
+        )
     fxd = (
         "sum(CAST(floor((evd.val - c.cv) * (evd.val - c.cv) * 100000000.0 + 0.5)"
         " AS BIGINT))"
@@ -7234,7 +7247,7 @@ def _curation_decon_oracle_sql() -> str:
     """The v1 curation oracle with a decontamination stage appended: the
     leaked-id set is the UNION of the n-gram screen (doc_decontaminate's
     oracle, verbatim — 4-gram overlap between the hash-split train and
-    test docs) and the fixed-k semantic screen over the aligned
+    test docs) and the auto-k semantic screen over the aligned
     embeddings (vec_id == doc_id in the fixture); kept train rows
     anti-join it before the rollup. Both screens run as self-contained
     subqueries (their own WITH scopes), so the v1 CTE namespace is
@@ -7308,7 +7321,7 @@ GROUP BY 1, 2"""
     "TRAIN documents dropped before the token-budget rollup, where "
     "leaked = the UNION of both screens — n-gram (4-gram overlap with "
     "the test split, doc_decontaminate's exact semantics) and SEMANTIC "
-    "(embedding cosine >= 0.95 against the test split's fixed-k "
+    "(embedding cosine >= 0.95 against the test split's auto-k "
     "clustered index — the paraphrase channel; organically empty on "
     "this corpus, which is itself the honest result, and the planted-"
     "fixture twins prove the leg catches real leaks). Composition "
@@ -7342,7 +7355,6 @@ def q_doc_curation_pipeline_decontaminated(
     sem = semantic_decontaminate(
         emb.filter(esplit == "train"),
         emb.filter(esplit == "test"),
-        k=8,
         route="flat",
     ).select(F.col("vec_id").alias("doc_id"))
     leaked = ngram.unionByName(sem).distinct()
@@ -7405,7 +7417,7 @@ def q_doc_curation_pipeline_decontaminated_stored(
     emb = load_table(spark, sf_dir, "embeddings")
     esplit = hash_split_col("vec_id")
     cells, cents = build_eval_index(
-        emb.filter(esplit == "test"), k=8, route="flat"
+        emb.filter(esplit == "test"), route="flat"
     )
     sem = semantic_decontaminate_from_index(
         emb.filter(esplit == "train"), cells, cents
@@ -13055,34 +13067,50 @@ def q_emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mutual_topk_pairs(cosine_pairs_blocked(emb, threshold=0.30), k=5)
 
 
-_MUTUAL_IVF_CTES = f"""e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+def _mutual_ivf_scaled_ctes(route: str, iters: int = 3) -> str:
+    """The SCALED mutual-kNN candidate CTEs (r13 catch): coarse cells
+    from the unrolled auto-k k-means over the full corpus (flat or hier
+    prefix — both end at assignment ``a{iters}`` with the frozen
+    centroid table ``c{iters-1}``), probes = the 2 nearest cells per
+    vector by the SAME exact fixed-point distance the assignment uses
+    (fx asc, cluster tie-break), computed FRESH against c{iters-1} for
+    both routes — under hier training the global flat argmin can sit in
+    a different super-cell than the routed assignment, and the engine
+    probes flat against the returned centroid table, so the oracle
+    must too. Candidates = probed cells' assigned members; then the
+    exact cosine / rank / mutual machinery of the label-celled
+    original."""
+    k_expr = (
+        "(SELECT greatest(32, least(count(*), CAST(floor(sqrt(count(*) "
+        f"/ {float(iters)})) AS BIGINT))) FROM v)"
+    )
+    prefix = (
+        _kmeans_cte_prefix_hier if route == "hier" else _kmeans_cte_prefix
+    )
+    fxp = (
+        "sum(CAST(floor((ev.val - c.cv) * (ev.val - c.cv) * 100000000.0"
+        " + 0.5) AS BIGINT))"
+    )
+    return (
+        prefix(k_expr, iters)
+        + f""",
+pd0 AS (
+  SELECT ev.vec_id, c.cluster, {fxp} AS fx
+  FROM ev JOIN c{iters - 1} c USING (dim) GROUP BY ev.vec_id, c.cluster
 ),
-cent0 AS (
-  SELECT label, dim, {_IVF_CENT6} AS cv
-  FROM (
-    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
-           generate_subscripts(embedding, 1) AS dim
-    FROM embeddings)
-  GROUP BY label, dim
-),
-cent AS (SELECT label, list(cv ORDER BY dim) AS centroid FROM cent0 GROUP BY label),
-probes AS (
-  SELECT vec_id, label FROM (
-    SELECT q.vec_id, c.label,
-           row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {_s4('list_cosine_similarity(q.emb, c.centroid)')} DESC,
-                      c.label) AS pr
-    FROM e q, cent c) WHERE pr <= 2
+pr AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fx, cluster) AS rn
+    FROM pd0) WHERE rn <= 2
 ),
 fi AS (
   SELECT * FROM (
-    SELECT p.vec_id AS src, cand.vec_id AS dst,
-           {_s4('list_cosine_similarity(q.emb, cand.emb)')} AS cos_sim
-    FROM probes p
-    JOIN e cand ON cand.label = p.label AND cand.vec_id <> p.vec_id
-    JOIN e q ON q.vec_id = p.vec_id)
+    SELECT p.vec_id AS src, m.vec_id AS dst,
+           {_s4('list_cosine_similarity(q.e, cand.e)')} AS cos_sim
+    FROM pr p
+    JOIN a{iters} m ON m.cluster = p.cluster AND m.vec_id <> p.vec_id
+    JOIN v q ON q.vec_id = p.vec_id
+    JOIN v cand ON cand.vec_id = m.vec_id)
   WHERE cos_sim >= 0.30
 ),
 rki AS (
@@ -13092,34 +13120,64 @@ rki AS (
   FROM fi
 ),
 ki AS (SELECT * FROM rki WHERE rnk <= 5)"""
+    )
+
+
+_MUTUAL_SCALED_FINAL = """
+SELECT a.src AS vec_id_a, a.dst AS vec_id_b, a.cos_sim,
+       CAST(a.rnk AS BIGINT) AS rank_ab, CAST(b.rnk AS BIGINT) AS rank_ba
+FROM ki a JOIN ki b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst"""
+
+
+def _mutual_ivf_route_aware_oracle_sql(
+    final_sql: str, route_threshold: int | None = None
+) -> str:
+    """Route-aware wrapper for the scaled mutual-kNN family — the
+    ``_semantic_dedup_route_aware_oracle_sql`` contract: both exact
+    unrolls emitted as derived tables, each gated on the SAME corpus
+    count ``resolve_semantic_route`` prices in the engine (the full
+    embeddings table — the quantizer trains on it)."""
+    if route_threshold is None:
+        from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+            SEMANTIC_ROUTE_THRESHOLD,
+        )
+
+        route_threshold = SEMANTIC_ROUTE_THRESHOLD
+    n_sql = "(SELECT count(*) FROM embeddings)"
+    flat_sql = _mutual_ivf_scaled_ctes("flat") + final_sql
+    hier_sql = _mutual_ivf_scaled_ctes("hier") + final_sql
+    return f"""
+SELECT * FROM (
+{flat_sql}
+) WHERE {n_sql} < {route_threshold}
+UNION ALL
+SELECT * FROM (
+{hier_sql}
+) WHERE {n_sql} >= {route_threshold}"""
 
 
 @query(
     "emb_mutual_knn_ivf",
-    f"""
-WITH {_MUTUAL_IVF_CTES}
-SELECT a.src AS vec_id_a, a.dst AS vec_id_b, a.cos_sim,
-       CAST(a.rnk AS BIGINT) AS rank_ab, CAST(b.rnk AS BIGINT) AS rank_ba
-FROM ki a JOIN ki b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
-""",
+    _mutual_ivf_route_aware_oracle_sql(_MUTUAL_SCALED_FINAL),
     doc="Reciprocal nearest neighbors on the IVF cell-routed candidate "
     "generator — the scale path emb_mutual_knn_pairs' docstring "
-    "promises (operators/similarity.py:mutual_knn_ivf): each vector "
-    "probes its 2 nearest coarse cells (broadcast centroid table, "
-    "rounded-cosine probe ranking with cell tie-break) and the "
-    "mutual-top-5 criterion runs over probed-cell members only — "
-    "same threshold (0.30), ranking, and output schema as the exact "
-    "operator, so the two are directly joinable. Scale shape: one "
-    "cells-sized broadcast, one cell-keyed shuffle into a per-cell "
-    "BLAS GEMM that is TILED against cell skew (_tile_cell_blocks: "
-    "cells larger than block_cap split into id-rank blocks, so "
-    "per-task work is hard-capped at block_cap^2 scores even when one "
-    "hot cell holds most of a skewed corpus), and a per-source rank "
-    "window bounded by 2 cells' membership — never n^2. The tile "
-    "sizing costs one cells-sized count pass over the probe "
-    "assignment — a fixture-visible constant (~1.3 s at sf0.1) that "
-    "amortizes with data and buys the executor-OOM bound. What "
-    "routing misses is measured by emb_mutual_knn_ivf_recall_audit.",
+    "promises (operators/similarity.py:mutual_knn_ivf, cell_col=None): "
+    "coarse cells come from the AUTO-k k-means quantizer (max(32, "
+    "floor(sqrt(n/3))) cells, flat/hier auto-routed — the r13 100x "
+    "rung measured the previous fixed label vocabulary at 24x per 10x "
+    "data, the per-cell GEMM being n^2/L with linearly-growing cells), "
+    "each vector probes its 2 nearest cells by the exact fixed-point "
+    "assignment distance (rank-1 probe IS the assignment cell under "
+    "flat training), and the mutual-top-5 criterion runs over probed "
+    "cells' assigned members only — same threshold (0.30), ranking, "
+    "and output schema as the exact operator, so the two are directly "
+    "joinable. Scale shape: one k x dim broadcast, one n x k flat "
+    "probe pass, and a cell-keyed shuffle into the skew-TILED per-cell "
+    "BLAS GEMM (_tile_cell_blocks hard-caps per-task work at "
+    "block_cap^2 scores) — total candidate work Θ(n^1.5), never n^2. "
+    "The oracle is ROUTE-AWARE (both k-means unrolls gated on the same "
+    "corpus count the engine prices). What routing misses is measured "
+    "by emb_mutual_knn_ivf_recall_audit.",
 )
 def q_emb_mutual_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
@@ -13127,17 +13185,14 @@ def q_emb_mutual_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return mutual_knn_ivf(emb, k=5, nprobe=2, threshold=0.30)
+    return mutual_knn_ivf(emb, k=5, nprobe=2, threshold=0.30, cell_col=None)
 
 
-@query(
-    "emb_mutual_knn_ivf_recall_audit",
-    f"""
-WITH {_MUTUAL_IVF_CTES},
+_MUTUAL_AUDIT_FINAL = f""",
 pe AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
-         {_s4('list_cosine_similarity(a.emb, b.emb)')} AS cos_sim
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         {_s4('list_cosine_similarity(a.e, b.e)')} AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
 ),
 fe AS (SELECT * FROM pe WHERE cos_sim >= 0.30),
 bide AS (
@@ -13167,8 +13222,12 @@ SELECT CAST(xn.n AS BIGINT) AS n_exact,
        CAST(vn.n AS BIGINT) AS n_ivf,
        CAST(h.n AS BIGINT) AS n_hits,
        CAST(h.n * 1000 // greatest(xn.n, 1) AS BIGINT) AS recall_permille
-FROM xn, vn, h
-""",
+FROM xn, vn, h"""
+
+
+@query(
+    "emb_mutual_knn_ivf_recall_audit",
+    _mutual_ivf_route_aware_oracle_sql(_MUTUAL_AUDIT_FINAL),
     doc="In-engine recall audit of the IVF mutual-kNN path against the "
     "exact blocked-GEMM mutual pairs at the same k/threshold — the "
     "standing honesty contract every approximate path in this engine "
@@ -13200,7 +13259,7 @@ def q_emb_mutual_knn_ivf_recall_audit(
         .localCheckpoint(eager=False)
     )
     ivf = (
-        mutual_knn_ivf(emb, k=5, nprobe=2, threshold=0.30)
+        mutual_knn_ivf(emb, k=5, nprobe=2, threshold=0.30, cell_col=None)
         .select("vec_id_a", "vec_id_b")
         .localCheckpoint(eager=False)
     )

@@ -313,3 +313,32 @@ def test_bpe_apply_compresses_and_matches_training(spark, sf_dir):
     assert agg["n"] == docs_n
     assert agg["grew"] == 0
     assert agg["ta"] < agg["tb"]
+
+
+def test_mutual_knn_ivf_scaled_quantizer_path(spark):
+    """cell_col=None (the r13 scale path: auto-k k-means cells instead
+    of the fixed label vocabulary): deterministic across runs, tile-cap
+    invariant, and every emitted pair honors the mutual-top-k contract
+    (ordered ids, threshold, symmetric ranks within k)."""
+    from etl_pipeline_challenge_aladia_spark.operators.similarity import (
+        mutual_knn_ivf,
+    )
+
+    emb = _skewed_embeddings(spark)
+
+    def run(cap):
+        return {
+            (r["vec_id_a"], r["vec_id_b"]): (
+                r["cos_sim"], r["rank_ab"], r["rank_ba"]
+            )
+            for r in mutual_knn_ivf(
+                emb, k=3, nprobe=2, threshold=0.30, cell_col=None,
+                block_cap=cap,
+            ).collect()
+        }
+
+    tiled, untiled = run(5), run(1_000_000)
+    assert tiled == untiled and len(tiled) > 0
+    assert run(1_000_000) == untiled  # deterministic re-run
+    for (a, b), (cos, rab, rba) in untiled.items():
+        assert a < b and cos >= 0.30 and 1 <= rab <= 3 and 1 <= rba <= 3
