@@ -52,13 +52,16 @@ PICKS = {
     "index never carries the signature payload through the candidate "
     "shuffle; candidates dedup as bare id-pairs BEFORE the wide vectors "
     "rejoin for the exact cosine rerank",
-    "emb_mutual_knn_ivf": "cells-sized centroid table broadcast (BNLJ by "
-    "design), then a (cell, pblock, mblock)-keyed shuffle into a per-TILE "
-    "applyInPandas BLAS GEMM — candidate scoring never runs the "
-    "interpreted per-pair cosine expression, and the tile grid "
+    "emb_mutual_knn_ivf": "auto-k k-means quantizer (r13: cells scale "
+    "as sqrt(n/3) with the corpus — the fixed label vocabulary made the "
+    "per-cell GEMM n^2/L, measured 24x at the 100x rung), k x dim "
+    "centroid broadcast into the flat probe pass (fx argmin rank <= 2 "
+    "per vector), then a (cell, pblock, mblock)-keyed shuffle into a "
+    "per-TILE applyInPandas BLAS GEMM — candidate scoring never runs "
+    "the interpreted per-pair cosine expression, and the tile grid "
     "(_tile_cell_blocks, sized by a broadcast cells-count frame) "
     "hard-caps any skewed cell's single-task matmul at block_cap^2; "
-    "rank window bounded by 2 probed cells' membership, never n^2",
+    "total candidate work Θ(n^1.5), never n^2",
     "media_dup_doc_contamination": "banded fingerprint self-join (linear + "
     "collisions), ownership as a map-side expression, two broadcast joins "
     "into the documents dim, one tiny source-pair rollup",
@@ -237,6 +240,16 @@ PICKS = {
     "centroid table and an in-cell hash join — |train| never pairs "
     "with |eval| outside a shared cell, and nothing in the plan "
     "scales with the pair product",
+    "emb_semantic_decontaminate_stored": "same screen shape, but the "
+    "eval cells + centroids are localCheckpoint scans read back from "
+    "the persisted version store — NO k-means stages anywhere in this "
+    "plan: the quantizer trained at index-publication time, and the "
+    "hot path is exactly one broadcast-argmin + in-cell join",
+    "doc_curation_pipeline_decontaminated_stored": "the kept-stats "
+    "pipeline anti-joins a checkpointed skinny doc_id denylist read "
+    "from the leakage store — at query time the screens are ALREADY "
+    "material; the anti-join side is denylist-sized (leaked ids), "
+    "never corpus-sized",
 }
 
 
