@@ -21,11 +21,14 @@ across runs and engines.
 from __future__ import annotations
 
 import hashlib
+import math
+import os
 import random
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_challenge_aladia_spark.functions import argmin_kernel as _K
 from etl_pipeline_challenge_aladia_spark.functions.hashing import md5_fold32_col
 from etl_pipeline_challenge_aladia_spark.functions.rounding import (
     avg_fixed_point,
@@ -1281,7 +1284,281 @@ def _argmin_assign_hier(
     )
 
 
+#: Physical implementation of the fixed-point argmin assignment:
+#: "arrow" (default) = the NumPy map-only kernel over Arrow batches
+#: (guide §4.2 — vectorized native arithmetic; no candidate-row join,
+#: no sort, no exchange in the assignment stage); "sql" = the original
+#: broadcast-join + aggregate expression plan, kept as the bit-equality
+#: reference and fallback. Both produce IDENTICAL rows (the kernel
+#: reproduces every IEEE op — functions/argmin_kernel.py's exactness
+#: contract; tests/test_assign_kernel_parity.py pins arrow == sql), so
+#: the SQL oracles are untouched by the switch.
+ASSIGN_IMPL_ENV = "SEMANTIC_ASSIGN_IMPL"
+
+
+def _assign_impl() -> str:
+    return os.environ.get(ASSIGN_IMPL_ENV, "arrow")
+
+
+def _make_assign_fn(cent_map: dict, hier_plans: dict | None):
+    """mapInArrow kernel: (grp, id, v) batches -> (grp, id, cluster,
+    dist_fx). ``cent_map`` is {grp: (cluster ids asc, centroid matrix)};
+    ``hier_plans`` (when routing two-level) is {grp: build_hier_plan(...)}.
+    Pure per-row function of the frozen closure tables — deterministic
+    under any batching, task retry and speculation."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            grp = b.column(0).to_numpy(zero_copy_only=False)
+            labels = np.empty(n, dtype=np.int64)
+            dists = np.empty(n, dtype=np.int64)
+            for g in np.unique(grp):
+                rows = np.where(grp == g)[0]
+                V = _K.list_matrix(b.column(2), rows)
+                gv = g.item() if hasattr(g, "item") else g
+                if hier_plans is not None:
+                    lab, dd = _K.hier_argmin(V, hier_plans[gv])
+                else:
+                    ids, C = cent_map[gv]
+                    lab, dd = _K.argmin_cells(V, ids, C)
+                labels[rows] = lab
+                dists[rows] = dd
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    b.column(1),
+                    pa.array(labels.astype(np.int32), type=pa.int32()),
+                    pa.array(dists, type=pa.int64()),
+                ],
+                names=["grp", "id", "cluster", "dist_fx"],
+            )
+
+    return fn
+
+
+def _make_partials_fn(cent_map: dict, hier_plans: dict | None):
+    """mapInArrow kernel for the Lloyd RECOMPUTE rounds: assign each
+    batch row, then emit only the exact per-(grp, cluster, dim) partial
+    sums of the fixed-point mean — <= k x dim rows per batch instead of
+    n assignment rows, so the recompute's exchange carries centroid-table
+    bytes, never corpus bytes (the map-side-aggregation rule, guide §2.3,
+    taken to its limit)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            grp_t = b.schema.field(0).type
+            grp = b.column(0).to_numpy(zero_copy_only=False)
+            out = []
+            for g in np.unique(grp):
+                rows = np.where(grp == g)[0]
+                V = _K.list_matrix(b.column(2), rows)
+                gv = g.item() if hasattr(g, "item") else g
+                if hier_plans is not None:
+                    lab, _ = _K.hier_argmin(V, hier_plans[gv])
+                else:
+                    ids, C = cent_map[gv]
+                    lab, _ = _K.argmin_cells(V, ids, C)
+                present, sums, counts = _K.quant_sums(V, lab, quant_scale=6)
+                p, d = sums.shape
+                out.append(
+                    (
+                        np.full(p * d, gv),
+                        np.repeat(present.astype(np.int32), d),
+                        np.tile(np.arange(d, dtype=np.int32), p),
+                        sums.ravel(),
+                        np.repeat(counts, d),
+                    )
+                )
+            if not out:
+                continue
+            gcol = np.concatenate([o[0] for o in out])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(gcol, type=grp_t),
+                    pa.array(np.concatenate([o[1] for o in out]), type=pa.int32()),
+                    pa.array(np.concatenate([o[2] for o in out]), type=pa.int32()),
+                    pa.array(np.concatenate([o[3] for o in out]), type=pa.int64()),
+                    pa.array(np.concatenate([o[4] for o in out]), type=pa.int64()),
+                ],
+                names=["grp", "cluster", "dim", "sfx", "cnt"],
+            )
+
+    return fn
+
+
+def _hier_plans(cent_map: dict, k2: int, scale: int) -> dict:
+    """Two-level routing tables per group, precomputed on the DRIVER from
+    the collected centroid table: the inner quantizer of
+    ``_argmin_assign_hier`` runs over k rows — metadata-sized at any
+    corpus scale, so clustering it locally replaces the 3 scheduled
+    inner-k-means jobs per outer round with microseconds (the same
+    rationale as the union-find small-graph gate in operators/dedup.py)."""
+    return {
+        g: _K.build_hier_plan(ids, C, k2, scale=scale)
+        for g, (ids, C) in cent_map.items()
+    }
+
+
+def _cent_map_from_partials(agg_rows, scale: int) -> dict:
+    """New {grp: (cluster ids asc, centroid matrix)} from the exact
+    partial sums: one ``centroid_component`` (= round_half_up(
+    avg_fixed_point(val), scale)) per (grp, cluster, dim). Clusters with
+    no members simply have no rows — they drop, exactly like the
+    groupBy recompute."""
+    import numpy as np
+
+    comp: dict = {}
+    for r in agg_rows:
+        comp.setdefault((r["grp"], r["cluster"]), {})[r["dim"]] = (
+            _K.centroid_component(r["sfx"], r["cnt"], 6, scale)
+        )
+    by_grp: dict = {}
+    for (g, cl), dims in comp.items():
+        vec = [dims[i] for i in range(len(dims))]
+        by_grp.setdefault(g, []).append((cl, vec))
+    out = {}
+    for g, items in by_grp.items():
+        items.sort(key=lambda t: t[0])
+        out[g] = (
+            np.array([t[0] for t in items], dtype=np.int64),
+            np.array([t[1] for t in items], dtype=np.float64),
+        )
+    return out
+
+
+def _centroids_df(spark, cent_map: dict, grp_type) -> DataFrame:
+    """Rebuild the (grp, cluster, c) centroid DataFrame from the local
+    map — same schema the SQL path's checkpointed table had, so every
+    downstream consumer (stores, drift audits, frozen-index saves) is
+    untouched."""
+    from pyspark.sql import types as T
+
+    rows = []
+    for g in sorted(cent_map):
+        ids, C = cent_map[g]
+        for i in range(ids.shape[0]):
+            rows.append((g, int(ids[i]), [float(x) for x in C[i]]))
+    schema = T.StructType(
+        [
+            T.StructField("grp", grp_type, False),
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("c", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def _kmeans_rounds(
+    vecs: DataFrame, k: int, iters: int, scale: int, dim: int | None,
+    single_group: bool = False,
+    route: str = "flat",
+) -> tuple[DataFrame, DataFrame]:
+    """Dispatcher: the Arrow/NumPy assignment kernel by default, the
+    original all-expression SQL plan under ``SEMANTIC_ASSIGN_IMPL=sql``
+    (bit-equality reference; identical output rows either way)."""
+    if _assign_impl() == "sql":
+        return _kmeans_rounds_sql(
+            vecs, k, iters, scale, dim, single_group=single_group, route=route
+        )
+    return _kmeans_rounds_arrow(
+        vecs, k, iters, scale, single_group=single_group, route=route
+    )
+
+
+def _kmeans_rounds_arrow(
+    vecs: DataFrame, k: int, iters: int, scale: int,
+    single_group: bool = False,
+    route: str = "flat",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's loop with the map-only assignment kernel (guide §4.2):
+
+    - init and each recompute land the k x dim centroid table on the
+      DRIVER (bounded: k ~ sqrt(n) rows of metadata — the table the SQL
+      path materialized via localCheckpoint anyway), and ship it back
+      inside the kernel closure — no broadcast-join stage at all;
+    - recompute rounds emit per-batch partial sums (<= k x dim rows per
+      batch) instead of n assignment rows: ONE job per round whose
+      exchange carries centroid-table bytes, never corpus bytes;
+    - the final assignment is a single map-only stage fused into the
+      consumer's plan — no candidate-row join, no SortAggregate, no
+      exchange (the SQL plan paid all three per round).
+
+    Semantics identical to ``_kmeans_rounds_sql`` bit-for-bit: the kernel
+    reproduces every IEEE op (functions/argmin_kernel.py), init/ties/
+    empty-cluster behavior included. ``route="hier"`` runs the SAME
+    two-level routed assignment; its inner quantizer (over k centroid
+    rows) runs locally on the driver instead of as 3 scheduled jobs per
+    round."""
+    if route == "hier" and not single_group:
+        raise ValueError("hier routing is single-group only")
+    import numpy as np
+
+    spark = vecs.sparkSession
+    vecs = vecs.select("grp", "id", "v")
+    grp_type = vecs.schema["grp"].dataType
+    id_type = vecs.schema["id"].dataType
+    if single_group:
+        # k-row bounded init fetch (the k lowest-id vectors, already
+        # sorted by the TakeOrdered): same contract as the SQL path's
+        # checkpointed init table, landed locally for the kernel closure
+        init_rows = vecs.orderBy("id").limit(k).collect()
+    else:
+        w_init = Window.partitionBy("grp").orderBy("id")
+        init_rows = (
+            vecs.withColumn("_rn", F.row_number().over(w_init))
+            .filter(F.col("_rn") <= k)
+            .select("grp", "id", "v")
+            .orderBy("grp", "id")
+            .collect()  # k x groups bounded init rows
+        )
+    by_grp: dict = {}
+    for r in init_rows:
+        by_grp.setdefault(r["grp"], []).append(r["v"])
+    cent_map = {
+        g: (
+            np.arange(1, len(vs) + 1, dtype=np.int64),
+            np.array(vs, dtype=np.float64),
+        )
+        for g, vs in by_grp.items()
+    }
+    k2 = int(math.ceil(math.sqrt(k)))  # fixed across rounds (oracle mirrors)
+    assigned = None
+    for r in range(iters):
+        hier_plans = _hier_plans(cent_map, k2, scale) if route == "hier" else None
+        if r < iters - 1:
+            parts = vecs.mapInArrow(
+                _make_partials_fn(cent_map, hier_plans),
+                f"grp {grp_type.simpleString()}, cluster int, dim int, "
+                "sfx long, cnt long",
+            )
+            agg_rows = (
+                parts.groupBy("grp", "cluster", "dim")
+                .agg(F.sum("sfx").alias("sfx"), F.sum("cnt").alias("cnt"))
+                .collect()  # <= k x dim x groups rows — the centroid table
+            )
+            cent_map = _cent_map_from_partials(agg_rows, scale)
+        else:
+            assigned = vecs.mapInArrow(
+                _make_assign_fn(cent_map, hier_plans),
+                f"grp {grp_type.simpleString()}, id {id_type.simpleString()},"
+                " cluster int, dist_fx long",
+            )
+    return assigned, _centroids_df(spark, cent_map, grp_type)
+
+
+def _kmeans_rounds_sql(
     vecs: DataFrame, k: int, iters: int, scale: int, dim: int | None,
     single_group: bool = False,
     route: str = "flat",
@@ -1404,21 +1681,43 @@ def assign_to_centroids(
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Route vectors to their nearest FROZEN centroid via the shared
-    broadcast-join + hash-aggregate argmin (``_argmin_assign``): k x dim
-    is tiny at any corpus scale, candidates collapse map-side, and the
-    exchange stays linear in the batch — the per-micro-batch ingest
-    primitive of an IVF/SemDeDup layout. Same exact fixed-point distance
-    + lower-cluster tie-break contract as training-time assignment, so
-    an unrolled SQL oracle reproduces it bit-for-bit."""
+    """Route vectors to their nearest FROZEN centroid — the
+    per-micro-batch ingest primitive of an IVF/SemDeDup layout. Default
+    implementation is the map-only Arrow/NumPy argmin kernel: the k x dim
+    centroid table (tiny at any corpus scale — it is the frozen quantizer
+    a store hands back) lands on the driver once and ships in the kernel
+    closure, so the batch pays ONE map stage — no broadcast-join, no
+    candidate rows, no exchange. ``SEMANTIC_ASSIGN_IMPL=sql`` keeps the
+    original broadcast-join + aggregate argmin as the bit-equality
+    reference. Same exact fixed-point distance + lower-cluster tie-break
+    contract either way, so an unrolled SQL oracle reproduces it
+    bit-for-bit."""
     v = vecs.select(
         F.lit(0).alias("grp"),
         F.col(id_col).alias("id"),
         to_double_array(vec_col).alias("v"),
     )
-    cents = centroids.select(F.lit(0).alias("grp"), "cluster", "c")
+    if _assign_impl() == "sql":
+        cents = centroids.select(F.lit(0).alias("grp"), "cluster", "c")
+        assigned = _argmin_assign(v, cents, dim)
+    else:
+        import numpy as np
+
+        rows = centroids.select("cluster", "c").collect()  # k-row frozen quantizer table
+        rows.sort(key=lambda r: r["cluster"])
+        cent_map = {
+            0: (
+                np.array([r["cluster"] for r in rows], dtype=np.int64),
+                np.array([r["c"] for r in rows], dtype=np.float64),
+            )
+        }
+        assigned = v.mapInArrow(
+            _make_assign_fn(cent_map, None),
+            f"grp int, id {v.schema['id'].dataType.simpleString()},"
+            " cluster int, dist_fx long",
+        )
     return (
-        _argmin_assign(v, cents, dim)
+        assigned
         .select("id", "cluster", "dist_fx")
         .withColumn(
             "dist", F.col("dist_fx").cast("double") / F.lit(100000000.0)
@@ -2134,6 +2433,83 @@ def resolve_semantic_route(
     return "hier" if n >= threshold else "flat"
 
 
+def _cell_pair_dedup(
+    m: DataFrame, threshold: float, out_id: str = "vec_id"
+) -> DataFrame:
+    """The in-cell duplicate sweep of ``semantic_dedup`` as one grouped
+    Arrow kernel over (id, cluster, v): emits (out_id, canonical_id,
+    max_cos) per duplicate. Exact-value contract lives in
+    functions/argmin_kernel.py:cell_dup_sweep."""
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    id_t = m.schema["id"].dataType.simpleString()
+    th = float(threshold)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        V = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+        )
+        dup, canon, mc = _K.cell_dup_sweep(ids, V, th)
+        return pd.DataFrame(
+            {"_dup": dup, "_canon": canon, "max_cos": mc}
+        )
+
+    out = m.select("cluster", "id", "v").groupBy("cluster").applyInPandas(
+        fn, f"_dup {id_t}, _canon {id_t}, max_cos double"
+    )
+    return out.select(
+        F.col("_dup").alias(out_id),
+        F.col("_canon").alias("canonical_id"),
+        "max_cos",
+    )
+
+
+def _cell_screen_pairs(
+    d: DataFrame, c: DataFrame, threshold: float, out_id: str
+) -> DataFrame:
+    """The delta-vs-corpus in-cell screen of ``semantic_dedup_screen`` as
+    one COGROUPED Arrow kernel: ``d`` is (cell, id, v) [delta], ``c`` is
+    (cell, cid, cv) [stored corpus members]; emits (out_id, canonical_id,
+    max_cos) per leaked/duplicate delta row. Cells present on only one
+    side emit nothing — inner-join semantics, like the SQL plan."""
+    id_t = d.schema["id"].dataType.simpleString()
+    th = float(threshold)
+
+    def fn(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"_dup": left["id"][:0], "_canon": left["id"][:0],
+                 "max_cos": np.empty(0, dtype=np.float64)}
+            )
+        right = right.sort_values("cid")
+        dids = left["id"].to_numpy()
+        VD = np.stack([np.asarray(x, dtype=np.float64) for x in left["v"]])
+        cids = right["cid"].to_numpy()
+        VC = np.stack([np.asarray(x, dtype=np.float64) for x in right["cv"]])
+        dup, canon, mc = _K.cell_screen_sweep(dids, VD, cids, VC, th)
+        return pd.DataFrame({"_dup": dup, "_canon": canon, "max_cos": mc})
+
+    out = (
+        d.select("cell", "id", "v")
+        .groupBy("cell")
+        .cogroup(c.select("cell", "cid", "cv").groupBy("cell"))
+        .applyInPandas(fn, f"_dup {id_t}, _canon {id_t}, max_cos double")
+    )
+    return out.select(
+        F.col("_dup").alias(out_id),
+        F.col("_canon").alias("canonical_id"),
+        F.col("max_cos"),
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int | None = None,
@@ -2208,6 +2584,24 @@ def semantic_dedup(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         route=route,
     )
+    if _assign_impl() != "sql":
+        # in-cell sweep as ONE grouped Arrow kernel (guide §4.2): the
+        # exchange moves each member once, keyed by its cell, and the
+        # kernel computes the exact round4 cosines vectorized — no
+        # self-join, no per-pair interpreted folds, no second exchange
+        # for the dup-grain aggregate (a dup's matches all live in its
+        # own cell, so the rollup is in-kernel). The dot-product
+        # PREFILTER of the SQL plan is a conservative margin over the
+        # exact cosine, so sweeping exact cosines directly emits the
+        # identical row set — which is also precisely what the oracle's
+        # pair CTE computes.
+        m = cells.select("id", "cluster").join(
+            embeddings.select(
+                F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+            ),
+            "id",
+        )
+        return _cell_pair_dedup(m, threshold, out_id="vec_id")
     v = embeddings.select(
         F.col(id_col).alias("id"),
         to_double_array(vec_col).alias("v"),
@@ -2276,6 +2670,23 @@ def semantic_dedup_screen(
     routed = assign_to_centroids(
         delta, centroids, id_col=id_col, vec_col=vec_col
     ).select("id", F.col("cluster").alias(cell_col))
+    if _assign_impl() != "sql":
+        # delta-vs-corpus sweep as ONE cogrouped Arrow kernel: both sides
+        # exchange once, keyed by the cell, and the kernel computes the
+        # exact round4 cosines vectorized (same prefilter-superset
+        # argument as semantic_dedup's kernel — identical row set).
+        dd = routed.join(
+            delta.select(
+                F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+            ),
+            "id",
+        ).select(F.col(cell_col).alias("cell"), "id", "v")
+        cc = corpus_cells.select(
+            F.col(cell_col).alias("cell"),
+            F.col(id_col).alias("cid"),
+            to_double_array(vec_col).alias("cv"),
+        )
+        return _cell_screen_pairs(dd, cc, threshold, out_id=id_col)
     d = routed.join(
         delta.select(
             F.col(id_col).alias("id"),

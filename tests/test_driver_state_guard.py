@@ -46,6 +46,20 @@ ALLOWED_COLLECTS = {
         "limit(1) per greedy MMR round",
     ("operators/similarity.py", '.collect()'):
         "bounded greedy-loop fetch adjudicated in VERDICT r9-r11",
+    ("operators/similarity.py", 'init_rows = vecs.orderBy("id").limit(k).collect()'):
+        "k-row k-means init (the k lowest-id vectors) — the centroid "
+        "table the SQL path materialized via localCheckpoint, landed "
+        "locally for the Arrow assignment-kernel closure",
+    ("operators/similarity.py", '.collect()  # k x groups bounded init rows'):
+        "k x groups k-means init rows (grouped/PQ training) — same "
+        "centroid-table bound as the single-group init",
+    ("operators/similarity.py", '.collect()  # <= k x dim x groups rows — the centroid table'):
+        "Lloyd recompute lands the k x dim centroid table per round — "
+        "metadata-sized at any corpus scale (k ~ sqrt(n))",
+    ("operators/similarity.py", 'rows = centroids.select("cluster", "c").collect()  # k-row frozen quantizer table'):
+        "the frozen coarse quantizer (k rows) a store hands back — "
+        "collected once per batch for the kernel closure, the same "
+        "table the SQL path broadcast",
     ("operators/skew.py", 'top = top_key_skew(diag, on, n=1).collect()'):
         "n=1 hottest-key diagnostic row for the salting decision",
     ("sinks.py", 'r["_bucket"] for r in b.select("_bucket").distinct().collect()'):
