@@ -146,8 +146,77 @@ def minhash_signatures(
 
     One explode + one groupBy: shuffle volume is (docs x shingles) hashed
     rows, independent of corpus pair count.
+
+    Default implementation is an Arrow kernel (guide §4.2): tokenize,
+    shingle, md5-fold and take all ``num_perm`` permutation minima per
+    document INSIDE one map stage — no shingle explode (docs x shingles
+    rows), no 64-column aggregate, no exchange at all. Exactness: the
+    kernel reproduces the SQL column semantics operation for operation —
+    ``split(" ")`` keeps empty tokens on both sides, docs with fewer
+    than n tokens produce NO row (the explode-over-empty contract), md5
+    is md5, and the (h*a+b) % 2147483647 lattice is exact int64 on both
+    sides (max |h*a+b| < 2^63). ``SEMANTIC_ASSIGN_IMPL=sql`` keeps the
+    explode + 64-min aggregate as the bit-equality reference
+    (tests/test_assign_kernel_parity.py pins signature equality).
     """
     params = _perm_params(num_perm, seed)
+    if _assign_impl() != "sql":
+        import numpy as np
+
+        src = fan_out(docs).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("t")
+        )
+        id_t = src.schema["id"].dataType.simpleString()
+        A = np.array([a for a, _ in params], dtype=np.int64)
+        B = np.array([b for _, b in params], dtype=np.int64)
+
+        def fn(batches):
+            import hashlib
+
+            import pyarrow as pa
+
+            for batch in batches:
+                texts = batch.column(1).to_pylist()
+                keep = []
+                sigs = []
+                for i, t in enumerate(texts):
+                    if t is None:
+                        continue
+                    words = t.split(" ")
+                    if len(words) < n:
+                        continue  # empty shingle set -> no signature row
+                    sh = {
+                        " ".join(words[j : j + n])
+                        for j in range(len(words) - n + 1)
+                    }
+                    h = np.fromiter(
+                        (
+                            int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                            for s in sh
+                        ),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )
+                    sigs.append(
+                        ((h[:, None] * A[None, :] + B[None, :]) % _MERSENNE)
+                        .min(axis=0)
+                    )
+                    keep.append(i)
+                if not keep:
+                    continue
+                flat = np.concatenate(sigs)
+                off = np.arange(0, (len(keep) + 1) * len(A), len(A), dtype=np.int32)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(0).take(pa.array(keep, type=pa.int32())),
+                        pa.ListArray.from_arrays(
+                            pa.array(off), pa.array(flat, type=pa.int64())
+                        ),
+                    ],
+                    names=["id", "signature"],
+                )
+
+        return src.mapInArrow(fn, f"id {id_t}, signature array<long>")
     exploded = fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(tokens_col(text_col), n)).alias("sh"),
@@ -368,7 +437,11 @@ def minhash_near_dup_pairs(
         minhash_signatures(docs, id_col, text_col, n, num_perm, seed),
         num_perm,
         bands,
-    )
+    # the signature stage is a map-only kernel with no exchange, so the
+    # self-join below would otherwise run it (tokenize + md5 + minima)
+    # TWICE — a lazy local checkpoint materializes the skinny band rows
+    # once per invocation and both join sides read the cache
+    ).localCheckpoint(eager=False)
     left = band_rows.alias("x")
     right = band_rows.alias("y")
     candidates = (
@@ -2880,58 +2953,81 @@ def tune_nprobe(
     recall estimation needs only the sample, never the production
     query stream.
 
-    The search is BINARY, not a linear walk: recall@k is monotone
-    non-decreasing in nprobe because probe sets are nested and a
-    true-top-k member already ranked into the approximate top-k can
-    never be displaced by widening the candidate set — any candidate
-    outranking it under the shared (rounded cosine desc, neighbor id)
-    total order would itself belong to the exact top-k
-    (pytest-pinned monotonicity on the tradeoff curve). So minimality
-    is preserved at O(log n_cells) probed searches instead of
-    O(n_cells) — the difference between ~12 and ~4000 cells is what
-    makes tuning affordable on a real index.
+    Recall@k is monotone non-decreasing in nprobe because probe sets
+    are nested and a true-top-k member already ranked into the
+    approximate top-k can never be displaced by widening the candidate
+    set — any candidate outranking it under the shared (rounded cosine
+    desc, neighbor id) total order would itself belong to the exact
+    top-k (pytest-pinned monotonicity on the tradeoff curve).
 
-    Cost: the exact baseline once (|sample| x corpus, broadcast-query
-    shape) plus one probed search per bisection step — each decision
-    is a tiny count aggregate (queries x k rows), not a data
-    collect."""
-    exact = (
-        brute_force_topk(
-            embeddings, queries, k=k, id_col=id_col, vec_col=vec_col,
-            query_id_col=query_id_col,
-        )
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # one scan, reused per candidate nprobe
+    Cost: ONE pass. The monotonicity argument above is in fact an
+    equality: a true-top-k neighbor appears in the probed search's
+    top-k IFF its own cell is probed (anything displacing it would
+    itself be exact-top-k), so recall@k at EVERY nprobe falls out of
+    one histogram of the exact pairs' probe ranks — hits(p) =
+    #{(q, n) exact : probe_rank_q(cell(n)) <= p}. The whole curve is
+    computed by the exact baseline + one probe-rank join + one
+    n_cells-row histogram collect, replacing one probed search PER
+    bisection step (each a full candidate join + window) with a
+    cumulative sum on the driver. Same decision, same achieved recall,
+    O(1) scheduled jobs instead of O(log n_cells)."""
+    cents = label_centroids(embeddings, dim, cell_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(vec_col).alias("qe"),
     )
-    total = exact.count()
+    # identical probe order to ivf_topk: (cent_sim desc, cell asc)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.col("cell")
+    )
+    ranks = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cell",
+            round_half_up(
+                cosine_similarity_col(F.col("qe"), F.col("centroid")), 4
+            ).alias("cent_sim"),
+        )
+        .withColumn("probe_rnk", F.row_number().over(probe_w))
+        .select("query_id", "cell", "probe_rnk")
+    )
+    exact = brute_force_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "neighbor_id")
+    ecells = exact.join(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(cell_col).alias("cell")
+        ),
+        "neighbor_id",
+    )
+    hist = {
+        r["probe_rnk"]: r["n"]
+        for r in ecells.join(ranks, ["query_id", "cell"])
+        .groupBy("probe_rnk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # n_cells-bounded histogram of exact-pair probe ranks
+    }
     n_cells = max(1, embeddings.select(cell_col).distinct().count())
+    total = sum(hist.values())
     if total == 0:
         return 1, 1000
 
-    def recall_at(nprobe: int) -> int:
-        approx = ivf_topk(
-            embeddings, queries, dim=dim, k=k, nprobe=nprobe,
-            cell_col=cell_col, id_col=id_col, vec_col=vec_col,
-            query_id_col=query_id_col,
-        ).select("query_id", "neighbor_id")
-        hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
-        r = int(hits * 1000 // total)
+    cum = 0
+    recall_by_p = {}
+    for p in range(1, n_cells + 1):
+        cum += hist.get(p, 0)
+        recall_by_p[p] = int(cum * 1000 // total)
         if trace is not None:
-            trace.append((nprobe, r))  # decision provenance (tuning.py)
-        return r
-
-    hi_recall = recall_at(n_cells)
+            trace.append((p, recall_by_p[p]))  # decision provenance
+    hi_recall = recall_by_p[n_cells]
     if hi_recall < target_recall_permille:
         return n_cells, hi_recall
-    lo, hi, best = 1, n_cells, hi_recall  # invariant: recall(hi) = best >= target
-    while lo < hi:
-        mid = (lo + hi) // 2
-        r = recall_at(mid)
-        if r >= target_recall_permille:
-            hi, best = mid, r
-        else:
-            lo = mid + 1
-    return hi, best
+    for p in range(1, n_cells + 1):
+        if recall_by_p[p] >= target_recall_permille:
+            return p, recall_by_p[p]
+    return n_cells, hi_recall
 
 
 def tune_bands(

@@ -60,6 +60,9 @@ ALLOWED_COLLECTS = {
         "the frozen coarse quantizer (k rows) a store hands back — "
         "collected once per batch for the kernel closure, the same "
         "table the SQL path broadcast",
+    ("operators/similarity.py", '.collect()  # n_cells-bounded histogram of exact-pair probe ranks'):
+        "tune_nprobe's recall curve: one row per probe rank, bounded by "
+        "the cell count (the same bound the old per-step counts had)",
     ("operators/skew.py", 'top = top_key_skew(diag, on, n=1).collect()'):
         "n=1 hottest-key diagnostic row for the salting decision",
     ("sinks.py", 'r["_bucket"] for r in b.select("_bucket").distinct().collect()'):
