@@ -251,19 +251,23 @@ def cell_dup_sweep(
         return ids[:0], ids[:0], e.astype(np.float64)
     canon_idx = np.full(m, -1, dtype=np.int64)
     maxc = np.full(m, -np.inf, dtype=np.float64)
-    cols = np.arange(m)
-    for s in range(0, m, PAIR_TILE_ROWS):
-        e = min(m, s + PAIR_TILE_ROWS)
-        cos4 = round_half_up4(cosine_matrix(V[s:e], V))
-        mask = (cos4 >= threshold) & (
-            np.arange(s, e)[:, None] < cols[None, :]
-        )
-        hit = mask.any(axis=0)
-        first = np.argmax(mask, axis=0) + s
-        unset = hit & (canon_idx < 0)
-        canon_idx[unset] = first[unset]  # i-blocks ascend, so first = min id
-        colmax = np.where(mask, cos4, -np.inf).max(axis=0)
-        np.maximum(maxc, colmax, out=maxc)
+    # tile BOTH axes: no intermediate exceeds PAIR_TILE_ROWS^2 cells no
+    # matter how large the cell — the giant-cell worker-memory guard
+    for cs in range(0, m, PAIR_TILE_ROWS):
+        ce = min(m, cs + PAIR_TILE_ROWS)
+        for s in range(0, ce, PAIR_TILE_ROWS):  # rows i < ce suffice (i < j)
+            e = min(ce, s + PAIR_TILE_ROWS)
+            cos4 = round_half_up4(cosine_matrix(V[s:e], V[cs:ce]))
+            mask = (cos4 >= threshold) & (
+                np.arange(s, e)[:, None] < np.arange(cs, ce)[None, :]
+            )
+            hit = mask.any(axis=0)
+            first = np.argmax(mask, axis=0) + s
+            unset = hit & (canon_idx[cs:ce] < 0)
+            sl = canon_idx[cs:ce]
+            sl[unset] = first[unset]  # i-blocks ascend, so first = min id
+            colmax = np.where(mask, cos4, -np.inf).max(axis=0)
+            np.maximum(maxc[cs:ce], colmax, out=maxc[cs:ce])
     js = np.where(canon_idx >= 0)[0]
     return ids[js], ids[canon_idx[js]], maxc[js]
 
@@ -283,26 +287,25 @@ def cell_screen_sweep(
     n, k = dids.shape[0], cids.shape[0]
     if n == 0 or k == 0:
         return dids[:0], cids[:0], np.empty(0, dtype=np.float64)
-    out_d, out_c, out_m = [], [], []
+    canon_col = np.full(n, -1, dtype=np.int64)
+    maxc = np.full(n, -np.inf, dtype=np.float64)
+    # tile BOTH axes (see cell_dup_sweep): corpus blocks ascend by cid,
+    # so the first qualifying block's argmax is the min matching cid
     for s in range(0, n, PAIR_TILE_ROWS):
         e = min(n, s + PAIR_TILE_ROWS)
-        cos4 = round_half_up4(cosine_matrix(VD[s:e], VC))
-        mask = cos4 >= threshold
-        hit = mask.any(axis=1)
-        rows = np.where(hit)[0]
-        if rows.shape[0] == 0:
-            continue
-        first = np.argmax(mask[rows], axis=1)  # cids ascend -> min id
-        out_d.append(dids[s:e][rows])
-        out_c.append(cids[first])
-        out_m.append(np.where(mask[rows], cos4[rows], -np.inf).max(axis=1))
-    if not out_d:
-        return dids[:0], cids[:0], np.empty(0, dtype=np.float64)
-    return (
-        np.concatenate(out_d),
-        np.concatenate(out_c),
-        np.concatenate(out_m),
-    )
+        for cs in range(0, k, PAIR_TILE_ROWS):
+            ce = min(k, cs + PAIR_TILE_ROWS)
+            cos4 = round_half_up4(cosine_matrix(VD[s:e], VC[cs:ce]))
+            mask = cos4 >= threshold
+            hit = mask.any(axis=1)
+            first = np.argmax(mask, axis=1) + cs
+            unset = hit & (canon_col[s:e] < 0)
+            sl = canon_col[s:e]
+            sl[unset] = first[unset]
+            rowmax = np.where(mask, cos4, -np.inf).max(axis=1)
+            np.maximum(maxc[s:e], rowmax, out=maxc[s:e])
+    rows = np.where(canon_col >= 0)[0]
+    return dids[rows], cids[canon_col[rows]], maxc[rows]
 
 
 def list_matrix(col, rows: np.ndarray | None = None) -> np.ndarray:

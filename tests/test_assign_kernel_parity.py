@@ -117,6 +117,28 @@ def test_screen_and_decontaminate_parity(monkeypatch, planted):
     assert a == b
 
 
+def test_pair_sweeps_tile_invariant(monkeypatch):
+    """Forcing tiny tiles (both axes) must not change a single output —
+    the giant-cell memory guard is pure blocking, no semantics."""
+    rng = np.random.default_rng(11)
+    V = rng.uniform(-1, 1, (23, 8))
+    V[7] = V[2]  # exact twin
+    V[19] = V[2] * 1.0000001
+    ids = np.arange(100, 123, dtype=np.int64)
+    want = K.cell_dup_sweep(ids, V, 0.9)
+    monkeypatch.setattr(K, "PAIR_TILE_ROWS", 3)
+    got = K.cell_dup_sweep(ids, V, 0.9)
+    assert [x.tolist() for x in got] == [x.tolist() for x in want]
+    assert len(want[0]) > 0
+
+    monkeypatch.setattr(K, "PAIR_TILE_ROWS", 4096)
+    dw = K.cell_screen_sweep(ids[:11], V[:11], ids[11:], V[11:], 0.5)
+    monkeypatch.setattr(K, "PAIR_TILE_ROWS", 3)
+    dg = K.cell_screen_sweep(ids[:11], V[:11], ids[11:], V[11:], 0.5)
+    assert [x.tolist() for x in dg] == [x.tolist() for x in dw]
+    assert len(dw[0]) > 0
+
+
 def test_java_long_narrowing_semantics():
     """double -> long follows JLS 5.1.3 exactly (NaN -> 0, saturation) —
     NumPy's bare astype would wrap instead."""
