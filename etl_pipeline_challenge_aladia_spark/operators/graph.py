@@ -61,7 +61,13 @@ def pagerank_fixed_point(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    edges = both.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout: each round's plan is still truncated at
+    # the checkpointed RDD (the O(rounds) plan-size discipline), but
+    # materialization folds into the next consuming job instead of paying
+    # one scheduled job per checkpoint — the whole loop now executes as
+    # ONE job at the final action, with every intermediate persisted for
+    # its later consumers (same results; checkpointing is physical only)
+    edges = both.localCheckpoint(eager=False)
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
@@ -77,7 +83,7 @@ def pagerank_fixed_point(
                 "rank_fx"
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(iterations):
         contrib = (
@@ -109,7 +115,7 @@ def pagerank_fixed_point(
                 .cast("long")
                 .alias("rank_fx"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return nodes.select("id", "degree", "rank_fx")
 
@@ -150,7 +156,9 @@ def triangle_stats(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)  # pair detection runs once
+        # LAZY (see pagerank_fixed_point): all four consumers sit in the
+        # one final job, which computes the pair detection once into cache
+        .localCheckpoint(eager=False)  # pair detection runs once
     )
     deg = (
         und.select(F.col("u").alias("id"))
@@ -180,7 +188,7 @@ def triangle_stats(
             .alias("e")
         )
         .select("e.src", "e.dst")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(
@@ -254,7 +262,9 @@ def kcore_peel(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    edges = both.localCheckpoint(eager=True)
+    # LAZY per-round checkpoints (see pagerank_fixed_point): plan stays
+    # O(1) per round, materialization folds into the final consuming job
+    edges = both.localCheckpoint(eager=False)
     for _ in range(rounds):
         keep = (
             edges.groupBy(F.col("src").alias("id"))
@@ -266,7 +276,7 @@ def kcore_peel(
             edges.join(keep.withColumnRenamed("id", "src"), "src", "leftsemi")
             .join(keep.withColumnRenamed("id", "dst"), "dst", "leftsemi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")

@@ -102,8 +102,15 @@ def profile_table(
     """Per-column profile: ``(column_name, n_null, n_distinct, min_value,
     max_value)`` with min/max stringified (doubles pre-rounded half-up to
     ``double_scale`` so the text form is engine-stable)."""
+    from etl_pipeline_challenge_aladia_spark.sources.files import fan_out
+
     cols = list(columns) if columns is not None else df.columns
     types = dict(df.dtypes)
+    # fan_out BEFORE the aggregate: the multi-distinct plan EXPANDS every
+    # row (cols+1)x in the partial-agg stage, and on a single-row-group
+    # testdata scan that whole expansion runs in one task; the round-robin
+    # exchange spreads it (no-op passthrough on wide production scans)
+    df = fan_out(df.select(*cols))
 
     def _s(c: str, agg) -> Column:
         base = F.col(c)
@@ -158,7 +165,13 @@ def candidate_keys(
     candidates-sized unpivot of the 1-row aggregate. No shuffle carries
     more than the distinct-key cardinality, at any table size.
     """
+    from etl_pipeline_challenge_aladia_spark.sources.files import fan_out
+
     cands = [list(c) for c in candidates]
+    # fan_out BEFORE the aggregate (see profile_table): the multi-distinct
+    # expand must run above the round-robin exchange, not in the scan task
+    need = sorted({c for cols in cands for c in cols})
+    df = fan_out(df.select(*need))
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, cols in enumerate(cands):
         anynull = None

@@ -51,6 +51,101 @@ def jaccard_cols(a, b):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _pair_jaccard_verify(
+    pairs: DataFrame,
+    n: int,
+    a_col: str,
+    b_col: str,
+    a_kind: str = "text",
+    b_kind: str = "text",
+) -> DataFrame:
+    """Candidate-pair exact-Jaccard verification as ONE Arrow map stage
+    (guide §4.2): input is the joined candidate frame
+    ``(id_a, id_b, payload_a, payload_b)`` where a payload is either raw
+    TEXT ('text': tokenize + n-gram shingle inside the kernel) or an
+    already-distinct shingle ARRAY ('set'); output is
+    ``(id_a, id_b, jaccard)`` with the engine-wide half-up rounding.
+
+    Bit-exact twin of the Catalyst expression it replaces
+    (``round_half_up(jaccard_cols(shingles_col(tokens_col(t), n), ...), 4)``):
+    ``split(" ")`` keeps empty tokens, docs with fewer than ``n`` tokens
+    have an EMPTY shingle set (explode-over-empty: such docs never reach a
+    candidate join, but the kernel still mirrors the column's 0.0-on-empty
+    contract), intersection/union are distinct-set sizes, the division is
+    one IEEE double op and the rounding is floor(j*1e4+0.5)/1e4 — every
+    step correctly rounded and identical in both engines. Shingle sets are
+    memoized PER BATCH by doc id, so a hub document shared by many
+    candidate pairs tokenizes once per batch instead of once per pair —
+    the JVM expression paid the full tokenize+shingle+hash-set build per
+    pair, which profiling shows dominating the verify stage."""
+    id_a_t = pairs.schema[0].dataType.simpleString()
+    id_b_t = pairs.schema[1].dataType.simpleString()
+
+    def to_set_text(t):
+        if t is None:
+            return frozenset()
+        words = t.split(" ")
+        if len(words) < n:
+            return frozenset()
+        return frozenset(
+            " ".join(words[j : j + n]) for j in range(len(words) - n + 1)
+        )
+
+    def fn(batches):
+        import math
+
+        import pyarrow as pa
+
+        for b in batches:
+            m = b.num_rows
+            if m == 0:
+                continue
+            ida = b.column(0)
+            idb = b.column(1)
+            pa_col = b.column(2).to_pylist()
+            pb_col = b.column(3).to_pylist()
+            ida_py = ida.to_pylist()
+            idb_py = idb.to_pylist()
+            memo_a: dict = {}
+            memo_b: dict = {}
+            out = [0.0] * m
+            for i in range(m):
+                ka = ida_py[i]
+                sa = memo_a.get(ka)
+                if sa is None:
+                    sa = (
+                        to_set_text(pa_col[i])
+                        if a_kind == "text"
+                        else frozenset(pa_col[i])
+                    )
+                    memo_a[ka] = sa
+                kb = idb_py[i]
+                sb = memo_b.get(kb)
+                if sb is None:
+                    sb = (
+                        to_set_text(pb_col[i])
+                        if b_kind == "text"
+                        else frozenset(pb_col[i])
+                    )
+                    memo_b[kb] = sb
+                inter = len(sa & sb)
+                uni = len(sa) + len(sb) - inter
+                j = inter / uni if uni > 0 else 0.0
+                out[i] = math.floor(j * 1.0e4 + 0.5) / 1.0e4
+            yield pa.RecordBatch.from_arrays(
+                [ida, idb, pa.array(out, type=pa.float64())],
+                names=["_ia", "_ib", "jaccard"],
+            )
+
+    return pairs.mapInArrow(
+        fn, f"_ia {id_a_t}, _ib {id_b_t}, jaccard double"
+    ).select(
+        F.col("_ia").alias(a_col),
+        F.col("_ib").alias(b_col),
+        "jaccard",
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -78,16 +173,24 @@ def ngram_jaccard_pairs(
     ``None`` keeps the full-universe EXACT semantics (the oracle shape).
     Optional ``block_col`` restricts pairs to equal blocks.
     """
+    # fan_out BEFORE the shingle projection: the testdata parquet scans are
+    # single-row-group (one task), so an expensive projection chained onto
+    # the scan runs single-threaded — shuffle the skinny (id, text) rows
+    # first and tokenize/shingle post-exchange across the cluster (guide
+    # §2.5 input skew; on wide production scans fan_out is a no-op and the
+    # projection stays on the scan exactly as before)
     base = fan_out(
         docs.select(
             F.col(id_col).alias("id"),
             *([F.col(block_col).alias("block")] if block_col else []),
-            shingles_col(tokens_col(text_col), n).alias("sh"),
+            F.col(text_col).alias("_t"),
         )
     ).select(
         "id",
         *(["block"] if block_col else []),
-        F.explode(F.array_distinct("sh")).alias("shingle"),
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col("_t"), n))
+        ).alias("shingle"),
     )
     if df_cap is not None:
         rare = (
@@ -307,9 +410,16 @@ def minhash_incremental_pairs(
     t_d = delta.select(
         F.col(id_col).alias("delta_id"), F.col(text_col).alias("t_d")
     )
+    joined = candidates.join(t_d, "delta_id").join(t_c, "corpus_id")
+    if _assign_impl() != "sql":
+        return _pair_jaccard_verify(
+            joined.select("delta_id", "corpus_id", "t_d", "t_c"),
+            n,
+            "delta_id",
+            "corpus_id",
+        ).filter(F.col("jaccard") >= threshold)
     return (
-        candidates.join(t_d, "delta_id")
-        .join(t_c, "corpus_id")
+        joined
         .select(
             "delta_id",
             "corpus_id",
@@ -400,9 +510,20 @@ def minhash_pairs_from_store(
     sh_c = store_shingles.select(
         F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_c")
     )
+    joined = candidates.join(t_d, "delta_id").join(sh_c, "corpus_id")
+    if _assign_impl() != "sql":
+        # delta side tokenizes in-kernel; the corpus side is the STORED
+        # distinct shingle array (set semantics — jaccard_cols is
+        # distinct-set either way, so the value is identical)
+        return _pair_jaccard_verify(
+            joined.select("delta_id", "corpus_id", "t_d", "sh_c"),
+            n,
+            "delta_id",
+            "corpus_id",
+            b_kind="set",
+        ).filter(F.col("jaccard") >= threshold)
     return (
-        candidates.join(t_d, "delta_id")
-        .join(sh_c, "corpus_id")
+        joined
         .select(
             "delta_id",
             "corpus_id",
@@ -461,9 +582,22 @@ def minhash_near_dup_pairs(
     # corpus twice more (the projection sits below the join and Catalyst
     # never hoists expensive expressions above one).
     txt = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    joined = candidates.join(
+        txt.withColumnsRenamed({"id": "doc_id_a", "t": "t_a"}), "doc_id_a"
+    ).join(txt.withColumnsRenamed({"id": "doc_id_b", "t": "t_b"}), "doc_id_b")
+    if _assign_impl() != "sql":
+        # per-pair tokenize+shingle+set-op fold -> one Arrow map stage
+        # with per-batch doc memoization (guide §4.2; bit-exact contract
+        # in _pair_jaccard_verify). SEMANTIC_ASSIGN_IMPL=sql keeps the
+        # original expression plan as the bit-equality reference.
+        return _pair_jaccard_verify(
+            joined.select("doc_id_a", "doc_id_b", "t_a", "t_b"),
+            n,
+            "doc_id_a",
+            "doc_id_b",
+        ).filter(F.col("jaccard") >= threshold)
     verified = (
-        candidates.join(txt.withColumnsRenamed({"id": "doc_id_a", "t": "t_a"}), "doc_id_a")
-        .join(txt.withColumnsRenamed({"id": "doc_id_b", "t": "t_b"}), "doc_id_b")
+        joined
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -897,12 +1031,32 @@ def mutual_knn_ivf(
         route = resolve_semantic_route(
             route, n, spark=embeddings.sparkSession
         )
+        raw = embeddings.select(
+            F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+        )
+        if _assign_impl() != "sql":
+            # ONE fused map stage builds the whole tagged frame: the
+            # frozen quantizer lands on the driver (the Lloyd loop's
+            # centroid-table-bounded collects) and the kernel emits the
+            # member row (assignment cell) plus the nprobe prober rows
+            # per vector — no broadcast crossJoin of n x k candidate
+            # rows, no rank window's exchange+sort over them, and no
+            # assignment re-join (guide §2.4/§4.2; probe order contract
+            # in _make_probe_tag_fn). SEMANTIC_ASSIGN_IMPL=sql keeps the
+            # original window plan as the bit-equality reference.
+            vecs = raw.select(F.lit(0).alias("grp"), "id", "v")
+            cent_map, hier_plans = _lloyd_cent_map(
+                vecs, kq, iters, scale=6, single_group=True, route=route
+            )
+            id_t = raw.schema["id"].dataType.simpleString()
+            tagged = raw.mapInArrow(
+                _make_probe_tag_fn(cent_map, hier_plans, nprobe),
+                f"id {id_t}, v array<double>, cell int, role int",
+            ).localCheckpoint(eager=False)
+            return _mutual_from_tagged(tagged, k, threshold, block_cap)
         assigned, km_cents = kmeans_with_centroids(
             embeddings, k=kq, iters=iters, id_col=id_col, vec_col=vec_col,
             route=route,
-        )
-        raw = embeddings.select(
-            F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
         )
         # members carry their assignment cell; probes need only (id, v) —
         # keep the assignment join off the probe branch's lineage
@@ -964,9 +1118,6 @@ def mutual_knn_ivf(
     # both the tiler's count aggregate and the scoring shuffle, so it
     # is materialized once (lazy localCheckpoint folded into the first
     # job) instead of re-running the probe window per consumer.
-    import numpy as np
-    import pandas as pd
-
     tagged = (
         probes.select("id", "v", "cell", F.lit(0).alias("role"))
         .unionByName(
@@ -979,6 +1130,18 @@ def mutual_knn_ivf(
         )
         .localCheckpoint(eager=False)
     )
+    return _mutual_from_tagged(tagged, k, threshold, block_cap)
+
+
+def _mutual_from_tagged(
+    tagged: DataFrame, k: int, threshold: float, block_cap: int
+) -> DataFrame:
+    """The scoring + mutuality tail of ``mutual_knn_ivf``, shared by the
+    window-plan and fused-kernel tagged-frame builders: per-tile GEMM,
+    per-source rank window, reciprocal-top-k join (contract in
+    ``mutual_knn_ivf``'s docstring)."""
+    import numpy as np
+    import pandas as pd
 
     def score_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1415,6 +1578,70 @@ def _make_assign_fn(cent_map: dict, hier_plans: dict | None):
     return fn
 
 
+def _make_probe_tag_fn(cent_map: dict, hier_plans: dict | None, nprobe: int):
+    """mapInArrow kernel for ``mutual_knn_ivf``'s tagged frame: (id, v)
+    batches -> (id, v, cell, role) with, per input row, ONE member row
+    (role 1, cell = the k-means assignment — hier-routed when hier_plans
+    is given, exactly like ``_make_assign_fn``) and ``nprobe`` prober
+    rows (role 0, cells = the nprobe nearest centroids by the SAME exact
+    fixed-point distance, ties to the lower cell id — the
+    ``row_number() over (order by fx, cell) <= nprobe`` contract).
+
+    Replaces a broadcast crossJoin producing n x k candidate rows, a
+    per-id rank window (exchange + sort over those n x k rows — at scale
+    with auto-k that is n^1.5 rows through one shuffle) and the
+    assignment re-join: the kernel emits exactly n x (nprobe + 1) rows
+    map-side, and the only remaining exchange is the cell-keyed GEMM
+    shuffle that was always needed. Single-group only (grp = 0)."""
+    ids_c, C = cent_map[0]
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            V = _K.list_matrix(b.column(1))
+            if hier_plans is not None:
+                own, _ = _K.hier_argmin(V, hier_plans[0])
+            else:
+                own, _ = _K.argmin_cells(V, ids_c, C)
+            # flat probe ranking over ALL cells (the SQL plan ranks the
+            # full centroid table even under hier assignment): stable
+            # argsort of the exact fx row = (fx asc, cell-id asc) since
+            # centroid rows are sorted ascending by id
+            k = max(1, C.shape[0])
+            p = min(nprobe, k)
+            step = max(1, _K.TILE_CELLS // k)
+            probe = np.empty((n, p), dtype=np.int64)
+            for s in range(0, n, step):
+                e = min(n, s + step)
+                D = _K.fx_sq_dists(V[s:e], C)
+                order = np.argsort(D, axis=1, kind="stable")[:, :p]
+                probe[s:e] = ids_c[order]
+            # one member row + p prober rows per input row
+            idx = np.repeat(np.arange(n, dtype=np.int64), p + 1)
+            take = pa.array(idx, type=pa.int64())
+            cells = np.empty((n, p + 1), dtype=np.int64)
+            cells[:, 0] = own
+            cells[:, 1:] = probe
+            roles = np.zeros((n, p + 1), dtype=np.int64)
+            roles[:, 0] = 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).take(take),
+                    b.column(1).take(take),
+                    pa.array(cells.ravel().astype(np.int32), type=pa.int32()),
+                    pa.array(roles.ravel().astype(np.int32), type=pa.int32()),
+                ],
+                names=["id", "v", "cell", "role"],
+            )
+
+    return fn
+
+
 def _make_partials_fn(cent_map: dict, hier_plans: dict | None):
     """mapInArrow kernel for the Lloyd RECOMPUTE rounds: assign each
     batch row, then emit only the exact per-(grp, cluster, dim) partial
@@ -1574,14 +1801,40 @@ def _kmeans_rounds_arrow(
     two-level routed assignment; its inner quantizer (over k centroid
     rows) runs locally on the driver instead of as 3 scheduled jobs per
     round."""
-    if route == "hier" and not single_group:
-        raise ValueError("hier routing is single-group only")
-    import numpy as np
-
+    cent_map, hier_plans = _lloyd_cent_map(
+        vecs, k, iters, scale, single_group=single_group, route=route
+    )
     spark = vecs.sparkSession
     vecs = vecs.select("grp", "id", "v")
     grp_type = vecs.schema["grp"].dataType
     id_type = vecs.schema["id"].dataType
+    assigned = vecs.mapInArrow(
+        _make_assign_fn(cent_map, hier_plans),
+        f"grp {grp_type.simpleString()}, id {id_type.simpleString()},"
+        " cluster int, dist_fx long",
+    )
+    return assigned, _centroids_df(spark, cent_map, grp_type)
+
+
+def _lloyd_cent_map(
+    vecs: DataFrame, k: int, iters: int, scale: int,
+    single_group: bool = False,
+    route: str = "flat",
+) -> tuple[dict, dict | None]:
+    """The driver-side Lloyd loop of ``_kmeans_rounds_arrow``: run the
+    ``iters - 1`` recompute rounds (one partial-sums job + a
+    centroid-table-bounded collect per round) and return the FROZEN
+    quantizer the final assignment round would use —
+    ``(cent_map, hier_plans)`` with hier_plans None for flat routing.
+    Exposed separately so consumers that fuse extra per-row outputs into
+    the final map stage (``mutual_knn_ivf``'s probe ranking) can build
+    their own kernel against the identical frozen tables."""
+    if route == "hier" and not single_group:
+        raise ValueError("hier routing is single-group only")
+    import numpy as np
+
+    vecs = vecs.select("grp", "id", "v")
+    grp_type = vecs.schema["grp"].dataType
     if single_group:
         # k-row bounded init fetch (the k lowest-id vectors, already
         # sorted by the TakeOrdered): same contract as the SQL path's
@@ -1607,28 +1860,21 @@ def _kmeans_rounds_arrow(
         for g, vs in by_grp.items()
     }
     k2 = int(math.ceil(math.sqrt(k)))  # fixed across rounds (oracle mirrors)
-    assigned = None
-    for r in range(iters):
+    for _ in range(max(0, iters - 1)):
         hier_plans = _hier_plans(cent_map, k2, scale) if route == "hier" else None
-        if r < iters - 1:
-            parts = vecs.mapInArrow(
-                _make_partials_fn(cent_map, hier_plans),
-                f"grp {grp_type.simpleString()}, cluster int, dim int, "
-                "sfx long, cnt long",
-            )
-            agg_rows = (
-                parts.groupBy("grp", "cluster", "dim")
-                .agg(F.sum("sfx").alias("sfx"), F.sum("cnt").alias("cnt"))
-                .collect()  # <= k x dim x groups rows — the centroid table
-            )
-            cent_map = _cent_map_from_partials(agg_rows, scale)
-        else:
-            assigned = vecs.mapInArrow(
-                _make_assign_fn(cent_map, hier_plans),
-                f"grp {grp_type.simpleString()}, id {id_type.simpleString()},"
-                " cluster int, dist_fx long",
-            )
-    return assigned, _centroids_df(spark, cent_map, grp_type)
+        parts = vecs.mapInArrow(
+            _make_partials_fn(cent_map, hier_plans),
+            f"grp {grp_type.simpleString()}, cluster int, dim int, "
+            "sfx long, cnt long",
+        )
+        agg_rows = (
+            parts.groupBy("grp", "cluster", "dim")
+            .agg(F.sum("sfx").alias("sfx"), F.sum("cnt").alias("cnt"))
+            .collect()  # <= k x dim x groups rows — the centroid table
+        )
+        cent_map = _cent_map_from_partials(agg_rows, scale)
+    hier_plans = _hier_plans(cent_map, k2, scale) if route == "hier" else None
+    return cent_map, hier_plans
 
 
 def _kmeans_rounds_sql(
@@ -2400,12 +2646,16 @@ def shared_span_pairs(
     count co-occurrences per pair. Cost is the sum of capped posting-list
     squares, linear-ish in corpus size, never all-pairs.
     """
+    # fan_out BEFORE the span projection (see ngram_jaccard_pairs): the
+    # single-row-group scan would otherwise shingle the corpus in one task
     spans = fan_out(
-        docs.select(
-            F.col(id_col).alias("id"),
-            shingles_col(tokens_col(text_col), span_tokens).alias("sp"),
-        )
-    ).select("id", F.explode(F.array_distinct("sp")).alias("span"))
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).select(
+        "id",
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col("_t"), span_tokens))
+        ).alias("span"),
+    )
     rare = (
         spans.groupBy("span")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -3279,27 +3529,37 @@ def tune_lsh_bands(
             )
             .distinct()
         )
-        found = (
-            cand.join(
-                txt.withColumnsRenamed({"id": "doc_id_a", "t": "t_a"}), "doc_id_a"
-            )
-            .join(
-                txt.withColumnsRenamed({"id": "doc_id_b", "t": "t_b"}), "doc_id_b"
-            )
-            .select(
+        joined = cand.join(
+            txt.withColumnsRenamed({"id": "doc_id_a", "t": "t_a"}), "doc_id_a"
+        ).join(
+            txt.withColumnsRenamed({"id": "doc_id_b", "t": "t_b"}), "doc_id_b"
+        )
+        if _assign_impl() != "sql":
+            found = _pair_jaccard_verify(
+                joined.select("doc_id_a", "doc_id_b", "t_a", "t_b"),
+                n,
                 "doc_id_a",
                 "doc_id_b",
-                round_half_up(
-                    jaccard_cols(
-                        shingles_col(tokens_col("t_a"), n),
-                        shingles_col(tokens_col("t_b"), n),
-                    ),
-                    4,
-                ).alias("jaccard"),
+            ).filter(F.col("jaccard") >= threshold).select(
+                "doc_id_a", "doc_id_b"
             )
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_id_a", "doc_id_b")
-        )
+        else:
+            found = (
+                joined
+                .select(
+                    "doc_id_a",
+                    "doc_id_b",
+                    round_half_up(
+                        jaccard_cols(
+                            shingles_col(tokens_col("t_a"), n),
+                            shingles_col(tokens_col("t_b"), n),
+                        ),
+                        4,
+                    ).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("doc_id_a", "doc_id_b")
+            )
         recall = (
             1000
             if total == 0
@@ -3359,12 +3619,16 @@ def containment_pairs(
     Reference analog: none (SURVEY.md §1.4 dedups whole rows by key);
     north-star LLM-pipeline scope.
     """
+    # fan_out BEFORE the shingle projection (see ngram_jaccard_pairs): the
+    # single-row-group scan would otherwise shingle the corpus in one task
     base = fan_out(
-        docs.select(
-            F.col(id_col).alias("id"),
-            shingles_col(tokens_col(text_col), n).alias("sh"),
-        )
-    ).select("id", F.explode(F.array_distinct("sh")).alias("shingle"))
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).select(
+        "id",
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col("_t"), n))
+        ).alias("shingle"),
+    )
     if df_cap is not None:
         rare = (
             base.groupBy("shingle")
@@ -3719,9 +3983,12 @@ def top_pc_power_iteration(
     """
     import math
 
-    base = emb.select(to_double_array(vec_col).alias("v")).localCheckpoint(
-        eager=True
-    )
+    # fan_out BEFORE the checkpoint: every round re-scans this cached
+    # frame, and a single-row-group testdata scan would pin each round's
+    # fold+posexplode to ONE task (no-op passthrough on wide scans)
+    base = fan_out(
+        emb.select(to_double_array(vec_col).alias("v"))
+    ).localCheckpoint(eager=True)
     w = [0.125] * dim
     last_v = None
     for _ in range(iterations):
@@ -3751,7 +4018,10 @@ def top_pc_power_iteration(
                 .cast("long")
                 .alias("vfx")
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the collect below is the materializing job
+            # (one scheduled job per round, not two) and downstream
+            # consumers of the final round read the cache
+            .localCheckpoint(eager=False)
         )
         last_v = vfr
         rows = {r["dim"]: r["vfx"] for r in vfr.collect()}
@@ -3892,14 +4162,19 @@ def prefix_filter_jaccard_pairs(
     the LSH screen in minhash_near_dup_pairs).
     """
     t_pm = threshold_permille
-    sh_arr = fan_out(
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(shingles_col(tokens_col(text_col), n)).alias(
-                "sh"
-            ),
+    # fan_out BEFORE the shingle projection (see ngram_jaccard_pairs), so
+    # the checkpointed shingle arrays are computed across the cluster, not
+    # in the scan's single task
+    sh_arr = (
+        fan_out(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         )
-    ).localCheckpoint(eager=True)  # reused: prefix index + both verify sides
+        .select(
+            "id",
+            F.array_distinct(shingles_col(tokens_col("_t"), n)).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
+    )  # reused: prefix index + both verify sides
     base = sh_arr.select("id", F.explode("sh").alias("shingle"))
     dfreq = base.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rank_w = Window.partitionBy("id").orderBy("df", "shingle")
@@ -3932,6 +4207,12 @@ def prefix_filter_jaccard_pairs(
     )
     sa = sh_arr.select(F.col("id").alias("doc_id_a"), F.col("sh").alias("sa"))
     sb = sh_arr.select(F.col("id").alias("doc_id_b"), F.col("sh").alias("sb"))
+    # NOTE (r14): a Python set-op kernel was A/B-tested here and LOST 3x
+    # (5.8 -> 16.4 s): with the shingle arrays already computed and
+    # checkpointed, the JVM's array_intersect pays no serialization,
+    # while the kernel ships both arrays Arrow->Python per pair. The
+    # §4.2 kernel only wins where the JVM side re-derives the sets per
+    # pair (the text-kind verify sites in the minhash family).
     return (
         cand.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
@@ -4079,7 +4360,14 @@ def containment_lsh_audit(
     a num_perm-term component comparison — never the shingle sets; the
     exact side is the posting-list-bounded operator it audits.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm, seed)
+    # the signature frame feeds FOUR consumers (both band-join sides and
+    # both signature-component joins); the kernel stage is map-only with no
+    # exchange for AQE to reuse, so a lazy localCheckpoint materializes the
+    # skinny signatures once per invocation (the minhash_near_dup_pairs
+    # discipline) instead of re-running tokenize+md5+minima four times
+    sigs = minhash_signatures(
+        docs, id_col, text_col, n, num_perm, seed
+    ).localCheckpoint(eager=False)
     cand = (
         _band_rows(sigs, num_perm, bands)
         .alias("x")
@@ -4092,14 +4380,17 @@ def containment_lsh_audit(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    # fan_out BEFORE the shingle projection (see ngram_jaccard_pairs)
     sizes = (
         fan_out(
-            docs.select(
-                F.col(id_col).alias("id"),
-                shingles_col(tokens_col(text_col), n).alias("sh"),
-            )
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         )
-        .select("id", F.size(F.array_distinct("sh")).cast("long").alias("n_sh"))
+        .select(
+            "id",
+            F.size(
+                F.array_distinct(shingles_col(tokens_col("_t"), n))
+            ).cast("long").alias("n_sh"),
+        )
     )
     m_col = F.expr(
         "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1"

@@ -29,12 +29,17 @@ from etl_pipeline_challenge_aladia_spark.operators.text import (
     shingles_col,
     tokens_col,
 )
+from etl_pipeline_challenge_aladia_spark.sources.files import fan_out
 
 
 def _term_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
-    )
+    # fan_out BEFORE the tokenize+explode: the testdata parquet scans are
+    # single-row-group (one task), so the expensive projection chained onto
+    # the scan would run single-threaded; on wide production scans fan_out
+    # is a no-op passthrough (sources/files.py)
+    return fan_out(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    ).select("doc_id", F.explode(tokens_col("_t")).alias("term"))
 
 
 def tfidf_top_terms(
@@ -168,9 +173,12 @@ def inverted_shingle_index(
     bounded by ``max_df`` per group (the HAVING prunes, the sort is
     per-row on <= max_df elements).
     """
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle"),
+    # fan_out BEFORE the shingle explode (see _term_rows)
+    ex = fan_out(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    ).select(
+        "doc_id",
+        F.explode(shingles_col(tokens_col("_t"), n)).alias("shingle"),
     )
     grouped = ex.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df"),
@@ -206,7 +214,11 @@ def bigram_lift(
     heaps, k rows to one task) with rank recovered positionally, never
     a single-partition row_number over all collocations.
     """
-    words = docs.select(tokens_col(text_col).alias("w"))
+    # fan_out BEFORE the tokenize (see _term_rows): both explode branches
+    # read the shuffled skinny text rows, not the single-task scan
+    words = fan_out(docs.select(F.col(text_col).alias("_t"))).select(
+        tokens_col("_t").alias("w")
+    )
     bg = words.select(F.explode(ngrams_col(F.col("w"), 2)).alias("bigram"))
     cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
     uni = words.select(F.explode("w").alias("wd"))
@@ -444,10 +456,17 @@ def ngram_novelty(
     deterministic in any engine (no randomness, no floats until the
     final ratio).
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("grp"),
-        F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle"),
+    # fan_out BEFORE the shingle explode (see _term_rows)
+    grams = fan_out(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("grp"),
+            F.col(text_col).alias("_t"),
+        )
+    ).select(
+        "doc_id",
+        "grp",
+        F.explode(shingles_col(tokens_col("_t"), n)).alias("shingle"),
     )
     first = grams.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (

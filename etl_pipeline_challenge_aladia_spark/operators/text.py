@@ -210,10 +210,14 @@ def shingle_doc_freq(
     needed, swap the agg for a count-min / space-saving sketch per
     partition and merge — same plan shape, bounded state.
     """
+    from etl_pipeline_challenge_aladia_spark.sources.files import fan_out
+
+    # fan_out BEFORE the shingle explode: single-row-group testdata scans
+    # run as one task, so the expensive projection must sit above the
+    # round-robin exchange (no-op passthrough on wide production scans)
     return (
-        docs.select(
-            F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle")
-        )
+        fan_out(docs.select(F.col(text_col).alias("_t")))
+        .select(F.explode(shingles_col(tokens_col("_t"), n)).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
@@ -242,13 +246,21 @@ def contamination_overlap(
     shuffles fixed-width keys — kept as raw strings here so any engine
     reproduces the exact same collisions.
     """
-    tr = train.select(
-        F.col(id_col),
-        F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle"),
+    from etl_pipeline_challenge_aladia_spark.sources.files import fan_out
+
+    # fan_out BEFORE the shingle explodes (see shingle_doc_freq): both
+    # sides' tokenize+shingle otherwise run in the scan's single task
+    tr = fan_out(
+        train.select(F.col(id_col), F.col(text_col).alias("_t"))
+    ).select(
+        id_col,
+        F.explode(shingles_col(tokens_col("_t"), n)).alias("shingle"),
     )
-    te = bench.select(
-        F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle")
-    ).distinct()
+    te = (
+        fan_out(bench.select(F.col(text_col).alias("_t")))
+        .select(F.explode(shingles_col(tokens_col("_t"), n)).alias("shingle"))
+        .distinct()
+    )
     if broadcast_bench:
         te = F.broadcast(te)
     return (
