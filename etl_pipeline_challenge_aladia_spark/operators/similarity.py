@@ -1578,6 +1578,46 @@ def _make_assign_fn(cent_map: dict, hier_plans: dict | None):
     return fn
 
 
+def _make_assign_v_fn(cent_map: dict, hier_plans: dict | None):
+    """``_make_assign_fn`` that also ECHOES the vector: (grp, id, v)
+    batches -> (id, cluster, v). Consumers that need (id, cluster, v) —
+    the in-cell pair sweeps — previously joined the assignment back to
+    the corpus (two exchange sides or a broadcast build per invocation);
+    echoing v from the same map stage removes that join outright. Same
+    argmin/tie-break contract as ``_make_assign_fn``."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            grp = b.column(0).to_numpy(zero_copy_only=False)
+            labels = np.empty(n, dtype=np.int64)
+            for g in np.unique(grp):
+                rows = np.where(grp == g)[0]
+                V = _K.list_matrix(b.column(2), rows)
+                gv = g.item() if hasattr(g, "item") else g
+                if hier_plans is not None:
+                    lab, _ = _K.hier_argmin(V, hier_plans[gv])
+                else:
+                    ids, C = cent_map[gv]
+                    lab, _ = _K.argmin_cells(V, ids, C)
+                labels[rows] = lab
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(1),
+                    pa.array(labels.astype(np.int32), type=pa.int32()),
+                    b.column(2),
+                ],
+                names=["id", "cluster", "v"],
+            )
+
+    return fn
+
+
 def _make_probe_tag_fn(cent_map: dict, hier_plans: dict | None, nprobe: int):
     """mapInArrow kernel for ``mutual_knn_ivf``'s tagged frame: (id, v)
     batches -> (id, v, cell, role) with, per input row, ONE member row
@@ -2903,10 +2943,6 @@ def semantic_dedup(
         route = resolve_semantic_route(
             route, n, route_threshold, spark=embeddings.sparkSession
         )
-    cells = kmeans_lite(
-        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        route=route,
-    )
     if _assign_impl() != "sql":
         # in-cell sweep as ONE grouped Arrow kernel (guide §4.2): the
         # exchange moves each member once, keyed by its cell, and the
@@ -2917,14 +2953,27 @@ def semantic_dedup(
         # PREFILTER of the SQL plan is a conservative margin over the
         # exact cosine, so sweeping exact cosines directly emits the
         # identical row set — which is also precisely what the oracle's
-        # pair CTE computes.
-        m = cells.select("id", "cluster").join(
-            embeddings.select(
-                F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
-            ),
-            "id",
+        # pair CTE computes. The assignment kernel ECHOES the vector
+        # (r14), so the old join back to the corpus for v is gone: the
+        # whole query is one map stage + one cell-keyed exchange.
+        vecs = embeddings.select(
+            F.lit(0).alias("grp"),
+            F.col(id_col).alias("id"),
+            to_double_array(vec_col).alias("v"),
+        )
+        cent_map, hier_plans = _lloyd_cent_map(
+            vecs, k, iters, scale=6, single_group=True, route=route
+        )
+        id_t = vecs.schema["id"].dataType.simpleString()
+        m = vecs.mapInArrow(
+            _make_assign_v_fn(cent_map, hier_plans),
+            f"id {id_t}, cluster int, v array<double>",
         )
         return _cell_pair_dedup(m, threshold, out_id="vec_id")
+    cells = kmeans_lite(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        route=route,
+    )
     v = embeddings.select(
         F.col(id_col).alias("id"),
         to_double_array(vec_col).alias("v"),
@@ -2990,26 +3039,43 @@ def semantic_dedup_screen(
         l2_normalize_col,
     )
 
-    routed = assign_to_centroids(
-        delta, centroids, id_col=id_col, vec_col=vec_col
-    ).select("id", F.col("cluster").alias(cell_col))
     if _assign_impl() != "sql":
         # delta-vs-corpus sweep as ONE cogrouped Arrow kernel: both sides
         # exchange once, keyed by the cell, and the kernel computes the
         # exact round4 cosines vectorized (same prefilter-superset
-        # argument as semantic_dedup's kernel — identical row set).
-        dd = routed.join(
-            delta.select(
-                F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
-            ),
-            "id",
-        ).select(F.col(cell_col).alias("cell"), "id", "v")
+        # argument as semantic_dedup's kernel — identical row set). The
+        # routing kernel ECHOES the delta vector (r14), so the old join
+        # back to the delta for v is gone: the delta side is one map
+        # stage straight into the cogroup exchange.
+        import numpy as np
+
+        rows = centroids.select("cluster", "c").collect()  # k-row frozen quantizer table
+        rows.sort(key=lambda r: r["cluster"])
+        cent_map = {
+            0: (
+                np.array([r["cluster"] for r in rows], dtype=np.int64),
+                np.array([r["c"] for r in rows], dtype=np.float64),
+            )
+        }
+        dvec = delta.select(
+            F.lit(0).alias("grp"),
+            F.col(id_col).alias("id"),
+            to_double_array(vec_col).alias("v"),
+        )
+        id_t = dvec.schema["id"].dataType.simpleString()
+        dd = dvec.mapInArrow(
+            _make_assign_v_fn(cent_map, None),
+            f"id {id_t}, cluster int, v array<double>",
+        ).select(F.col("cluster").alias("cell"), "id", "v")
         cc = corpus_cells.select(
             F.col(cell_col).alias("cell"),
             F.col(id_col).alias("cid"),
             to_double_array(vec_col).alias("cv"),
         )
         return _cell_screen_pairs(dd, cc, threshold, out_id=id_col)
+    routed = assign_to_centroids(
+        delta, centroids, id_col=id_col, vec_col=vec_col
+    ).select("id", F.col("cluster").alias(cell_col))
     d = routed.join(
         delta.select(
             F.col(id_col).alias("id"),
@@ -3075,14 +3141,39 @@ def semantic_dedup_incremental(
         route = resolve_semantic_route(
             route, n, route_threshold, spark=corpus.sparkSession
         )
-    assigned, centroids = kmeans_with_centroids(
-        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, route=route
-    )
-    corpus_cells = assigned.select(
-        F.col("id").alias(id_col), F.col("cluster").alias("cell")
-    ).join(
-        corpus.select(F.col(id_col), F.col(vec_col)), id_col
-    )
+    if _assign_impl() != "sql":
+        # the corpus-side assignment kernel echoes the vector (r14), so
+        # corpus_cells needs no join back to the corpus for vec_col
+        vecs = corpus.select(
+            F.lit(0).alias("grp"),
+            F.col(id_col).alias("id"),
+            to_double_array(vec_col).alias("v"),
+        )
+        cent_map, hier_plans = _lloyd_cent_map(
+            vecs, k, iters, scale=6, single_group=True, route=route
+        )
+        id_t = vecs.schema["id"].dataType.simpleString()
+        corpus_cells = vecs.mapInArrow(
+            _make_assign_v_fn(cent_map, hier_plans),
+            f"id {id_t}, cluster int, v array<double>",
+        ).select(
+            F.col("id").alias(id_col),
+            F.col("v").alias(vec_col),
+            F.col("cluster").alias("cell"),
+        )
+        centroids = _centroids_df(
+            corpus.sparkSession, cent_map, vecs.schema["grp"].dataType
+        ).select("cluster", "c")
+    else:
+        assigned, centroids = kmeans_with_centroids(
+            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            route=route,
+        )
+        corpus_cells = assigned.select(
+            F.col("id").alias(id_col), F.col("cluster").alias("cell")
+        ).join(
+            corpus.select(F.col(id_col), F.col(vec_col)), id_col
+        )
     return semantic_dedup_screen(
         corpus_cells,
         delta,
@@ -3252,10 +3343,16 @@ def tune_nprobe(
         ),
         "neighbor_id",
     )
+    # LEFT join + sentinel: an exact pair whose neighbor row is dropped by
+    # the cell/rank joins (e.g. a NULL cell) lands at probe_rnk = -1 —
+    # in the denominator, never in the cumulative sum — so malformed
+    # input DEGRADES recall instead of silently inflating it (the old
+    # probed-search path counted such pairs as misses; total therefore
+    # still equals exact.count(), with no extra scheduled job)
     hist = {
         r["probe_rnk"]: r["n"]
-        for r in ecells.join(ranks, ["query_id", "cell"])
-        .groupBy("probe_rnk")
+        for r in ecells.join(ranks, ["query_id", "cell"], "left")
+        .groupBy(F.coalesce("probe_rnk", F.lit(-1)).alias("probe_rnk"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # n_cells-bounded histogram of exact-pair probe ranks
     }

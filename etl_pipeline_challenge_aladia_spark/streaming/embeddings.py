@@ -277,6 +277,7 @@ def build_eval_index(
     auto-route pricing as ``semantic_dedup_incremental`` (the batch
     twin), both checkpointed — the eval side is small and read by
     every micro-batch."""
+    import etl_pipeline_challenge_aladia_spark.operators.similarity as sim
     from etl_pipeline_challenge_aladia_spark.operators.similarity import (
         auto_semantic_k,
         kmeans_with_centroids,
@@ -288,6 +289,36 @@ def build_eval_index(
         if k is None:
             k = max(32, min(max(n, 1), auto_semantic_k(n, iters)))
         route = resolve_semantic_route(route, n, spark=eval_set.sparkSession)
+    if sim._assign_impl() != "sql":
+        # fused build (r14): the assignment kernel echoes the vector, so
+        # cells needs no join back to the eval set, and the centroid
+        # table is rebuilt from the driver-local map (a LocalTableScan —
+        # no lineage to cut, so no checkpoint job for it either)
+        from etl_pipeline_challenge_aladia_spark.functions.vectors import (
+            to_double_array,
+        )
+
+        vecs = eval_set.select(
+            F.lit(0).alias("grp"),
+            F.col(id_col).alias("id"),
+            to_double_array(vec_col).alias("v"),
+        )
+        cent_map, hier_plans = sim._lloyd_cent_map(
+            vecs, k, iters, scale=6, single_group=True, route=route
+        )
+        id_t = vecs.schema["id"].dataType.simpleString()
+        cells = vecs.mapInArrow(
+            sim._make_assign_v_fn(cent_map, hier_plans),
+            f"id {id_t}, cluster int, v array<double>",
+        ).select(
+            F.col("id").alias(id_col),
+            F.col("v").alias(vec_col),
+            F.col("cluster").alias("cell"),
+        ).localCheckpoint(eager=True)
+        centroids = sim._centroids_df(
+            eval_set.sparkSession, cent_map, vecs.schema["grp"].dataType
+        ).select("cluster", "c")
+        return cells, centroids
     assigned, centroids = kmeans_with_centroids(
         eval_set, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         route=route,
@@ -316,8 +347,20 @@ def save_eval_index(
     pointer, a half-written new generation is invisible until the flip,
     and a pinned version reproduces any historical screen."""
     vdir = os.path.join(store_path, f"version={version}")
-    eval_cells.write.mode("overwrite").parquet(os.path.join(vdir, "cells"))
-    centroids.write.mode("overwrite").parquet(
+    # an eval index is METADATA-SIZED by contract (a benchmark set of
+    # thousands of rows against a 100 TB corpus): one file per layer, so
+    # the publish commits one object and every read-back lists one file
+    # instead of a task-count's worth of tiny parquets (guide §6). The
+    # coalesce reads the builder's checkpoint cache, so the single write
+    # task copies cached rows rather than recomputing the clustering.
+    eval_cells.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(vdir, "cells")
+    )
+    # repartition, not coalesce: centroids is typically a driver-local
+    # relation (LocalTableScan), and coalesce(1) over one measures ~4 s
+    # against repartition(1)'s ~0.5 s — the no-shuffle narrowing forces a
+    # degenerate single-task evaluation path there
+    centroids.repartition(1).write.mode("overwrite").parquet(
         os.path.join(vdir, "centroids")
     )
     _flip_current(store_path, version)

@@ -167,3 +167,77 @@ def test_kernel_cosine_matches_fold_order():
             denom = np.sqrt(na) * np.sqrt(nb)
             want = dot / denom if denom > 0 else 0.0
             assert got[i, j] == want
+
+
+@pytest.fixture()
+def edge_docs(spark):
+    """Documents hitting every tokenization edge the minhash kernel must
+    reproduce: None text, empty string, multi-space (EMPTY tokens kept by
+    split(" ")), fewer than n tokens (NO signature row), exact duplicate
+    texts, and a hub doc near-duplicated by several others."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact twin
+        (3, base + " extra tail words here"),
+        (4, None),  # None text -> no signature row
+        (5, ""),  # one empty token -> < n tokens -> no row
+        (6, "a  b   c d e f g"),  # runs of spaces -> empty tokens KEPT
+        (7, "two words"),  # < n tokens -> no row
+        (8, "x y z"),  # exactly n tokens -> one shingle
+        (9, base.replace("dog", "cat")),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_signature_and_verify_parity(monkeypatch, edge_docs):
+    """sql-vs-arrow equality for minhash_signatures (the r13 kernel: the
+    docstring's pinned contract, previously only hand-verified) AND the
+    r14 pair-verify kernel behind minhash_near_dup_pairs, over the edge
+    fixture (None text, empty-token runs, sub-n docs, exact twins)."""
+    a, b = _both(
+        monkeypatch,
+        lambda: sim.minhash_signatures(edge_docs, n=3, num_perm=16),
+    )
+    assert a == b and len(a) > 0
+    # docs 4, 5, 7 must emit NO signature row on either side
+    ids = {r[0] for r in a}
+    assert ids.isdisjoint({4, 5, 7}) and {1, 2, 6, 8} <= ids
+    a, b = _both(
+        monkeypatch,
+        lambda: sim.minhash_near_dup_pairs(
+            edge_docs, n=3, num_perm=16, bands=4, threshold=0.5
+        ),
+    )
+    assert a == b and len(a) > 0
+
+
+def test_store_verify_parity(monkeypatch, edge_docs):
+    """Mixed text-vs-stored-shingle-array verify (minhash_pairs_from_store)
+    is sql-vs-arrow identical, including the sub-n/None-text delta rows."""
+    def run():
+        bands_df, sh = sim.doc_signature_store(
+            edge_docs, n=3, num_perm=16, bands=4
+        )
+        return sim.minhash_pairs_from_store(
+            bands_df, sh, edge_docs, n=3, num_perm=16, bands=4, threshold=0.5
+        )
+
+    a, b = _both(monkeypatch, run)
+    assert a == b and len(a) > 0
+
+
+def test_mutual_knn_probe_kernel_parity(monkeypatch, planted):
+    """The fused probe+assign kernel (r14) emits the same reciprocal
+    pairs as the crossJoin + rank-window plan, on both routes (the hier
+    route's member cell comes from the two-level argmin while probes
+    rank flat — the kernel must reproduce that asymmetry)."""
+    for route in ("flat", "hier"):
+        a, b = _both(
+            monkeypatch,
+            lambda: sim.mutual_knn_ivf(
+                planted, k=4, nprobe=2, threshold=0.3, cell_col=None,
+                route=route,
+            ),
+        )
+        assert a == b and len(a) > 0

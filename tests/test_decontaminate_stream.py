@@ -95,7 +95,8 @@ def test_build_eval_index_routes_like_the_batch_operator(spark):
 
     eval_set = _vecs(spark, [(i, i * 0.3) for i in range(8)])
     seen = []
-    real = sim.kmeans_with_centroids
+    # (r14) the arrow build path trains via _lloyd_cent_map
+    real = sim._lloyd_cent_map
 
     def spy(*a, **kw):
         seen.append(kw.get("route", "flat"))
@@ -103,12 +104,12 @@ def test_build_eval_index_routes_like_the_batch_operator(spark):
 
     import pytest  # noqa: F401  (monkeypatch-free spy via setattr)
 
-    old = sim.kmeans_with_centroids
-    sim.kmeans_with_centroids = spy
+    old = sim._lloyd_cent_map
+    sim._lloyd_cent_map = spy
     try:
         cells, cents = build_eval_index(eval_set)  # 8 vecs << threshold
     finally:
-        sim.kmeans_with_centroids = old
+        sim._lloyd_cent_map = old
     assert seen == ["flat"]
     assert set(cells.columns) == {"vec_id", "embedding", "cell"}
     assert cells.count() == 8 and cents.count() >= 1

@@ -56,13 +56,16 @@ def test_auto_route_pins_the_plan_switch_at_the_threshold(spark, monkeypatch):
     either side of the boundary."""
     corpus = _corpus(spark)  # 61 vectors
     seen: list[str] = []
-    real = sim.kmeans_lite
+    # the default (arrow) dedup path hands the resolved route to
+    # _lloyd_cent_map (r14: the fused assignment kernel replaced the
+    # kmeans_lite call); spy there
+    real = sim._lloyd_cent_map
 
     def spy(*a, **kw):
         seen.append(kw.get("route", "flat"))
         return real(*a, **kw)
 
-    monkeypatch.setattr(sim, "kmeans_lite", spy)
+    monkeypatch.setattr(sim, "_lloyd_cent_map", spy)
     semantic_dedup(corpus, vec_col="e", route="auto", route_threshold=61)
     semantic_dedup(corpus, vec_col="e", route="auto", route_threshold=62)
     semantic_dedup(corpus, vec_col="e")  # shipped default, tiny corpus
@@ -107,13 +110,14 @@ def test_auto_route_output_equals_the_explicit_route(spark):
 def test_incremental_auto_routes_on_corpus_count(spark, monkeypatch):
     corpus, delta = _corpus(spark, 40), _corpus(spark, 5)
     seen: list[str] = []
-    real = sim.kmeans_with_centroids
+    # (r14) the arrow incremental path trains via _lloyd_cent_map
+    real = sim._lloyd_cent_map
 
     def spy(*a, **kw):
         seen.append(kw.get("route", "flat"))
         return real(*a, **kw)
 
-    monkeypatch.setattr(sim, "kmeans_with_centroids", spy)
+    monkeypatch.setattr(sim, "_lloyd_cent_map", spy)
     # corpus = 40 base + 1 twin = 41 vectors
     semantic_dedup_incremental(
         corpus, delta, vec_col="e", route="auto", route_threshold=42
