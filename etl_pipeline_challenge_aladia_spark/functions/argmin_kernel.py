@@ -232,6 +232,16 @@ def round_half_up4(x: np.ndarray) -> np.ndarray:
 #: cosine matrix a tile materializes regardless of cell size.
 PAIR_TILE_ROWS = 4096
 
+#: rows-per-pandas-group cap for the in-cell sweeps: PAIR_TILE_ROWS only
+#: bounds the cosine-matrix INTERMEDIATE — applyInPandas still
+#: materializes the whole group's (rows x dim) input per task, so a
+#: skewed giant cell (mass-duplicated embeddings all landing in one
+#: k-means cell) would OOM a worker regardless of k. Cells above this
+#: cap are split into id-rank blocks and swept tile-by-tile (min-canon /
+#: max-cos partials compose exactly); 64k rows x 64 dims x 8 B = 32 MB
+#: per group-side, comfortably inside a task.
+PAIR_GROUP_ROWS = 1 << 16
+
 
 def cell_dup_sweep(
     ids: np.ndarray, V: np.ndarray, threshold: float
@@ -278,12 +288,20 @@ def cell_screen_sweep(
     cids: np.ndarray,
     VC: np.ndarray,
     threshold: float,
+    require_lower: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One cell's delta-vs-corpus screen — the exact pair semantics of
     ``semantic_dedup_screen``: for every delta row with some corpus
     member at round4(cosine(delta, corpus)) >= threshold, emit
     (delta id, min such corpus id, max such cosine). ``cids`` MUST be
-    sorted ascending; tiles delta rows like ``cell_dup_sweep``."""
+    sorted ascending; tiles delta rows like ``cell_dup_sweep``.
+
+    ``require_lower=True`` additionally demands cid < did per pair — the
+    in-cell DUP-SWEEP semantics evaluated on a (canonical-side,
+    dup-side) tile, which is how the giant-cell tiled route evaluates
+    ``cell_dup_sweep`` blockwise: min/max over qualifying partners
+    decompose across tiles, so a dup-grain (min canon, max cos) rollup
+    over the per-tile partials reproduces the one-group sweep exactly."""
     n, k = dids.shape[0], cids.shape[0]
     if n == 0 or k == 0:
         return dids[:0], cids[:0], np.empty(0, dtype=np.float64)
@@ -297,6 +315,8 @@ def cell_screen_sweep(
             ce = min(k, cs + PAIR_TILE_ROWS)
             cos4 = round_half_up4(cosine_matrix(VD[s:e], VC[cs:ce]))
             mask = cos4 >= threshold
+            if require_lower:
+                mask &= cids[cs:ce][None, :] < dids[s:e][:, None]
             hit = mask.any(axis=1)
             first = np.argmax(mask, axis=1) + cs
             unset = hit & (canon_col[s:e] < 0)

@@ -2797,16 +2797,28 @@ def resolve_semantic_route(
 
 
 def _cell_pair_dedup(
-    m: DataFrame, threshold: float, out_id: str = "vec_id"
+    m: DataFrame, threshold: float, out_id: str = "vec_id",
+    n_hint: int | None = None,
 ) -> DataFrame:
     """The in-cell duplicate sweep of ``semantic_dedup`` as one grouped
     Arrow kernel over (id, cluster, v): emits (out_id, canonical_id,
     max_cos) per duplicate. Exact-value contract lives in
-    functions/argmin_kernel.py:cell_dup_sweep."""
+    functions/argmin_kernel.py:cell_dup_sweep.
+
+    Giant-cell guard: applyInPandas materializes the WHOLE group's
+    (rows x dim) input per task, so when the corpus could hold a cell
+    above ``PAIR_GROUP_ROWS`` (``n_hint`` is the corpus count — a cell
+    can never exceed it; None means unknown), oversized cells are split
+    into id-rank blocks and swept as (canon-block, dup-block) tiles with
+    a dup-grain (min canon, max cos) rollup — bit-identical output
+    (min/max over qualifying partners decompose across any partition of
+    the partner range; every (i, j) pair lands in exactly one tile).
+    Within-cap corpora keep the single-group plan with zero extra jobs."""
     import pandas as pd  # noqa: F401 — applyInPandas contract
 
     id_t = m.schema["id"].dataType.simpleString()
     th = float(threshold)
+    cap = _K.PAIR_GROUP_ROWS
 
     def fn(pdf):
         import numpy as np
@@ -2822,10 +2834,86 @@ def _cell_pair_dedup(
             {"_dup": dup, "_canon": canon, "max_cos": mc}
         )
 
-    out = m.select("cluster", "id", "v").groupBy("cluster").applyInPandas(
+    if n_hint is not None and n_hint <= cap:
+        out = m.select("cluster", "id", "v").groupBy("cluster").applyInPandas(
+            fn, f"_dup {id_t}, _canon {id_t}, max_cos double"
+        )
+        return out.select(
+            F.col("_dup").alias(out_id),
+            F.col("_canon").alias("canonical_id"),
+            "max_cos",
+        )
+
+    # big-corpus route: one centroid-grain count decides per cell; the
+    # kernel input is materialized once (lazy checkpoint) for both the
+    # count and the sweep
+    m = m.select("cluster", "id", "v").localCheckpoint(eager=False)
+    counts = m.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cnt"))
+    t = m.join(F.broadcast(counts), "cluster")
+    small = t.filter(F.col("_cnt") <= cap).select("cluster", "id", "v")
+    out_small = small.groupBy("cluster").applyInPandas(
         fn, f"_dup {id_t}, _canon {id_t}, max_cos double"
     )
-    return out.select(
+    big = (
+        t.filter(F.col("_cnt") > cap)
+        .withColumn("_nb", F.ceil(F.col("_cnt") / F.lit(cap)).cast("int"))
+        .withColumn(
+            "_blk",
+            (
+                (F.row_number().over(
+                    Window.partitionBy("cluster").orderBy("id")
+                ) - 1) / F.lit(cap)
+            ).cast("int"),
+        )
+    )
+    # canon-side: block a participates in tiles (a, y) for y >= a;
+    # dup-side: block b participates in tiles (x, b) for x <= b — every
+    # id_i < id_j pair lands in exactly one (block(i), block(j)) tile
+    # because id-rank blocks ascend with id
+    canon_side = big.select(
+        "cluster", "id", "v", F.lit(0).alias("_role"),
+        F.col("_blk").alias("_bi"),
+        F.explode(F.sequence("_blk", F.col("_nb") - 1)).alias("_bj"),
+    )
+    dup_side = big.select(
+        "cluster", "id", "v", F.lit(1).alias("_role"),
+        F.explode(F.sequence(F.lit(0), "_blk")).alias("_bi"),
+        F.col("_blk").alias("_bj"),
+    )
+
+    def tile_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ci = pdf[pdf["_role"] == 0].sort_values("id")
+        dj = pdf[pdf["_role"] == 1].sort_values("id")
+        if len(ci) == 0 or len(dj) == 0:
+            return pd.DataFrame(
+                {"_dup": dj["id"][:0], "_canon": dj["id"][:0],
+                 "max_cos": np.empty(0, dtype=np.float64)}
+            )
+        cids = ci["id"].to_numpy()
+        VC = np.stack([np.asarray(x, dtype=np.float64) for x in ci["v"]])
+        dids = dj["id"].to_numpy()
+        VD = np.stack([np.asarray(x, dtype=np.float64) for x in dj["v"]])
+        dup, canon, mc = _K.cell_screen_sweep(
+            dids, VD, cids, VC, th, require_lower=True
+        )
+        return pd.DataFrame({"_dup": dup, "_canon": canon, "max_cos": mc})
+
+    out_big = (
+        canon_side.unionByName(dup_side)
+        .groupBy("cluster", "_bi", "_bj")
+        .applyInPandas(
+            tile_fn, f"_dup {id_t}, _canon {id_t}, max_cos double"
+        )
+        .groupBy("_dup")
+        .agg(
+            F.min("_canon").alias("_canon"),
+            F.max("max_cos").alias("max_cos"),
+        )
+    )
+    return out_small.unionByName(out_big).select(
         F.col("_dup").alias(out_id),
         F.col("_canon").alias("canonical_id"),
         "max_cos",
@@ -2839,7 +2927,18 @@ def _cell_screen_pairs(
     one COGROUPED Arrow kernel: ``d`` is (cell, id, v) [delta], ``c`` is
     (cell, cid, cv) [stored corpus members]; emits (out_id, canonical_id,
     max_cos) per leaked/duplicate delta row. Cells present on only one
-    side emit nothing — inner-join semantics, like the SQL plan."""
+    side emit nothing — inner-join semantics, like the SQL plan.
+
+    Group-input bound: unlike the self-sweep (``_cell_pair_dedup``,
+    which hard-caps oversized cells via the tiled route), the screen's
+    per-cell frames are bounded by its CALLERS' contracts — the corpus
+    side is a frozen eval index (metadata-sized by publication contract)
+    or the stored in-cell survivors of a dedup whose own build already
+    capped cells, and the delta side is an ingest micro-batch whose size
+    the stream trigger bounds. A batch decontaminate over an
+    adversarially mass-duplicated train split remains the residual
+    hazard; route it through ``semantic_dedup`` first (which now tiles)
+    if that regime is expected."""
     id_t = d.schema["id"].dataType.simpleString()
     th = float(threshold)
 
@@ -2933,6 +3032,7 @@ def semantic_dedup(
         l2_normalize_col,
     )
 
+    n = None
     if k is None or route == "auto":
         # one cheap count (parquet footer metadata when unfiltered) buys
         # the right k AND the right physical route for THIS corpus; the
@@ -2969,7 +3069,7 @@ def semantic_dedup(
             _make_assign_v_fn(cent_map, hier_plans),
             f"id {id_t}, cluster int, v array<double>",
         )
-        return _cell_pair_dedup(m, threshold, out_id="vec_id")
+        return _cell_pair_dedup(m, threshold, out_id="vec_id", n_hint=n)
     cells = kmeans_lite(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         route=route,

@@ -241,3 +241,35 @@ def test_mutual_knn_probe_kernel_parity(monkeypatch, planted):
             ),
         )
         assert a == b and len(a) > 0
+
+
+def test_giant_cell_tiled_route_parity(monkeypatch, planted):
+    """Forcing a tiny group cap routes every cell through the tiled
+    (canon-block, dup-block) sweep + dup-grain rollup — output must be
+    bit-identical to the single-group kernel AND the SQL plan (exact
+    twins included, so min-canon/max-cos tie composition is exercised)."""
+    want = _rows(sim.semantic_dedup(planted, route="flat"))
+    monkeypatch.setattr(K, "PAIR_GROUP_ROWS", 7)
+    got = _rows(sim.semantic_dedup(planted, route="flat"))
+    assert got == want and len(got) > 0
+    # n_hint=None (explicit k, no corpus count) must also take the
+    # counts-gated path and still match
+    got2 = _rows(
+        sim._cell_pair_dedup(
+            planted.selectExpr(
+                "vec_id as id", "cast(1 as int) as cluster", "embedding as v"
+            ),
+            0.95,
+        ).withColumnRenamed("vec_id", "id")
+    )
+    monkeypatch.setattr(K, "PAIR_GROUP_ROWS", 1 << 16)
+    want2 = _rows(
+        sim._cell_pair_dedup(
+            planted.selectExpr(
+                "vec_id as id", "cast(1 as int) as cluster", "embedding as v"
+            ),
+            0.95,
+            n_hint=planted.count(),
+        ).withColumnRenamed("vec_id", "id")
+    )
+    assert got2 == want2 and len(got2) > 0
