@@ -629,8 +629,15 @@ def brute_force_topk(
     O(candidates x queries / executors) with no candidate shuffle until
     the final per-query top-k (tiny).
     """
-    cand = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("ce")
+    # fan_out BEFORE the per-(candidate, query) cosine work: a
+    # single-row-group candidate scan would evaluate the whole
+    # candidates x queries score matrix in ONE task (measured 2.9 s of a
+    # 3.1 s query at sf0.1); no-op passthrough on wide production scans
+    cand = fan_out(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            to_double_array(vec_col).alias("ce"),
+        )
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), to_double_array(vec_col).alias("qe")
@@ -4021,7 +4028,9 @@ def kcenter_vs_random_audit(
     d = base.crossJoin(F.broadcast(cvec)).select(
         "method",
         F.col("id").alias("pid"),
-        _fx_sq_dist(F.col("v"), F.col("cv"), dim).alias("dist"),
+        # fold form: bit-identical, ~64x smaller expression tree (see
+        # label_separation_audit — this audit is likewise planning-bound)
+        _fx_sq_dist(F.col("v"), F.col("cv"), None).alias("dist"),
     )
     m = d.groupBy("method", "pid").agg(F.min("dist").alias("mind"))
     return m.groupBy("method").agg(
@@ -4083,7 +4092,14 @@ def label_separation_audit(
         base.join(F.broadcast(cent_arr), "label")
         .select(
             "label",
-            _fx_sq_dist(F.col("v"), F.col("c"), dim).alias("dist"),
+            # fold form (dim=None): bit-identical to the unrolled chain
+            # (int64 addition is associative — _fx_sq_dist docstring) but
+            # a ~64x smaller expression tree; this query is DRIVER-bound
+            # (measured 0.8 s of job wall inside 4.5 s: Catalyst
+            # re-optimizes three unrolled 64-term trees per AQE stage),
+            # while its row counts (corpus x 1, labels^2) are far too
+            # small for interpreted-fold eval cost to matter
+            _fx_sq_dist(F.col("v"), F.col("c"), None).alias("dist"),
         )
         .groupBy("label")
         .agg(
@@ -4103,7 +4119,7 @@ def label_separation_audit(
         .select(
             "la",
             "lb",
-            _fx_sq_dist(F.col("ca"), F.col("cb"), dim).alias("dist"),
+            _fx_sq_dist(F.col("ca"), F.col("cb"), None).alias("dist"),
         )
     )
     bm = bd.groupBy(F.col("la").alias("label")).agg(
