@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_challenge_aladia_spark.sources.files import (
@@ -219,6 +221,7 @@ def test_no_forced_broadcast_of_fact_tables():
     assert not banned, f"fact-scale broadcast hints found: {banned}"
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_no_python_row_loop_in_any_catalog_plan(spark, sf_dir):
     """Engine-wide invariant: no catalog query plans a row-at-a-time Python
     eval (BatchEvalPython). Arrow-batched kernels (mapInPandas /
@@ -281,6 +284,7 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     assert got_months == n_months > 0
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_no_unbounded_cartesian_in_any_catalog_plan(spark, sf_dir):
     """Engine-wide invariant: no catalog query plans a CartesianProduct,
     and every BroadcastNestedLoopJoin is one of the audited

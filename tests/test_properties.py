@@ -15,6 +15,8 @@ property runs at Spark speed, not job-per-example speed.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import given, settings, strategies as st
@@ -43,6 +45,7 @@ def model_watched_ratio(watched, duration) -> float:
 
 @settings(max_examples=20, deadline=None)
 @given(st.lists(finite_doubles, min_size=1, max_size=50), st.integers(0, 6))
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_round_half_up_matches_ieee_model(spark, values, scale):
     df = spark.createDataFrame([(v,) for v in values], "x double").coalesce(1)
     got = [r[0] for r in df.select(round_half_up(F.col("x"), scale)).collect()]
@@ -61,6 +64,7 @@ def test_round_half_up_matches_ieee_model(spark, values, scale):
         max_size=50,
     )
 )
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_watched_ratio_matches_reference_decision_table(spark, rows):
     df = spark.createDataFrame(rows, "watched long, duration long").coalesce(1)
     got = [
@@ -83,6 +87,7 @@ def test_watched_ratio_matches_reference_decision_table(spark, rows):
     ),
     st.randoms(),
 )
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_latest_per_key_order_invariant(spark, rows, rnd):
     """Same multiset of (key, version) rows in any arrival order -> same
     deduped state: max version per key."""
@@ -264,6 +269,7 @@ vec_doubles = st.floats(
         )
     )
 )
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_unrolled_vector_ops_bit_equal_fold_property(spark, rows):
     """dot/norm/cosine with static ``dim`` unrolling must be BIT-equal to
     the higher-order-fold defaults for any dim and any finite vectors —
@@ -294,6 +300,7 @@ def test_unrolled_vector_ops_bit_equal_fold_property(spark, rows):
         max_size=12,
     )
 )
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_int8_quantize_let_bound_matches_model(spark, vectors):
     """The let-bound int8 quantize/error kernels (functions/vectors.py
     let_col — amax evaluated once per row, not once per element) must

@@ -214,6 +214,7 @@ def test_store_contract_prunes_strictly_earlier(spark, tmp_path):
     assert sorted(r["k"] for r in fresh.collect()) == [0, 1, 2, 3]
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_media_ingest_midstream_replay_is_idempotent(spark, tmp_path):
     """The ADVICE r8 fix, pinned end-to-end: a MID-STREAM checkpoint
     replay (batch 1 re-runs after batch 2 already wrote its

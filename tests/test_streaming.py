@@ -641,6 +641,7 @@ def test_incremental_dedup_stream_screens_against_growing_corpus(spark, tmp_path
     assert spark.read.parquet(corpus).count() == 4
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_sigstore_ingest_stream_matches_recompute_and_accumulates(spark, tmp_path):
     """The signature-STORE ingest (bands + shingle sets persisted per
     batch, corpus text never re-read): reports equal the raw-text
@@ -1606,6 +1607,7 @@ def test_cell_partitioned_index_probe_scans_only_probed_cells(spark, tmp_path):
     assert scanned_files(full) == disk_files()
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_semantic_dedup_ingest_stream_matches_batch_operator(spark, tmp_path):
     """Streaming incremental semantic dedup: each micro-batch is screened
     against the ACCUMULATED index, per-batch reports equal the batch
@@ -1706,6 +1708,7 @@ def test_semantic_dedup_ingest_stream_matches_batch_operator(spark, tmp_path):
     assert read_index(spark, idx).count() == 25
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_drift_monitored_ingest_retrains_and_swaps_atomically(spark, tmp_path):
     """The closed drift→retrain loop: a synthetic drifting stream flips
     the cell_drift trigger, the processor retrains on the accumulated
@@ -1822,6 +1825,7 @@ def test_drift_monitored_ingest_retrains_and_swaps_atomically(spark, tmp_path):
     assert {(r["vec_id"], r["cell"]) for r in probe_index.collect()} == want_route
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_rebuild_index_consolidates_onto_current_generation(spark, tmp_path):
     """The offline half of the drift loop: after a retrain, rebuild_index
     routes every stored vector onto the CURRENT generation into one
@@ -2137,6 +2141,7 @@ def test_text_drift_loop_rebaselines_on_distribution_shift(spark, tmp_path):
     assert load_text_baseline(spark, store)[1] == 2
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_streaming_curation_composes_quality_budget_and_dedup(spark, tmp_path):
     """The composed streaming curation ingest, in the batch pipeline's
     gate order: low-quality docs never reach the screen, a near-dup of
@@ -2352,6 +2357,7 @@ def test_embedding_monitored_ingest_replay_pins_original_generation(spark, tmp_p
     assert replayed == first  # pinned to generation 1
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_compact_signature_store_preserves_screening(spark, tmp_path):
     """Compacting a multi-batch signature store into one batch=0 layout
     preserves screening semantics exactly: the same delta screened
@@ -2396,6 +2402,7 @@ def test_compact_signature_store_preserves_screening(spark, tmp_path):
     assert orig == compacted == {(100, 1)}
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_compacted_store_survives_fresh_checkpoint_batch0(spark, tmp_path):
     """The collision class compaction must never reintroduce: a
     CONTINUING ingest pointed at a compacted store starts a fresh
@@ -2703,6 +2710,7 @@ def test_countmin_ingest_reports_history_replay_and_compaction(
     assert r3 == {"alpha": (1, 4), "omega": (1, 0)}
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_cdc_chunk_ingest_insertion_shift_replay_and_compaction(
     spark, tmp_path
 ):

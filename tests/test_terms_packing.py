@@ -3,6 +3,8 @@ label propagation — tiny hand-checkable corpora."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 
 from etl_pipeline_challenge_aladia_spark.operators.packing import pack_sequences
@@ -89,6 +91,7 @@ def test_pack_sequences_independent_per_group(spark):
     assert {(r["source"], r["seq_id"]) for r in rows} == {("s1", 0), ("s2", 0)}
 
 
+@pytest.mark.slow  # measured heavy in the full --durations run (see pytest.ini)
 def test_knn_classify_majority_and_tie_break(spark):
     labeled = spark.createDataFrame(
         [
