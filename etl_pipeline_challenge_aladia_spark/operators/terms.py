@@ -33,13 +33,15 @@ from etl_pipeline_challenge_aladia_spark.sources.files import fan_out
 
 
 def _term_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    # fan_out BEFORE the tokenize+explode: the testdata parquet scans are
-    # single-row-group (one task), so the expensive projection chained onto
-    # the scan would run single-threaded; on wide production scans fan_out
-    # is a no-op passthrough (sources/files.py)
-    return fan_out(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-    ).select("doc_id", F.explode(tokens_col("_t")).alias("term"))
+    # NO fan_out here, on measurement: a plain split-on-space explode is
+    # cheap enough that the round-robin exchange costs MORE than the
+    # single-task projection it parallelizes (tfidf/vocab/bm25 each ran
+    # ~0.6 s slower with it in both full bench runs). The SHINGLE-based
+    # operators (ngram_novelty, inverted_shingle_index, bigram_lift) keep
+    # their fan_out — there the projection is the measured bottleneck.
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
 
 
 def tfidf_top_terms(
